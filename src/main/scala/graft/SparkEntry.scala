@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.codecs
+import graft.operators.ErrorHandlingTopology
+import graft.relational.Queries
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the full dead-letter topology (SURVEY.md §2.1 dataflow)
+    * over `events` at sf0.001, Kafka-shaped. Events are encoded onto the
+    * binary wire (key = event_id UTF-8, value = 4-byte big-endian int;
+    * 'error'-typed events get undecodable bytes to exercise the
+    * deserialization DLT; negative lengths exercise the process DLT),
+    * then routed through decode → wrap-map → split → size guard.
+    * Returns per-branch record counts (rows > 0 always). */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val records = events.select(
+      col("event_id").cast("string").cast("binary").as("key"),
+      when(col("event_type") === "error", col("props").cast("binary"))
+        .when(col("event_type") === "signup",
+          codecs.be_int4_encode(lit(-1)))
+        .otherwise(codecs.be_int4_encode(
+          floor(least(col("value"), lit(64.0))).cast("int"))).as("value"))
+    val b = ErrorHandlingTopology(records)
+    b.output.select(lit("output").as("branch"))
+      .union(b.processDlt.select(lit("process-exception.DLT").as("branch")))
+      .union(b.deserializationDlt.select(lit("deserialization-exception.DLT").as("branch")))
+      .union(b.productionDlt.select(lit("production-exception.DLT").as("branch")))
+      .groupBy("branch").agg(count(lit(1)).as("n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Queries.oracles
 }

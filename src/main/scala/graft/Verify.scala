@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet uses TIMESTAMP(NANOS); Spark reads them as
+      // nanos-since-epoch LongType with this flag (queries that need a
+      // real timestamp convert explicitly via micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
