@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.codecs
 import graft.operators.ErrorHandlingTopology
-import graft.relational.Queries
+import graft.relational.{ExtQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,12 +34,15 @@ object SparkEntry {
       .groupBy("branch").agg(count(lit(1)).as("n"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator: the reference's dead-letter
+    * surface (SURVEY.md §2.4) plus the training-data pipeline
+    * extensions (§2.5 — dedup, similarity search, text analysis,
+    * multimodal, relational scale demos). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ ExtQueries.all
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+  /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles
+    Queries.oracles ++ ExtQueries.oracles
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization / shingling column builders shared by the dedup and
+  * text-analysis operators. Pure Catalyst built-ins and higher-order
+  * functions — no UDFs, no serialization boundary, distributed by
+  * construction (each expression evaluates row-local; the only
+  * shuffles in downstream operators are their explicit groupBy/join
+  * keys).
+  *
+  * Every builder has a matching DuckDB-dialect fragment in
+  * `graft.relational.ExtOracles` — the pair must stay semantically
+  * identical (same 1-based indexing, same NULL propagation on
+  * out-of-range word access) for the t2 hash compare.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, joined by a single space.
+    *
+    * Built as zip_with over n shifted slices of the word array, NOT
+    * as transform(sequence, i -> ws[i]…): higher-order lambdas are
+    * interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so an indexed lambda re-evaluates split(text) for
+    * every element access — O(shingles × n) splits per row. The
+    * slice form evaluates split once per slice (n per ROW) and was
+    * measured ~10× faster on the sf0.1 corpus.
+    *
+    * A doc with fewer than n words produces an empty shingle set
+    * (slice length max(len-(n-1), 0) = 0). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val len = greatest(size(ws) - lit(n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(grams)
+  }
+
+  /** Distinct character trigrams of the raw text (1-based positions;
+    * trailing <3-char windows are excluded on both engines). */
+  def charTrigrams(text: Column): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - lit(2), lit(1)))
+    val grams = transform(idx, i => text.substr(i, lit(3)))
+    array_distinct(filter(grams, g => length(g) === 3))
+  }
+}

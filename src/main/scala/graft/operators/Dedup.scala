@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash => PH, TextOps, VectorOps => V}
+
+/** Deduplication operator family over the `documents` / `embeddings`
+  * tables — the training-data-pipeline extension surface (SURVEY.md
+  * §2.5). Every operator is a pure DataFrame transform with an exact
+  * DuckDB oracle (graft.relational.ExtQueries).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash-aggregate on the dedup key with
+  *    map-side partial aggregation; no other shuffle.
+  *  - MinHash LSH is the linear-cost path: per-doc signatures are
+  *    row-local expressions, the only shuffle is the (band, bucket)
+  *    self-join, whose fan-out is bounded by bucket occupancy — the
+  *    classic guard for skew (a degenerate bucket) is dropping
+  *    buckets above a cap before pairing.
+  *  - the exact n-gram Jaccard join is the quadratic-verify path and
+  *    is meant to run AFTER an LSH-style blocker at scale; it is
+  *    declared standalone here because the corpus plants ~25 true
+  *    near-dup pairs it must find exhaustively.
+  */
+object Dedup {
+
+  /** Exact deduplication: canonical representative (min doc_id) and
+    * multiplicity per identical `text`. One hash-agg shuffle. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+      .orderBy("doc_id")
+
+  /** Per-doc distinct word n-gram shingle sets, exploded. */
+  private def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), n)).as("sh"))
+
+  /** MinHash signatures: doc_id, sig array<long> of K minhashes.
+    *
+    * Shape matters: explode + ONE hash-agg with K min() columns, not
+    * K array_min(transform(...)) projections — Catalyst collapses
+    * stacked projects and would re-inline (and so re-md5) the shingle
+    * hash array into each of the K expressions. Here md5 runs once
+    * per shingle, the K affine transforms are cheap modular math, and
+    * partial aggregation shrinks the shuffle to one row per doc. */
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val hashes = shingles(docs, shingleN)
+      .select(col("doc_id"), PH.h31(col("sh")).as("h"))
+    val mins = (0 until PH.MinhashK).map(j =>
+      min(PH.affine(j)(col("h"))).as(s"m$j"))
+    hashes.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until PH.MinhashK).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH candidate pairs with the MinHash Jaccard
+    * estimate (fraction of agreeing signature slots, in ppm).
+    * bands*rowsPerBand must equal PH.MinhashK. */
+  def minhashLsh(docs: DataFrame, shingleN: Int = 3,
+                 bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand == PH.MinhashK)
+    val sigs = minhashSignatures(docs, shingleN)
+    // (doc_id, band, bucket): bucket = ':'-joined minhashes of the band
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(":", (0 until rowsPerBand).map(r =>
+          get(col("sig"), b * lit(rowsPerBand) + r).cast("string")): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val left = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pairs = left.join(right, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+    pairs.select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_matching"))
+      .withColumn("est_jaccard_ppm",
+        floor(lit(1000000.0) * col("n_matching") / PH.MinhashK).cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprint (48-bit, from the portable h48 word hash):
+    * bit b of the fingerprint is set iff the sum over word
+    * occurrences of (bit b of h48(word) ? +1 : -1) is positive.
+    * Single shuffle: one hash-agg with 48 packed sum columns (partial
+    * aggregation applies), then row-local bit packing. */
+  def simhash(docs: DataFrame, bits: Int = 48): DataFrame = {
+    val wordHashes = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), PH.h48(col("w")).as("h"))
+    val sums = (0 until bits).map { b =>
+      val pow2 = 1L << b
+      // (h div 2^b) % 2 → the b-th bit; exact: h < 2^48 so h/2^b is
+      // an exact double, floor+cast is the integer quotient.
+      sum((floor(col("h") / pow2).cast("long") % 2L) * 2L - 1L).as(s"s$b")
+    }
+    val bitSums = wordHashes.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    bitSums.select(col("doc_id"),
+        (0 until bits).map { b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash48"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact word n-gram Jaccard near-duplicate pairs via an
+    * inverted-index self-join on shingles (no cross join: only doc
+    * pairs sharing >= 1 shingle are materialized). Emits pairs with
+    * jaccard >= minJaccardPpm/1e6. */
+  def ngramJaccard(docs: DataFrame, shingleN: Int = 3,
+                   minJaccardPpm: Long = 500000L): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        floor(lit(1000000.0) * col("n_inter")
+          / (col("na") + col("nb") - col("n_inter"))).cast("long")
+          .as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= minJaccardPpm)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-duplicate pairs via banded sign-bit LSH blocking
+    * (nBands bands of bitsPerBand axis-aligned hyperplane signs =
+    * multi-table random-hyperplane LSH) verified with the exact
+    * quantized cosine. Approximate-recall by design: only pairs
+    * agreeing on at least one full band are candidates. */
+  def embeddingNearDup(embeddings: DataFrame, nBands: Int = 4,
+                       bitsPerBand: Int = 4,
+                       minCosPpm: Long = 400000L): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+        V.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
+      .where(col("qn") > 0)
+    val banded = embeddings.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    pairs
+      .join(q.select(col("vec_id").as("vec_a"), col("qe").as("qa"), col("qn").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qe").as("qb"), col("qn").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .orderBy("vec_a", "vec_b")
+  }
+}

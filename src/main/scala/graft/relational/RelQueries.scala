@@ -1,0 +1,110 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational scale-demonstration queries over the TPC-H-style
+  * tables. The reference has no joins/aggregations/windows
+  * (SURVEY.md §2.2) — these queries document how the absent
+  * categories are covered by Spark built-ins with 100 TB-appropriate
+  * plans: partial aggregation, broadcast of dimension tables,
+  * window-partition pruning.
+  *
+  * Determinism note: money columns are doubles; each is quantized
+  * row-locally to cents (floor(x*100), identical IEEE double math in
+  * both engines) BEFORE aggregation so the sums are exact integers —
+  * order-independent and hash-stable across engines and partition
+  * counts.
+  */
+object RelQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  /** TPC-H Q1-style pricing summary: one hash-agg over lineitem
+    * (map-side partial agg; the only shuffle is |flag×status| ≈ 6
+    * groups). Shipdate predicate is pushed to the parquet scan.
+    * NOTE: l_shipdate is micros-precision → TIMESTAMP_NTZ (only the
+    * nanos columns fall under spark.sql.legacy.parquet.nanosAsLong). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_c"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Broadcast-join demo: revenue by part brand. `part` is the small
+    * side (1/5 of lineitem's rows, narrow projection) → explicit
+    * broadcast, so lineitem never shuffles. */
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_c"))
+      .orderBy("p_brand")
+  }
+
+  /** Multi-join rollup: order revenue by region × priority.
+    * customer/nation/region are all dimension-sized → broadcast
+    * chain; `orders` (the fact) never shuffles before the final
+    * small aggregate. */
+  def regionPriorityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("revenue_c"))
+      .orderBy("r_name", "o_orderpriority")
+  }
+
+  /** Window top-k: 3 highest-value orders per customer. Single
+    * shuffle on o_custkey; ties broken by o_orderkey so the frame is
+    * total-ordered (required for the oracle hash and for stable
+    * results under retries at scale). */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "price_c")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Event-time tumbling window (batch form of the streaming
+    * windowed count): hourly counts + value sums per event type.
+    * `ts` is nanos-since-epoch (LongType); hour bucket = integer
+    * division — pure integer math, portable, and a direct
+    * partition-pruning key at scale. */
+  def hourlyEventRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        // integer `div`: ts (~1.7e18 ns) is far above 2^53, double
+        // division would be inexact
+        (expr(s"CAST(ts AS BIGINT) div $nanosPerHour") * 3600L)
+          .as("hour_epoch_s"),
+        cents(col("value")).as("value_c"))
+      .groupBy("hour_epoch_s", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
+      .orderBy("hour_epoch_s", "event_type")
+  }
+}

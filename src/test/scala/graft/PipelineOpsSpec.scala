@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash => PH}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantic contracts of the training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal) on constructed
+  * inputs — the DuckDB hash compare (t2) checks exact values on the
+  * corpus; these check the operator LAWS on adversarial rows. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("portable h48 matches the DuckDB definition on a known value") {
+    // DuckDB: SELECT ('0x'||substr(md5('hello world'),1,12))::BIGINT
+    val got = spark.range(1)
+      .select(PH.h48(lit("hello world"))).head.getLong(0)
+    assert(got == 104136779227166L)
+  }
+
+  test("exact dedup keeps min doc_id and counts multiplicity") {
+    val d = docs(3L -> "a b c", 1L -> "a b c", 2L -> "x y z")
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 2L, 2L -> 1L))
+  }
+
+  test("minhash: identical docs share full signatures; disjoint docs don't") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "q r s t u v w")
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash LSH surfaces an identical pair with 16/16 matches") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "q r s t u v w")
+    val pairs = Dedup.minhashLsh(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.contains((1L, 2L, 16L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical fingerprints") {
+    val d = docs(1L -> "spark flink beam", 2L -> "spark flink beam",
+      3L -> "totally different words here")
+    val fp = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 48)))
+  }
+
+  test("ngram jaccard: identical docs score 1e6 ppm; near dups score high") {
+    val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+      3L -> "a b c d e f g z")
+    val out = Dedup.ngramJaccard(d, minJaccardPpm = 0L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out((1L, 2L)) == 1000000L)
+    assert(out((1L, 3L)) > 400000L && out((1L, 3L)) < 1000000L)
+  }
+
+  test("embedding near-dup finds an exact duplicate vector at ~1e6 ppm") {
+    val v = Array.tabulate(16)(i => (if (i % 3 == 0) 1.0f else -0.5f))
+    val w = Array.tabulate(16)(i => (if (i % 2 == 0) -1.0f else 0.25f))
+    val e = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(e, nBands = 4, bitsPerBand = 4,
+      minCosPpm = 900000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 >= 999999L) // floor rounding of exactly 1.0
+  }
+
+  test("knn brute: rank 1 neighbor of a duplicated vector is its twin") {
+    val mk = (seed: Int) => Array.tabulate(16)(i =>
+      math.sin(seed * 31 + i).toFloat)
+    val e = (0L to 9L).map(i =>
+      (i, (if (i == 5L) mk(0) else mk(i.toInt)).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnBrute(e, nQueries = 1, k = 3).collect()
+    assert(out.head.getLong(2) == 5L) // neighbor_id of rank 1 for query 0
+    assert(out.head.getLong(3) >= 999999L)
+  }
+
+  test("knn lsh returns a subset of brute-force candidates, same scoring") {
+    val e = (0L to 20L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(e, nQueries = 2, k = 21).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val lsh = Similarity.knnLshBucketed(e, nQueries = 2, k = 5).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && brute(key) == r.getLong(3),
+        s"lsh scored $key differently from brute force")
+    }
+  }
+
+  test("token counts on a constructed doc") {
+    val d = docs(1L -> "the quick brownfox 42 jumped")
+    val r = TextAnalysis.tokenCounts(d).head
+    assert(r.getLong(1) == 5L) // ws tokens
+    assert(r.getLong(2) == 4L) // alpha runs: the, quick, brownfox, jumped
+    assert(r.getLong(3) == 1L) // numeric runs
+    // subword: ceil(3/4)+ceil(5/4)+ceil(8/4)+ceil(2/4)+ceil(6/4) = 1+2+2+1+2
+    assert(r.getLong(4) == 8L)
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    val d = docs(1L -> "a b c", 2L -> "c b a", 3L -> "a b c")
+    val fp = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("quality: stopword ratio and short-doc penalty") {
+    val d = docs(1L -> "the a the a", 2L -> Seq.fill(25)("word").mkString(" "))
+    val out = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == 1000000L) // all stopwords
+    assert(out(1L)._2 == 1000000L - 500000L - 250000L)
+    assert(out(2L)._1 == 0L)
+    assert(out(2L)._2 == 1000000L)
+  }
+
+  test("langId predicts deterministically with lang-tagged corpus") {
+    val d = Seq((1L, "aaa bbb ccc", "xx"), (2L, "aaa bbb ccc", "yy"),
+      (3L, "zzz qqq rrr", "yy")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d, profileN = 50).collect()
+    assert(out.length == 3)
+    // doc 1/2 trigram sets match both xx and yy profiles equally →
+    // lexicographic tiebreak picks xx
+    val byDoc = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(1L) == "xx" && byDoc(2L) == "xx")
+    assert(byDoc(3L) == "yy")
+  }
+
+  test("multimodal stub decode: frame count and checksum contract") {
+    val payload = ("x" * 130).getBytes("UTF-8")
+    val f = Multimodal.stubDecode(Multimodal.BinaryDoc(7L, payload))
+    assert(f.n_bytes == 130L)
+    assert(f.n_frames == 3L) // ceil(130/64)
+    assert(f.frame_checksum == 3L * 'x'.toLong)
+    val viaSpark = Multimodal.extractFeatures(
+      docs(7L -> ("x" * 130)))(spark).head
+    assert(viaSpark.getLong(1) == 130L && viaSpark.getLong(2) == 3L)
+  }
+}
