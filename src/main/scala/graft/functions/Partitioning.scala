@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioning hygiene for CPU-bound stages.
+  *
+  * The bench corpus is single-row-group parquet, which Spark cannot
+  * split — every scan arrives as ONE partition and any expression-
+  * heavy stage right after it (shingling, hashing, decoding) runs
+  * single-threaded no matter how many cores the session has.
+  * `spread` round-robins such inputs up to the session parallelism.
+  * On a production lake with many files/row-groups the input already
+  * has ≥ parallelism/2 splits and this is a no-op — the check keeps
+  * the extra shuffle out of plans that don't need it.
+  */
+object Partitioning {
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+}

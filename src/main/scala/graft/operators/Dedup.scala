@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PortableHash => PH, TextOps, VectorOps => V}
+import graft.functions.{Partitioning, PortableHash => PH, TextOps, VectorOps => V}
 
 /** Deduplication operator family over the `documents` / `embeddings`
   * tables — the training-data-pipeline extension surface (SURVEY.md
@@ -35,7 +35,7 @@ object Dedup {
 
   /** Per-doc distinct word n-gram shingle sets, exploded. */
   private def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    Partitioning.spread(docs).select(col("doc_id"),
         explode(TextOps.wordShingles(col("text"), n)).as("sh"))
 
   /** MinHash signatures: doc_id, sig array<long> of K minhashes.
@@ -92,7 +92,7 @@ object Dedup {
     * Single shuffle: one hash-agg with 48 packed sum columns (partial
     * aggregation applies), then row-local bit packing. */
   def simhash(docs: DataFrame, bits: Int = 48): DataFrame = {
-    val wordHashes = docs.select(col("doc_id"),
+    val wordHashes = Partitioning.spread(docs).select(col("doc_id"),
         explode(TextOps.words(col("text"))).as("w"))
       .select(col("doc_id"), PH.h48(col("w")).as("h"))
     val sums = (0 until bits).map { b =>
@@ -141,7 +141,7 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, nBands: Int = 4,
                        bitsPerBand: Int = 4,
                        minCosPpm: Long = 400000L): DataFrame = {
-    val q = embeddings.select(col("vec_id"),
+    val q = Partitioning.spread(embeddings).select(col("vec_id"),
         V.quantize(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)

@@ -52,7 +52,8 @@ object Multimodal {
     * parquet/kafka as BinaryType. */
   def payloads(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[BinaryDoc]
   }
 

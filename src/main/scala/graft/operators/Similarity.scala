@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorOps => V}
+import graft.functions.{Partitioning, VectorOps => V}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`). Two paths:
@@ -29,7 +29,8 @@ import graft.functions.{VectorOps => V}
 object Similarity {
 
   private def quantized(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), V.quantize(col("embedding")).as("qe"))
+    Partitioning.spread(embeddings)
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PortableHash => PH, TextOps}
+import graft.functions.{Partitioning, PortableHash => PH, TextOps}
 
 /** Text-analysis operator family over `documents` — token counting,
   * quality scoring, corpus-trained n-gram language ID, and document
@@ -59,22 +59,44 @@ object TextAnalysis {
     * broken by language code). The profile table is tiny (|langs| ×
     * profileN) → broadcast join back to the corpus. */
   def langId(docs: DataFrame, profileN: Int = 20): DataFrame = {
-    // one row per (doc, distinct trigram); reused for profile + score
-    val docTg = docs.select(col("doc_id"), col("lang"),
-      explode(TextOps.charTrigrams(col("text"))).as("tg"))
-    val counts = docTg.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+    // FIT: per-language top-N trigram profiles by document frequency.
+    // The model is tiny (|langs| × profileN strings) so it is
+    // collected and re-broadcast as literals — at 100 TB this pass is
+    // one shuffle of (lang, trigram) partial counts.
+    val spreadDocs = Partitioning.spread(docs)
+    val counts = spreadDocs
+      .select(col("lang"), explode(TextOps.charTrigrams(col("text"))).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
     val profRank = Window.partitionBy("lang")
       .orderBy(col("c").desc, col("tg").asc)
-    val profiles = counts.withColumn("r", row_number().over(profRank))
+    val profiles: Seq[(String, Seq[String])] = counts
+      .withColumn("r", row_number().over(profRank))
       .where(col("r") <= profileN)
-      .select(col("lang").as("plang"), col("tg"))
-    val scores = docTg.select("doc_id", "tg")
-      .join(broadcast(profiles), "tg")
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
-    val best = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("plang").asc)
-    scores.withColumn("r", row_number().over(best)).where(col("r") === 1)
-      .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
+      .select("lang", "tg").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getString(1)).toSeq
+      }.toSeq.sortBy(_._1)
+    // TRANSFORM: score every doc against every profile ROW-LOCALLY
+    // (array_intersect vs literal arrays — no explode, no join, no
+    // shuffle). argmax via array_sort on (-score, lang) structs:
+    // score desc, lang asc — same tiebreak as the oracle's window.
+    val scoreStructs = profiles.map { case (l, tgs) =>
+      val s = size(array_intersect(col("tgs"), typedLit(tgs))).cast("long")
+      struct((-s).as("neg"), lit(l).as("plang"), s.as("score"))
+    }
+    val best = element_at(array_sort(array(scoreStructs: _*)), 1)
+    spreadDocs
+      // Bind the trigram array via a Generate node (explode of a
+      // 1-element array): a plain alias would be re-inlined into the
+      // score>0 filter by PushDownPredicates + CollapseProject —
+      // measured 10× re-computation of the trigram build per row.
+      // Filters cannot push below a Generate's own output, so `tgs`
+      // is evaluated exactly once per row here.
+      .select(col("doc_id"),
+        explode(array(TextOps.charTrigrams(col("text")))).as("tgs"))
+      .select(col("doc_id"), best.getField("plang").as("pred_lang"),
+        best.getField("score").as("score"))
+      .where(col("score") > 0)
       .orderBy("doc_id")
   }
 
