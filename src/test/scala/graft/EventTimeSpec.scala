@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{EventTimeOps, Sessionize}
+
+/** Event-time extension operators: exact values in batch mode (the
+  * window expression is engine-identical in both modes), watermark
+  * behavior and custom state through MemoryStream micro-batches. */
+class EventTimeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  private def eventsDf(rows: (Int, Long, String, Double)*) =
+    rows.toSeq.map { case (m, u, t, v) => (ts(m), u, t, v) }
+      .toDF("ts", "user_id", "event_type", "value")
+
+  test("tumblingRollup: exact window boundaries and cent sums (batch)") {
+    val df = eventsDf((1, 1, "a", 1.5), (59, 1, "a", 2.25), (61, 2, "a", 4.0),
+      (61, 2, "b", -1.0))
+    val out = EventTimeOps.tumblingRollup(df).collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set((0L, "a", 2L, 375L), (60L, "a", 1L, 400L),
+      (60L, "b", 1L, -100L)))
+  }
+
+  test("sessionRollup: gap splits sessions per user (batch)") {
+    val df = eventsDf((0, 7, "a", 0), (10, 7, "a", 0), (90, 7, "a", 0),
+      (5, 8, "a", 0))
+    val out = EventTimeOps.sessionRollup(df).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).getTime / 60000,
+        r.getLong(3))).toSet
+    // user 7: [0,10] session (2 events) then [90] session; user 8: [5]
+    assert(out == Set((7L, 0L, 2L), (7L, 90L, 1L), (8L, 5L, 1L)))
+  }
+
+  test("tumblingRollup drops late data behind the watermark (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventTimeOps.tumblingRollup(df, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: events at minute 10 and 200 -> watermark ~ 200-60=140
+      mem.addData((ts(10), 1L, "a", 1.0), (ts(200), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: late event at minute 5 (window [0,60) is < watermark)
+      // and on-time event at minute 210
+      mem.addData((ts(5), 1L, "a", 99.0), (ts(210), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so all open windows close
+      mem.addData((ts(600), 1L, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_wm").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(3),
+          r.getLong(4)))
+      // window [0,60) emitted with ONLY the on-time event (n=1):
+      // the minute-5 late arrival was dropped
+      assert(rows.contains((0L, 1L, 100L)))
+      assert(!rows.exists(t => t._1 == 0L && t._2 == 2L))
+    } finally q.stop()
+  }
+
+  test("Sessionize.updateState folds events into sessions with gap") {
+    val evs = Seq(Sessionize.Event(1, 0L, 1.0), Sessionize.Event(1, 60000L, 2.0),
+      Sessionize.Event(1, 10_000_000L, 5.0))
+    // direct unit test of the state fold via the public function:
+    // first two coalesce (gap 30 min), third opens a new session and
+    // closes the first
+    val state = new TestGroupState[Sessionize.SessionState]
+    val out = Sessionize.updateState(Sessionize.DefaultGapMs)(1L,
+      evs.iterator, state).toList
+    assert(out == List(Sessionize.Session(1L, 0L, 60000L, 2L, 3.0)))
+    assert(state.value.exists(s =>
+      s.start_ms == 10_000_000L && s.n_events == 1L))
+  }
+
+  test("Sessionize end-to-end over MemoryStream micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.Event]
+    val q = Sessionize(withWm, gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Sessionize.Event(1, 1000L, 1.0),
+        Sessionize.Event(1, 2000L, 2.0))
+      q.processAllAvailable()
+      // jump event-time far ahead: watermark passes 2000+gap, session
+      // closes via timeout on the next batch
+      mem.addData(Sessionize.Event(2, 500000L, 9.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(2, 900000L, 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[Sessionize.Session]
+        .collect().toSet
+      assert(sessions.contains(Sessionize.Session(1L, 1000L, 2000L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
+
+/** Minimal GroupState stub for unit-testing update functions without
+  * a streaming query. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  var value: Option[S] = None
+  private var timedOut = false
+  override def exists: Boolean = value.isDefined
+  override def get: S = value.get
+  override def getOption: Option[S] = value
+  override def update(newValue: S): Unit = value = Some(newValue)
+  override def remove(): Unit = value = None
+  override def hasTimedOut: Boolean = timedOut
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
