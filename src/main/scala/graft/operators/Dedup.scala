@@ -56,19 +56,39 @@ object Dedup {
         array((0 until PH.MinhashK).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Drop LSH buckets larger than `cap`: a degenerate bucket (every
+    * boilerplate doc sharing one band signature) turns the self-join
+    * quadratic — the standard skew guard is to skip pairing inside
+    * such buckets (they are near-useless for dedup anyway: a bucket
+    * with 10k members means the band carries no discrimination).
+    * The window count shuffles on the SAME (band, bucket) key the
+    * subsequent self-join uses, so the exchange is reused. */
+  private def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")
+        banded.withColumn("bsz", count(lit(1)).over(w))
+          .where(col("bsz") <= c).drop("bsz")
+      case None => banded
+    }
+
   /** MinHash + banded LSH candidate pairs with the MinHash Jaccard
     * estimate (fraction of agreeing signature slots, in ppm).
-    * bands*rowsPerBand must equal PH.MinhashK. */
+    * bands*rowsPerBand must equal PH.MinhashK. `maxBucketSize` is the
+    * skew guard (None = declared-oracle semantics, no cap). */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3,
-                 bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                 bands: Int = 8, rowsPerBand: Int = 2,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
     require(bands * rowsPerBand == PH.MinhashK)
     val sigs = minhashSignatures(docs, shingleN)
     // (doc_id, band, bucket): bucket = ':'-joined minhashes of the band
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = capBuckets(sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(":", (0 until rowsPerBand).map(r =>
           get(col("sig"), b * lit(rowsPerBand) + r).cast("string")): _*))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize)
     val left = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = banded.select(col("band"), col("bucket"),
@@ -140,15 +160,17 @@ object Dedup {
     * agreeing on at least one full band are candidates. */
   def embeddingNearDup(embeddings: DataFrame, nBands: Int = 4,
                        bitsPerBand: Int = 4,
-                       minCosPpm: Long = 400000L): DataFrame = {
+                       minCosPpm: Long = 400000L,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
     val q = Partitioning.spread(embeddings).select(col("vec_id"),
         V.quantize(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)
-    val banded = embeddings.select(col("vec_id"),
+    val banded = capBuckets(embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
         V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize)
     val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
       .join(banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("band", "bucket"))

@@ -287,6 +287,21 @@ object ExtQueries {
       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk FROM orders) " +
       "WHERE rk <= 3 ORDER BY o_custkey, rk"
 
+  private val relAsofSql: String =
+    "WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') " +
+      "SELECT p.event_id AS purchase_id, p.user_id AS user_id, " +
+      "epoch_us(p.ts) AS purchase_us, c.event_id AS click_id, " +
+      "epoch_us(c.ts) AS click_us " +
+      "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+      "ORDER BY purchase_id"
+
+  private val relRollupSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+      s"CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+
   private val relHourlyEventsSql: String =
     "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, event_type, " +
       "count(*) AS n, " +
@@ -315,6 +330,8 @@ object ExtQueries {
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
     "rel_top_orders" -> (RelQueries.topOrdersPerCustomer _),
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
+    "rel_asof_click" -> (RelQueries.purchaseLastClick _),
+    "rel_rollup" -> (RelQueries.pricingRollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +352,7 @@ object ExtQueries {
     "rel_region_priority" -> relRegionPrioritySql,
     "rel_top_orders" -> relTopOrdersSql,
     "rel_hourly_events" -> relHourlyEventsSql,
+    "rel_asof_click" -> relAsofSql,
+    "rel_rollup" -> relRollupSql,
   )
 }

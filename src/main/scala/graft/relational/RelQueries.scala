@@ -89,6 +89,38 @@ object RelQueries {
       .orderBy("o_custkey", "rk")
   }
 
+  /** As-of join demo (graft.operators.AsOfJoin): every purchase event
+    * matched to the same user's most recent click at-or-before it.
+    * One shuffle on user_id for both sides via the union+carry
+    * formulation. Timestamps are compared at micros precision on
+    * both engines (parquet nanos → DuckDB TIMESTAMP is µs-truncated;
+    * (user_id, ts_us) verified collision-free in the corpus). */
+  def purchaseLastClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("CAST(ts AS BIGINT) div 1000"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id")
+    graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
+        Seq("event_id"), Seq("event_id", "ts_us"))
+      .select(col("l_event_id").as("purchase_id"), col("user_id"),
+        col("l_ts_us").as("purchase_us"), col("r_event_id").as("click_id"),
+        col("r_ts_us").as("click_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** ROLLUP grouping-sets coverage (absent in the reference —
+    * SURVEY.md §2.2): pricing rollup with explicit NULLS FIRST
+    * ordering (Spark defaults nulls-first on ASC, DuckDB defaults
+    * nulls-last — the oracle pins it). */
+  def pricingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Event-time tumbling window (batch form of the streaming
     * windowed count): hourly counts + value sums per event type.
     * `ts` is nanos-since-epoch (LongType); hour bucket = integer

@@ -154,4 +154,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       docs(7L -> ("x" * 130)))(spark).head
     assert(viaSpark.getLong(1) == 130L && viaSpark.getLong(2) == 3L)
   }
+
+  test("LSH skew guard drops degenerate buckets") {
+    // 30 identical docs = one degenerate bucket per band; cap 5 kills
+    // all pairing, no cap yields 30*29/2 pairs
+    val d = docs((1L to 30L).map(i => i -> "a b c d e f"): _*)
+    assert(Dedup.minhashLsh(d).count() == 435L)
+    assert(Dedup.minhashLsh(d, maxBucketSize = Some(5)).count() == 0L)
+  }
+
+  test("asOf join picks the most recent right row per key (ties: right first)") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 90L, 900L), (1L, 100L, 901L), (1L, 150L, 902L),
+      (2L, 60L, 903L)).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("lv"), Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // left (1,100) matches right at SAME t (inclusive >=) -> 901
+    // left (1,200) matches right 150 -> 902
+    // left (2,50): no right at-or-before -> dropped (inner)
+    assert(out == Set((1L, 100L, 10L, 901L), (1L, 200L, 11L, 902L)))
+  }
 }
