@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composite training-data curation pipeline — the use-case the
+  * extension operators exist for, composed end-to-end:
+  *
+  *   keep a document iff
+  *     1. it is its exact-dedup representative (min doc_id per text),
+  *     2. its quality score clears `minQualityPpm`,
+  *     3. it is not the losing side (larger doc_id) of a MinHash-LSH
+  *        near-duplicate pair at `minEstJaccardPpm`.
+  *
+  * Plan shape at scale: (1) is one hash-agg + one join on text-key;
+  * (2) is row-local; (3) is the LSH candidate join followed by a
+  * LEFT ANTI join (no data amplification: losers is a small distinct
+  * set of ids). Nothing here collects to the driver.
+  */
+object CuratePipeline {
+
+  def curate(spark: SparkSession, docs: DataFrame,
+             minQualityPpm: Long = 750000L,
+             minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val reps = Dedup.exact(docs).select("doc_id")
+    val quality = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_ppm")
+    val losers = Dedup.minhashLsh(docs)
+      .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .join(reps, "doc_id")
+      .join(quality, "doc_id")
+      .where(col("quality_ppm") >= minQualityPpm)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+}

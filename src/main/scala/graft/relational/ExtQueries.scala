@@ -2,8 +2,9 @@ package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.{functions => F}
 import graft.functions.{PortableHash => PH}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Extension query surface (SURVEY.md §2.5): the training-data
   * pipeline operators (dedup / similarity / text analysis /
@@ -309,6 +310,28 @@ object ExtQueries {
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
 
   // ---------------------------------------------------------------
+  // composite curation pipeline + distinct-agg coverage
+  // ---------------------------------------------------------------
+
+  /** Composite: reuses the quality and minhash oracle SQL verbatim as
+    * parenthesized CTE subqueries (DuckDB allows nested WITH). */
+  private val pipelineCurateSql: String =
+    "WITH q AS (SELECT doc_id, quality_ppm FROM (" + txQualitySql + ")), " +
+      "reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+      "losers AS (SELECT DISTINCT doc_b AS doc_id FROM (" + ddMinhashSql + ") " +
+      "WHERE est_jaccard_ppm >= 750000) " +
+      "SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_ppm " +
+      "FROM documents d JOIN reps r ON r.doc_id = d.doc_id " +
+      "JOIN q ON q.doc_id = d.doc_id " +
+      "WHERE q.quality_ppm >= 750000 " +
+      "AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id) " +
+      "ORDER BY d.doc_id"
+
+  private val relDistinctUsersSql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
 
@@ -332,6 +355,13 @@ object ExtQueries {
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
     "rel_rollup" -> (RelQueries.pricingRollup _),
+    "pipeline_curate" -> ((s, d) =>
+      CuratePipeline.curate(s, Tables.documents(s, d))),
+    "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(F.countDistinct("user_id").as("n_users"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("event_type")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +384,7 @@ object ExtQueries {
     "rel_hourly_events" -> relHourlyEventsSql,
     "rel_asof_click" -> relAsofSql,
     "rel_rollup" -> relRollupSql,
+    "pipeline_curate" -> pipelineCurateSql,
+    "rel_distinct_users" -> relDistinctUsersSql,
   )
 }
