@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.TopicConfig
+
+/** Kafka source/sink wiring — the engine's edge to the reference's
+  * only I/O system (reference: ErrorHandlingTopology.java:30,38,44
+  * consumes `input` and produces `output` + the DLTs; topic names in
+  * config/TopicConfig.java:6-12 + application.yml:14-19).
+  *
+  * Spark's Kafka connector always delivers/accepts BINARY key/value
+  * plus an optional `headers array<struct<key:string,value:binary>>`
+  * column — serdes become explicit plan expressions
+  * (graft.functions.BinaryCodecExpressions). This module only shapes
+  * DataFrames and option maps; it is broker-free unit-testable, and
+  * the same shaping is exercised end-to-end by the MemoryStream
+  * streaming specs (no broker exists in this environment).
+  */
+object KafkaEdge {
+
+  /** The record schema every consumer-side transform can rely on —
+    * mirrors the connector's fixed output schema. */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", BinaryType)))))))
+
+  /** Streaming read of the input topic (includeHeaders on, matching
+    * the reference's header-carrying contract). */
+  def readStream(spark: SparkSession, bootstrap: String,
+                 topics: TopicConfig): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.input)
+      .option("includeHeaders", "true")
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** Batch read (same options; used for reprocessing/backfill). */
+  def readBatch(spark: SparkSession, bootstrap: String,
+                topics: TopicConfig): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.input)
+      .option("includeHeaders", "true")
+      .load()
+
+  /** Shape a branch DataFrame for the Kafka sink: exactly the
+    * columns the connector consumes. `headers` is passed through
+    * when present (the DLT branches carry `error.message`). */
+  def toSinkShape(df: DataFrame, topic: String): DataFrame = {
+    val base = df
+      .withColumn("topic", lit(topic))
+      .withColumn("key", col("key").cast("binary"))
+      .withColumn("value", col("value").cast("binary"))
+    val cols = Seq("topic", "key", "value") ++
+      (if (df.columns.contains("headers")) Seq("headers") else Nil)
+    base.select(cols.map(col): _*)
+  }
+
+  /** Write a (batch) branch to Kafka — called from inside the
+    * foreachBatch fan-out (StreamingTopology.Sinks). */
+  def writeBatch(df: DataFrame, bootstrap: String, topic: String,
+                 maxRequestSize: Int = 1048576): Unit =
+    toSinkShape(df, topic).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("kafka.max.request.size", maxRequestSize.toString)
+      .save()
+}
