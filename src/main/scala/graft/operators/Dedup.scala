@@ -129,6 +129,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate pairs: banded blocking on 12-bit chunks
+    * of the 48-bit fingerprint (pigeonhole: any pair within hamming
+    * distance 3 shares at least one exact chunk; wider distances are
+    * found with decreasing recall), verified by exact hamming
+    * distance (bit_count of xor — codegen'd built-ins in Spark AND
+    * portable to the DuckDB oracle). Same LSH join shape as MinHash:
+    * the only shuffle is the (band, chunk) equi-join. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+                   chunkBits: Int = 12): DataFrame = {
+    val nBands = 48 / chunkBits
+    val fp = simhash(docs)
+    val banded = fp.select(col("doc_id"), col("simhash48"),
+      posexplode(array((0 until nBands).map { b =>
+        floor(col("simhash48") / lit(math.pow(2, b * chunkBits)))
+          .cast("long") % (1L << chunkBits)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val pairs = banded
+      .select(col("band"), col("chunk"), col("doc_id").as("doc_a"),
+        col("simhash48").as("fp_a"))
+      .join(banded.select(col("band"), col("chunk"),
+        col("doc_id").as("doc_b"), col("simhash48").as("fp_b")),
+        Seq("band", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("fp_a ^ fp_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact word n-gram Jaccard near-duplicate pairs via an
     * inverted-index self-join on shingles (no cross join: only doc
     * pairs sharing >= 1 shingle are materialized). Emits pairs with

@@ -130,6 +130,24 @@ object ExtQueries {
       s"SELECT doc_id, $pack AS simhash48 FROM s ORDER BY doc_id"
   }
 
+  private val ddSimhashPairsSql: String = {
+    val chunkBits = 12
+    val nBands = 48 / chunkBits
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, simhash48, $b AS band, " +
+        s"(simhash48 // ${1L << (b * chunkBits)}) % ${1L << chunkBits} AS chunk FROM fp"
+    }.mkString(" UNION ALL ")
+    "WITH fp AS (SELECT doc_id, simhash48 FROM (" + ddSimhashSql + ")), " +
+      s"banded AS ($bandSelects), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "a.simhash48 AS fa, b.simhash48 AS fb " +
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
+      "AND a.doc_id < b.doc_id), " +
+      "h AS (SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM pairs) " +
+      "SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 8 " +
+      "ORDER BY doc_a, doc_b"
+  }
+
   private val ddNgramJaccardSql: String =
     s"WITH ${shinglesCte(3)}, " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -339,6 +357,7 @@ object ExtQueries {
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
@@ -368,6 +387,7 @@ object ExtQueries {
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "sim_knn_brute" -> simKnnBruteSql,

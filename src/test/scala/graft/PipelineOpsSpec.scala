@@ -177,4 +177,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // left (2,50): no right at-or-before -> dropped (inner)
     assert(out == Set((1L, 100L, 10L, 901L), (1L, 200L, 11L, 902L)))
   }
+
+  test("simhash pairs: identical docs at hamming 0; blocking finds them") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "q r s t u v w x y z aa bb cc dd")
+    val out = Dedup.simhashPairs(d, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+  }
 }
