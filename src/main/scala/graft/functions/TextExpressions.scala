@@ -1,0 +1,122 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-tokenization path.
+  *
+  * The HOF formulations in TextOps (zip_with over slices, transform
+  * over sequence) are interpreted — no whole-stage codegen, one
+  * closure call per element, boxed arrays per row. These expressions
+  * compute the same values in a single tight JVM loop invoked from
+  * generated code (same pattern as BinaryCodecExpressions). TextOps
+  * keeps the HOF versions as the executable specification; the
+  * equivalence is asserted property-style in TextNativeSpec.
+  *
+  * Semantics contract (must stay bit-identical to the HOF versions
+  * and the DuckDB oracle fragments in ExtQueries):
+  *  - words = split on single space, trailing empties kept;
+  *  - shingles: i in 1..len-(n-1), words joined by one space,
+  *    distinct by first occurrence; empty set when len < n;
+  *  - trigrams: all 3-codepoint substrings, distinct by first
+  *    occurrence.
+  */
+object TextNative {
+
+  /** Distinct word n-gram shingles of a space-separated text. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val words = s.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(seen.iterator.map(w =>
+      UTF8String.fromString(w): Any).toArray)
+  }
+
+  /** Distinct character trigrams (codepoint-based, like substr). */
+  def charTrigrams(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val cps = s.codePointCount(0, s.length)
+    if (cps < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[String]
+    var idx = 0
+    var c = 0
+    // offsets of codepoint starts
+    val starts = new Array[Int](cps + 1)
+    while (c < cps) {
+      starts(c) = idx
+      idx = s.offsetByCodePoints(idx, 1)
+      c += 1
+    }
+    starts(cps) = s.length
+    var i = 0
+    while (i + 3 <= cps) {
+      seen.add(s.substring(starts(i), starts(i + 3)))
+      i += 1
+    }
+    new GenericArrayData(seen.iterator.map(w =>
+      UTF8String.fromString(w): Any).toArray)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_trigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.charTrigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.charTrigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API. */
+object textNative {
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def char_trigrams(text: Column): Column =
+    ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
+}

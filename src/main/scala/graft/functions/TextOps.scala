@@ -20,19 +20,21 @@ object TextOps {
   /** Whitespace tokens (the corpus is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, joined by a single space.
-    *
-    * Built as zip_with over n shifted slices of the word array, NOT
-    * as transform(sequence, i -> ws[i]…): higher-order lambdas are
-    * interpreted (no whole-stage codegen, no common-subexpression
-    * elimination), so an indexed lambda re-evaluates split(text) for
-    * every element access — O(shingles × n) splits per row. The
-    * slice form evaluates split once per slice (n per ROW) and was
-    * measured ~10× faster on the sf0.1 corpus.
-    *
-    * A doc with fewer than n words produces an empty shingle set
-    * (slice length max(len-(n-1), 0) = 0). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles, joined by a single space — the
+    * native codegen'd expression (TextExpressions.WordShingles).
+    * [[wordShinglesHof]] is the executable specification; equality
+    * asserted in TextNativeSpec. */
+  def wordShingles(text: Column, n: Int): Column =
+    textNative.word_shingles(text, n)
+
+  /** HOF specification of [[wordShingles]]: zip_with over n shifted
+    * slices of the word array. (NOT transform(sequence, i -> ws[i]…):
+    * higher-order lambdas are interpreted — no codegen, no CSE — so
+    * an indexed lambda re-evaluates split(text) per element access,
+    * O(shingles × n) splits per row; the slice form does n splits per
+    * ROW, measured ~10× faster; the native expression does one.)
+    * A doc with fewer than n words produces an empty shingle set. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val ws = words(text)
     val len = greatest(size(ws) - lit(n - 1), lit(0))
     val grams = (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, k) =>
@@ -41,9 +43,14 @@ object TextOps {
     array_distinct(grams)
   }
 
-  /** Distinct character trigrams of the raw text (1-based positions;
-    * trailing <3-char windows are excluded on both engines). */
-  def charTrigrams(text: Column): Column = {
+  /** Distinct character trigrams (native expression; codepoint
+    * semantics identical to substr). */
+  def charTrigrams(text: Column): Column =
+    textNative.char_trigrams(text)
+
+  /** HOF specification of [[charTrigrams]] (1-based positions;
+    * trailing <3-char windows excluded on both engines). */
+  def charTrigramsHof(text: Column): Column = {
     val idx = sequence(lit(1), greatest(length(text) - lit(2), lit(1)))
     val grams = transform(idx, i => text.substr(i, lit(3)))
     array_distinct(filter(grams, g => length(g) === 3))
