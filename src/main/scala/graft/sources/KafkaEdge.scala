@@ -76,4 +76,18 @@ object KafkaEdge {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("kafka.max.request.size", maxRequestSize.toString)
       .save()
+
+  /** Production wiring: the four-branch sink set of the dead-letter
+    * topology (graft.streaming.StreamingTopology.Sinks), each branch
+    * writing its topic (reference topology: output +
+    * process/deserialization/production DLTs). */
+  def sinks(bootstrap: String, topics: TopicConfig,
+            maxRequestSize: Int = 1048576): graft.streaming.StreamingTopology.Sinks =
+    graft.streaming.StreamingTopology.Sinks(
+      output = df => writeBatch(df, bootstrap, topics.output, maxRequestSize),
+      processDlt = df => writeBatch(df, bootstrap, topics.processDlt, maxRequestSize),
+      deserializationDlt =
+        df => writeBatch(df, bootstrap, topics.deserializationDlt, maxRequestSize),
+      productionDlt =
+        df => writeBatch(df, bootstrap, topics.productionDlt, maxRequestSize))
 }
