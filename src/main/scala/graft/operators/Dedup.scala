@@ -190,6 +190,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component clustering of near-duplicate pairs — the
+    * final dedup step (transitive closure of "is near-dup of", so
+    * A~B~C dedupes to ONE representative even when A,C were never
+    * paired directly). Pregel-style iterative min-label propagation:
+    * each iteration is one join + one aggregate, and the number of
+    * iterations is bounded by the component diameter (tiny for
+    * near-dup graphs). Deterministic: the fixpoint labels every doc
+    * with the minimum doc_id reachable in its component, regardless
+    * of iteration order. localCheckpoint per iteration truncates the
+    * growing lineage (the standard iterative-algorithm discipline). */
+  def nearDupClusters(docs: DataFrame, minEstJaccardPpm: Long = 750000L,
+                      maxIter: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs)
+      .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
+      .select("doc_a", "doc_b")
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("cluster_id").as("nbr_cluster")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("nbr_cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** Embedding near-duplicate pairs via banded sign-bit LSH blocking
     * (nBands bands of bitsPerBand axis-aligned hyperplane signs =
     * multi-table random-hyperplane LSH) verified with the exact

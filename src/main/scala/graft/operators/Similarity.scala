@@ -30,7 +30,12 @@ object Similarity {
 
   private def quantized(embeddings: DataFrame): DataFrame =
     Partitioning.spread(embeddings)
-      .select(col("vec_id"), V.quantize(col("embedding")).as("qe"))
+      // Generate-bind (explode of a 1-element array): downstream
+      // consumers reference qe many times (norms, per-centroid dots)
+      // and project-collapse + filter-pushdown would otherwise
+      // re-inline the quantize() HOF into every reference
+      .select(col("vec_id"),
+        explode(array(V.quantize(col("embedding")))).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)
 
@@ -41,6 +46,53 @@ object Similarity {
     val queries = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("qq"), col("qn").as("nq"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF (inverted-file) top-k ANN — the codebook path:
+    *  - coarse codebook = the quantized vectors of the first
+    *    `nCentroids` ids (deterministic sampled training; a k-means
+    *    fit would slot in the same place). The codebook is a tiny
+    *    MODEL: collected once and re-broadcast as literals, like
+    *    TextAnalysis.langId's profiles.
+    *  - assignment: row-local exact-integer argmin of squared L2
+    *    (‖a‖² + ‖c‖² − 2a·c) — zero shuffles, ties to lowest cid.
+    *  - search: the query probes its `nProbe` nearest centroids and
+    *    scans only those inverted lists (the join on cid IS the
+    *    inverted-list scan), then exact quantized-cosine top-k.
+    * Recall < 1 by design; candidates shrink by ~nProbe/nCentroids. */
+  def knnIvf(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val base = quantized(embeddings)
+    val cents: Seq[(Long, Seq[Long], Long)] = base
+      .where(col("vec_id") < nCentroids)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val distStructs = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }
+    val byDist = array_sort(array(distStructs: _*))
+    val assign = base.select(col("vec_id"), col("qe"), col("qn"),
+      element_at(byDist, 1).getField("cid").as("cid"))
+    val probes = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(byDist, 1, nProbe), s => s.getField("cid")))
+          .as("cid"))
+    val scored = assign.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+          col("qn").as("nq"))), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
     val w = Window.partitionBy("query_id")

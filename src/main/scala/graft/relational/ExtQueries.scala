@@ -148,6 +148,19 @@ object ExtQueries {
       "ORDER BY doc_a, doc_b"
   }
 
+  private val ddClustersSql: String =
+    "WITH RECURSIVE " +
+      "p AS (SELECT doc_a, doc_b FROM (" + ddMinhashSql + ") " +
+      "WHERE est_jaccard_ppm >= 750000), " +
+      "e AS (SELECT doc_a AS s, doc_b AS d FROM p " +
+      "UNION ALL SELECT doc_b, doc_a FROM p), " +
+      "walk(node, reach) AS (" +
+      "SELECT doc_id, doc_id FROM documents " +
+      "UNION " +
+      "SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach) " +
+      "SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
+      "GROUP BY node ORDER BY doc_id"
+
   private val ddNgramJaccardSql: String =
     s"WITH ${shinglesCte(3)}, " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -194,6 +207,28 @@ object ExtQueries {
       s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
       "FROM cand c JOIN base qs ON qs.vec_id = c.query_id " +
       "JOIN base b ON b.vec_id = c.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
+  private val simKnnIvfSql: String =
+    s"WITH $quantCte, " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "dists AS (SELECT b.vec_id, c.cid, b.qe, b.n, " +
+      s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist " +
+      "FROM base b CROSS JOIN cents c), " +
+      "ranked AS (SELECT vec_id, cid, qe, n, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM dists), " +
+      "assign AS (SELECT vec_id, qe, n, cid FROM ranked WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS query_id, cid FROM ranked " +
+      "WHERE rn <= 2 AND vec_id < 8), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "a.qe"), "qs.n", "a.n")} AS cos_ppm " +
+      "FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id " +
+      "JOIN base qs ON qs.vec_id = p.query_id), " +
       "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
       "neighbor_id ASC) AS rk FROM scored) " +
@@ -358,10 +393,12 @@ object ExtQueries {
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
+    "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -388,10 +425,12 @@ object ExtQueries {
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
+    "dd_clusters" -> ddClustersSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
+    "sim_knn_ivf" -> simKnnIvfSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,

@@ -185,4 +185,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
+
+  test("near-dup clusters: transitive closure labels chains with the min id") {
+    // 1~2 and 2~3 are near-dups (one word changed), 1 and 3 are NOT a
+    // direct LSH pair necessarily -- clustering must still merge them
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val v2 = base.replace("w7", "x")
+    val v3 = v2.replace("w23", "y")
+    val d = docs(1L -> base, 2L -> v2, 3L -> v3, 9L -> "totally different z q")
+    val out = Dedup.nearDupClusters(d, minEstJaccardPpm = 500000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(9L) == 9L)
+  }
+
+  test("knn ivf returns a subset of brute-force candidates, same scoring") {
+    val e = (0L to 20L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(e, nQueries = 2, k = 21).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val ivf = Similarity.knnIvf(e, nQueries = 2, k = 5, nCentroids = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && brute(key) == r.getLong(3),
+        s"ivf scored $key differently from brute force")
+    }
+  }
 }
