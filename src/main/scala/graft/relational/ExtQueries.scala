@@ -356,6 +356,20 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  private val relSessionsSql: String = {
+    val gapUs = 6L * 3600 * 1000000
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+      "flag AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER " +
+      s"(PARTITION BY user_id ORDER BY us) >= $gapUs THEN 1 ELSE 0 END AS brk FROM e), " +
+      "ses AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id " +
+      "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flag), " +
+      "agg AS (SELECT user_id, sid, min(us) AS session_start_us, " +
+      s"max(us) + $gapUs AS session_end_us, count(*) AS n_events " +
+      "FROM ses GROUP BY 1, 2) " +
+      "SELECT user_id, session_start_us, session_end_us, n_events " +
+      "FROM agg ORDER BY user_id, session_start_us"
+  }
+
   private val relHourlyEventsSql: String =
     "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, event_type, " +
       "count(*) AS n, " +
@@ -409,6 +423,7 @@ object ExtQueries {
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
     "rel_top_orders" -> (RelQueries.topOrdersPerCustomer _),
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
+    "rel_sessions" -> (RelQueries.userSessions _),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
@@ -441,6 +456,7 @@ object ExtQueries {
     "rel_region_priority" -> relRegionPrioritySql,
     "rel_top_orders" -> relTopOrdersSql,
     "rel_hourly_events" -> relHourlyEventsSql,
+    "rel_sessions" -> relSessionsSql,
     "rel_asof_click" -> relAsofSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

@@ -121,6 +121,26 @@ object RelQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Session windows over user event streams via Spark's NATIVE
+    * session_window (the streaming operator, exercised in batch) —
+    * the oracle reproduces its exact semantics with the classic
+    * lag+cumulative-sum SQL formulation (break when the event-time
+    * gap >= 6h; session end = last event + gap), cross-checking the
+    * built-in against the portable definition. */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)").as("tsu"))
+      .groupBy(session_window(col("tsu"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Event-time tumbling window (batch form of the streaming
     * windowed count): hourly counts + value sums per event type.
     * `ts` is nanos-since-epoch (LongType); hour bucket = integer
