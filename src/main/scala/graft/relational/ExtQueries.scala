@@ -356,6 +356,15 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  private val relValueBandsSql: String =
+    "WITH bands(band_id, lo, hi) AS (VALUES " +
+      "(0, -1e18, 0.0), (1, 0.0, 10.0), (2, 10.0, 25.0), (3, 25.0, 50.0), " +
+      "(4, 50.0, 100.0), (5, 100.0, 250.0), (6, 250.0, 1e18)) " +
+      "SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n, " +
+      s"CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c " +
+      "FROM events JOIN bands ON value >= lo AND value < hi " +
+      "GROUP BY 1 ORDER BY 1"
+
   private val relSessionsSql: String = {
     val gapUs = 6L * 3600 * 1000000
     "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
@@ -424,6 +433,7 @@ object ExtQueries {
     "rel_top_orders" -> (RelQueries.topOrdersPerCustomer _),
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
     "rel_sessions" -> (RelQueries.userSessions _),
+    "rel_value_bands" -> (RelQueries.valueBands _),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
@@ -457,6 +467,7 @@ object ExtQueries {
     "rel_top_orders" -> relTopOrdersSql,
     "rel_hourly_events" -> relHourlyEventsSql,
     "rel_sessions" -> relSessionsSql,
+    "rel_value_bands" -> relValueBandsSql,
     "rel_asof_click" -> relAsofSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

@@ -121,6 +121,24 @@ object RelQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Broadcast theta/range join: classify event values into
+    * NON-uniform bands. The band table is dimension-tiny → explicit
+    * broadcast makes this a BroadcastNestedLoopJoin (the right plan:
+    * the fact side streams once, no shuffle, no O(|fact|·|dim|)
+    * blowup beyond the 7-row inner loop). Bands are [lo, hi). */
+  def valueBands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0L, -1e18, 0.0), (1L, 0.0, 10.0), (2L, 10.0, 25.0),
+      (3L, 25.0, 50.0), (4L, 50.0, 100.0), (5L, 100.0, 250.0),
+      (6L, 250.0, 1e18)).toDF("band_id", "lo", "hi")
+    Tables.events(spark, sfDir).select(col("value"))
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("band_id")
+  }
+
   /** Session windows over user event streams via Spark's NATIVE
     * session_window (the streaming operator, exercised in batch) —
     * the oracle reproduces its exact semantics with the classic
