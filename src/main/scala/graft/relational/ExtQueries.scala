@@ -356,6 +356,13 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  private val relJsonPropsSql: String =
+    "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+      "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+      "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
   private val relValueBandsSql: String =
     "WITH bands(band_id, lo, hi) AS (VALUES " +
       "(0, -1e18, 0.0), (1, 0.0, 10.0), (2, 10.0, 25.0), (3, 25.0, 50.0), " +
@@ -434,6 +441,7 @@ object ExtQueries {
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
     "rel_sessions" -> (RelQueries.userSessions _),
     "rel_value_bands" -> (RelQueries.valueBands _),
+    "rel_json_props" -> (RelQueries.jsonPropsRollup _),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
@@ -468,6 +476,7 @@ object ExtQueries {
     "rel_hourly_events" -> relHourlyEventsSql,
     "rel_sessions" -> relSessionsSql,
     "rel_value_bands" -> relValueBandsSql,
+    "rel_json_props" -> relJsonPropsSql,
     "rel_asof_click" -> relAsofSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

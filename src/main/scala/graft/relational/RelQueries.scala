@@ -121,6 +121,18 @@ object RelQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** JSON scalar-function coverage: `props` carries a JSON payload;
+    * extract + aggregate per event type (get_json_object is the
+    * codegen'd built-in; no UDF, no schema inference over the lake). */
+  def jsonPropsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Broadcast theta/range join: classify event values into
     * NON-uniform bands. The band table is dimension-tiny → explicit
     * broadcast makes this a BroadcastNestedLoopJoin (the right plan:
