@@ -363,6 +363,11 @@ object ExtQueries {
       "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
       "FROM events GROUP BY 1 ORDER BY 1"
 
+  private val relMedianSql: String =
+    "SELECT event_type, count(*) AS n, " +
+      s"CAST(FLOOR(2 * quantile_cont(${centsSql("value")}, 0.5)) AS BIGINT) AS med2_c " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
   private val relValueBandsSql: String =
     "WITH bands(band_id, lo, hi) AS (VALUES " +
       "(0, -1e18, 0.0), (1, 0.0, 10.0), (2, 10.0, 25.0), (3, 25.0, 50.0), " +
@@ -442,6 +447,13 @@ object ExtQueries {
     "rel_sessions" -> (RelQueries.userSessions _),
     "rel_value_bands" -> (RelQueries.valueBands _),
     "rel_json_props" -> (RelQueries.jsonPropsRollup _),
+    "rel_median_value" -> (RelQueries.medianValueByType _),
+    // approximate-distinct (HLL++): sketches are engine-specific, so
+    // no DuckDB oracle -- x_ prefix opts into the rows-only check
+    "x_approx_users" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(F.approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
@@ -477,6 +489,7 @@ object ExtQueries {
     "rel_sessions" -> relSessionsSql,
     "rel_value_bands" -> relValueBandsSql,
     "rel_json_props" -> relJsonPropsSql,
+    "rel_median_value" -> relMedianSql,
     "rel_asof_click" -> relAsofSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

@@ -133,6 +133,20 @@ object RelQueries {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Exact percentile aggregation (median over cent-quantized
+    * values): Spark's percentile() and DuckDB's quantile_cont() both
+    * use linear interpolation over the sorted set; doubling before
+    * floor keeps the .5-interpolated midpoints exact integers.
+    * (approx_percentile/HLL sketches are NOT cross-engine
+    * deterministic — see x_approx_users for the rows-only demo.) */
+  def medianValueByType(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        floor(expr("2 * percentile(value_c, 0.5D)")).cast("long").as("med2_c"))
+      .orderBy("event_type")
+
   /** Broadcast theta/range join: classify event values into
     * NON-uniform bands. The band table is dimension-tiny → explicit
     * broadcast makes this a BroadcastNestedLoopJoin (the right plan:
