@@ -100,6 +100,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment: bucket = h31 of the
+    * doc id (SALTED string form so the split is independent of any
+    * other hash use) mod 100 → <80 train, <90 val, else test.
+    * Hash-based splits are the production-correct primitive: stable
+    * under reruns, joins, and data arrival order — rand() splits are
+    * none of those. Row-local, zero shuffles. */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    val bucket = PH.h31(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

@@ -282,6 +282,13 @@ object ExtQueries {
       "SELECT doc_id, plang AS pred_lang, score FROM best WHERE r = 1 ORDER BY doc_id"
   }
 
+  private val txSplitSql: String = {
+    val b = PH.h31Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    s"SELECT doc_id, $b AS bucket, " +
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+  }
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -438,6 +445,7 @@ object ExtQueries {
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "tx_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
@@ -480,6 +488,7 @@ object ExtQueries {
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,
     "tx_fingerprint" -> txFingerprintSql,
+    "tx_split" -> txSplitSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
