@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Property tests of the tricky operators against brute-force JVM
+  * reference implementations on randomized inputs (fixed seeds —
+  * deterministic CI). */
+class OperatorPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asOf equals the brute-force reference on random keyed series") {
+    val rnd = new Random(42)
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, (1000 + i).toLong))
+    // reference: for each left row, the right row with max t <= left.t
+    // in the same key; ties on right t broken by... our contract takes
+    // the LAST right row in (t, insertion) order after sorting -- to
+    // keep the property crisp, dedupe right to one row per (k, t)
+    // keeping the max id (same as the declared query does upstream).
+    val rightDedup = right.groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(_._3)).toSeq
+    val expected = left.flatMap { case (k, t, id) =>
+      val cands = rightDedup.filter(r => r._1 == k && r._2 <= t)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(r => (r._2, r._3))
+        Some((k, t, id, best._3))
+      }
+    }.sorted
+    val got = AsOfJoin.asOf(
+        left.toDF("k", "t", "lid"), rightDedup.toDF("k", "t", "rid"),
+        "k", "t", Seq("lid"), Seq("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("nearDupClusters equals union-find components on the LSH pair graph") {
+    // random corpus with planted duplicate groups
+    val rnd = new Random(7)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def doc(): String = (1 to 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (1 to 12).map(_ => doc())
+    // groups of 3 near-identical docs per base + noise docs
+    val texts = bases.zipWithIndex.flatMap { case (b, gi) =>
+      Seq(b, b.replace("w1", "xx"), b.replace(s"w${2 + gi % 5}", "yy"))
+    } ++ (1 to 20).map(_ => doc())
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val thr = 500000L
+    // reference union-find over the SAME pair set the operator uses
+    val pairs = Dedup.minhashLsh(docs)
+      .where($"est_jaccard_ppm" >= thr).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val expected = texts.indices.map(i => i.toLong -> find(i.toLong)).toMap
+    val got = Dedup.nearDupClusters(docs, minEstJaccardPpm = thr).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
