@@ -21,12 +21,21 @@ object VectorOps {
   /** Quantization scale: power of two so `x.toDouble * Q` is exact. */
   val Q: Int = 1024
 
-  /** array<float> → array<long> quantized by floor(x*Q). */
-  def quantize(v: Column): Column =
+  /** array<float> → array<long> quantized by floor(x*Q) — native
+    * expression (VectorExpressions); [[quantizeHof]] is the spec. */
+  def quantize(v: Column): Column = vectorNative.quantize_vector(v, Q)
+
+  /** HOF specification of [[quantize]]. */
+  def quantizeHof(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Q).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors — native
+    * expression; [[qdotHof]] is the spec. */
+  def qdot(a: Column, b: Column): Column = vectorNative.qdot(a, b)
+
+  /** HOF specification of [[qdot]] (zip_with pads the shorter side
+    * with nulls, `+` propagates → NULL on length mismatch). */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact integer squared norm of a quantized vector. */
