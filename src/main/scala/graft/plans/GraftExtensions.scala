@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** The engine's SparkSessionExtensions hook — the standard way a
+  * third-party Spark library ships Catalyst extensions:
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Injects every native expression as a SQL function so `spark.sql`
+  * users get the same codegen'd hot paths as the DataFrame API.
+  *
+  * No custom optimizer Rule or SparkStrategy is injected — by design:
+  * the whole declared surface plans through Catalyst built-ins
+  * (SURVEY.md §4.2 documents why reference parity needs zero engine
+  * surgery), and every custom operation is expression-level. This is
+  * the seam where a Rule/Strategy would plug in if one were needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (identifier, info, builder) triples — shared by the extensions
+    * hook and by [[register]] for an already-running session. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("be_int4_decode"),
+      info("be_int4_decode", "binary big-endian 4 bytes -> int (NULL otherwise)"),
+      (es: Seq[Expression]) => BigEndianInt4Decode(es.head)),
+    (FunctionIdentifier("be_int4_encode"),
+      info("be_int4_encode", "int -> binary big-endian 4 bytes"),
+      (es: Seq[Expression]) => IntToBigEndian4(es.head)),
+    (FunctionIdentifier("rand_lowercase"),
+      info("rand_lowercase", "deterministic seeded [a-z] string of given length"),
+      (es: Seq[Expression]) => RandLowercase(es.head, es(1))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "distinct word n-gram shingles (n literal)"),
+      (es: Seq[Expression]) => WordShingles(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("char_trigrams"),
+      info("char_trigrams", "distinct character trigrams"),
+      (es: Seq[Expression]) => CharTrigrams(es.head)),
+    (FunctionIdentifier("quantize_vector"),
+      info("quantize_vector", "array<float> -> array<long> floor(x*Q), Q literal"),
+      (es: Seq[Expression]) => QuantizeVector(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("qdot"),
+      info("qdot", "exact integer dot product of two array<long>"),
+      (es: Seq[Expression]) => QDotLong(es.head, es(1))))
+
+  /** Register the same functions on an already-built session (tests,
+    * notebooks); extensions-based injection is the production path. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, _, builder) =>
+      reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+  }
+}

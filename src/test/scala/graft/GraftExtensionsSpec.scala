@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.plans.GraftExtensions
+
+/** The SparkSessionExtensions hook: injection wiring + SQL-side use
+  * of every native expression. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("extensions hook injects without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    assert(GraftExtensions.functions.size == 7)
+  }
+
+  test("all native expressions are usable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT
+        be_int4_decode(be_int4_encode(42)) AS roundtrip,
+        length(rand_lowercase(7L, 5)) AS randlen,
+        size(word_shingles('a b c d', 3)) AS shingles,
+        size(char_trigrams('abcd')) AS trigrams,
+        qdot(quantize_vector(array(CAST(1.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 1024),
+             quantize_vector(array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT)), 1024)) AS dot
+    """).head
+    assert(r.getInt(0) == 42)
+    assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 2)  // 'a b c', 'b c d'
+    assert(r.getInt(3) == 2)  // 'abc', 'bcd'
+    // floor(1.5*1024)*floor(2*1024) + floor(-0.5*1024)*floor(4*1024)
+    assert(r.getLong(4) == 1536L * 2048L + (-512L) * 4096L)
+  }
+}
