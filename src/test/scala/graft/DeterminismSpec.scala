@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rerun-determinism guard: every declared query must produce
+  * IDENTICAL rows across two independent executions — the property
+  * the whole oracle strategy (and any retried cluster stage) rests
+  * on. Catches accidental rand()/monotonic_id/unordered-collect
+  * creep in future edits. Runs at sf0.001 to stay fast. */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // the nondeterminism-prone families: hashing, LSH joins, windows,
+  // iterative fixpoint, model-collect, RNG surrogate
+  private val watchlist = Seq("dd_minhash_lsh", "dd_simhash", "dd_clusters",
+    "dd_embed_neardup", "sim_knn_ivf", "tx_langid", "tx_split",
+    "rel_top_orders", "rel_sessions", "pipeline_curate", "x_approx_users")
+
+  test("watchlist queries are identical across two executions") {
+    watchlist.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"$name differs across reruns")
+    }
+  }
+}
