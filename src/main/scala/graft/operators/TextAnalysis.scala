@@ -118,6 +118,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequential token packing: assign docs (in doc_id order) to
+    * shards of ~`shardTokens` whitespace tokens — the context-window
+    * packing step of a training pipeline. shard = floor(cumulative
+    * tokens BEFORE this doc / budget), via a running-window sum.
+    * NOTE the deliberate scale tradeoff: a global ORDER BY doc_id
+    * window is a single-partition sort; at 100 TB you partition the
+    * window by a shard-group key (e.g. lang or date) and pack within
+    * partitions — same expression, partitioned window. */
+  def tokenPack(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
+    val nTok = size(TextOps.words(col("text"))).cast("long")
+    val before = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(before), lit(0L))
+          / shardTokens).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

@@ -289,6 +289,13 @@ object ExtQueries {
       "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
   }
 
+  private val txPackSql: String =
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(FLOOR(COALESCE(sum(len(string_split(text, ' '))) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "/ 4096.0) AS BIGINT) AS shard_id " +
+      "FROM documents ORDER BY doc_id"
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -446,6 +453,7 @@ object ExtQueries {
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "tx_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
+    "tx_pack" -> ((s, d) => TextAnalysis.tokenPack(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
@@ -489,6 +497,7 @@ object ExtQueries {
     "tx_langid" -> txLangIdSql,
     "tx_fingerprint" -> txFingerprintSql,
     "tx_split" -> txSplitSql,
+    "tx_pack" -> txPackSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
