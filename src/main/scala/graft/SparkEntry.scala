@@ -26,11 +26,11 @@ object SparkEntry {
           codecs.be_int4_encode(lit(-1)))
         .otherwise(codecs.be_int4_encode(
           floor(least(col("value"), lit(64.0))).cast("int"))).as("value"))
-    val b = ErrorHandlingTopology(records)
-    b.output.select(lit("output").as("branch"))
-      .union(b.processDlt.select(lit("process-exception.DLT").as("branch")))
-      .union(b.deserializationDlt.select(lit("deserialization-exception.DLT").as("branch")))
-      .union(b.productionDlt.select(lit("production-exception.DLT").as("branch")))
+    // One pass: branchTag labels each record with its route through the
+    // SAME stage predicates as the four-branch topology, so the flagship
+    // reads its input once (the round-1 union-of-branches shape scanned
+    // the source 4x — ErrorHandlingTopologySpec pins the equivalence).
+    ErrorHandlingTopology.branchTag(records)
       .groupBy("branch").agg(count(lit(1)).as("n"))
   }
 

@@ -16,7 +16,11 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+    // inputFiles (metadata-only) rather than df.rdd.getNumPartitions:
+    // inspecting the RDD forces physical planning outside AQE. File
+    // count lower-bounds scan splits (large files add row-group
+    // splits on top, so many-file inputs are never repartitioned here).
+    if (df.inputFiles.length < math.max(2, target / 2))
       df.repartition(target)
     else df
   }

@@ -73,6 +73,20 @@ object Dedup {
       case None => banded
     }
 
+  /** (doc_id, sig, band, bucket) LSH band table — bucket = ':'-joined
+    * minhashes of the band. Exposed for bucket-occupancy diagnostics
+    * (tools/LshScale) so scale probes measure the EXACT banding the
+    * join uses. */
+  def minhashBands(docs: DataFrame, shingleN: Int = 3,
+                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand == PH.MinhashK)
+    minhashSignatures(docs, shingleN).select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(":", (0 until rowsPerBand).map(r =>
+          get(col("sig"), b * lit(rowsPerBand) + r).cast("string")): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** MinHash + banded LSH candidate pairs with the MinHash Jaccard
     * estimate (fraction of agreeing signature slots, in ppm).
     * bands*rowsPerBand must equal PH.MinhashK. `maxBucketSize` is the
@@ -80,15 +94,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleN: Int = 3,
                  bands: Int = 8, rowsPerBand: Int = 2,
                  maxBucketSize: Option[Int] = None): DataFrame = {
-    require(bands * rowsPerBand == PH.MinhashK)
-    val sigs = minhashSignatures(docs, shingleN)
-    // (doc_id, band, bucket): bucket = ':'-joined minhashes of the band
-    val banded = capBuckets(sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(":", (0 until rowsPerBand).map(r =>
-          get(col("sig"), b * lit(rowsPerBand) + r).cast("string")): _*))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
-      maxBucketSize)
+    val banded =
+      capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand), maxBucketSize)
     // distinct carries the signatures through (SortAggregate — arrays
     // are not hash-aggregatable) rather than re-joining them after:
     // measured faster, and at scale it is one wide shuffle instead of
@@ -219,14 +226,18 @@ object Dedup {
           col("cluster_id").as("nbr_cluster")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("nbr_cluster").as("nbr_min"))
+      // carry the changed flag through the SAME join instead of
+      // re-joining old vs new labels afterwards: one join + one cheap
+      // count over the checkpointed result per iteration, not two joins
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
       i += 1
     }
     labels.orderBy("doc_id")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Whole-topology assembly: Kafka-shaped records in, four sink-ready
   * DataFrames out (reference dataflow, SURVEY.md §2.1):
@@ -37,5 +38,30 @@ object ErrorHandlingTopology {
     val output = ErrorChannel.sizeOk(outAll, maxRequestSize)
     val productionDlt = ErrorChannel.toProductionDlt(outAll, maxRequestSize)
     Branches(output, processDlt, deserDlt, productionDlt)
+  }
+
+  /** One-pass branch bookkeeping: label every record with the branch
+    * [[apply]] would route it to, using the SAME stage predicates, but
+    * as a single narrow map stage — branch statistics over 100 TB are
+    * then one scan + a |branches|-row aggregate instead of four scans
+    * over the same lineage prefix. (The multi-SINK fan-out keeps using
+    * [[apply]] behind a persist — StreamingTopology.processBatch; this
+    * is the monitoring/accounting path.) Split totality — every record
+    * gets exactly one label — is asserted in ErrorHandlingTopologySpec. */
+  def branchTag(records: DataFrame,
+                maxRequestSize: Int = ErrorChannel.DefaultMaxRequestSize): DataFrame = {
+    val mapped = ErrorChannel.wrapMap(ErrorChannel.safeDecode(records))
+    // Size guard applies to the OUTPUT-shaped record (value = mapped
+    // string as UTF-8 bytes) — same expression as toOutput + recordSize.
+    val outSize =
+      coalesce(octet_length(col("wrapper.mappedValue").cast("binary")), lit(0)) +
+        coalesce(octet_length(col("key")), lit(0)) +
+        lit(ErrorChannel.RecordOverheadBytes)
+    mapped.withColumn("branch",
+      when(col("value").isNotNull && col("value_int").isNull,
+        "deserialization-exception.DLT")
+        .when(ErrorChannel.hasError, "process-exception.DLT")
+        .when(outSize > maxRequestSize, "production-exception.DLT")
+        .otherwise("output"))
   }
 }

@@ -137,6 +137,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Partitioned token packing — the 100 TB shape of [[tokenPack]]:
+    * the running-sum window is PARTITIONED by a shard-group key (lang,
+    * date, source …), so packing is one shuffle on the key with
+    * per-group sorts that each fit an executor, instead of a global
+    * single-partition sort. Shard ids are therefore scoped per group:
+    * (group, shard_id) is the shard key a downstream writer consumes
+    * (partitionBy(group, shard_id) → one training file per shard). */
+  def tokenPackBy(docs: DataFrame, groupCol: String,
+                  shardTokens: Long = 4096L): DataFrame = {
+    val nTok = size(TextOps.words(col("text"))).cast("long")
+    val before = Window.partitionBy(groupCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(groupCol), nTok.as("n_tokens"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(before), lit(0L))
+          / shardTokens).cast("long"))
+      .orderBy(groupCol, "doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

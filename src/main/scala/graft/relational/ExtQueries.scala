@@ -296,6 +296,14 @@ object ExtQueries {
       "/ 4096.0) AS BIGINT) AS shard_id " +
       "FROM documents ORDER BY doc_id"
 
+  private val txPackByLangSql: String =
+    "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(FLOOR(COALESCE(sum(len(string_split(text, ' '))) OVER " +
+      "(PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "/ 4096.0) AS BIGINT) AS shard_id " +
+      "FROM documents ORDER BY lang, doc_id"
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -454,6 +462,8 @@ object ExtQueries {
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "tx_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "tx_pack" -> ((s, d) => TextAnalysis.tokenPack(Tables.documents(s, d))),
+    "tx_pack_bylang" -> ((s, d) =>
+      TextAnalysis.tokenPackBy(Tables.documents(s, d), "lang")),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
@@ -464,6 +474,8 @@ object ExtQueries {
     "rel_value_bands" -> (RelQueries.valueBands _),
     "rel_json_props" -> (RelQueries.jsonPropsRollup _),
     "rel_median_value" -> (RelQueries.medianValueByType _),
+    // approx-percentile sketch: engine-specific -> rows-only check
+    "x_median_approx" -> (RelQueries.medianValueApproxByType _),
     // approximate-distinct (HLL++): sketches are engine-specific, so
     // no DuckDB oracle -- x_ prefix opts into the rows-only check
     "x_approx_users" -> ((s, d) => Tables.events(s, d)
@@ -498,6 +510,7 @@ object ExtQueries {
     "tx_fingerprint" -> txFingerprintSql,
     "tx_split" -> txSplitSql,
     "tx_pack" -> txPackSql,
+    "tx_pack_bylang" -> txPackByLangSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,

@@ -147,6 +147,20 @@ object RelQueries {
         floor(expr("2 * percentile(value_c, 0.5D)")).cast("long").as("med2_c"))
       .orderBy("event_type")
 
+  /** The SCALE path for [[medianValueByType]]: approx_percentile
+    * (Greenwald–Khanna sketch) — partial-aggregable, so the per-group
+    * cost is one bounded sketch merged map-side instead of a full sort
+    * of every group's values. Sketches are engine-specific (no DuckDB
+    * hash oracle — declared with the x_ rows-only check, like
+    * x_approx_users); the exact variant stays the correctness anchor. */
+  def medianValueApproxByType(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value_c, 0.5D, 10000)").as("med_approx_c"))
+      .orderBy("event_type")
+
   /** Broadcast theta/range join: classify event values into
     * NON-uniform bands. The band table is dimension-tiny → explicit
     * broadcast makes this a BroadcastNestedLoopJoin (the right plan:

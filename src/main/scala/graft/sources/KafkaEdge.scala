@@ -77,6 +77,51 @@ object KafkaEdge {
       .option("kafka.max.request.size", maxRequestSize.toString)
       .save()
 
+  /** One-record send attempt: `Some(producerMessage)` on failure, None
+    * on success. Injectable because no broker/kafka-clients exist in
+    * this environment; the production implementation wraps a pooled
+    * KafkaProducer whose send callback records the exception message
+    * per record (standard Spark-distribution classpath). Must be
+    * Serializable — it ships to executors. */
+  trait RecordSender extends Serializable {
+    def send(key: Array[Byte], value: Array[Byte]): Option[String]
+  }
+
+  /** Residual (non-size) production failures at RECORD granularity —
+    * the reference DLQs ANY producer exception with its message and
+    * continues (DeadLetterProductionExceptionHandler.java:26-45).
+    * Spark's Kafka sink has no per-record failure callback (one failed
+    * send fails the whole batch), so parity needs a per-record send
+    * path: every partition attempts its records through `sender` and
+    * emits only the failures, which are header-enriched exactly like
+    * the reference's handler (original key/value preserved,
+    * `error.message` = producer message) — sink-ready for the
+    * production DLT. Fully distributed: failures stay a DataFrame, no
+    * driver collect; sends execute when the returned frame is
+    * materialized, so consume it EXACTLY ONCE (at-least-once under
+    * task retry, matching the reference's replay model). */
+  def sendWithFallback(df: DataFrame, sender: RecordSender): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val failures = df
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+      .as[(Array[Byte], Array[Byte])]
+      .mapPartitions(_.flatMap { case (k, v) =>
+        sender.send(k, v).map(err => (k, v, err)).iterator
+      })
+      .toDF("key", "value", "err")
+    graft.operators.ErrorChannel
+      .withErrorHeader(failures, col("err"))
+      .select(col("key"), col("value"), col("headers"))
+  }
+
+  /** Send `df` through `sender` and route the residual failures to the
+    * production DLT via `dltSink` (one materialization = one send per
+    * record per attempt). */
+  def sendWithDltFallback(df: DataFrame, sender: RecordSender,
+                          dltSink: DataFrame => Unit): Unit =
+    dltSink(sendWithFallback(df, sender))
+
   /** Production wiring: the four-branch sink set of the dead-letter
     * topology (graft.streaming.StreamingTopology.Sinks), each branch
     * writing its topic (reference topology: output +

@@ -106,6 +106,24 @@ class ErrorChannelSpec extends AnyFunSuite {
     assert(keys == Seq("a", "b", "c"))
   }
 
+  test("branchTag (one-pass) counts match the four-branch topology exactly") {
+    // the flagship entry's single-scan accounting path must agree with
+    // the materialized branches on every route, incl. the size guard
+    val rows = (-50 to 50).map(n => s"k$n" -> beInt(n)) ++
+      Seq("bad1" -> "xx".getBytes("UTF-8"),
+          "big" -> beInt(2000000)) // routes to output shape, then trips the guard
+    val df = records(rows: _*)
+    val b = ErrorHandlingTopology(df)
+    val tagged = ErrorHandlingTopology.branchTag(df)
+      .groupBy("branch").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tagged.values.sum == rows.length, "split totality under tagging")
+    assert(tagged("output") == b.output.count())
+    assert(tagged("process-exception.DLT") == b.processDlt.count())
+    assert(tagged("deserialization-exception.DLT") == b.deserializationDlt.count())
+    assert(tagged("production-exception.DLT") == b.productionDlt.count())
+  }
+
   test("existing headers are preserved when the error header is appended") {
     import org.apache.spark.sql.functions._
     val base = records("key" -> beInt(-1))

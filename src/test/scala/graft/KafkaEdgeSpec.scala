@@ -39,4 +39,44 @@ class KafkaEdgeSpec extends AnyFunSuite {
       Seq("key", "value", "topic", "partition", "offset", "timestamp",
         "timestampType", "headers"))
   }
+
+  test("sendWithFallback DLQs failed sends with the producer message, record-granular") {
+    // fault-injected sender: values larger than 8 bytes "fail" with a
+    // producer-style message (reference handler semantics: ANY producer
+    // exception -> DLT with its message, other records continue —
+    // DeadLetterProductionExceptionHandler.java:26-45)
+    val sender = new KafkaEdge.RecordSender {
+      def send(key: Array[Byte], value: Array[Byte]): Option[String] =
+        if (value != null && value.length > 8)
+          Some(s"org.apache.kafka.common.errors.TimeoutException: " +
+            s"Expiring 1 record(s): ${value.length} bytes")
+        else None
+    }
+    val df = Seq(
+      ("k1", "short"),
+      ("k2", "a value well over the limit"),
+      ("k3", "tiny")).toDF("key", "value")
+    val failures = KafkaEdge.sendWithFallback(df, sender).collect()
+    assert(failures.length == 1, "only the failing record is DLQ'd")
+    val r = failures.head
+    assert(new String(r.getAs[Array[Byte]]("key"), "UTF-8") == "k2")
+    assert(new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+      == "a value well over the limit", "original value preserved")
+    val hs = r.getAs[Seq[org.apache.spark.sql.Row]]("headers")
+      .map(h => h.getString(0) -> new String(h.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(hs("error.message").startsWith(
+      "org.apache.kafka.common.errors.TimeoutException"))
+  }
+
+  test("sendWithDltFallback routes failures through the DLT sink exactly once") {
+    var sunk: Seq[org.apache.spark.sql.Row] = Seq.empty
+    val sender = new KafkaEdge.RecordSender {
+      def send(key: Array[Byte], value: Array[Byte]): Option[String] =
+        if (new String(key, "UTF-8") == "bad") Some("boom") else None
+    }
+    val df = Seq(("ok", "v1"), ("bad", "v2")).toDF("key", "value")
+    KafkaEdge.sendWithDltFallback(df, sender, b => sunk = b.collect().toSeq)
+    assert(sunk.map(r => new String(r.getAs[Array[Byte]]("key"), "UTF-8")) == Seq("bad"))
+  }
 }
