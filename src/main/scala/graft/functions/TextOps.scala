@@ -43,6 +43,18 @@ object TextOps {
     array_distinct(grams)
   }
 
+  /** ALL word n-gram occurrences (NON-distinct, order-preserving) —
+    * multiplicity matters for repetition signals, where
+    * [[wordShingles]]' distinct sets would erase the evidence. Same
+    * slice/zip_with shape (n splits per row, no indexed lambda). */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val len = greatest(size(ws) - lit(n - 1), lit(0))
+    (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** Distinct character trigrams (native expression; codepoint
     * semantics identical to substr). */
   def charTrigrams(text: Column): Column =

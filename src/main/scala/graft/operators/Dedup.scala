@@ -197,6 +197,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: find training docs sharing any word
+    * n-gram with an evaluation/benchmark set — the standard
+    * contamination check before training. The eval set here is the
+    * deterministic doc_id % evalMod == 0 subset (stand-in for a real
+    * benchmark table; the operator shape is identical). Scale design:
+    * eval sets are tiny versus a 100 TB corpus, so the eval shingles
+    * are BROADCAST — the corpus-side shingle stream never shuffles;
+    * per-doc contamination stats come from one partial-combinable
+    * aggregate. 5-grams (default) are selective enough that hits mean
+    * real overlap, not chance phrase reuse. */
+  def contamination(docs: DataFrame, shingleN: Int = 5,
+                    evalMod: Long = 19L): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val evalSh = sh.where(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc_id"), col("sh"))
+    sh.where(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct("eval_doc_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component clustering of near-duplicate pairs — the
     * final dedup step (transitive closure of "is near-dup of", so
     * A~B~C dedupes to ONE representative even when A,C were never

@@ -156,6 +156,62 @@ object TextAnalysis {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** Repetition detection (Gopher-style quality signal): how much of
+    * a document is its single most-repeated word n-gram, and how
+    * diverse its n-grams are overall. High top_ratio/low
+    * distinct_ratio = boilerplate/looping text — a standard
+    * pre-training drop signal. Shape: explode ALL n-gram occurrences
+    * (multiplicity preserved — distinct shingles would erase the
+    * evidence) → (doc, gram) hash-agg → per-doc hash-agg; both
+    * aggregates partial/map-side combinable, so the shuffled volume is
+    * bounded by distinct grams, not occurrences. Docs with < n words
+    * have no n-grams and drop out (same on both engines). */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = Partitioning.spread(docs).select(col("doc_id"),
+      explode(TextOps.wordShinglesAll(col("text"), n)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), max("c").as("top_n"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("top_n"),
+        floor(lit(1000000.0) * col("top_n") / col("n_grams"))
+          .cast("long").as("top_ratio_ppm"),
+        floor(lit(1000000.0) * col("n_distinct") / col("n_grams"))
+          .cast("long").as("distinct_ratio_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: redact emails/phone numbers with typed
+    * placeholders and count the redactions — the compliance pass every
+    * training corpus needs. Row-local codegen'd regexes (no UDF); the
+    * patterns deliberately use the regex subset with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB oracle). The
+    * corpus text carries no PII, so the declared query derives a
+    * deterministic input embedding synthetic contacts for a subset of
+    * docs (ExtQueries) — the operator itself takes any string column. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(email)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phone)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
+          phone, "<PHONE>"))
+  }
+
+  /** Corpus-level top-k terms by document frequency (stopword /
+    * boilerplate discovery). Plan shape matters: ORDER BY + LIMIT k
+    * compiles to TakeOrderedAndProject — each partition keeps a k-heap
+    * and the driver merges k·partitions rows, so there is NO global
+    * sort shuffle; the only shuffle is the partial-combined term
+    * count. */
+  def topTerms(docs: DataFrame, k: Int = 50): DataFrame =
+    Partitioning.spread(docs).select(
+        explode(array_distinct(TextOps.words(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

@@ -29,16 +29,21 @@ object ExtQueries {
   private val wordsCte =
     "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
 
-  /** DuckDB fragment: distinct word n-gram shingle list from `w`. */
-  private def shingleList(n: Int): String = {
+  /** DuckDB fragment: ALL word n-gram occurrences from `w`
+    * (non-distinct — multiplicity preserved for repetition stats). */
+  private def shingleListAll(n: Int): String = {
     val gram = (0 until n).map {
       case 0 => "w[i]"
       case k => s"w[i+$k]"
     }.mkString(" || ' ' || ")
-    s"list_distinct(list_filter(list_transform(" +
+    s"list_filter(list_transform(" +
       s"range(1, greatest(len(w) - ${n - 1}, 1) + 1), i -> $gram), " +
-      "g -> g IS NOT NULL))"
+      "g -> g IS NOT NULL)"
   }
+
+  /** DuckDB fragment: distinct word n-gram shingle list from `w`. */
+  private def shingleList(n: Int): String =
+    s"list_distinct(${shingleListAll(n)})"
 
   /** Exploded distinct shingles CTE (doc_id, sh). */
   private def shinglesCte(n: Int): String =
@@ -304,6 +309,55 @@ object ExtQueries {
       "/ 4096.0) AS BIGINT) AS shard_id " +
       "FROM documents ORDER BY lang, doc_id"
 
+  private val txRepetitionSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      s"g AS (SELECT doc_id, unnest(${shingleListAll(2)}) AS g FROM ws), " +
+      "c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, " +
+      "CAST(max(c) AS BIGINT) AS top_n, " +
+      "CAST(FLOOR(1000000.0 * max(c) / sum(c)) AS BIGINT) AS top_ratio_ppm, " +
+      "CAST(FLOOR(1000000.0 * count(*) / sum(c)) AS BIGINT) AS distinct_ratio_ppm " +
+      "FROM c GROUP BY doc_id ORDER BY doc_id"
+
+  /** Email/phone regexes: the subset with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB). Kept as one source of truth for
+    * both the operator and this oracle. */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Derived deterministic contact-bearing input (the corpus itself
+    * carries no PII): a synthetic email for doc_id % 3 != 0 and a
+    * synthetic phone for even doc_id, appended to the text. */
+  private val piiInputSql =
+    "SELECT doc_id, text || " +
+      "(CASE WHEN doc_id % 3 != 0 THEN ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) " +
+      "AS contact_text FROM documents"
+
+  private val txPiiScrubSql: String =
+    s"WITH inp AS ($piiInputSql) SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(contact_text, '$emailRe')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(contact_text, '$phoneRe')) AS BIGINT) AS n_phones, " +
+      s"regexp_replace(regexp_replace(contact_text, '$emailRe', '<EMAIL>', 'g'), " +
+      s"'$phoneRe', '<PHONE>', 'g') AS scrubbed " +
+      "FROM inp ORDER BY doc_id"
+
+  private val txTopTermsSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      "t AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM ws), " +
+      "d AS (SELECT term, count(*) AS df FROM t GROUP BY 1) " +
+      "SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 50"
+
+  private val ddContaminationSql: String =
+    s"WITH ${shinglesCte(5)}, " +
+      "ev AS (SELECT doc_id AS eval_doc_id, sh FROM sh WHERE doc_id % 19 = 0), " +
+      "tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 != 0) " +
+      "SELECT tr.doc_id, count(*) AS n_hits, " +
+      "count(DISTINCT eval_doc_id) AS n_eval_docs " +
+      "FROM tr JOIN ev ON ev.sh = tr.sh GROUP BY 1 ORDER BY 1"
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -464,6 +518,27 @@ object ExtQueries {
     "tx_pack" -> ((s, d) => TextAnalysis.tokenPack(Tables.documents(s, d))),
     "tx_pack_bylang" -> ((s, d) =>
       TextAnalysis.tokenPackBy(Tables.documents(s, d), "lang")),
+    "tx_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d))),
+    "tx_pii_scrub" -> ((s, d) => {
+      val inp = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 3 =!= 0,
+            F.concat(F.lit(" contact user"),
+              F.col("doc_id").cast("string"),
+              F.lit("@mail.example.com"))).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.concat(F.lit(" call +1-555-"),
+              F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(F.lit(""))).as("contact_text"))
+      TextAnalysis.piiScrub(inp, "contact_text")
+        .select("doc_id", "n_emails", "n_phones", "scrubbed")
+        .orderBy("doc_id")
+    }),
+    "tx_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d))),
+    "dd_contamination" -> ((s, d) =>
+      Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
@@ -511,6 +586,10 @@ object ExtQueries {
     "tx_split" -> txSplitSql,
     "tx_pack" -> txPackSql,
     "tx_pack_bylang" -> txPackByLangSql,
+    "tx_repetition" -> txRepetitionSql,
+    "tx_pii_scrub" -> txPiiScrubSql,
+    "tx_top_terms" -> txTopTermsSql,
+    "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
