@@ -30,17 +30,17 @@ object TextAnalysis {
           .as("n_subword_tokens"))
       .orderBy("doc_id")
 
-  /** Quality scoring: integer/ppm features only (portable):
-    * n_tokens, mean token length (ppm), stopword ratio (ppm), and a
-    * composite quality score in ppm. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** Quality feature columns (doc_id, lang, n_tokens,
+    * mean_token_len_ppm, stopword_ratio_ppm, quality_ppm) — shared by
+    * [[qualityScore]] and [[qualityFilter]]. Row-local. */
+  private def qualityFeatures(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val nTok = size(ws).cast("long")
     // total token chars = len(text) - (n_tok - 1) separators
     val tokChars = length(col("text")).cast("long") - (nTok - 1)
     val nStop = aggregate(ws, lit(0L),
       (acc, w) => acc + when(w.isin(Stopwords: _*), 1L).otherwise(0L))
-    docs.select(col("doc_id"), nTok.as("n_tokens"),
+    docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
         floor(lit(1000000.0) * tokChars / greatest(nTok, lit(1L)))
           .cast("long").as("mean_token_len_ppm"),
         floor(lit(1000000.0) * nStop / greatest(nTok, lit(1L)))
@@ -48,8 +48,71 @@ object TextAnalysis {
       .withColumn("quality_ppm",
         (lit(1000000L) - floor(col("stopword_ratio_ppm") / 2L).cast("long")
           - when(col("n_tokens") < 20L, 250000L).otherwise(0L)).cast("long"))
+  }
+
+  /** Quality scoring: integer/ppm features only (portable):
+    * n_tokens, mean token length (ppm), stopword ratio (ppm), and a
+    * composite quality score in ppm. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityFeatures(docs).drop("lang").orderBy("doc_id")
+
+  /** Per-language quantile quality gate: keep each language's top
+    * (1 - keepAbovePpm/1e6) fraction by quality score — filtering on a
+    * WITHIN-language percentile instead of a global absolute threshold
+    * is what keeps low-resource languages from being wiped out by a
+    * cutoff tuned on the dominant language. percent-rank is computed
+    * from integers (row_number over (quality, doc_id), count) with ONE
+    * final floor — portable. Scale: one shuffle on lang; at 100 TB a
+    * per-lang sort of this width is fine (the sorted payload is 4
+    * small columns, not the text), and the approx path (percentile
+    * thresholds from approx_percentile, then a broadcast-joined
+    * filter) slots into the same contract. */
+  def qualityFilter(docs: DataFrame, keepAbovePpm: Long = 200000L): DataFrame = {
+    val w = Window.partitionBy("lang")
+    val rn = row_number().over(w.orderBy(col("quality_ppm").asc, col("doc_id").asc))
+    val n = count(lit(1)).over(w)
+    qualityFeatures(docs)
+      .withColumn("pct_rank_ppm",
+        floor(lit(1000000.0) * (rn - 1) / greatest(n - 1, lit(1)))
+          .cast("long"))
+      .where(col("pct_rank_ppm") >= keepAbovePpm)
+      .select("doc_id", "lang", "quality_ppm", "pct_rank_ppm")
       .orderBy("doc_id")
   }
+
+  /** Deterministic weighted mixture sampling: per-language keep rates
+    * (ppm) — the data-mixing step that rebalances a web-scale corpus
+    * toward a target language/domain mixture. Keep iff a salted hash
+    * of the doc id falls under the language's rate: stable under
+    * reruns, partitioning, and arrival order (rand() sampling is
+    * none of those, and TABLESAMPLE is not per-group). Row-local,
+    * zero shuffles — at 100 TB this is a free-riding filter on the
+    * scan. */
+  def sampleMix(docs: DataFrame,
+                ratesPpm: Seq[(String, Long)] = Seq("en" -> 400000L, "de" -> 800000L),
+                defaultPpm: Long = 1000000L): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    val u = PH.h31(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+    docs.select(col("doc_id"), col("lang"), u.as("u_ppm"), rate.as("rate_ppm"))
+      .where(col("u_ppm") < col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** HTML/boilerplate stripping: remove markup tags, collapse the
+    * whitespace they leave behind, and count the removed tags — the
+    * first pass over any web-crawled corpus. Row-local codegen'd
+    * regexes (the `<[^>]*>` / ` +` subset has identical semantics in
+    * Java regex and RE2). The declared query derives a deterministic
+    * HTML-wrapped input since the corpus itself is plain text; the
+    * operator takes any string column. */
+  def htmlStrip(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tags",
+        regexp_count(col(textCol), lit("<[^>]*>")).cast("long"))
+      .withColumn("stripped",
+        trim(regexp_replace(regexp_replace(col(textCol), "<[^>]*>", " "),
+          " +", " ")))
 
   /** Corpus-trained character-trigram language ID (Cavnar–Trenkle
     * style, document-frequency variant): per-language profiles = top
@@ -211,6 +274,36 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
+
+  /** Per-document top-k terms by TF-IDF — keyword extraction /
+    * topical-term surfacing. IDF uses the integer-exact inverse
+    * document-frequency ratio floor(1e6 * N / df) rather than its log
+    * (log is not bit-portable across engines; the RANKING a top-k
+    * consumer sees is what matters and df-monotone transforms rank
+    * identically within a document at equal tf). Shape: (doc, term)
+    * tf hash-agg → df hash-agg (both partial-combinable) → join tf
+    * back to df on term → per-doc top-k window. N (corpus size) is a
+    * one-number fit collect, like langId's profile model. Scale: the
+    * df join shuffles on term — at 100 TB the df table (vocabulary) is
+    * Zipf-bounded and far smaller than the corpus, and a broadcast of
+    * the top-vocabulary plus a residual join is the standard refine. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val tf = Partitioning.spread(docs)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = floor(lit(1000000.0) * nDocs / col("df")).cast("long")
+    val scored = tf.join(broadcast(dfreq), "term")
+      .select(col("doc_id"), col("term"), col("tf"), idf.as("idf_ppm"),
+        (col("tf") * idf).as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "idf_ppm", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
 
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a

@@ -253,23 +253,83 @@ object ExtQueries {
       "w -> CAST(FLOOR((length(w) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subword_tokens " +
       "FROM documents ORDER BY doc_id"
 
-  private val txQualitySql: String = {
+  /** Quality-feature CTE chain ending in
+    * g(doc_id, lang, n_tokens, mean_token_len_ppm, stopword_ratio_ppm,
+    * quality_ppm) — the one source of truth for the quality formula,
+    * shared by tx_quality and tx_quality_filter. */
+  private val qualityGCte: String = {
     val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-    s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+    s"t AS (SELECT doc_id, lang, string_split(text, ' ') AS w, " +
       "CAST(length(text) AS BIGINT) AS lc FROM documents), " +
-      "f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "f AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens, " +
       "lc - (CAST(len(w) AS BIGINT) - 1) AS tok_chars, " +
       s"CAST(list_sum(list_transform(w, x -> CASE WHEN x IN ($stop) " +
       "THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop FROM t), " +
-      "g AS (SELECT doc_id, n_tokens, " +
+      "g0 AS (SELECT doc_id, lang, n_tokens, " +
       "CAST(FLOOR(1000000.0 * tok_chars / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_ppm, " +
       "CAST(FLOOR(1000000.0 * n_stop / greatest(n_tokens, 1)) AS BIGINT) AS stopword_ratio_ppm " +
-      "FROM f) " +
-      "SELECT doc_id, n_tokens, mean_token_len_ppm, stopword_ratio_ppm, " +
+      "FROM f), " +
+      "g AS (SELECT doc_id, lang, n_tokens, mean_token_len_ppm, stopword_ratio_ppm, " +
       "CAST(1000000 - CAST(FLOOR(stopword_ratio_ppm / 2.0) AS BIGINT) - " +
       "(CASE WHEN n_tokens < 20 THEN 250000 ELSE 0 END) AS BIGINT) AS quality_ppm " +
-      "FROM g ORDER BY doc_id"
+      "FROM g0)"
   }
+
+  private val txQualitySql: String =
+    s"WITH $qualityGCte " +
+      "SELECT doc_id, n_tokens, mean_token_len_ppm, stopword_ratio_ppm, " +
+      "quality_ppm FROM g ORDER BY doc_id"
+
+  private val txQualityFilterSql: String =
+    s"WITH $qualityGCte, " +
+      "r AS (SELECT doc_id, lang, quality_ppm, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY quality_ppm ASC, doc_id ASC) AS rn, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM g), " +
+      "p AS (SELECT doc_id, lang, quality_ppm, " +
+      "CAST(FLOOR(1000000.0 * (rn - 1) / greatest(n - 1, 1)) AS BIGINT) AS pct_rank_ppm " +
+      "FROM r) " +
+      "SELECT doc_id, lang, quality_ppm, pct_rank_ppm FROM p " +
+      "WHERE pct_rank_ppm >= 200000 ORDER BY doc_id"
+
+  private val txSampleMixSql: String = {
+    val u = PH.h31Sql("'mix:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+    s"SELECT doc_id, lang, $u AS u_ppm, " +
+      "CAST(CASE WHEN lang = 'en' THEN 400000 WHEN lang = 'de' THEN 800000 " +
+      "ELSE 1000000 END AS BIGINT) AS rate_ppm FROM documents " +
+      s"WHERE $u < CASE WHEN lang = 'en' THEN 400000 " +
+      "WHEN lang = 'de' THEN 800000 ELSE 1000000 END ORDER BY doc_id"
+  }
+
+  /** Derived deterministic HTML-wrapped input (the corpus is plain
+    * text): tag structure varies with doc_id so tag counts are
+    * non-constant. */
+  private val htmlInputSql =
+    "SELECT doc_id, '<html><body class=\"c' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "'\"><p>' || text || '</p>' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '<br/><div>footer boilerplate</div>' " +
+      "ELSE '' END) || '</body></html>' AS html FROM documents"
+
+  private val txHtmlStripSql: String =
+    s"WITH inp AS ($htmlInputSql) SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags, " +
+      "trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), " +
+      "' +', ' ', 'g')) AS stripped FROM inp ORDER BY doc_id"
+
+  private val txTfidfSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      "t AS (SELECT doc_id, unnest(w) AS term FROM ws), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "s AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, " +
+      "CAST(FLOOR(1000000.0 * n.n / df) AS BIGINT) AS idf_ppm " +
+      "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+      "sc AS (SELECT doc_id, term, tf, idf_ppm, tf * idf_ppm AS tfidf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_ppm DESC, " +
+      "term ASC) AS rk FROM s) " +
+      "SELECT doc_id, CAST(rk AS BIGINT) AS \"rank\", term, tf, idf_ppm, " +
+      "CAST(tfidf AS BIGINT) AS tfidf FROM sc WHERE rk <= 3 " +
+      "ORDER BY doc_id, rk"
 
   private val txLangIdSql: String = {
     val trigrams = "list_distinct(list_filter(list_transform(" +
@@ -537,6 +597,23 @@ object ExtQueries {
     }),
     "tx_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d))),
+    "tx_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d))),
+    "tx_sample_mix" -> ((s, d) =>
+      TextAnalysis.sampleMix(Tables.documents(s, d))),
+    "tx_html_strip" -> ((s, d) => {
+      val inp = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.lit("<html><body class=\"c"),
+          (F.col("doc_id") % 7).cast("string"),
+          F.lit("\"><p>"), F.col("text"), F.lit("</p>"),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.lit("<br/><div>footer boilerplate</div>")).otherwise(F.lit("")),
+          F.lit("</body></html>")).as("html"))
+      TextAnalysis.htmlStrip(inp, "html")
+        .select("doc_id", "n_tags", "stripped")
+        .orderBy("doc_id")
+    }),
+    "tx_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
@@ -589,6 +666,10 @@ object ExtQueries {
     "tx_repetition" -> txRepetitionSql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_top_terms" -> txTopTermsSql,
+    "tx_quality_filter" -> txQualityFilterSql,
+    "tx_sample_mix" -> txSampleMixSql,
+    "tx_html_strip" -> txHtmlStripSql,
+    "tx_tfidf" -> txTfidfSql,
     "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,

@@ -1,0 +1,102 @@
+package graft
+
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+import graft.relational.Tables
+
+/** Properties of the r2 corpus-curation operators (mixture sampling,
+  * quantile quality gate, HTML stripping, TF-IDF) against JVM
+  * reference implementations — the cross-engine oracle is the driver's
+  * DuckDB compare; these pin the operator SEMANTICS. */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  /** JVM reference of PortableHash.h31: first 12 hex chars of md5. */
+  private def h31(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
+  test("sampleMix keeps exactly the docs whose salted hash clears the lang rate") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rate = Map("en" -> 400000L, "de" -> 800000L).withDefaultValue(1000000L)
+    val expected = docs.filter { case (id, lang) =>
+      h31(s"mix:$id") % 1000000L < rate(lang)
+    }.map(_._1).toSet
+    val got = TextAnalysis.sampleMix(Tables.documents(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the mix is a real downsample of the dominant language
+    assert(expected.size < docs.length)
+  }
+
+  test("qualityFilter keeps the per-language top fraction by percent rank") {
+    val feats = TextAnalysis.qualityScore(Tables.documents(spark, sf))
+      .select("doc_id", "quality_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = langs.groupBy(_._2).flatMap { case (_, members) =>
+      val ordered = members.keys.toSeq.sortBy(id => (feats(id), id))
+      val n = ordered.size
+      ordered.zipWithIndex.collect { case (id, i)
+        if math.floor(1000000.0 * i / math.max(n - 1, 1)).toLong >= 200000L => id }
+    }.toSet
+    val got = TextAnalysis.qualityFilter(Tables.documents(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.size < langs.size) // the gate drops the low-quality tail
+  }
+
+  test("htmlStrip recovers the original text from the tag-wrapped form") {
+    val docs = Tables.documents(spark, sf)
+    val wrapped = docs.select($"doc_id", $"text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("<p>"), $"text",
+        org.apache.spark.sql.functions.lit("</p><div>tail</div>")).as("html"))
+    val out = TextAnalysis.htmlStrip(wrapped, "html")
+      .select("doc_id", "text", "n_tags", "stripped").collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == 4L, s"doc ${r.getLong(0)}: expected 4 tags")
+      assert(r.getString(3) == r.getString(1) + " tail",
+        s"doc ${r.getLong(0)}: strip did not recover text")
+    }
+  }
+
+  test("tfidf matches the brute-force reference on a random corpus") {
+    val rnd = new Random(11)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val texts = (0 until 40).map(_ =>
+      (1 to 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val n = texts.size
+    val tf = texts.zipWithIndex.flatMap { case (t, i) =>
+      t.split(" ").groupBy(identity).map { case (w, os) => (i.toLong, w, os.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, rs) => w -> rs.size.toLong }
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      val scored = rows.map { case (_, w, f) =>
+        val idf = math.floor(1000000.0 * n / df(w)).toLong
+        (w, f, idf, f * idf)
+      }.sortBy { case (w, _, _, s) => (-s, w) }
+      scored.take(3).zipWithIndex.map { case ((w, f, idf, s), i) =>
+        (id, (i + 1).toLong, w, f, idf, s)
+      }
+    }.sorted
+    val got = TextAnalysis.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(got == expected)
+  }
+}
