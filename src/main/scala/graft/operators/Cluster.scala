@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorOps => V}
+
+/** Embedding clustering + semantic deduplication (SemDedup-style):
+  * k-means partitions the embedding space, then near-duplicates are
+  * detected WITHIN clusters only — the cluster is the blocker that
+  * keeps the pair join from being all-pairs, exactly like LSH buckets
+  * in Dedup but driven by global structure instead of random
+  * projections.
+  *
+  * Determinism (the DuckDB oracle replicates every step bit-for-bit):
+  * quantized integer vectors, seed centroids = the first k vec_ids,
+  * a FIXED number of Lloyd iterations (no convergence test — data-
+  * dependent iteration counts are not portable), integer-exact
+  * distances, centroid update = floor(mean) per component, ties on
+  * distance broken by centroid id.
+  *
+  * Scale design: the per-iteration update is one partial-combinable
+  * (cid, pos) aggregate over the corpus; the centroid set is a tiny
+  * model (k × d longs) collected and re-broadcast as literals each
+  * iteration — the classic fit/transform loop (langId, IVF). The
+  * final assignment pass is row-local (argmin against k literal
+  * centroids), zero shuffles.
+  */
+object Cluster {
+
+  /** (vec_id, qe, qn, cid) after `iters` Lloyd rounds + final assign. */
+  private def kmeansFull(embeddings: DataFrame, k: Int,
+                         iters: Int): DataFrame = {
+    val base = Similarity.quantized(embeddings)
+    // seed centroids: the quantized vectors of the first k ids
+    // (deterministic; a k-means++ sampler would slot in here)
+    var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
+      .select("vec_id", "qe").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    def assign(cs: Seq[(Long, Seq[Long])]): DataFrame = {
+      val dists = cs.map { case (cid, ce) =>
+        val cn = ce.map(x => x * x).sum
+        val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+        struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+      }
+      base.select(col("vec_id"), col("qe"), col("qn"),
+        element_at(array_sort(array(dists: _*)), 1).getField("cid").as("cid"))
+    }
+    for (_ <- 1 to iters) {
+      // update: per-(cluster, dim) sum/count — ONE shuffle of k×d
+      // partial rows; the collected model is k×d longs
+      val sums = assign(cents)
+        .select(col("cid"), posexplode(col("qe")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val updated = sums.groupBy(_._1).map { case (cid, rs) =>
+        // floor(mean): sums are ≲ |corpus|·Q — exact in double, so
+        // floor(s/c) is bit-identical to the oracle's FLOOR(s/c)
+        cid -> rs.sortBy(_._2).map(t => math.floor(t._3.toDouble / t._4).toLong).toSeq
+      }
+      // an empty cluster keeps its previous centroid (oracle: LEFT
+      // JOIN + COALESCE)
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    assign(cents)
+  }
+
+  /** K-means cluster assignment: (vec_id, cid). */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+                   iters: Int = 2): DataFrame =
+    kmeansFull(embeddings, k, iters).select("vec_id", "cid").orderBy("vec_id")
+
+  /** Semantic dedup: within-cluster pairs with quantized cosine ≥
+    * minCosPpm mark the higher vec_id as a duplicate; output labels
+    * every vector (kept = 0/1 BIGINT — portable across engines,
+    * unlike boolean stringification). The only non-model shuffle
+    * beyond k-means is the within-cluster self-join, whose cost is
+    * bounded by cluster occupancy (k scales with corpus size to hold
+    * E[cluster] constant — SemDedup runs k ≈ √N). */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+               minCosPpm: Long = 450000L): DataFrame = {
+    val a = kmeansFull(embeddings, k, iters)
+    val left = a.select(col("cid"), col("vec_id").as("vec_a"),
+      col("qe").as("qa"), col("qn").as("na"))
+    val right = a.select(col("cid"), col("vec_id").as("vec_b"),
+      col("qe").as("qb"), col("qn").as("nb"))
+    val losers = left.join(right, Seq("cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_b"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .select("vec_b").distinct()
+    a.select("vec_id", "cid")
+      .join(losers, col("vec_id") === col("vec_b"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("vec_b").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+}

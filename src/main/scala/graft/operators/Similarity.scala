@@ -28,7 +28,7 @@ import graft.functions.{Partitioning, VectorOps => V}
   */
 object Similarity {
 
-  private def quantized(embeddings: DataFrame): DataFrame =
+  private[operators] def quantized(embeddings: DataFrame): DataFrame =
     Partitioning.spread(embeddings)
       // Generate-bind (explode of a 1-element array): downstream
       // consumers reference qe many times (norms, per-centroid dots)

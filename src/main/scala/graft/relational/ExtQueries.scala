@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.{functions => F}
 import graft.functions.{PortableHash => PH}
-import graft.operators.{CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cluster, CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Extension query surface (SURVEY.md §2.5): the training-data
   * pipeline operators (dedup / similarity / text analysis /
@@ -187,6 +187,55 @@ object ExtQueries {
       "JOIN base y ON y.vec_id = p.vec_b) " +
       "SELECT vec_a, vec_b, cos_ppm FROM c WHERE cos_ppm >= 400000 " +
       "ORDER BY vec_a, vec_b"
+
+  /** Unrolled deterministic Lloyd k-means CTE chain (the oracle of
+    * Cluster.kmeansFull): c0 = seed centroids, then per round i:
+    * d_i (distances) → a_i (argmin assign) → m_i (floor-mean per
+    * (cid, pos)) → c_i (updated centroids; empty cluster keeps the
+    * old one). Ends with the final assignment a{iters+1}. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"$quantCte, c0 AS (SELECT vec_id AS cid, qe AS ce, n AS cn " +
+        s"FROM base WHERE vec_id < $k)")
+    def round(i: Int, from: String, assignOnly: Boolean): Unit = {
+      sb.append(s", d$i AS (SELECT b.vec_id, b.qe, b.n, c.cid, " +
+        s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist " +
+        s"FROM base b CROSS JOIN $from c)")
+      sb.append(s", a$i AS (SELECT vec_id, qe, n, cid FROM " +
+        s"(SELECT vec_id, qe, n, cid, row_number() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d$i) " +
+        "WHERE rn = 1)")
+      if (!assignOnly) {
+        sb.append(s", s$i AS (SELECT cid, generate_subscripts(qe, 1) AS pos, " +
+          s"unnest(qe) AS v FROM a$i)")
+        sb.append(s", m$i AS (SELECT cid, pos, " +
+          "CAST(FLOOR(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv " +
+          s"FROM s$i GROUP BY 1, 2)")
+        sb.append(s", u$i AS (SELECT cid, list(cv ORDER BY pos) AS ce " +
+          s"FROM m$i GROUP BY 1)")
+        sb.append(s", c$i AS (SELECT p.cid, COALESCE(u.ce, p.ce) AS ce, " +
+          s"CAST(${dotSql("COALESCE(u.ce, p.ce)", "COALESCE(u.ce, p.ce)")} AS BIGINT) AS cn " +
+          s"FROM c${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid)")
+      }
+    }
+    (1 to iters).foreach(i => round(i, s"c${i - 1}", assignOnly = false))
+    round(iters + 1, s"c$iters", assignOnly = true)
+    sb.toString
+  }
+
+  private val ddKmeansSql: String =
+    s"WITH ${kmeansCtes(8, 2)} " +
+      "SELECT vec_id, cid FROM a3 ORDER BY vec_id"
+
+  private val ddSemdedupSql: String =
+    s"WITH ${kmeansCtes(8, 2)}, " +
+      "pp AS (SELECT y.vec_id AS vec_b, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
+      "losers AS (SELECT DISTINCT vec_b FROM pp WHERE cos_ppm >= 450000) " +
+      "SELECT a.vec_id, a.cid, " +
+      "CAST(CASE WHEN l.vec_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+      "FROM a3 a LEFT JOIN losers l ON l.vec_b = a.vec_id ORDER BY a.vec_id"
 
   // ---------------------------------------------------------------
   // similarity search
@@ -486,6 +535,17 @@ object ExtQueries {
       "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
       "ORDER BY purchase_id"
 
+  private val relRangeClicksSql: String =
+    "WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e " +
+      "WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id AS c_user, us AS c_us FROM e WHERE event_type = 'click') " +
+      "SELECT p.purchase_id, p.user_id, p.purchase_us, " +
+      "CAST(count(c.c_us) AS BIGINT) AS n_clicks " +
+      "FROM p LEFT JOIN c ON c.c_user = p.user_id " +
+      "AND c.c_us > p.purchase_us - 3600000000 AND c.c_us <= p.purchase_us " +
+      "GROUP BY 1, 2, 3 ORDER BY 1"
+
   private val relRollupSql: String =
     "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
       s"CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c " +
@@ -567,6 +627,8 @@ object ExtQueries {
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
+    "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
     "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -635,6 +697,8 @@ object ExtQueries {
       .agg(F.approx_count_distinct("user_id").as("approx_users"))
       .orderBy("event_type")),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
+    "rel_range_clicks" -> ((s, d) =>
+      graft.operators.RangeJoin.clicksBefore(Tables.events(s, d))),
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
       CuratePipeline.curate(s, Tables.documents(s, d))),
@@ -653,6 +717,8 @@ object ExtQueries {
     "dd_clusters" -> ddClustersSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
+    "dd_kmeans" -> ddKmeansSql,
+    "dd_semdedup" -> ddSemdedupSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
@@ -682,6 +748,7 @@ object ExtQueries {
     "rel_json_props" -> relJsonPropsSql,
     "rel_median_value" -> relMedianSql,
     "rel_asof_click" -> relAsofSql,
+    "rel_range_clicks" -> relRangeClicksSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,
     "rel_distinct_users" -> relDistinctUsersSql,

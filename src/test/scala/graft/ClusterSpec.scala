@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cluster
+import graft.relational.Tables
+
+/** Cluster.kmeansAssign / semDedup vs a complete brute-force JVM
+  * Lloyd implementation on the real corpus — every step (quantize,
+  * seed, argmin tiebreak, floor-mean update, final assign, within-
+  * cluster cosine dedup) re-derived independently. */
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val K = 8
+  private val Iters = 2
+  private val Thr = 450000L
+
+  private lazy val vecs: Seq[(Long, Array[Long])] =
+    Tables.embeddings(spark, sf).collect().map { r =>
+      val q = r.getSeq[Float](r.fieldIndex("embedding"))
+        .map(x => math.floor(x.toDouble * 1024).toLong).toArray
+      (r.getLong(r.fieldIndex("vec_id")), q)
+    }.toSeq.filter { case (_, q) => q.map(x => x * x).sum > 0 }
+      .sortBy(_._1)
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** Brute-force Lloyd: returns (assignment, final centroids). */
+  private lazy val reference: Map[Long, Long] = {
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.filter(_._1 < K).map { case (id, q) => (id, q) }
+    def assign(): Map[Long, Long] = vecs.map { case (id, q) =>
+      val n = dot(q, q)
+      val best = cents.map { case (cid, ce) =>
+        (n + dot(ce, ce) - 2 * dot(q, ce), cid)
+      }.min
+      id -> best._2
+    }.toMap
+    for (_ <- 1 to Iters) {
+      val a = assign()
+      val byC = vecs.groupBy { case (id, _) => a(id) }
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val d = members.head._2.length
+            val ce = (0 until d).map { p =>
+              val s = members.map(_._2(p)).sum
+              math.floor(s.toDouble / members.size).toLong
+            }.toArray
+            (cid, ce)
+          case None => (cid, old)
+        }
+      }
+    }
+    assign()
+  }
+
+  test("kmeansAssign equals the brute-force Lloyd reference") {
+    val got = Cluster.kmeansAssign(Tables.embeddings(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference)
+    // clustering is non-trivial: more than one cluster is populated
+    assert(got.values.toSet.size > 1)
+  }
+
+  test("semDedup drops exactly the within-cluster higher-id near-dups") {
+    val losers = (for {
+      (a, qa) <- vecs; (b, qb) <- vecs
+      if a < b && reference(a) == reference(b)
+      na = dot(qa, qa); nb = dot(qb, qb)
+      cos = math.floor(1000000.0 * dot(qa, qb)
+        / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))).toLong
+      if cos >= Thr
+    } yield b).toSet
+    val got = Cluster.semDedup(Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, cid, kept) =>
+      assert(cid == reference(id), s"vec $id in wrong cluster")
+      assert(kept == (if (losers(id)) 0L else 1L), s"vec $id kept flag")
+    }
+    assert(losers.nonEmpty, "corpus plants at least one semantic dup")
+  }
+}
