@@ -46,4 +46,17 @@ object FileFormats {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** ORC edge — the other columnar lake format Spark ships natively;
+    * same pushdown/pruning machinery as parquet (predicate pushdown
+    * via ORC search arguments). */
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

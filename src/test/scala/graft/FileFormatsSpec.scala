@@ -44,6 +44,21 @@ class FileFormatsSpec extends AnyFunSuite {
       .forall(_.contains("part=1")))
   }
 
+  test("orc round trip preserves values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    FileFormats.writeOrc(sample, dir)
+    val back = FileFormats.readOrc(spark, dir, schema)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "alpha", 1.5), (2L, "beta", -0.25),
+      (3L, "gamma", 100.0)))
+    // predicate reaches the ORC scan (search-argument pushdown)
+    val plan = back.where(col("id") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]")
+      || plan.contains("EqualTo(id,2)"), s"no pushed filter in:\n$plan")
+  }
+
   test("undecodable csv rows null out (safe-decode contract, PERMISSIVE)") {
     val dir = Files.createTempDirectory("graft_badcsv")
     Files.writeString(dir.resolve("data.csv"), "id,name,score\n1,ok,2.5\nnotanint,bad,xyz\n")

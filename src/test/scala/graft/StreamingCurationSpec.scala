@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingCuration
+
+/** Streaming curation operators over MemoryStream micro-batches:
+  * dedup keeps first arrivals and drops in-horizon duplicates; the
+  * quality gate and contamination tag are stateless and match their
+  * batch formulas. */
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // offset the time base: an event AT epoch 0 equals the initial
+  // watermark (0) and is discarded as late by stateful operators
+  private def ts(minute: Int) = new Timestamp((10000 + minute) * 60000L)
+
+  test("dedupStream keeps first arrival, drops duplicate text across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration.dedupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma delta"))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1's text -> dropped; doc 4 new
+      mem.addData((ts(2), 3L, "alpha beta"), (ts(3), 4L, "epsilon"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("qualityGate matches the batch quality formula (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration.qualityGate(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val longGood = (1 to 25).map(i => s"w$i").mkString(" ")
+      // 24 stopwords out of 25 tokens -> stop ratio 960000 ppm ->
+      // quality 1e6 - 480000 = 520000 < 750000 -> dropped
+      val stopped = (Seq.fill(24)("the") :+ "x").mkString(" ")
+      val short = "tiny doc" // < 20 tokens -> 750000, kept (>=)
+      mem.addData((ts(0), 1L, longGood), (ts(0), 2L, stopped),
+        (ts(0), 3L, short))
+      q.processAllAvailable()
+      val out = spark.table("quality_out").collect()
+        .map(r => r.getLong(1) -> r.getLong(3)).toMap
+      assert(out.keySet == Set(1L, 3L))
+      assert(out(1L) == 1000000L)
+      assert(out(3L) == 750000L)
+    } finally q.stop()
+  }
+
+  test("contaminationTag flags docs sharing a 5-gram with the eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val evalShingles = Seq("a b c d e", "q r s t u")
+    val q = StreamingCuration.contaminationTag(
+        mem.toDF().toDF("ts", "doc_id", "text"), evalShingles)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts(0), 1L, "x a b c d e y"), // contains eval 5-gram
+        (ts(0), 2L, "a b c x d e"),   // shares words but no 5-gram
+        (ts(0), 3L, "clean text entirely"))
+      q.processAllAvailable()
+      val out = spark.table("contam_out").collect()
+        .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+      assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+}
