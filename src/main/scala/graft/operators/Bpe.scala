@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Partitioning, TextOps}
+
+/** Byte-pair-encoding tokenizer — the LLM tokenization step, as a
+  * fit/transform pair:
+  *
+  *  - [[fit]]: ONE distributed aggregate builds the word-frequency
+  *    table (partial-combinable; top `maxVocab` by frequency is the
+  *    standard Zipf cut — rare words contribute negligible pair
+  *    counts), then the inherently-sequential merge loop runs on the
+  *    driver over that tiny table, exactly how production BPE
+  *    trainers work (they stream the corpus once into word counts,
+  *    then train in memory). The model is an ordered merge list.
+  *  - [[encodeCounts]]: distributed row-local encode. Each merge pass
+  *    is one projection over the exploded word table, with the pass
+  *    result bound via a Generate (explode-of-1-element-array) so the
+  *    16 passes chain linearly — nesting them in one expression would
+  *    triple the tree per pass (slice/size/element_at each reference
+  *    the input) and explode exponentially.
+  *
+  * Merge application is a left-to-right non-overlapping fold with the
+  * accumulated tokens kept as a space-joined STRING (tokens are
+  * space-free): "last token == a" is `acc == a OR acc ends with
+  * ' '+a`. The DuckDB oracle replicates fit AND encode with the same
+  * fold via list_reduce (ExtQueries.bpeCtes).
+  */
+object Bpe {
+
+  /** One merge pass over a token array: merge adjacent (a, b) → ab
+    * left-to-right non-overlapping. */
+  private[graft] def mergePass(arr: Column, a: String, b: String): Column = {
+    val folded = aggregate(
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      element_at(arr, 1),
+      (acc, x) => when(((acc === lit(a)) || acc.endsWith(" " + a))
+          && (x === lit(b)), concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
+    split(folded, " ")
+  }
+
+  /** JVM form of [[mergePass]] (used by fit's driver loop; the spec
+    * cross-checks the two). */
+  private[operators] def applyMerge(syms: List[String],
+                                    a: String, b: String): List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  /** Learn `nMerges` ordered merges from the corpus. Tie-breaks are
+    * total (count desc, then pair lexicographic) so the model is
+    * deterministic and the SQL oracle can reproduce it. */
+  def fit(docs: DataFrame, nMerges: Int = 16,
+          maxVocab: Int = 1000): Seq[(String, String)] = {
+    val wf: Seq[(List[String], Long)] = Partitioning.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r =>
+        (r.getString(0).toList.map(_.toString), r.getLong(1))).toSeq
+    var vocab = wf
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) =>
+          (applyMerge(syms, best._1, best._2), f)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Per-document BPE token counts under the given merge list. */
+  def encodeCounts(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = Partitioning.spread(docs).select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val chars = words.select(col("doc_id"), explode(array(
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))).as("toks"))
+    val encoded = merges.foldLeft(chars) { case (df, (a, b)) =>
+      df.select(col("doc_id"),
+        explode(array(mergePass(col("toks"), a, b))).as("toks"))
+    }
+    encoded.groupBy("doc_id")
+      .agg(sum(size(col("toks"))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Fit-then-encode convenience (the declared tx_bpe query). */
+  def tokenize(docs: DataFrame, nMerges: Int = 16): DataFrame =
+    encodeCounts(docs, fit(docs, nMerges))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.{functions => F}
 import graft.functions.{PortableHash => PH}
-import graft.operators.{Cluster, CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Cluster, CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Extension query surface (SURVEY.md §2.5): the training-data
   * pipeline operators (dedup / similarity / text analysis /
@@ -467,6 +467,52 @@ object ExtQueries {
       "count(DISTINCT eval_doc_id) AS n_eval_docs " +
       "FROM tr JOIN ev ON ev.sh = tr.sh GROUP BY 1 ORDER BY 1"
 
+  /** BPE oracle: unrolled fit (nMerges rounds of pair-count → argmax
+    * → merge application over the word-frequency table) + unrolled
+    * encode (same merge fold over every word occurrence). The merge
+    * fold accumulates tokens as a space-joined string via list_reduce
+    * — the same left-to-right non-overlapping semantics as
+    * Bpe.mergePass. */
+  private def bpeSql(nMerges: Int, maxVocab: Int): String = {
+    def foldLambda(aRef: String, bRef: String): String =
+      s"(acc, x) -> CASE WHEN (acc = $aRef OR ends_with(acc, ' ' || $aRef)) " +
+        s"AND x = $bRef THEN acc || x ELSE acc || ' ' || x END"
+    // AS MATERIALIZED: every v_k / m_k is referenced twice downstream;
+    // DuckDB's default CTE inlining would expand the chain 2^nMerges
+    // times (first symptom: fd exhaustion re-opening the parquet)
+    val sb = new StringBuilder(
+      s"WITH ws AS ($wordsCte), " +
+        "wf AS MATERIALIZED (SELECT w, count(*) AS f " +
+        "FROM (SELECT unnest(w) AS w FROM ws) " +
+        s"GROUP BY 1 ORDER BY f DESC, w ASC LIMIT $maxVocab), " +
+        "v0 AS MATERIALIZED (SELECT w, f, list_transform(range(1, length(w) + 1), " +
+        "i -> w[i]) AS syms FROM wf)")
+    for (k <- 1 to nMerges) {
+      val prev = s"v${k - 1}"
+      sb.append(s", pr$k AS (SELECT f, unnest(list_transform(" +
+        "range(1, len(syms)), i -> {'a': syms[i], 'b': syms[i + 1]})) AS p " +
+        s"FROM $prev)")
+      sb.append(s", c$k AS (SELECT p.a AS a, p.b AS b, sum(f) AS c " +
+        s"FROM pr$k GROUP BY 1, 2)")
+      sb.append(s", m$k AS MATERIALIZED (SELECT a, b FROM c$k " +
+        "ORDER BY c DESC, a ASC, b ASC LIMIT 1)")
+      sb.append(s", v$k AS MATERIALIZED (SELECT w, f, string_split(list_reduce(syms, " +
+        s"${foldLambda("m.a", "m.b")}), ' ') AS syms FROM $prev, m$k m)")
+    }
+    sb.append(", e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
+      "range(1, length(w) + 1), i -> w[i]) AS syms " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))")
+    for (k <- 1 to nMerges) {
+      sb.append(s", e$k AS MATERIALIZED (SELECT doc_id, string_split(list_reduce(syms, " +
+        s"${foldLambda("m.a", "m.b")}), ' ') AS syms FROM e${k - 1}, m$k m)")
+    }
+    sb.append(s" SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens " +
+      s"FROM e$nMerges GROUP BY 1 ORDER BY 1")
+    sb.toString
+  }
+
+  private val txBpeSql: String = bpeSql(16, 1000)
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -676,6 +722,7 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
     "tx_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    "tx_bpe" -> ((s, d) => Bpe.tokenize(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
@@ -736,6 +783,7 @@ object ExtQueries {
     "tx_sample_mix" -> txSampleMixSql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_tfidf" -> txTfidfSql,
+    "tx_bpe" -> txBpeSql,
     "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,

@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE fit/encode vs an independent JVM reference implementation
+  * (array-walk merge, not the fold the operator uses) on a random
+  * corpus, plus structural invariants. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference merge application: explicit index walk. */
+  private def refMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Reference trainer over a (word, freq) table. */
+  private def refFit(wf: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var vocab = wf.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- vocab; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        vocab = vocab.map { case (s, f) => (refMerge(s, a, b), f) }
+      }
+    }
+    merges.result()
+  }
+
+  private def corpus(seed: Int) = {
+    val rnd = new Random(seed)
+    val vocab = Seq("spark", "scala", "shuffle", "partition", "aaa",
+      "abab", "banana", "broadcast", "agg", "aab")
+    (0 until 60).map(i => (i.toLong,
+      (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("fit learns the reference merge sequence (deterministic tie-breaks)") {
+    val docs = corpus(5)
+    val wf = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).map { case (w, os) => (w, os.length.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }
+    val expected = refFit(wf, 16)
+    assert(Bpe.fit(docs) == expected)
+    assert(expected.size == 16)
+  }
+
+  test("encodeCounts equals reference encode; counts shrink vs chars") {
+    val docs = corpus(6)
+    val merges = Bpe.fit(docs)
+    val expected = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) { case (s, (a, b)) =>
+          refMerge(s, a, b)
+        }.length.toLong
+      }.sum
+      (r.getLong(0), toks)
+    }.sortBy(_._1).toSeq
+    val got = Bpe.tokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // merges strictly compress: fewer tokens than characters
+    val nChars = docs.collect()
+      .map(_.getString(1).count(_ != ' ').toLong).sum
+    assert(got.map(_._2).sum < nChars)
+  }
+
+  test("mergePass fold equals reference walk on tricky overlaps") {
+    // a a a -> (a,a): leftmost wins, no overlap re-merge
+    for ((syms, a, b) <- Seq(
+      (Vector("a", "a", "a"), "a", "a"),
+      (Vector("a", "b", "a", "b"), "a", "b"),
+      (Vector("x", "a", "b", "b"), "a", "b"),
+      (Vector("a"), "a", "a"))) {
+      val got = Seq(syms.toList).toDF("toks")
+        .select(Bpe.mergePass(org.apache.spark.sql.functions.col("toks"), a, b))
+        .collect()(0).getSeq[String](0).toVector
+      assert(got == refMerge(syms, a, b), s"case $syms + ($a,$b)")
+    }
+  }
+}
