@@ -31,7 +31,11 @@ object Cluster {
   /** (vec_id, qe, qn, cid) after `iters` Lloyd rounds + final assign. */
   private def kmeansFull(embeddings: DataFrame, k: Int,
                          iters: Int): DataFrame = {
-    val base = Similarity.quantized(embeddings)
+    // iterative working set: seed collect + one aggregate per round +
+    // the final assign each re-read this — materialize the quantized
+    // vectors ONCE instead of re-scanning the lake per round (the
+    // standard iterative-fit discipline, same as nearDupClusters)
+    val base = Similarity.quantized(embeddings).localCheckpoint(true)
     // seed centroids: the quantized vectors of the first k ids
     // (deterministic; a k-means++ sampler would slot in here)
     var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
@@ -81,7 +85,10 @@ object Cluster {
     * E[cluster] constant — SemDedup runs k ≈ √N). */
   def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                minCosPpm: Long = 450000L): DataFrame = {
-    val a = kmeansFull(embeddings, k, iters)
+    // the assignment feeds BOTH pair-join sides and the label output —
+    // three plan references; materialize it once (eager) so the scan +
+    // quantize + argmin run once, not three times over 100 TB
+    val a = kmeansFull(embeddings, k, iters).localCheckpoint(true)
     val left = a.select(col("cid"), col("vec_id").as("vec_a"),
       col("qe").as("qa"), col("qn").as("na"))
     val right = a.select(col("cid"), col("vec_id").as("vec_b"),

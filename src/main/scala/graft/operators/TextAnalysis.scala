@@ -289,9 +289,13 @@ object TextAnalysis {
     * the top-vocabulary plus a residual join is the standard refine. */
   def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
     val nDocs = docs.count()
+    // tf feeds BOTH the df aggregate and the scoring join — two plan
+    // references; materialize once so the corpus scan + explode + agg
+    // run once, not twice over 100 TB
     val tf = Partitioning.spread(docs)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = floor(lit(1000000.0) * nDocs / col("df")).cast("long")
     val scored = tf.join(broadcast(dfreq), "term")
