@@ -35,4 +35,25 @@ object CuratePipeline {
       .join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** [[curate]] extended with the embedding modality: additionally
+    * require the document's embedding to survive semantic dedup
+    * (Cluster.semDedup kept = 1). The text-side and embedding-side
+    * pipelines run independently (different tables, different
+    * shuffles) and meet in ONE final equi-join on the id — the
+    * multimodal-fusion shape: per-modality curation stays local to
+    * its modality's data, only ids cross over. */
+  def curateFull(spark: SparkSession, docs: DataFrame,
+                 embeddings: DataFrame,
+                 minQualityPpm: Long = 750000L,
+                 minEstJaccardPpm: Long = 750000L,
+                 minCosPpm: Long = 450000L): DataFrame = {
+    val kept = Cluster.semDedup(embeddings, minCosPpm = minCosPpm)
+      .where(col("kept") === 1)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    curate(spark, docs, minQualityPpm, minEstJaccardPpm)
+      .join(kept, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "quality_ppm", "cid")
+      .orderBy("doc_id")
+  }
 }

@@ -100,6 +100,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Stratified EXACT-size sampling: exactly min(n, |group|) docs per
+    * group, chosen by salted-hash order — "give me 10k docs per
+    * language for the eval set" with rerun/order stability (reservoir
+    * sampling is not deterministic under repartitioning; hash order
+    * is). One shuffle on the group key; the per-group sort payload is
+    * (hash, id), not the text. At extreme scale the same contract
+    * runs as approximate-threshold-then-exact-trim. */
+  def sampleStratified(docs: DataFrame, nPerGroup: Int = 50,
+                       groupCol: String = "lang"): DataFrame = {
+    val u = PH.h31(concat(lit("strat:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("u").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(groupCol), u.as("u"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= nPerGroup)
+      .select("doc_id", groupCol, "rk")
+      .orderBy("doc_id")
+  }
+
   /** HTML/boilerplate stripping: remove markup tags, collapse the
     * whitespace they leave behind, and count the removed tags — the
     * first pass over any web-crawled corpus. Row-local codegen'd

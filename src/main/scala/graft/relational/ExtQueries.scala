@@ -657,6 +657,24 @@ object ExtQueries {
       "AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id) " +
       "ORDER BY d.doc_id"
 
+  /** Multimodal composite: text-side curation ∩ embedding-side
+    * semantic-dedup survivors (both oracle chains reused verbatim). */
+  private val pipelineCurateFullSql: String =
+    "WITH cur AS (" + pipelineCurateSql + "), sd AS (" + ddSemdedupSql + ") " +
+      "SELECT cur.doc_id, cur.lang, cur.source, cur.n_chars, " +
+      "cur.quality_ppm, sd.cid " +
+      "FROM cur JOIN sd ON sd.vec_id = cur.doc_id AND sd.kept = 1 " +
+      "ORDER BY cur.doc_id"
+
+  private val txSampleStratSql: String = {
+    val u = PH.h31Sql("'strat:' || CAST(doc_id AS VARCHAR)")
+    s"WITH u AS (SELECT doc_id, lang, $u AS u FROM documents), " +
+      "r AS (SELECT doc_id, lang, u, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS rk FROM u) " +
+      "SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r " +
+      "WHERE rk <= 50 ORDER BY doc_id"
+  }
+
   private val relDistinctUsersSql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
       "FROM events GROUP BY 1 ORDER BY 1"
@@ -749,6 +767,11 @@ object ExtQueries {
     "rel_rollup" -> (RelQueries.pricingRollup _),
     "pipeline_curate" -> ((s, d) =>
       CuratePipeline.curate(s, Tables.documents(s, d))),
+    "pipeline_curate_full" -> ((s, d) =>
+      CuratePipeline.curateFull(s, Tables.documents(s, d),
+        Tables.embeddings(s, d))),
+    "tx_sample_strat" -> ((s, d) =>
+      TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
       .groupBy("event_type")
       .agg(F.countDistinct("user_id").as("n_users"),
@@ -799,6 +822,8 @@ object ExtQueries {
     "rel_range_clicks" -> relRangeClicksSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_curate_full" -> pipelineCurateFullSql,
+    "tx_sample_strat" -> txSampleStratSql,
     "rel_distinct_users" -> relDistinctUsersSql,
   )
 }
