@@ -53,6 +53,38 @@ object TextNative {
       UTF8String.fromString(w): Any).toArray)
   }
 
+  /** BPE encode: split the word into codepoint tokens, then apply the
+    * ordered merge list, each merge left-to-right non-overlapping —
+    * one tight JVM loop instead of one interpreted HOF fold pass per
+    * merge (Bpe.mergePass is the executable specification; BpeSpec
+    * asserts equality). */
+  def bpeEncode(text: UTF8String, as: Array[String],
+                bs: Array[String]): ArrayData = {
+    val s = text.toString
+    var cur = new mutable.ArrayBuffer[String](s.length)
+    var idx = 0
+    while (idx < s.length) {
+      val next = s.offsetByCodePoints(idx, 1)
+      cur += s.substring(idx, next)
+      idx = next
+    }
+    var j = 0
+    while (j < as.length && cur.nonEmpty) {
+      val a = as(j); val b = bs(j)
+      val next = new mutable.ArrayBuffer[String](cur.length)
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+          next += (a + b); i += 2
+        } else { next += cur(i); i += 1 }
+      }
+      cur = next
+      j += 1
+    }
+    new GenericArrayData(cur.iterator.map(t =>
+      UTF8String.fromString(t): Any).toArray)
+  }
+
   /** Distinct character trigrams (codepoint-based, like substr). */
   def charTrigrams(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -113,10 +145,35 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val aArr: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val bArr: Array[String] = merges.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.bpeEncode(input.asInstanceOf[UTF8String], aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", aArr, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bpeB", bArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.bpeEncode($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object textNative {
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def char_trigrams(text: Column): Column =
     ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 }

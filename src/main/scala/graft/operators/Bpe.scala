@@ -81,9 +81,24 @@ object Bpe {
     merges.result()
   }
 
-  /** Per-document BPE token counts under the given merge list. */
+  /** Per-document BPE token counts under the given merge list —
+    * native codegen'd expression (graft.functions.BpeEncode): all
+    * merges applied in one tight JVM loop per word. */
   def encodeCounts(docs: DataFrame,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)]): DataFrame =
+    Partitioning.spread(docs)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        size(graft.functions.textNative.bpe_encode(col("w"), merges)).as("nt"))
+      .groupBy("doc_id")
+      .agg(sum(col("nt")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** HOF executable specification of [[encodeCounts]]: one Generate-
+    * bound [[mergePass]] projection per merge (BpeSpec asserts
+    * equality with the native path). */
+  private[graft] def encodeCountsHof(docs: DataFrame,
+                                     merges: Seq[(String, String)]): DataFrame = {
     val words = Partitioning.spread(docs).select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
     val chars = words.select(col("doc_id"), explode(array(

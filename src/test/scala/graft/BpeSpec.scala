@@ -81,6 +81,16 @@ class BpeSpec extends AnyFunSuite {
     assert(got.map(_._2).sum < nChars)
   }
 
+  test("native encode equals the HOF specification path") {
+    val docs = corpus(7)
+    val merges = Bpe.fit(docs)
+    val native = Bpe.tokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hof = Bpe.encodeCountsHof(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == hof)
+  }
+
   test("mergePass fold equals reference walk on tricky overlaps") {
     // a a a -> (a,a): leftmost wins, no overlap re-merge
     for ((syms, a, b) <- Seq(
