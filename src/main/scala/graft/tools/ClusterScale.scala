@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cluster, Dedup}
+import graft.relational.Tables
+
+/** Scale-robustness probe for the r2 clustering/decontamination
+  * families (dev tool, not product surface): per SF, k-means cluster
+  * occupancy (which bounds the semantic-dedup pair join), semdedup
+  * drop volume, and contamination candidate volume (corpus-side rows
+  * that reach the broadcast join's probe). Output goes to BASELINE.md's
+  * journal. */
+object ClusterScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfs = if (args.nonEmpty) args.toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1")
+    println("sf,n_vecs,km_max_cluster,km_p99_cluster,km_pairs,sem_dropped," +
+      "contam_eval_shingles,contam_hit_rows,contam_docs")
+    sfs.foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, dir)
+      val nVecs = emb.count()
+      val assign = Cluster.kmeansAssign(emb)
+      val occ = assign.groupBy("cid").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), expr("percentile(n, 0.99D)").as("p99"),
+          // within-cluster pair-join volume = sum n*(n-1)/2
+          sum(expr("n * (n - 1) / 2")).as("pairs")).head()
+      val semDropped = Cluster.semDedup(emb)
+        .where(col("kept") === 0).count()
+      val docs = Tables.documents(spark, dir)
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      val evalSh = sh.where(col("doc_id") % 19 === 0).count()
+      val contam = Dedup.contamination(docs)
+      val hitRows = contam.agg(sum("n_hits")).head().getLong(0)
+      val contamDocs = contam.count()
+      println(s"$sf,$nVecs,${occ.getLong(0)},${occ.getDouble(1)}," +
+        s"${occ.get(2)},$semDropped,$evalSh,$hitRows,$contamDocs")
+    }
+    spark.stop()
+  }
+}
