@@ -67,7 +67,9 @@ object Bpe {
     var done = false
     for (_ <- 1 to nMerges if !done) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
-      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+      // drop(1), not tail: an empty-string word has NO symbols and
+      // Nil.tail throws
+      for ((syms, f) <- vocab; p <- syms.zip(syms.drop(1)))
         counts(p) = counts.getOrElse(p, 0L) + f
       if (counts.isEmpty) done = true
       else {

@@ -41,6 +41,12 @@ object Cluster {
     var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
       .select("vec_id", "qe").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    // empty input -> no seeds; an argmin over zero centroids is not
+    // even analyzable (void-typed array), so short-circuit with the
+    // correct (empty) schema
+    if (cents.isEmpty)
+      return base.select(col("vec_id"), col("qe"), col("qn"),
+        lit(-1L).as("cid"))
     def assign(cs: Seq[(Long, Seq[Long])]): DataFrame = {
       val dists = cs.map { case (cid, ce) =>
         val cn = ce.map(x => x * x).sum
