@@ -328,6 +328,33 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Fixed-window document chunking with stride — split long docs
+    * into ≤ chunkTokens-token windows every `stride` tokens (stride <
+    * chunkTokens gives overlapping context windows, the standard
+    * long-document preprocessing for a bounded-context model).
+    * Row-local: explode over integer window starts, slice the word
+    * array — no shuffle, chunk counts scale with tokens not docs.
+    * Chunk ids are (doc_id, chunk_id) — stable under any partitioning. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 12,
+            stride: Int = 8): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride)
+    val ws = TextOps.words(col("text"))
+    // bind the word array once (Generate), THEN explode the window
+    // starts: 1, 1+stride, … while start <= n (last window may be
+    // short); one generator per select
+    val starts = sequence(lit(1),
+      greatest(size(col("ws")) - 1, lit(0)) + 1, lit(stride))
+    docs.select(col("doc_id"), explode(array(ws)).as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(starts))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        array_join(slice(col("ws"), col("col"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("ws")) - col("col") + 1, lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

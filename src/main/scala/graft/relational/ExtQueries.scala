@@ -513,6 +513,19 @@ object ExtQueries {
 
   private val txBpeSql: String = bpeSql(16, 1000)
 
+  private val txChunkSql: String = {
+    val (cz, st) = (12, 8)
+    s"WITH ws AS ($wordsCte), " +
+      "s AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 0) + 2, " +
+      s"$st)) AS start, generate_subscripts(range(1, " +
+      s"greatest(len(w) - 1, 0) + 2, $st), 1) AS cid FROM ws) " +
+      "SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id, " +
+      "CAST(start AS BIGINT) AS start_tok, " +
+      s"array_to_string(w[start:start + ${cz - 1}], ' ') AS chunk_text, " +
+      s"CAST(least(len(w) - start + 1, $cz) AS BIGINT) AS n_tokens " +
+      "FROM s ORDER BY doc_id, chunk_id"
+  }
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -741,6 +754,7 @@ object ExtQueries {
     }),
     "tx_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "tx_bpe" -> ((s, d) => Bpe.tokenize(Tables.documents(s, d))),
+    "tx_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
@@ -807,6 +821,7 @@ object ExtQueries {
     "tx_html_strip" -> txHtmlStripSql,
     "tx_tfidf" -> txTfidfSql,
     "tx_bpe" -> txBpeSql,
+    "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
     "rel_pricing" -> relPricingSql,

@@ -73,6 +73,40 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: non-overlapping chunks reassemble the document exactly") {
+    val docs = Tables.documents(spark, sf)
+    // stride == chunkTokens -> a partition of the token sequence
+    val out = TextAnalysis.chunk(docs, chunkTokens = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val reassembled = out(id).sortBy(_._2).map(_._3).mkString(" ")
+      assert(reassembled == text, s"doc $id reassembly")
+    }
+  }
+
+  test("chunk: overlapping windows have the declared stride and width") {
+    val docs = Tables.documents(spark, sf)
+    val totals = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong).toMap
+    val rows = TextAnalysis.chunk(docs, chunkTokens = 12, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, start, n), i) =>
+        assert(start == 1 + 8L * i, s"doc $id chunk $i start")
+        // width = remaining tokens capped at the window size
+        assert(n == math.min(totals(id) - start + 1, 12L),
+          s"doc $id chunk $i width")
+      }
+      // window starts cover the token range: last start <= total
+      assert(sorted.last._3 <= totals(id), s"doc $id coverage")
+    }
+  }
+
   test("tfidf matches the brute-force reference on a random corpus") {
     val rnd = new Random(11)
     val vocab = (1 to 30).map(i => s"w$i")
