@@ -15,7 +15,10 @@ class DeterminismSpec extends AnyFunSuite {
   // iterative fixpoint, model-collect, RNG surrogate
   private val watchlist = Seq("dd_minhash_lsh", "dd_simhash", "dd_clusters",
     "dd_embed_neardup", "sim_knn_ivf", "tx_langid", "tx_split",
-    "rel_top_orders", "rel_sessions", "pipeline_curate", "x_approx_users")
+    "rel_top_orders", "rel_sessions", "pipeline_curate", "x_approx_users",
+    // r2 additions with fit-collects, windows, or sampling hashes
+    "dd_kmeans", "dd_semdedup", "tx_bpe", "tx_tfidf", "tx_sample_mix",
+    "tx_sample_strat", "tx_quality_filter", "pipeline_curate_full")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>
