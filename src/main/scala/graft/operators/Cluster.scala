@@ -82,6 +82,19 @@ object Cluster {
                    iters: Int = 2): DataFrame =
     kmeansFull(embeddings, k, iters).select("vec_id", "cid").orderBy("vec_id")
 
+  /** [[semDedup]] with the production scaling rule applied: k = √N
+    * (floored at 8), which holds E[cluster size] = √N and total
+    * within-cluster pair volume ≈ N·√N/2 — near-linear, where a fixed
+    * k degrades quadratically (measured in tools/ClusterScale: 4×
+    * corpus at fixed k=8 → 16× pairs). The declared dd_semdedup query
+    * pins k=8 because the oracle must be corpus-size-independent SQL;
+    * this is the entry point a pipeline should call. */
+  def semDedupAuto(embeddings: DataFrame, iters: Int = 2,
+                   minCosPpm: Long = 450000L): DataFrame = {
+    val k = math.max(8, math.sqrt(embeddings.count().toDouble).toInt)
+    semDedup(embeddings, k, iters, minCosPpm)
+  }
+
   /** Semantic dedup: within-cluster pairs with quantized cosine ≥
     * minCosPpm mark the higher vec_id as a duplicate; output labels
     * every vector (kept = 0/1 BIGINT — portable across engines,

@@ -65,6 +65,14 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1)
   }
 
+  test("semDedupAuto applies the √N scaling rule and spreads clusters") {
+    val out = Cluster.semDedupAuto(Tables.embeddings(spark, sf)).collect()
+    assert(out.length == vecs.size)
+    // k = max(8, √500) = 22 seeds; a healthy fraction is populated
+    val nClusters = out.map(_.getLong(1)).distinct.length
+    assert(nClusters > 8, s"expected >8 populated clusters, got $nClusters")
+  }
+
   test("semDedup drops exactly the within-cluster higher-id near-dups") {
     val losers = (for {
       (a, qa) <- vecs; (b, qb) <- vecs
