@@ -64,4 +64,28 @@ object Multimodal {
     payloads(docs).mapPartitions(_.map(stubDecode)).toDF()
       .orderBy("doc_id")
   }
+
+  /** One sampled frame row per payload (doc_id, frame_idx, offset,
+    * sample byte). */
+  final case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
+      sample: Long)
+
+  /** Frame-sampling fan-out: one input payload → many frame rows via
+    * a flatMap inside mapPartitions — the video-decode shape
+    * (iterator in, LARGER iterator out, still zero shuffle and no
+    * per-row function-call boundary beyond the partition iterator).
+    * Row volume scales with media length, so at 100 TB the output is
+    * written partitioned by a content key, never collected. The
+    * "frame" is the stub decoder's byte sample at each stride. */
+  def sampleFrames(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads(docs).mapPartitions(_.flatMap { d =>
+      val n = d.payload.length
+      val frames = ((n + FrameStride - 1) / FrameStride).toInt
+      (0 until frames).iterator.map { f =>
+        val off = f * FrameStride
+        Frame(d.doc_id, f.toLong, off.toLong, d.payload(off) & 0xffL)
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
 }

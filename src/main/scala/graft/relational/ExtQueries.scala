@@ -550,6 +550,16 @@ object ExtQueries {
       "FROM documents ORDER BY doc_id"
   }
 
+  private val mmFramesSql: String = {
+    val stride = Multimodal.FrameStride
+    "WITH f AS (SELECT doc_id, text, unnest(range(0, " +
+      s"CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT))) " +
+      "AS frame_idx FROM documents) " +
+      s"SELECT doc_id, frame_idx, frame_idx * $stride AS \"offset\", " +
+      s"CAST(ascii(substr(text, CAST(frame_idx * $stride + 1 AS INTEGER), 1)) " +
+      "AS BIGINT) AS sample FROM f ORDER BY doc_id, frame_idx"
+  }
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -758,6 +768,7 @@ object ExtQueries {
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
+    "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -824,6 +835,7 @@ object ExtQueries {
     "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
+    "mm_frames" -> mmFramesSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,
