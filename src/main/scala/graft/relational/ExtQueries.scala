@@ -656,6 +656,14 @@ object ExtQueries {
       "FROM agg ORDER BY user_id, session_start_us"
   }
 
+  private val relDlqHourlySql: String =
+    "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, " +
+      "count(*) AS n, " +
+      "CAST(sum(CASE WHEN value >= 100.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_dead, " +
+      "CAST(FLOOR(1000000.0 * sum(CASE WHEN value >= 100.0 THEN 0 ELSE 1 END) " +
+      "/ count(*)) AS BIGINT) AS dead_ppm " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
   private val relHourlyEventsSql: String =
     "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, event_type, " +
       "count(*) AS n, " +
@@ -774,6 +782,7 @@ object ExtQueries {
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
     "rel_top_orders" -> (RelQueries.topOrdersPerCustomer _),
     "rel_hourly_events" -> (RelQueries.hourlyEventRollup _),
+    "rel_dlq_hourly" -> (RelQueries.dlqHourly _),
     "rel_sessions" -> (RelQueries.userSessions _),
     "rel_value_bands" -> (RelQueries.valueBands _),
     "rel_json_props" -> (RelQueries.jsonPropsRollup _),
@@ -841,6 +850,7 @@ object ExtQueries {
     "rel_region_priority" -> relRegionPrioritySql,
     "rel_top_orders" -> relTopOrdersSql,
     "rel_hourly_events" -> relHourlyEventsSql,
+    "rel_dlq_hourly" -> relDlqHourlySql,
     "rel_sessions" -> relSessionsSql,
     "rel_value_bands" -> relValueBandsSql,
     "rel_json_props" -> relJsonPropsSql,

@@ -199,6 +199,27 @@ object RelQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** DLQ-rate observability: per event-time hour, total records,
+    * dead-branch records (same split predicate as t2_q1/q2 — the
+    * reference topology's routing), and the dead rate in ppm — the
+    * dashboard query every dead-letter pipeline needs ("is the DLQ
+    * rate spiking this hour?"). One partial-combinable aggregate; in
+    * streaming form the same expression runs under a watermark
+    * (EventTimeOps.tumblingRollup shape). */
+  def dlqHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    Tables.events(spark, sfDir)
+      .select(
+        (expr(s"CAST(ts AS BIGINT) div $nanosPerHour") * 3600L)
+          .as("hour_epoch_s"),
+        when(col("value") >= 100.0, 0L).otherwise(1L).as("dead"))
+      .groupBy("hour_epoch_s")
+      .agg(count(lit(1)).as("n"), sum("dead").as("n_dead"),
+        floor(lit(1000000.0) * sum("dead") / count(lit(1)))
+          .cast("long").as("dead_ppm"))
+      .orderBy("hour_epoch_s")
+  }
+
   /** Event-time tumbling window (batch form of the streaming
     * windowed count): hourly counts + value sums per event type.
     * `ts` is nanos-since-epoch (LongType); hour bucket = integer
