@@ -65,6 +65,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize output (doc_id, orig_bytes, out_bytes, resized, checksum).
+    * `resized` is a STRING view of the sampled bytes (the corpus is
+    * ASCII) so the cross-engine compare is portable — a production
+    * resize emits BinaryType. */
+  final case class Resized(doc_id: Long, orig_bytes: Long, out_bytes: Long,
+      resized: String, checksum: Long)
+
+  /** Target size for [[resizePayloads]] (bytes kept per payload). */
+  val ResizeTarget: Int = 32
+
+  /** STUB RESIZE — stands in for an image/audio resample (no codecs
+    * in this container): keep every ceil(n/target)-th byte, so output
+    * length ≤ target regardless of input size. Deterministic,
+    * row-local, batch-iterated — the real resize contract (payload
+    * in, smaller payload out) with a fake kernel. */
+  def stubResize(doc: BinaryDoc, target: Int = ResizeTarget): Resized = {
+    val n = doc.payload.length
+    if (n == 0) return Resized(doc.doc_id, 0L, 0L, "", 0L)
+    val stride = (n + target - 1) / target
+    val sb = new java.lang.StringBuilder(target)
+    var checksum = 0L
+    var i = 0
+    while (i < n) {
+      val b = doc.payload(i) & 0xff
+      sb.append(b.toChar)
+      checksum += b
+      i += stride
+    }
+    Resized(doc.doc_id, n.toLong, sb.length.toLong, sb.toString, checksum)
+  }
+
+  /** The mapPartitions resize stage (same batch shape as
+    * [[extractFeatures]]). */
+  def resizePayloads(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads(docs).mapPartitions(_.map(d => stubResize(d))).toDF()
+      .orderBy("doc_id")
+  }
+
   /** One sampled frame row per payload (doc_id, frame_idx, offset,
     * sample byte). */
   final case class Frame(doc_id: Long, frame_idx: Long, offset: Long,

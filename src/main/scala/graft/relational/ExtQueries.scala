@@ -560,6 +560,25 @@ object ExtQueries {
       "AS BIGINT) AS sample FROM f ORDER BY doc_id, frame_idx"
   }
 
+  private val mmResizeSql: String = {
+    val t = Multimodal.ResizeTarget
+    // stride = ceil(n/target); sampled offsets 0, stride, 2*stride, …
+    s"WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, " +
+      s"CAST(FLOOR((length(text) + ${t - 1}) / $t) AS BIGINT) AS stride " +
+      "FROM documents) " +
+      "SELECT doc_id, n AS orig_bytes, " +
+      "CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(FLOOR((n + stride - 1) / stride) AS BIGINT) END AS out_bytes, " +
+      "CASE WHEN n = 0 THEN '' ELSE array_to_string(list_transform(" +
+      "range(0, CAST(FLOOR((n + stride - 1) / stride) AS BIGINT)), " +
+      "i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)), '') END AS resized, " +
+      "CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(list_sum(list_transform(range(0, " +
+      "CAST(FLOOR((n + stride - 1) / stride) AS BIGINT)), " +
+      "i -> ascii(substr(text, CAST(i * stride + 1 AS INTEGER), 1)))) AS BIGINT) " +
+      "END AS checksum FROM s ORDER BY doc_id"
+  }
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -777,6 +796,7 @@ object ExtQueries {
       Dedup.contamination(Tables.documents(s, d))),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
+    "mm_resize" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -845,6 +865,7 @@ object ExtQueries {
     "dd_contamination" -> ddContaminationSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,
