@@ -59,6 +59,38 @@ class FileFormatsSpec extends AnyFunSuite {
       || plan.contains("EqualTo(id,2)"), s"no pushed filter in:\n$plan")
   }
 
+  test("packed shards write as a partitioned training layout and prune on read") {
+    // end of the pipeline: token packing -> partitionBy(lang, shard_id)
+    // = one directory per training shard, readable with partition
+    // pruning (a trainer pulls one shard without scanning the corpus)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.operators.TextAnalysis.tokenPackBy(docs, "lang",
+      shardTokens = 512L)
+    val dir = Files.createTempDirectory("graft_shards").toString
+    FileFormats.writeParquet(
+      packed.join(docs.select("doc_id", "text"), "doc_id"),
+      dir, partitionBy = Seq("lang", "shard_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val one = back.where(col("lang") === "en" && col("shard_id") === 0)
+    assert(one.count() > 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("lang") && plan.contains("shard_id"),
+      s"partition filters not pushed:\n$plan")
+    // shard budget: every (lang, shard) holds <= 512 tokens + one
+    // overflow doc (the doc that crossed the boundary)
+    val sums = back.groupBy("lang", "shard_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+        org.apache.spark.sql.functions.max("n_tokens").as("mx"))
+      .collect()
+    sums.foreach { r =>
+      // NB: partition columns round-trip as INT (path-inferred)
+      assert(r.getLong(2) <= 512L + r.getLong(3),
+        s"shard ${r.getString(0)}/${r.get(1)} over budget")
+    }
+  }
+
   test("undecodable csv rows null out (safe-decode contract, PERMISSIVE)") {
     val dir = Files.createTempDirectory("graft_badcsv")
     Files.writeString(dir.resolve("data.csv"), "id,name,score\n1,ok,2.5\nnotanint,bad,xyz\n")
