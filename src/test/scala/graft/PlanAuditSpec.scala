@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanized plan audit over the ENTIRE declared surface — the plan
+  * properties the scale design rests on, asserted so a future edit
+  * cannot silently regress them:
+  *  - no query ever plans a CartesianProduct (BroadcastNestedLoopJoin
+  *    with a tiny broadcast side is the sanctioned theta-join shape);
+  *  - the key fact-table queries keep their filters pushed into the
+  *    parquet scan and their dimension joins broadcast;
+  *  - top-k queries compile to TakeOrderedAndProject (per-partition
+  *    heaps), not a global sort.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no declared query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("rel_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("rel_pricing")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate not pushed:\n$p")
+  }
+
+  test("dimension joins stay broadcast (brand revenue, region chain, contamination)") {
+    assert(plan("rel_brand_revenue").contains("BroadcastHashJoin"))
+    // the 3-dim chain: customer, nation, region all broadcast
+    val rp = plan("rel_region_priority")
+    assert("BroadcastHashJoin".r.findAllIn(rp).size == 3, s"region chain:\n$rp")
+    assert(plan("dd_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("corpus top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("tx_top_terms").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship entry reads its source exactly once") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"entry scans:\n$p")
+  }
+}
