@@ -220,6 +220,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental-ingest dedup: label every document of a NEW batch
+    * against the EXISTING corpus — exact duplicate (same text), near
+    * duplicate (MinHash-LSH estimate ≥ threshold vs any corpus doc),
+    * and the admit decision. This is the daily-ingest shape: the new
+    * batch is small relative to the corpus, the LSH join is a CROSS
+    * join new×corpus on (band, bucket) — NOT the corpus self-join —
+    * so cost is bounded by the batch's bucket occupancy, and the
+    * corpus side streams its bands once. Exact check is one left-semi
+    * join on text. */
+  def incremental(newDocs: DataFrame, corpus: DataFrame, shingleN: Int = 3,
+                  bands: Int = 8, rowsPerBand: Int = 2,
+                  minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val exactDup = newDocs.select(col("doc_id"), col("text"))
+      .join(corpus.select("text").distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id").as("e_id"))
+    val nb = minhashBands(newDocs, shingleN, bands, rowsPerBand)
+    val cb = minhashBands(corpus, shingleN, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("sig").as("csig"))
+    val nearDup = nb.join(cb, Seq("band", "bucket"))
+      .select(col("doc_id"), col("sig"), col("csig")).distinct()
+      .select(col("doc_id"),
+        aggregate(zip_with(col("sig"), col("csig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_matching"))
+      .where(floor(lit(1000000.0) * col("n_matching") / PH.MinhashK)
+        .cast("long") >= minEstJaccardPpm)
+      .select(col("doc_id").as("n_id")).distinct()
+    newDocs.select("doc_id")
+      .join(exactDup, col("doc_id") === col("e_id"), "left")
+      .join(nearDup, col("doc_id") === col("n_id"), "left")
+      .select(col("doc_id"),
+        when(col("e_id").isNotNull, 1L).otherwise(0L).as("exact_dup"),
+        when(col("n_id").isNotNull, 1L).otherwise(0L).as("near_dup"),
+        when(col("e_id").isNotNull || col("n_id").isNotNull, 0L)
+          .otherwise(1L).as("admit"))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component clustering of near-duplicate pairs — the
     * final dedup step (transitive closure of "is near-dup of", so
     * A~B~C dedupes to ONE representative even when A,C were never

@@ -91,24 +91,33 @@ object ExtQueries {
     "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents " +
       "GROUP BY text ORDER BY doc_id"
 
-  private val ddMinhashSql: String = {
-    val bands = 8
-    val rows = 2
-    val minhashes = (0 until PH.MinhashK).map { j =>
-      s"list_min(list_transform(hl, h -> ${PH.affineSql(j)("h")})) AS m$j"
-    }.mkString(", ")
-    val bandSelects = (0 until bands).map { b =>
-      val bucket = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+  /** MinHash SQL fragments shared by the self-join (dd_minhash_lsh)
+    * and cross-join (dd_incremental) oracles. */
+  private val minhashCols: String = (0 until PH.MinhashK).map { j =>
+    s"list_min(list_transform(hl, h -> ${PH.affineSql(j)("h")})) AS m$j"
+  }.mkString(", ")
+
+  private def bandSelectsFrom(src: String): String =
+    (0 until 8).map { b =>
+      val bucket = (0 until 2).map(r => s"CAST(m${b * 2 + r} AS VARCHAR)")
         .mkString(" || ':' || ")
-      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM minh"
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
-    val matches = (0 until PH.MinhashK)
-      .map(j => s"CAST(x.m$j = y.m$j AS BIGINT)").mkString(" + ")
-    s"WITH ws AS ($wordsCte), " +
+
+  private val minhashMatches: String = (0 until PH.MinhashK)
+    .map(j => s"CAST(x.m$j = y.m$j AS BIGINT)").mkString(" + ")
+
+  /** ws/hs/minh CTE chain ending in minh(doc_id, m0..m15). */
+  private val minhashCteChain: String =
+    s"ws AS ($wordsCte), " +
       s"hs AS (SELECT doc_id, list_transform(${shingleList(3)}, " +
       s"g -> ${PH.h31Sql("g")}) AS hl FROM ws), " +
-      s"minh AS (SELECT doc_id, $minhashes FROM hs), " +
-      s"bandtab AS ($bandSelects), " +
+      s"minh AS (SELECT doc_id, $minhashCols FROM hs)"
+
+  private val ddMinhashSql: String = {
+    val matches = minhashMatches
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
       "AND a.doc_id < b.doc_id), " +
@@ -152,6 +161,32 @@ object ExtQueries {
       "SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 8 " +
       "ORDER BY doc_a, doc_b"
   }
+
+  /** Incremental dedup oracle: new batch = doc_id % 10 = 0, corpus =
+    * the rest; cross-LSH near check + exact text check. */
+  private val ddIncrementalSql: String =
+    s"WITH $minhashCteChain, " +
+      "newm AS (SELECT * FROM minh WHERE doc_id % 10 = 0), " +
+      "corpm AS (SELECT * FROM minh WHERE doc_id % 10 != 0), " +
+      s"bandn AS (${bandSelectsFrom("newm")}), " +
+      s"bandc AS (${bandSelectsFrom("corpm")}), " +
+      "pairs AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id " +
+      "FROM bandn n JOIN bandc c ON n.band = c.band AND n.bucket = c.bucket), " +
+      s"m AS (SELECT p.doc_id, ($minhashMatches) AS n_matching " +
+      "FROM pairs p JOIN minh x ON x.doc_id = p.doc_id " +
+      "JOIN minh y ON y.doc_id = p.corpus_id), " +
+      "near AS (SELECT DISTINCT doc_id FROM m " +
+      s"WHERE CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) >= 750000), " +
+      "ex AS (SELECT DISTINCT d.doc_id FROM documents d " +
+      "JOIN documents c ON c.text = d.text AND c.doc_id % 10 != 0 " +
+      "WHERE d.doc_id % 10 = 0) " +
+      "SELECT d.doc_id, " +
+      "CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup, " +
+      "CAST(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup, " +
+      "CAST(CASE WHEN ex.doc_id IS NULL AND near.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d " +
+      "LEFT JOIN ex ON ex.doc_id = d.doc_id " +
+      "LEFT JOIN near ON near.doc_id = d.doc_id ORDER BY d.doc_id"
 
   private val ddClustersSql: String =
     "WITH RECURSIVE " +
@@ -794,6 +829,11 @@ object ExtQueries {
     "tx_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
+    "dd_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incremental(docs.where(F.col("doc_id") % 10 === 0),
+        docs.where(F.col("doc_id") % 10 =!= 0))
+    }),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     "mm_resize" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
@@ -863,6 +903,7 @@ object ExtQueries {
     "tx_bpe" -> txBpeSql,
     "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,
+    "dd_incremental" -> ddIncrementalSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
