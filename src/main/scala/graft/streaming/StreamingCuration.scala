@@ -59,4 +59,17 @@ object StreamingCuration {
     docs.withColumn("contaminated",
       arrays_overlap(TextOps.wordShingles(col("text"), n),
         typedLit(evalShingles)))
+
+  /** Streaming incremental-ingest admit: drop arriving docs whose
+    * content hash already exists in the STATIC corpus — a
+    * stream-static LEFT ANTI join (stateless on the stream side: the
+    * static relation is joined per micro-batch, re-broadcast/reused
+    * by Spark). The batch form with near-dup labeling is
+    * Dedup.incremental; this is its always-on ingest gate. */
+  def admitStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusFp = corpus.select(PH.h48(col("text")).as("fp")).distinct()
+    docs.withColumn("fp", PH.h48(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select("ts", "doc_id", "text")
+  }
 }

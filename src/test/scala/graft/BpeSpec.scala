@@ -91,6 +91,36 @@ class BpeSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("mergePass fold equals reference walk on generated token sequences") {
+    // generative sweep over a tiny alphabet: short alphabets maximize
+    // adjacent-pair collisions, the regime where fold-vs-walk
+    // disagreements would hide
+    val rnd = new Random(99)
+    val alpha = Vector("a", "b", "ab", "c")
+    val cases = (1 to 300).map { _ =>
+      val syms = Vector.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.size)))
+      val a = alpha(rnd.nextInt(alpha.size))
+      val b = alpha(rnd.nextInt(alpha.size))
+      (syms, a, b)
+    }
+    val df = cases.map { case (syms, a, b) => (syms.toList, a, b) }
+      .zipWithIndex.map { case ((s, a, b), i) => (i.toLong, s, a, b) }
+      .toDF("id", "toks", "a", "b")
+    // group by merge pair so each distinct pair runs one Spark pass
+    cases.map(c => (c._2, c._3)).distinct.foreach { case (a, b) =>
+      val sub = cases.zipWithIndex.filter(c => c._1._2 == a && c._1._3 == b)
+      val ids = sub.map(_._2.toLong).toSet
+      val got = df.where($"a" === a && $"b" === b)
+        .select($"id", Bpe.mergePass($"toks", a, b).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      sub.foreach { case ((syms, _, _), i) =>
+        assert(got(i.toLong) == refMerge(syms, a, b),
+          s"case $syms + ($a,$b)")
+      }
+      assert(ids == got.keySet)
+    }
+  }
+
   test("mergePass fold equals reference walk on tricky overlaps") {
     // a a a -> (a,a): leftmost wins, no overlap re-merge
     for ((syms, a, b) <- Seq(

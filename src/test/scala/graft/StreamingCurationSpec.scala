@@ -62,6 +62,25 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admitStream anti-joins arrivals against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "existing doc one"), (101L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingCuration.admitStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts(0), 1L, "existing doc one"), // already in corpus -> dropped
+        (ts(0), 2L, "genuinely new doc"))
+      q.processAllAvailable()
+      val ids = spark.table("admit_out").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(2L))
+    } finally q.stop()
+  }
+
   test("contaminationTag flags docs sharing a 5-gram with the eval set") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
