@@ -85,6 +85,24 @@ object TextNative {
       UTF8String.fromString(t): Any).toArray)
   }
 
+  /** DEFLATE-compressed size of the UTF-8 text at a fixed level —
+    * the compression-ratio quality heuristic (repetitive/boilerplate
+    * text compresses far below natural text). Engine-specific output
+    * (no DuckDB compress) → declared with the x_ rows-only check;
+    * deterministic within the JVM, which is what the rerun guard
+    * needs. */
+  def deflateSize(text: UTF8String, level: Int): Long = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(text.getBytes)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Distinct character trigrams (codepoint-based, like substr). */
   def charTrigrams(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -168,6 +186,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression {
+  require(level >= 0 && level <= 9)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deflate_size"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.deflateSize(input.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.deflateSize($c, $level);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object textNative {
   def word_shingles(text: Column, n: Int): Column =
@@ -176,4 +212,6 @@ object textNative {
     ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+  def deflate_size(text: Column, level: Int = 6): Column =
+    ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
 }

@@ -355,6 +355,21 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Compression-ratio quality signal: DEFLATE size / original size
+    * in ppm — repetitive or boilerplate text compresses far below
+    * natural text, a cheap row-local drop heuristic that needs no
+    * model. Native codegen'd expression; engine-specific bytes → the
+    * declared query uses the x_ rows-only check. */
+  def compressRatio(docs: DataFrame, level: Int = 6): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_bytes"),
+        graft.functions.textNative.deflate_size(col("text"), level)
+          .as("deflate_bytes"))
+      .withColumn("ratio_ppm",
+        floor(lit(1000000.0) * col("deflate_bytes")
+          / greatest(col("orig_bytes"), lit(1L))).cast("long"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: order-sensitive rolling polynomial hash
     * over the word sequence, h = fold(h*B + h31(w) mod P31), a
     * row-local sequential fold (aggregate HOF) — the classic

@@ -849,6 +849,9 @@ object ExtQueries {
     "rel_median_value" -> (RelQueries.medianValueByType _),
     // approx-percentile sketch: engine-specific -> rows-only check
     "x_median_approx" -> (RelQueries.medianValueApproxByType _),
+    // DEFLATE bytes are engine-specific -> rows-only check
+    "x_compress_ratio" -> ((s, d) =>
+      TextAnalysis.compressRatio(Tables.documents(s, d))),
     // approximate-distinct (HLL++): sketches are engine-specific, so
     // no DuckDB oracle -- x_ prefix opts into the rows-only check
     "x_approx_users" -> ((s, d) => Tables.events(s, d)

@@ -18,7 +18,8 @@ class DeterminismSpec extends AnyFunSuite {
     "rel_top_orders", "rel_sessions", "pipeline_curate", "x_approx_users",
     // r2 additions with fit-collects, windows, or sampling hashes
     "dd_kmeans", "dd_semdedup", "tx_bpe", "tx_tfidf", "tx_sample_mix",
-    "tx_sample_strat", "tx_quality_filter", "pipeline_curate_full")
+    "tx_sample_strat", "tx_quality_filter", "pipeline_curate_full",
+    "x_compress_ratio")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>

@@ -107,6 +107,22 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("compressRatio separates repetitive from high-entropy text") {
+    val rnd = new Random(13)
+    val repetitive = Seq.fill(100)("the same phrase again").mkString(" ")
+    val natural = (1 to 400).map(_ =>
+      rnd.alphanumeric.take(5).mkString).mkString(" ")
+    val d = Seq((1L, repetitive), (2L, natural)).toDF("doc_id", "text")
+    val out = TextAnalysis.compressRatio(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < 100000L, s"repetitive ratio ${out(1L)}")
+    assert(out(2L) > 500000L, s"natural ratio ${out(2L)}")
+    // rerun-stable (the rows-only check and DeterminismSpec rely on it)
+    val again = TextAnalysis.compressRatio(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out)
+  }
+
   test("tfidf matches the brute-force reference on a random corpus") {
     val rnd = new Random(11)
     val vocab = (1 to 30).map(i => s"w$i")
