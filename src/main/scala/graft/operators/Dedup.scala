@@ -197,6 +197,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Two-stage near-dup detection — the production composition the
+    * standalone operators document: MinHash-LSH banding proposes
+    * candidates (near-linear), then EXACT n-gram Jaccard is computed
+    * ONLY for candidate pairs (the verify stage touches |candidates|
+    * pairs, never corpus²). Same output contract as [[ngramJaccard]]
+    * but with LSH recall (<1 by design) and exact precision. */
+  def lshVerified(docs: DataFrame, shingleN: Int = 3,
+                  minJaccardPpm: Long = 500000L,
+                  bands: Int = 8, rowsPerBand: Int = 2,
+                  maxBucketSize: Option[Int] = None): DataFrame = {
+    val banded =
+      capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand), maxBucketSize)
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = shingles(docs, shingleN)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        floor(lit(1000000.0) * col("n_inter")
+          / (col("na") + col("nb") - col("n_inter"))).cast("long")
+          .as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= minJaccardPpm)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Benchmark decontamination: find training docs sharing any word
     * n-gram with an evaluation/benchmark set — the standard
     * contamination check before training. The eval set here is the

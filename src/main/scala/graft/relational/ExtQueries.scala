@@ -201,6 +201,26 @@ object ExtQueries {
       "SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
       "GROUP BY node ORDER BY doc_id"
 
+  private val ddLshVerifiedSql: String =
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band " +
+      "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      s"sh AS (SELECT doc_id, unnest(${shingleList(3)}) AS sh FROM ws), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c " +
+      "JOIN sh a ON a.doc_id = c.doc_a " +
+      "JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "j AS (SELECT i.doc_a, i.doc_b, i.n_inter, " +
+      "na.n + nb.n - i.n_inter AS n_union, " +
+      "CAST(FLOOR(1000000.0 * i.n_inter / (na.n + nb.n - i.n_inter)) AS BIGINT) " +
+      "AS jaccard_ppm FROM inter i " +
+      "JOIN sizes na ON na.doc_id = i.doc_a " +
+      "JOIN sizes nb ON nb.doc_id = i.doc_b) " +
+      "SELECT doc_a, doc_b, n_inter, n_union, jaccard_ppm FROM j " +
+      "WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
+
   private val ddNgramJaccardSql: String =
     s"WITH ${shinglesCte(3)}, " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -775,6 +795,7 @@ object ExtQueries {
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
     "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
@@ -883,6 +904,7 @@ object ExtQueries {
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_clusters" -> ddClustersSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
     "dd_semdedup" -> ddSemdedupSql,

@@ -186,6 +186,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("lshVerified is a subset of exact ngramJaccard with identical scores") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 12L).map { i =>
+      i -> (if (i % 3 == 0) base.replace(s"w${i % 7 + 1}", s"x$i") else base)
+    }: _*)
+    val exact = Dedup.ngramJaccard(d, minJaccardPpm = 500000L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    val verified = Dedup.lshVerified(d, minJaccardPpm = 500000L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    assert(verified.nonEmpty)
+    verified.foreach { case (pair, j) =>
+      assert(exact.contains(pair) && exact(pair) == j,
+        s"$pair scored $j vs exact ${exact.get(pair)}")
+    }
+  }
+
   test("near-dup clusters: transitive closure labels chains with the min id") {
     // 1~2 and 2~3 are near-dups (one word changed), 1 and 3 are NOT a
     // direct LSH pair necessarily -- clustering must still merge them
