@@ -46,9 +46,14 @@ object Dedup {
     * hash array into each of the K expressions. Here md5 runs once
     * per shingle, the K affine transforms are cheap modular math, and
     * partial aggregation shrinks the shuffle to one row per doc. */
-  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hashes = shingles(docs, shingleN)
-      .select(col("doc_id"), PH.h31(col("sh")).as("h"))
+  def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    sigsFrom(shingles(docs, shingleN))
+
+  /** Signatures from an (doc_id, sh) exploded shingle table — split
+    * out so [[lshVerified]] can share ONE shingle build between the
+    * signature and verify stages. */
+  private def sigsFrom(sh: DataFrame): DataFrame = {
+    val hashes = sh.select(col("doc_id"), PH.h31(col("sh")).as("h"))
     val mins = (0 until PH.MinhashK).map(j =>
       min(PH.affine(j)(col("h"))).as(s"m$j"))
     hashes.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -78,9 +83,13 @@ object Dedup {
     * (tools/LshScale) so scale probes measure the EXACT banding the
     * join uses. */
   def minhashBands(docs: DataFrame, shingleN: Int = 3,
-                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bandsFrom(minhashSignatures(docs, shingleN), bands, rowsPerBand)
+
+  private def bandsFrom(sigs: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand == PH.MinhashK)
-    minhashSignatures(docs, shingleN).select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(":", (0 until rowsPerBand).map(r =>
           get(col("sig"), b * lit(rowsPerBand) + r).cast("string")): _*))))
@@ -207,14 +216,17 @@ object Dedup {
                   minJaccardPpm: Long = 500000L,
                   bands: Int = 8, rowsPerBand: Int = 2,
                   maxBucketSize: Option[Int] = None): DataFrame = {
+    // ONE corpus scan + shingle build feeds both stages (signature
+    // aggregation AND the verify join) — without the checkpoint each
+    // consumer would re-shingle the lake
+    val sh = shingles(docs, shingleN).localCheckpoint(true)
     val banded =
-      capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand), maxBucketSize)
+      capBuckets(bandsFrom(sigsFrom(sh), bands, rowsPerBand), maxBucketSize)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = shingles(docs, shingleN)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
