@@ -186,6 +186,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("incremental dedup labels exact/near dups across the batch boundary") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(100L -> base, 101L -> "other corpus content entirely x y z",
+      102L -> "unrelated corpus doc a b c d e f")
+    val batch = docs(
+      1L -> base,                       // exact dup of corpus 100
+      2L -> base.replace("w7", "qq"),   // near dup of corpus 100
+      3L -> "brand new never seen words one two three four five")
+    val out = Dedup.incremental(batch, corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 1L, 0L)), s"doc 1: ${out(1L)}") // exact implies near too
+    assert(out(2L) == ((0L, 1L, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L)), s"doc 3: ${out(3L)}")
+  }
+
   test("lshVerified is a subset of exact ngramJaccard with identical scores") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = docs((1L to 12L).map { i =>

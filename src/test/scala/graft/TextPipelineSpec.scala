@@ -73,6 +73,26 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleStratified takes exactly min(n, |group|) docs in hash order") {
+    val docs = Tables.documents(spark, sf)
+    val byLang = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val n = 20
+    val expected = byLang.values.flatMap { members =>
+      members.map(_._1).sortBy(id => (h31(s"strat:$id"), id)).take(n)
+    }.toSet
+    val got = TextAnalysis.sampleStratified(docs, nPerGroup = n)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // exact per-group sizes
+    val sizes = TextAnalysis.sampleStratified(docs, nPerGroup = n)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, members) =>
+      assert(sizes(lang) == math.min(n, members.size).toLong, s"lang $lang")
+    }
+  }
+
   test("chunk: non-overlapping chunks reassemble the document exactly") {
     val docs = Tables.documents(spark, sf)
     // stride == chunkTokens -> a partition of the token sequence
