@@ -59,7 +59,11 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("qdot"),
       info("qdot", "exact integer dot product of two array<long>"),
-      (es: Seq[Expression]) => QDotLong(es.head, es(1))))
+      (es: Seq[Expression]) => QDotLong(es.head, es(1))),
+    (FunctionIdentifier("deflate_size"),
+      info("deflate_size", "DEFLATE-compressed byte count of a string (level literal)"),
+      (es: Seq[Expression]) => DeflateSize(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register the same functions on an already-built session (tests,
     * notebooks); extensions-based injection is the production path. */

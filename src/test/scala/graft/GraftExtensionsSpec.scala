@@ -12,7 +12,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 7)
+    assert(GraftExtensions.functions.size == 8)
+  }
+
+  test("deflate_size is usable from spark.sql and shrinks repetitive text") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT deflate_size(repeat('abc ', 200), 6) AS rep, " +
+        "deflate_size('abc', 6) AS tiny").head
+    assert(r.getLong(0) < 100L, s"repetitive compressed to ${r.getLong(0)}")
+    assert(r.getLong(1) > 0L)
   }
 
   test("all native expressions are usable from spark.sql") {
