@@ -30,12 +30,19 @@ object Cluster {
 
   /** (vec_id, qe, qn, cid) after `iters` Lloyd rounds + final assign. */
   private def kmeansFull(embeddings: DataFrame, k: Int,
-                         iters: Int): DataFrame = {
+                         iters: Int): DataFrame =
     // iterative working set: seed collect + one aggregate per round +
     // the final assign each re-read this — materialize the quantized
     // vectors ONCE instead of re-scanning the lake per round (the
     // standard iterative-fit discipline, same as nearDupClusters)
-    val base = Similarity.quantized(embeddings).localCheckpoint(true)
+    kmeansFromBase(Similarity.quantized(embeddings).localCheckpoint(true),
+      k, iters)
+
+  /** [[kmeansFull]] over an already-checkpointed quantized base —
+    * split out so [[semDedupAuto]] can derive k = √N from the SAME
+    * materialization the fit uses (no separate counting scan). */
+  private def kmeansFromBase(base: DataFrame, k: Int,
+                             iters: Int): DataFrame = {
     // seed centroids: the quantized vectors of the first k ids
     // (deterministic; a k-means++ sampler would slot in here)
     var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
@@ -86,13 +93,17 @@ object Cluster {
     * (floored at 8), which holds E[cluster size] = √N and total
     * within-cluster pair volume ≈ N·√N/2 — near-linear, where a fixed
     * k degrades quadratically (measured in tools/ClusterScale: 4×
-    * corpus at fixed k=8 → 16× pairs). The declared dd_semdedup query
-    * pins k=8 because the oracle must be corpus-size-independent SQL;
-    * this is the entry point a pipeline should call. */
+    * corpus at fixed k=8 → 16× pairs). N counts the usable base (the
+    * quantized rows with positive norm) and is read from the SAME
+    * localCheckpoint the fit iterates over — one corpus scan total,
+    * not a separate counting job. Declared as dd_semdedup_auto (the
+    * oracle derives k with the identical scalar subquery over its
+    * base CTE); the fixed-k dd_semdedup stays as the pinned anchor. */
   def semDedupAuto(embeddings: DataFrame, iters: Int = 2,
                    minCosPpm: Long = 450000L): DataFrame = {
-    val k = math.max(8, math.sqrt(embeddings.count().toDouble).toInt)
-    semDedup(embeddings, k, iters, minCosPpm)
+    val base = Similarity.quantized(embeddings).localCheckpoint(true)
+    val k = math.max(8, math.sqrt(base.count().toDouble).toInt)
+    semDedupFromAssign(kmeansFromBase(base, k, iters), minCosPpm)
   }
 
   /** Semantic dedup: within-cluster pairs with quantized cosine ≥
@@ -103,11 +114,15 @@ object Cluster {
     * bounded by cluster occupancy (k scales with corpus size to hold
     * E[cluster] constant — SemDedup runs k ≈ √N). */
   def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
-               minCosPpm: Long = 450000L): DataFrame = {
+               minCosPpm: Long = 450000L): DataFrame =
+    semDedupFromAssign(kmeansFull(embeddings, k, iters), minCosPpm)
+
+  private def semDedupFromAssign(assign: DataFrame,
+                                 minCosPpm: Long): DataFrame = {
     // the assignment feeds BOTH pair-join sides and the label output —
     // three plan references; materialize it once (eager) so the scan +
     // quantize + argmin run once, not three times over 100 TB
-    val a = kmeansFull(embeddings, k, iters).localCheckpoint(true)
+    val a = assign.localCheckpoint(true)
     val left = a.select(col("cid"), col("vec_id").as("vec_a"),
       col("qe").as("qa"), col("qn").as("na"))
     val right = a.select(col("cid"), col("vec_id").as("vec_b"),

@@ -182,6 +182,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Scale-safe SimHash near-duplicate pairs — the production blocker
+    * [[simhashPairs]]'s caveat calls for. Manku/Jain/Sarma-style
+    * multi-chunk blocking ("Detecting Near-Duplicates for Web
+    * Crawling", WWW'07, applied to the 48-bit fingerprint): split the
+    * fingerprint into 6 chunks of 8 bits and key candidates on the
+    * C(6,3) = 20 chunk TRIPLES (24-bit keys). Pigeonhole: a pair
+    * within hamming distance 3 has at most 3 dirty chunks, so at
+    * least 3 intact ones — i.e. at least one intact triple — so the
+    * blocking is EXACT (100% recall) for maxHamming <= 3, and the
+    * oracle can verify the guarantee itself with a brute-force
+    * hamming filter rather than replicating the banding.
+    *
+    * Measured on the boilerplate-heavy sf0.1 corpus (tools/LshScale):
+    * 65,844 candidates = 0.53% of all pairs (the 12-bit single-chunk
+    * blocker: 701,704 = 5.6%), max bucket 81 vs 549, and all 3,359
+    * true d<=3 pairs found. 24-bit keys also discriminate ~4000x
+    * harder than 12-bit ones as the corpus grows, which is what keeps
+    * bucket occupancy — and so the self-join — near-linear at 100 TB.
+    * `maxBucketSize` caps a degenerate bucket like the other LSH
+    * joins (None = declared-oracle semantics). */
+  def simhashPairsWide(docs: DataFrame, maxHamming: Int = 3,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming <= 3,
+      "triple blocking is exact only for hamming <= 3")
+    val chunkBits = 8
+    val fp = simhash(docs)
+    def chunk(b: Int) =
+      floor(col("simhash48") / lit(math.pow(2, b * chunkBits)))
+        .cast("long") % (1L << chunkBits)
+    val tripleKeys =
+      for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 }
+        yield (chunk(i) * (1L << chunkBits) + chunk(j)) *
+          (1L << chunkBits) + chunk(k)
+    val banded = capBuckets(
+      fp.select(col("doc_id"), col("simhash48"),
+          posexplode(array(tripleKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize)
+    val pairs = banded
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"),
+        col("simhash48").as("fp_a"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("simhash48").as("fp_b")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("fp_a ^ fp_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact word n-gram Jaccard near-duplicate pairs via an
     * inverted-index self-join on shingles (no cross join: only doc
     * pairs sharing >= 1 shingle are materialized). Emits pairs with
@@ -275,15 +328,24 @@ object Dedup {
     * join new×corpus on (band, bucket) — NOT the corpus self-join —
     * so cost is bounded by the batch's bucket occupancy, and the
     * corpus side streams its bands once. Exact check is one left-semi
-    * join on text. */
+    * join on text.
+    *
+    * `maxBucketSize` caps the CORPUS side's bucket occupancy: a
+    * degenerate corpus bucket (boilerplate shared by 100k archived
+    * docs) would otherwise fan out against every daily batch forever —
+    * the cap drops such buckets before the join (they carry no
+    * discrimination; the exact-text check still catches literal
+    * re-ingests). None = declared-oracle semantics, no cap. */
   def incremental(newDocs: DataFrame, corpus: DataFrame, shingleN: Int = 3,
                   bands: Int = 8, rowsPerBand: Int = 2,
-                  minEstJaccardPpm: Long = 750000L): DataFrame = {
+                  minEstJaccardPpm: Long = 750000L,
+                  maxBucketSize: Option[Int] = None): DataFrame = {
     val exactDup = newDocs.select(col("doc_id"), col("text"))
       .join(corpus.select("text").distinct(), Seq("text"), "left_semi")
       .select(col("doc_id").as("e_id"))
     val nb = minhashBands(newDocs, shingleN, bands, rowsPerBand)
-    val cb = minhashBands(corpus, shingleN, bands, rowsPerBand)
+    val cb = capBuckets(minhashBands(corpus, shingleN, bands, rowsPerBand),
+        maxBucketSize)
       .select(col("band"), col("bucket"), col("sig").as("csig"))
     val nearDup = nb.join(cb, Seq("band", "bucket"))
       .select(col("doc_id"), col("sig"), col("csig")).distinct()

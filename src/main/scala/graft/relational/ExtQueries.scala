@@ -162,6 +162,18 @@ object ExtQueries {
       "ORDER BY doc_a, doc_b"
   }
 
+  /** Wide-blocker oracle: Dedup.simhashPairsWide's triple blocking is
+    * EXACT for hamming <= 3 (Manku-style pigeonhole), so the oracle is
+    * the brute-force all-pairs hamming filter — it checks the recall
+    * GUARANTEE itself, not a replication of the banding. */
+  private val ddSimhashPairsWideSql: String =
+    "WITH fp AS (SELECT doc_id, simhash48 FROM (" + ddSimhashSql + ")), " +
+      "h AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.simhash48, b.simhash48)) AS BIGINT) AS hamming " +
+      "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3 " +
+      "ORDER BY doc_a, doc_b"
+
   /** Incremental dedup oracle: new batch = doc_id % 10 = 0, corpus =
     * the rest; cross-LSH near check + exact text check. */
   private val ddIncrementalSql: String =
@@ -247,8 +259,11 @@ object ExtQueries {
     * Cluster.kmeansFull): c0 = seed centroids, then per round i:
     * d_i (distances) → a_i (argmin assign) → m_i (floor-mean per
     * (cid, pos)) → c_i (updated centroids; empty cluster keeps the
-    * old one). Ends with the final assignment a{iters+1}. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+    * old one). Ends with the final assignment a{iters+1}. `k` is a
+    * SQL expression — a literal for the pinned queries, a scalar
+    * subquery over `base` for the √N auto path (k only ever appears
+    * in the seed predicate, so the chain is otherwise k-independent). */
+  private def kmeansCtes(k: String, iters: Int): String = {
     val sb = new StringBuilder(
       s"$quantCte, c0 AS (SELECT vec_id AS cid, qe AS ce, n AS cn " +
         s"FROM base WHERE vec_id < $k)")
@@ -278,12 +293,17 @@ object ExtQueries {
     sb.toString
   }
 
+  /** k = max(8, floor(√N)) over the usable base — the scalar-subquery
+    * twin of Cluster.semDedupAuto's driver-side computation. */
+  private val sqrtKSql: String =
+    "(SELECT greatest(8, CAST(FLOOR(sqrt(count(*))) AS BIGINT)) FROM base)"
+
   private val ddKmeansSql: String =
-    s"WITH ${kmeansCtes(8, 2)} " +
+    s"WITH ${kmeansCtes("8", 2)} " +
       "SELECT vec_id, cid FROM a3 ORDER BY vec_id"
 
-  private val ddSemdedupSql: String =
-    s"WITH ${kmeansCtes(8, 2)}, " +
+  private def semdedupTail(kmeans: String): String =
+    s"WITH $kmeans, " +
       "pp AS (SELECT y.vec_id AS vec_b, " +
       s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
       "FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
@@ -291,6 +311,11 @@ object ExtQueries {
       "SELECT a.vec_id, a.cid, " +
       "CAST(CASE WHEN l.vec_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
       "FROM a3 a LEFT JOIN losers l ON l.vec_b = a.vec_id ORDER BY a.vec_id"
+
+  private val ddSemdedupSql: String = semdedupTail(kmeansCtes("8", 2))
+
+  private val ddSemdedupAutoSql: String =
+    semdedupTail(kmeansCtes(sqrtKSql, 2))
 
   // ---------------------------------------------------------------
   // similarity search
@@ -793,12 +818,16 @@ object ExtQueries {
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dd_simhash_pairs_wide" -> ((s, d) =>
+      Dedup.simhashPairsWide(Tables.documents(s, d))),
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
     "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
+    "dd_semdedup_auto" -> ((s, d) =>
+      Cluster.semDedupAuto(Tables.embeddings(s, d))),
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
     "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -902,12 +931,14 @@ object ExtQueries {
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
+    "dd_simhash_pairs_wide" -> ddSimhashPairsWideSql,
     "dd_clusters" -> ddClustersSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
     "dd_semdedup" -> ddSemdedupSql,
+    "dd_semdedup_auto" -> ddSemdedupAutoSql,
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,

@@ -26,7 +26,8 @@ object LshScale {
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("sf0.001", "sf0.01", "sf0.1")
     println("sf,n_docs,mh_cand_pairs,mh_cand_pairs_cap100,mh_dup_pairs_750k," +
-      "mh_max_bucket,mh_p99_bucket,sh_cand_pairs,sh_pairs_ham8,curated_rows")
+      "mh_max_bucket,mh_p99_bucket,sh_cand_pairs,sh_pairs_ham8," +
+      "shw_cand_pairs,shw_max_bucket,shw_pairs_d3,curated_rows")
     sfs.foreach { sf =>
       val dir = s"/root/testdata/$sf"
       val docs = Tables.documents(spark, dir)
@@ -55,9 +56,31 @@ object LshScale {
           .select("doc_a", "doc_b").distinct().count()
       }
       val shPairs = Dedup.simhashPairs(docs).count()
+      // wide blocker (Manku 3-of-6 triple keys): candidate volume +
+      // bucket occupancy of the EXACT d<=3 scheme
+      val (shwCand, shwMax) = {
+        val fp = Dedup.simhash(docs)
+        def chunk(b: Int) =
+          floor(col("simhash48") / lit(math.pow(2, b * 8)))
+            .cast("long") % (1L << 8)
+        val keys = for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 }
+          yield (chunk(i) * (1L << 8) + chunk(j)) * (1L << 8) + chunk(k)
+        val banded = fp.select(col("doc_id"), posexplode(array(keys: _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+          .localCheckpoint(true)
+        val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")),
+            Seq("band", "bucket"))
+          .where(col("a") < col("b")).select("a", "b").distinct().count()
+        val mx = banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .agg(max("n")).head().getLong(0)
+        (cand, mx)
+      }
+      val shwPairs = Dedup.simhashPairsWide(docs).count()
       val curated = graft.operators.CuratePipeline.curate(spark, docs).count()
       println(s"$sf,$nDocs,$mhCand,$mhCandCap,$mhDup," +
-        s"${occ.getLong(0)},${occ.getDouble(1)},$shCand,$shPairs,$curated")
+        s"${occ.getLong(0)},${occ.getDouble(1)},$shCand,$shPairs," +
+        s"$shwCand,$shwMax,$shwPairs,$curated")
     }
     spark.stop()
   }

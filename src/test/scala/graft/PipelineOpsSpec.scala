@@ -186,6 +186,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhashPairsWide is EXACT at hamming<=3 (matches brute force)") {
+    // mixed corpus: identical pairs, one-word mutations, unrelated docs
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 16L).map { i =>
+      i -> (i % 4 match {
+        case 0 => base
+        case 1 => base.replace(s"w${(i % 13) + 1}", s"x$i")
+        case 2 => base.replace("w3 w4", "x y")
+        case _ => s"unrelated doc $i " + (1 to 20).map(j => s"z${i}_$j").mkString(" ")
+      })
+    }: _*)
+    val fps = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairsWide(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "test corpus should contain d<=3 pairs")
+    assert(got == brute)
+  }
+
+  test("simhashPairsWide bucket cap drops degenerate buckets") {
+    val d = docs((1L to 30L).map(i => i -> "a b c d e f"): _*)
+    assert(Dedup.simhashPairsWide(d).count() == 435L)
+    assert(Dedup.simhashPairsWide(d, maxBucketSize = Some(5)).count() == 0L)
+  }
+
+  test("incremental corpus-side bucket cap: degenerate corpus bucket dropped, exact path unaffected") {
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val distinctDoc = (1 to 30).map(i => s"d$i").mkString(" ")
+    // 30 identical boilerplate corpus docs -> one degenerate bucket per band
+    val corpus = docs(((100L to 129L).map(i => i -> boiler) :+
+      (200L -> distinctDoc)): _*)
+    val batch = docs(
+      1L -> boiler.replace("b7", "qq"),      // near-dup of the BOILERPLATE only
+      2L -> distinctDoc.replace("d7", "qq"), // near-dup of the distinct doc
+      3L -> boiler)                          // exact copy of the boilerplate
+    def labels(cap: Option[Int]) =
+      Dedup.incremental(batch, corpus, maxBucketSize = cap).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val un = labels(None)
+    assert(un(1L) == ((0L, 1L, 0L)) && un(2L) == ((0L, 1L, 0L)))
+    assert(un(3L)._1 == 1L)
+    val capped = labels(Some(5))
+    // the boilerplate bucket (30 members) is dropped: doc 1 loses its
+    // near-dup evidence; doc 2's (small) bucket survives; doc 3 is
+    // still caught by the exact-text left-semi join
+    assert(capped(1L) == ((0L, 0L, 1L)), s"doc 1: ${capped(1L)}")
+    assert(capped(2L) == ((0L, 1L, 0L)), s"doc 2: ${capped(2L)}")
+    assert(capped(3L)._1 == 1L, s"doc 3: ${capped(3L)}")
+  }
+
   test("incremental dedup labels exact/near dups across the batch boundary") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = docs(100L -> base, 101L -> "other corpus content entirely x y z",
