@@ -16,12 +16,22 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles (metadata-only) rather than df.rdd.getNumPartitions:
-    // inspecting the RDD forces physical planning outside AQE. File
-    // count lower-bounds scan splits (large files add row-group
-    // splits on top, so many-file inputs are never repartitioned here).
-    if (df.inputFiles.length < math.max(2, target / 2))
-      df.repartition(target)
+    val threshold = math.max(2, target / 2)
+    // inputFiles (metadata-only) rather than df.rdd.getNumPartitions
+    // for file-backed frames: inspecting the RDD forces physical
+    // planning outside AQE. File count lower-bounds scan splits
+    // (large files add row-group splits on top, so many-file inputs
+    // are never repartitioned here).
+    val files = df.inputFiles.length
+    if (files == 0)
+      // non-file-backed input (in-memory test frame, localCheckpoint'd
+      // or mapPartitions-derived): file count says nothing, so fall
+      // back to the RDD partition count — these frames are already
+      // materialized (or tiny), so forcing planning here is harmless,
+      // and an already-well-partitioned derived frame must NOT eat an
+      // unconditional shuffle
+      if (df.rdd.getNumPartitions < threshold) df.repartition(target) else df
+    else if (files < threshold) df.repartition(target)
     else df
   }
 }

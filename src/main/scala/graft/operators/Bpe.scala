@@ -39,7 +39,26 @@ object Bpe {
       (acc, x) => when(((acc === lit(a)) || acc.endsWith(" " + a))
           && (x === lit(b)), concat(acc, x))
         .otherwise(concat(acc, lit(" "), x)))
-    split(folded, " ")
+    // empty token array (empty-string word): the fold's initial
+    // element_at(arr, 1) is null and split(null) would poison the
+    // whole chain — pass the empty array through unchanged instead
+    when(size(arr) === 0, arr).otherwise(split(folded, " "))
+  }
+
+  /** Codepoint-wise split — the SAME alphabet the native encode path
+    * (TextNative.bpeEncode) tokenizes with. Splitting by UTF-16 code
+    * units instead would hand the trainer surrogate halves on non-BMP
+    * input, symbols the encoder could never produce — fit and
+    * transform must share one symbol alphabet. */
+  private def codepoints(w: String): List[String] = {
+    val buf = List.newBuilder[String]
+    var idx = 0
+    while (idx < w.length) {
+      val next = w.offsetByCodePoints(idx, 1)
+      buf += w.substring(idx, next)
+      idx = next
+    }
+    buf.result()
   }
 
   /** JVM form of [[mergePass]] (used by fit's driver loop; the spec
@@ -61,7 +80,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w").asc).limit(maxVocab)
       .collect().map(r =>
-        (r.getString(0).toList.map(_.toString), r.getLong(1))).toSeq
+        (codepoints(r.getString(0)), r.getLong(1))).toSeq
     var vocab = wf
     val merges = Seq.newBuilder[(String, String)]
     var done = false
@@ -103,9 +122,13 @@ object Bpe {
                                      merges: Seq[(String, String)]): DataFrame = {
     val words = Partitioning.spread(docs).select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
+    // empty-string words (empty doc, doubled space) must yield ZERO
+    // tokens like the native path: sequence(1, 0) defaults to step -1
+    // and would fabricate [1, 0] -> two empty tokens
     val chars = words.select(col("doc_id"), explode(array(
-      transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))))).as("toks"))
+      when(length(col("w")) === 0, typedLit(Seq.empty[String]))
+        .otherwise(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))))).as("toks"))
     val encoded = merges.foldLeft(chars) { case (df, (a, b)) =>
       df.select(col("doc_id"),
         explode(array(mergePass(col("toks"), a, b))).as("toks"))

@@ -33,6 +33,25 @@ object EventTimeOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value_c"))
 
+  /** Dead-letter-rate rollup — the streaming twin of the batch
+    * RelQueries.dlqHourly query (SURVEY §2.5): per event-time window,
+    * total records, dead records (the same value < 100 routing
+    * predicate the DLT topology uses) and the dead rate in ppm.
+    * Column-for-column the batch query's output (hour_epoch_s = the
+    * window start in epoch seconds), so batch/stream parity is
+    * asserted exactly in EventTimeSpec over the same corpus. */
+  def dlqRateRollup(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 100.0, 0L).otherwise(1L)).as("n_dead"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch_s"),
+        col("n"), col("n_dead"),
+        floor(lit(1000000.0) * col("n_dead") / col("n"))
+          .cast("long").as("dead_ppm"))
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingRollup(events: DataFrame, windowLen: String = "1 hour",
                     slide: String = "15 minutes",

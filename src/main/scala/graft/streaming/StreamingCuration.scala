@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PortableHash => PH, TextOps}
+import graft.functions.TextOps
 
 /** Streaming forms of the corpus-curation operators — the continuous-
   * ingest path of the training-data pipeline (documents arriving as a
@@ -12,11 +12,14 @@ import graft.functions.{PortableHash => PH, TextOps}
   * text: string).
   *
   * Scale design per operator:
-  *  - [[dedupStream]]: exact dedup keyed on a 48-bit content hash via
-  *    dropDuplicatesWithinWatermark — state is ONE tiny row per
-  *    distinct hash inside the watermark horizon (the hash, not the
-  *    text, is the key: state size is bounded and the shuffle is on a
-  *    uniform 48-bit key, no text-length skew).
+  *  - [[dedupStream]]: hash-exact dedup keyed on the 128-bit md5 of
+  *    the text via dropDuplicatesWithinWatermark — state is ONE tiny
+  *    row per distinct hash inside the watermark horizon (the hash,
+  *    not the text, is the key: state size is bounded and the shuffle
+  *    is on a uniform key, no text-length skew). 128 bits keep the
+  *    birthday bound (~n²/2^129) negligible at any corpus size; a
+  *    48-bit key would silently drop distinct colliding texts at the
+  *    billions-of-docs scale this module targets.
   *  - [[qualityGate]]: stateless row-local filter — identical
   *    expressions to the batch TextAnalysis quality score, so the
   *    batch and streaming paths CANNOT diverge.
@@ -31,7 +34,7 @@ object StreamingCuration {
     * duplicates arriving within the watermark horizon are dropped.
     * State per key is evicted once the watermark passes it. */
   def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("fp", PH.h48(col("text")))
+    docs.withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select("ts", "doc_id", "text")
@@ -67,8 +70,8 @@ object StreamingCuration {
     * by Spark). The batch form with near-dup labeling is
     * Dedup.incremental; this is its always-on ingest gate. */
   def admitStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
-    val corpusFp = corpus.select(PH.h48(col("text")).as("fp")).distinct()
-    docs.withColumn("fp", PH.h48(col("text")))
+    val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+    docs.withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
       .select("ts", "doc_id", "text")
   }

@@ -91,6 +91,40 @@ class BpeSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("native encode equals HOF path on degenerate input (empty text, doubled spaces)") {
+    // empty docs and doubled spaces produce empty-string words:
+    // both paths must yield ZERO tokens for them (not nulls, not
+    // fabricated empties from a descending sequence())
+    val docs = Seq(
+      (1L, ""),                       // one empty word
+      (2L, "spark  scala"),           // doubled space -> empty middle word
+      (3L, "spark scala spark"),
+      (4L, " leading trailing ")      // empty first + last words
+    ).toDF("doc_id", "text")
+    val merges = Seq(("s", "p"), ("sp", "a"), ("c", "a"))
+    val native = Bpe.encodeCounts(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hof = Bpe.encodeCountsHof(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == hof)
+    // doc 1 is all empty words -> present with 0 tokens in both
+    assert(native.contains((1L, 0L)))
+  }
+
+  test("fit splits by codepoint: non-BMP symbols match the native encode alphabet") {
+    // U+1D54F (two UTF-16 code units): a code-unit split would train
+    // on surrogate halves the encoder never produces
+    val repeated = Array.fill(6)("𝕏y").mkString(" ")
+    val docs = Seq((1L, repeated), (2L, repeated)).toDF("doc_id", "text")
+    val merges = Bpe.fit(docs, nMerges = 1)
+    // the only adjacent pair is (𝕏, y) — as full codepoints
+    assert(merges == Seq(("𝕏", "y")))
+    val counts = Bpe.encodeCounts(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // each word merges to ONE token; 6 words per doc
+    assert(counts == Seq((1L, 6L), (2L, 6L)))
+  }
+
   test("mergePass fold equals reference walk on generated token sequences") {
     // generative sweep over a tiny alphabet: short alphabets maximize
     // adjacent-pair collisions, the regime where fold-vs-walk

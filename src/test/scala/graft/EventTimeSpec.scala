@@ -70,6 +70,37 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dlqRateRollup emits exactly the batch rel_dlq_hourly rows (sf0.001)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch gate query over the real corpus ...
+    val batch = graft.relational.RelQueries
+      .dlqHourly(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // ... and the SAME rows fed through MemoryStream micro-batches
+    // (ts nanos -> micros truncation cannot cross an hour boundary:
+    // boundaries are multiples of 1000 ns)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = EventTimeOps.dlqRateRollup(mem.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("dlq_parity")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // several micro-batches, unsorted arrival — windowed agg state
+      // must still converge to the batch answer
+      rows.grouped(3000).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("dlq_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("Sessionize.updateState folds events into sessions with gap") {
     val evs = Seq(Sessionize.Event(1, 0L, 1.0), Sessionize.Event(1, 60000L, 2.0),
       Sessionize.Event(1, 10_000_000L, 5.0))
