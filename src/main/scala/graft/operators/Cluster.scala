@@ -61,8 +61,15 @@ object Cluster {
           lit(0L), (a, v) => a + v)
         struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
       }
+      // argmin by (dist, cid) via variadic least() over the structs:
+      // struct ordering is lexicographic by field, so this is the same
+      // tie-break as the oracle's ORDER BY dist, cid — and O(k) per row
+      // with no array materialization, which matters once k = √N
+      // (array_sort's O(k log k) + per-row array build measurably slows
+      // the auto path's assign stage)
       base.select(col("vec_id"), col("qe"), col("qn"),
-        element_at(array_sort(array(dists: _*)), 1).getField("cid").as("cid"))
+        (if (dists.size == 1) dists.head else least(dists: _*))
+          .getField("cid").as("cid"))
     }
     for (_ <- 1 to iters) {
       // update: per-(cluster, dim) sum/count — ONE shuffle of k×d

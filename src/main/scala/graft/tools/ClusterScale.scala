@@ -25,18 +25,27 @@ object ClusterScale {
     spark.sparkContext.setLogLevel("WARN")
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("sf0.001", "sf0.01", "sf0.1")
-    println("sf,n_vecs,km_max_cluster,km_p99_cluster,km_pairs,sem_dropped," +
+    println("sf,n_vecs,km8_max_cluster,km8_p99_cluster,km8_pairs," +
+      "auto_k,auto_max_cluster,auto_p99_cluster,auto_pairs,sem_auto_dropped," +
       "contam_eval_shingles,contam_hit_rows,contam_docs")
     sfs.foreach { sf =>
-      val dir = s"/root/testdata/$sf"
+      // bare SF names resolve to the driver testdata; paths pass through
+      val dir = if (sf.contains("/")) sf else s"/root/testdata/$sf"
       val emb = Tables.embeddings(spark, dir)
       val nVecs = emb.count()
-      val assign = Cluster.kmeansAssign(emb)
-      val occ = assign.groupBy("cid").agg(count(lit(1)).as("n"))
-        .agg(max("n").as("mx"), expr("percentile(n, 0.99D)").as("p99"),
-          // within-cluster pair-join volume = sum n*(n-1)/2
-          sum(expr("n * (n - 1) / 2")).as("pairs")).head()
-      val semDropped = Cluster.semDedup(emb)
+      def occStats(assign: org.apache.spark.sql.DataFrame) =
+        assign.groupBy("cid").agg(count(lit(1)).as("n"))
+          .agg(max("n").as("mx"), expr("percentile(n, 0.99D)").as("p99"),
+            // within-cluster pair-join volume = sum n*(n-1)/2
+            sum(expr("n * (n - 1) / 2")).as("pairs")).head()
+      // fixed k=8 (the pinned-oracle anchor): pair volume measured
+      // ANALYTICALLY from occupancy — executing the quadratic join at
+      // the probe scale is exactly what the auto path exists to avoid
+      val occ = occStats(Cluster.kmeansAssign(emb))
+      // sqrt(N) auto path: occupancy + the semdedup join actually run
+      val autoK = math.max(8, math.sqrt(nVecs.toDouble).toInt)
+      val occAuto = occStats(Cluster.kmeansAssign(emb, autoK))
+      val semDropped = Cluster.semDedup(emb, autoK)
         .where(col("kept") === 0).count()
       val docs = Tables.documents(spark, dir)
       val sh = docs.select(col("doc_id"),
@@ -45,8 +54,9 @@ object ClusterScale {
       val contam = Dedup.contamination(docs)
       val hitRows = contam.agg(sum("n_hits")).head().getLong(0)
       val contamDocs = contam.count()
-      println(s"$sf,$nVecs,${occ.getLong(0)},${occ.getDouble(1)}," +
-        s"${occ.get(2)},$semDropped,$evalSh,$hitRows,$contamDocs")
+      println(s"$sf,$nVecs,${occ.getLong(0)},${occ.getDouble(1)},${occ.get(2)}," +
+        s"$autoK,${occAuto.getLong(0)},${occAuto.getDouble(1)},${occAuto.get(2)}," +
+        s"$semDropped,$evalSh,$hitRows,$contamDocs")
     }
     spark.stop()
   }

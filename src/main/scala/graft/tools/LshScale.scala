@@ -29,7 +29,9 @@ object LshScale {
       "mh_max_bucket,mh_p99_bucket,sh_cand_pairs,sh_pairs_ham8," +
       "shw_cand_pairs,shw_max_bucket,shw_pairs_d3,curated_rows")
     sfs.foreach { sf =>
-      val dir = s"/root/testdata/$sf"
+      // bare SF names resolve to the driver testdata; absolute or
+      // relative paths (e.g. target/probe/sf1 from ProbeGen) pass through
+      val dir = if (sf.contains("/")) sf else s"/root/testdata/$sf"
       val docs = Tables.documents(spark, dir)
       val nDocs = docs.count()
       val mh = Dedup.minhashLsh(docs)
