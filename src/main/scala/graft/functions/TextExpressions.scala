@@ -85,6 +85,53 @@ object TextNative {
       UTF8String.fromString(t): Any).toArray)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of PortableHash.h48 (first 48 bits of md5 over UTF-8):
+    * first 6 digest bytes big-endian == integer value of the first 12
+    * hex chars. PortableMathLawsSpec pins byte-equality with the
+    * Catalyst-built-in column form. */
+  def h48(word: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** SimHash-48 of a document in ONE row-local pass: per space token,
+    * add ±1 per fingerprint bit according to h48(token), then pack
+    * bits with positive sums. Semantically identical to the
+    * explode + 48-sum-column aggregate formulation (Dedup.simhashAgg,
+    * the executable spec) — but with NO explode and NO shuffle: the
+    * fingerprint is a scalar projection, which is the correct shape
+    * at 100 TB (SimHash is per-doc math; nothing crosses rows).
+    * split(" ", -1) keeps empty tokens exactly like Spark's split. */
+  def simhash48(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val sums = new Array[Int](48)
+    var i = 0
+    while (i < words.length) {
+      val h = h48(words(i))
+      var b = 0
+      while (b < 48) {
+        sums(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 48) {
+      if (sums(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** DEFLATE-compressed size of the UTF-8 text at a fixed level —
     * the compression-ratio quality heuristic (repetitive/boilerplate
     * text compresses far below natural text). Engine-specific output
@@ -186,6 +233,22 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+case class Simhash48(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash48"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.simhash48(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.simhash48($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DeflateSize(child: Expression, level: Int)
     extends UnaryExpression {
   require(level >= 0 && level <= 9)
@@ -214,4 +277,6 @@ object textNative {
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
   def deflate_size(text: Column, level: Int = 6): Column =
     ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
+  def simhash48(text: Column): Column =
+    ColumnBridge.column(Simhash48(ColumnBridge.expression(text)))
 }

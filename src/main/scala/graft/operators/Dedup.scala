@@ -130,9 +130,25 @@ object Dedup {
   /** SimHash fingerprint (48-bit, from the portable h48 word hash):
     * bit b of the fingerprint is set iff the sum over word
     * occurrences of (bit b of h48(word) ? +1 : -1) is positive.
-    * Single shuffle: one hash-agg with 48 packed sum columns (partial
-    * aggregation applies), then row-local bit packing. */
+    *
+    * SimHash is per-doc math — nothing crosses rows — so this is ONE
+    * native codegen'd scalar expression (functions.Simhash48): no
+    * word explode, no shuffle, the fingerprint is a projection over
+    * the scan. [[simhashAgg]] is the declarative executable
+    * specification (explode + 48-sum-column aggregate); PipelineOpsSpec
+    * asserts equality, the DuckDB oracle pins the exact bit values. */
   def simhash(docs: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits == 48, "native fingerprint is fixed at 48 bits")
+    Partitioning.spread(docs).select(col("doc_id"),
+        graft.functions.textNative.simhash48(col("text")).as("simhash48"))
+      .orderBy("doc_id")
+  }
+
+  /** Executable specification of [[simhash]]: the same fingerprint
+    * via explode + one hash-agg with 48 packed sum columns + row-local
+    * bit packing. Kept as the cross-check path (it is also the shape
+    * the DuckDB oracle SQL mirrors literally). */
+  private[graft] def simhashAgg(docs: DataFrame, bits: Int = 48): DataFrame = {
     val wordHashes = Partitioning.spread(docs).select(col("doc_id"),
         explode(TextOps.words(col("text"))).as("w"))
       .select(col("doc_id"), PH.h48(col("w")).as("h"))

@@ -63,7 +63,10 @@ object GraftExtensions {
     (FunctionIdentifier("deflate_size"),
       info("deflate_size", "DEFLATE-compressed byte count of a string (level literal)"),
       (es: Seq[Expression]) => DeflateSize(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("simhash48"),
+      info("simhash48", "48-bit SimHash fingerprint of space-tokenized text"),
+      (es: Seq[Expression]) => Simhash48(es.head)))
 
   /** Register the same functions on an already-built session (tests,
     * notebooks); extensions-based injection is the production path. */

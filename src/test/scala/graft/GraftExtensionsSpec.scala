@@ -12,7 +12,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 8)
+    assert(GraftExtensions.functions.size == 9)
+  }
+
+  test("simhash48 is usable from spark.sql and matches the operator") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT simhash48('a b c d e f') AS fp").head.getLong(0)
+    import spark.implicits._
+    val viaOp = graft.operators.Dedup.simhash(
+        Seq((1L, "a b c d e f")).toDF("doc_id", "text"))
+      .head.getLong(1)
+    assert(viaSql == viaOp && viaSql > 0)
   }
 
   test("deflate_size is usable from spark.sql and shrinks repetitive text") {

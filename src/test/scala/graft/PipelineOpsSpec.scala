@@ -186,6 +186,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("native simhash48 equals the aggregate specification (incl. edge cases)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base, 2L -> base.replace("w7", "x"),
+      3L -> "",                     // empty text -> one empty word
+      4L -> "a  b",                 // doubled space -> empty middle word
+      5L -> "naïve 𝕏 café résumé", // non-ASCII + non-BMP
+      6L -> "a")
+    val native = Dedup.simhash(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val agg = Dedup.simhashAgg(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == agg)
+  }
+
   test("simhashPairsWide is EXACT at hamming<=3 (matches brute force)") {
     // mixed corpus: identical pairs, one-word mutations, unrelated docs
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

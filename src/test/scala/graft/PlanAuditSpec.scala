@@ -44,6 +44,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("tx_top_terms").contains("TakeOrderedAndProject"))
   }
 
+  test("dd_simhash is a pure projection: no aggregate, no explode") {
+    // the native Simhash48 expression replaced the explode + 48-sum
+    // aggregate — the fingerprint must never reintroduce a shuffle
+    // beyond spread's round-robin and the oracle-only ORDER BY
+    val p = plan("dd_simhash")
+    assert(!p.contains("HashAggregate") && !p.contains("Generate"),
+      s"dd_simhash is no longer projection-only:\n$p")
+  }
+
   test("flagship entry reads its source exactly once") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).size == 1, s"entry scans:\n$p")

@@ -40,6 +40,15 @@ class PortableMathLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextNative.h48 (native byte form) equals the hex-prefix reference") {
+    val words = Gen.listOfN(200, wordGen).sample.get.distinct ++
+      Seq("", " ", "naïve", "𝕏y")
+    words.foreach { w =>
+      assert(graft.functions.TextNative.h48(w) == refH48(w),
+        s"native h48 mismatch for '$w'")
+    }
+  }
+
   test("affine minhash permutations stay in [0, P31) and never overflow") {
     val hs = Gen.listOfN(300, Gen.chooseNum(0L, PH.P31 - 1)).sample.get
     val df = hs.toDF("h").select(
