@@ -132,6 +132,50 @@ object TextNative {
     fp
   }
 
+  /** MinHash signature of a document in ONE row-local pass: distinct
+    * word n-gram shingles (same enumeration as [[wordShingles]]),
+    * h31 = h48 % P31 per shingle, and the K affine minima folded in
+    * the same loop. Per-doc math — the signature is a projection, no
+    * explode and no aggregate (Dedup.minhashSignaturesAgg is the
+    * declarative executable spec). Returns NULL when the doc has no
+    * shingles (fewer than n words): the agg formulation emits no row
+    * for such docs, and a degenerate identity signature would
+    * spuriously bucket all short docs together — callers filter nulls
+    * to keep the drop semantics. */
+  def minhashSig(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return null
+    val k = PortableHash.MinhashK
+    val a = PortableHash.MinhashA
+    val b = PortableHash.MinhashB
+    val p = PortableHash.P31
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new mutable.HashSet[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val h = h48(sh) % p
+        var m = 0
+        while (m < k) {
+          val v = (h * a(m) + b(m)) % p
+          if (v < mins(m)) mins(m) = v
+          m += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
   /** DEFLATE-compressed size of the UTF-8 text at a fixed level —
     * the compression-ratio quality heuristic (repetitive/boilerplate
     * text compresses far below natural text). Engine-specific output
@@ -233,6 +277,27 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null on null input AND on shingle-less (short) docs
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.minhashSig(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextNative.minhashSig($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Simhash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -279,4 +344,6 @@ object textNative {
     ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
   def simhash48(text: Column): Column =
     ColumnBridge.column(Simhash48(ColumnBridge.expression(text)))
+  def minhash_sig(text: Column, n: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(text), n))
 }

@@ -40,13 +40,29 @@ object Dedup {
 
   /** MinHash signatures: doc_id, sig array<long> of K minhashes.
     *
-    * Shape matters: explode + ONE hash-agg with K min() columns, not
-    * K array_min(transform(...)) projections — Catalyst collapses
-    * stacked projects and would re-inline (and so re-md5) the shingle
-    * hash array into each of the K expressions. Here md5 runs once
-    * per shingle, the K affine transforms are cheap modular math, and
-    * partial aggregation shrinks the shuffle to one row per doc. */
+    * Like SimHash, the signature is per-doc math — ONE native
+    * codegen'd scalar expression (functions.MinhashSig: shingle
+    * enumeration, md5-h31 and the K affine minima folded in a single
+    * JVM loop) makes it a projection over the scan: no shingle
+    * explode, no aggregate, no shuffle. Docs with fewer than
+    * `shingleN` words have no shingles: the expression yields NULL
+    * and the filter preserves the agg formulation's drop semantics
+    * (a degenerate identity signature would spuriously bucket every
+    * short doc together). [[minhashSignaturesAgg]] is the declarative
+    * executable specification; PipelineOpsSpec asserts equality. */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    Partitioning.spread(docs).select(col("doc_id"),
+        graft.functions.textNative.minhash_sig(col("text"), shingleN).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Executable specification of [[minhashSignatures]]: explode + ONE
+    * hash-agg with K min() columns (not K array_min(transform(...))
+    * projections — Catalyst collapses stacked projects and would
+    * re-inline, and so re-md5, the shingle hash array into each of
+    * the K expressions). Also the shape [[lshVerified]] uses to share
+    * one shingle build between its signature and verify stages. */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame,
+                                          shingleN: Int = 3): DataFrame =
     sigsFrom(shingles(docs, shingleN))
 
   /** Signatures from an (doc_id, sh) exploded shingle table — split

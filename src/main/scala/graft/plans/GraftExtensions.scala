@@ -66,7 +66,11 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("simhash48"),
       info("simhash48", "48-bit SimHash fingerprint of space-tokenized text"),
-      (es: Seq[Expression]) => Simhash48(es.head)))
+      (es: Seq[Expression]) => Simhash48(es.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "MinHash signature array over word n-gram shingles (n literal)"),
+      (es: Seq[Expression]) => MinhashSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register the same functions on an already-built session (tests,
     * notebooks); extensions-based injection is the production path. */

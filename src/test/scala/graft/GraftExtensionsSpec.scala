@@ -12,7 +12,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 9)
+    assert(GraftExtensions.functions.size == 10)
+  }
+
+  test("minhash_sig is usable from spark.sql; NULL below the shingle width") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(minhash_sig('a b c d', 3)) AS k, minhash_sig('a b', 3) AS short").head
+    assert(r.getInt(0) == graft.functions.PortableHash.MinhashK)
+    assert(r.isNullAt(1))
   }
 
   test("simhash48 is usable from spark.sql and matches the operator") {

@@ -186,6 +186,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("native minhash signature equals the aggregate specification") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base, 2L -> base.replace("w7", "x"), 3L -> base,
+      4L -> "a b",          // < 3 words: dropped by BOTH paths
+      5L -> "q r s t u v", 6L -> "a  b c d")
+    val native = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignaturesAgg(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == agg)
+    assert(!native.contains(4L))
+  }
+
   test("native simhash48 equals the aggregate specification (incl. edge cases)") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = docs(
