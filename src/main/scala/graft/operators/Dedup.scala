@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Partitioning, PortableHash => PH, TextOps, VectorOps => V}
@@ -349,6 +349,112 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"),
         countDistinct("eval_doc_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered decontamination — EXACTLY the same result as
+    * [[contamination]], produced the way a 100 TB pipeline would: a
+    * Bloom filter built over the (tiny) eval shingle set rides the
+    * corpus scan as a row-local projection-time predicate, so only
+    * the bloom-positive sliver of the corpus ever reaches the exact
+    * verify join. The bloom admits false positives but NEVER false
+    * negatives, and every candidate is re-checked against the real
+    * eval shingle set — so the composition is exact and shares
+    * [[contamination]]'s oracle, while the corpus-side cost model
+    * changes from "broadcast-hash-probe every shingle of every doc"
+    * to "bit-test every shingle, join only candidates": at a 100 TB
+    * corpus the bloom (a few MB of bits for a benchmark suite) is
+    * the only thing shipped to every task, and the verify join's
+    * input is the contaminated sliver, not the corpus.
+    *
+    * Mechanics: probe hashes are plain `xxhash64(seed, shingle)`
+    * (no cross-engine portability needed — the bloom never reaches
+    * the oracle), the bit array is a power-of-two-sized packed
+    * `array<long>` LITERAL in the plan, and the membership test is
+    * pure column bit-math (`shiftright` + mask) inside whole-stage
+    * codegen — no UDF, no broadcast variable, no driver round-trip
+    * at probe time. The build-side `collect()` is a model-sized fit
+    * collect (eval shingles), like the k-means/BPE fits. */
+  def contaminationBloom(docs: DataFrame, shingleN: Int = 5,
+                         evalMod: Long = 19L, bitsPerKey: Int = 16,
+                         numProbes: Int = 3): DataFrame = {
+    val evalSh = shingles(docs.where(col("doc_id") % evalMod === 0), shingleN)
+      .select(col("doc_id").as("eval_doc_id"), col("sh"))
+    // Fit: distinct eval shingles -> probe hashes (computed in Spark
+    // with the SAME expression used at probe time) -> driver bit-set.
+    val probeRows = evalSh.select(col("sh")).distinct()
+      .select((0 until numProbes).map(i =>
+        xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
+      .collect()
+    var m = 64
+    while (m < probeRows.length * bitsPerKey) m <<= 1
+    val words = new Array[Long](m / 64)
+    probeRows.foreach { r =>
+      (0 until numProbes).foreach { i =>
+        val h = ((r.getLong(i) % m) + m) % m
+        words((h / 64).toInt) |= 1L << (h % 64)
+      }
+    }
+    val bits = typedlit(words.toSeq)
+    def mightContain(sh: Column): Column =
+      (0 until numProbes).map { i =>
+        val h = pmod(xxhash64(lit(i), sh), lit(m.toLong))
+        (call_function("shiftright",
+          element_at(bits, (h / 64).cast("int") + 1),
+          (h % 64).cast("int")) % 2L) === 1L
+      }.reduce(_ && _)
+    // Probe: row-local prefilter on the scan, then the exact verify
+    // join over the surviving sliver only.
+    val candidates = Partitioning.spread(docs)
+      .where(col("doc_id") % evalMod =!= 0)
+      .where(exists(TextOps.wordShingles(col("text"), shingleN), mightContain))
+    candidates.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), shingleN)).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct("eval_doc_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact duplicated-substring removal (the suffix-array exact-
+    * substring dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed relationally):
+    * any word `n`-gram occurring in ≥ `minDf` distinct documents is
+    * boilerplate, and every token position covered by such a span is
+    * scrubbed from the document. Returns per-doc token counts plus
+    * the scrubbed text.
+    *
+    * Scale design: the span inventory is ONE hash-aggregate over the
+    * positional n-gram stream (linear in corpus tokens, map-side
+    * partial on the gram key); marking is a semi-join of the gram
+    * stream against the duplicated grams (shuffle keyed on gram —
+    * exactly the skew profile of the LSH joins, cappable the same
+    * way); reassembly is one per-doc aggregate. Nothing quadratic,
+    * no driver state — the three shuffles are all on keys whose
+    * cardinality grows linearly with the corpus. */
+  def spanScrub(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val base = Partitioning.spread(docs).select(col("doc_id"), col("text"))
+    // Positional (non-distinct) gram stream: start is the 0-based
+    // token index of the first word of the gram.
+    val grams = base.select(col("doc_id"),
+      posexplode(TextOps.wordShinglesAll(col("text"), n)))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "gram")
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= minDf)
+      .select("gram")
+    val starts = grams.join(dup, Seq("gram"))
+      .groupBy("doc_id").agg(collect_set("start").as("starts"))
+    val ws = TextOps.words(col("text"))
+    val startsC = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(ws, (_, i) =>
+      !exists(startsC, s => i >= s && i <= s + lit(n - 1)))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        (size(ws) - size(kept)).cast("long").as("n_scrubbed"),
+        array_join(kept, " ").as("scrubbed"))
       .orderBy("doc_id")
   }
 

@@ -547,6 +547,33 @@ object ExtQueries {
       "count(DISTINCT eval_doc_id) AS n_eval_docs " +
       "FROM tr JOIN ev ON ev.sh = tr.sh GROUP BY 1 ORDER BY 1"
 
+  /** Exact duplicated-substring scrub (Lee et al. exact-substring
+    * dedup): 8-gram spans occurring in ≥2 distinct docs mark their
+    * covered token positions; kept words reassemble in order. The
+    * positional gram list is shingleListAll(8) — its subscripts ARE
+    * the 0-based start offsets (full windows only; the one short-doc
+    * gram is NULL-filtered identically to Spark's empty slice). */
+  private val ddSpanScrubSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      s"gl AS (SELECT doc_id, w, ${shingleListAll(8)} AS gs FROM ws), " +
+      "g AS (SELECT doc_id, unnest(gs) AS gram, " +
+      "generate_subscripts(gs, 1) - 1 AS start FROM gl), " +
+      "dup AS (SELECT gram FROM g GROUP BY gram " +
+      "HAVING count(DISTINCT doc_id) >= 2), " +
+      "cov AS (SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS p " +
+      "FROM g WHERE gram IN (SELECT gram FROM dup)), " +
+      "wp AS (SELECT doc_id, unnest(w) AS word, " +
+      "generate_subscripts(w, 1) - 1 AS p FROM ws), " +
+      "kept AS (SELECT wp.doc_id, wp.p, wp.word FROM wp " +
+      "LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.p = wp.p " +
+      "WHERE cov.doc_id IS NULL), " +
+      "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(word, ' ' ORDER BY p) AS scrubbed FROM kept GROUP BY doc_id) " +
+      "SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_words, " +
+      "CAST(len(ws.w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_scrubbed, " +
+      "COALESCE(agg.scrubbed, '') AS scrubbed " +
+      "FROM ws LEFT JOIN agg ON agg.doc_id = ws.doc_id ORDER BY ws.doc_id"
+
   /** BPE oracle: unrolled fit (nMerges rounds of pair-count → argmax
     * → merge application over the word-frequency table) + unrolled
     * encode (same merge fold over every word occurrence). The merge
@@ -879,6 +906,11 @@ object ExtQueries {
     "tx_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
       Dedup.contamination(Tables.documents(s, d))),
+    // bloom-prefiltered composition: EXACT result (bloom has no false
+    // negatives; candidates are exact-verified) -> shares the oracle
+    "dd_contamination_bloom" -> ((s, d) =>
+      Dedup.contaminationBloom(Tables.documents(s, d))),
+    "dd_span_scrub" -> ((s, d) => Dedup.spanScrub(Tables.documents(s, d))),
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incremental(docs.where(F.col("doc_id") % 10 === 0),
@@ -959,6 +991,8 @@ object ExtQueries {
     "tx_bpe" -> txBpeSql,
     "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,
+    "dd_contamination_bloom" -> ddContaminationSql,
+    "dd_span_scrub" -> ddSpanScrubSql,
     "dd_incremental" -> ddIncrementalSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,

@@ -313,6 +313,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(9L) == 9L)
   }
 
+  test("spanScrub masks exactly the positions covered by shared 8-grams") {
+    val d = docs(
+      1L -> "a b c d e f g h x y z",          // shared span at start 0
+      2L -> "p q r a b c d e f g h w",        // same span at start 3
+      3L -> "one two three four five six seven eight nine", // unique
+      4L -> "tiny doc")                       // < 8 words: no grams
+    val out = Dedup.spanScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((11L, 8L, "x y z")))
+    assert(out(2L) == ((12L, 8L, "p q r w")))
+    assert(out(3L) == ((9L, 0L, "one two three four five six seven eight nine")))
+    assert(out(4L) == ((2L, 0L, "tiny doc")))
+  }
+
+  test("spanScrub: overlapping duplicated spans cover the union of positions") {
+    // doc 5/6 share TWO overlapping 8-grams ("a..h" at 0 and "b..i" at 1)
+    // -> positions 0..8 covered, not just one window
+    val d = docs(
+      5L -> "a b c d e f g h i tail5",
+      6L -> "a b c d e f g h i tail6")
+    val out = Dedup.spanScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(5L) == ((9L, "tail5")))
+    assert(out(6L) == ((9L, "tail6")))
+  }
+
+  test("contaminationBloom equals the exact contamination composition") {
+    // eval docs are doc_id % 19 == 0 (ids 0, 19); trains 1 and 20 share
+    // a full 5-gram with an eval doc, the rest are clean
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      19L -> "one two three four five six",
+      1L -> "alpha beta gamma delta epsilon other words here",
+      20L -> "prefix one two three four five suffix",
+      2L -> "totally unrelated content with many more words",
+      3L -> "another clean document nothing shared at all")
+    val exact = Dedup.contamination(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = Dedup.contaminationBloom(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
   test("knn ivf returns a subset of brute-force candidates, same scoring") {
     val e = (0L to 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
