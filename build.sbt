@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads doing allocation-heavy text work (shingles,
+  // md5, array aggs) + accumulated localCheckpoint blocks across a
+  // 64-query bench need room: 8g produced GC-thrash-shaped latency
+  // spikes on loaded runs. The box has 125 GiB; 24g is still modest.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

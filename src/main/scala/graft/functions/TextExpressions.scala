@@ -194,6 +194,22 @@ object TextNative {
     } finally d.end()
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer) — canonical
+    * composition: combining sequences ("e" + U+0301) fold to their
+    * precomposed forms ("é"). The text-canonicalization pass before
+    * hashing/dedup (two visually identical strings with different
+    * codepoint sequences would otherwise never dedup). Bit-compatible
+    * with DuckDB's nfc_normalize (both implement Unicode NFC). */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // quickCheck-style fast path: Normalizer.isNormalized is a scan
+    // with no allocation; most corpus text is already NFC.
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Distinct character trigrams (codepoint-based, like substr). */
   def charTrigrams(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -314,6 +330,22 @@ case class Simhash48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DeflateSize(child: Expression, level: Int)
     extends UnaryExpression {
   require(level >= 0 && level <= 9)
@@ -344,6 +376,8 @@ object textNative {
     ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
   def simhash48(text: Column): Column =
     ColumnBridge.column(Simhash48(ColumnBridge.expression(text)))
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def minhash_sig(text: Column, n: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(text), n))
 }

@@ -51,9 +51,19 @@ object Dedup {
     * short doc together). [[minhashSignaturesAgg]] is the declarative
     * executable specification; PipelineOpsSpec asserts equality. */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    Partitioning.spread(docs).select(col("doc_id"),
+    // The shingle-less drop is a PRE-filter on the space count (words
+    // = spaces + 1 under split(" ", -1)), not a post-filter on
+    // sig.isNotNull: Catalyst pushes the isNotNull below the project
+    // as Filter(isNotNull(MinhashSig(text))), evaluating the whole
+    // md5-per-shingle loop TWICE per row (filter + project are
+    // separate codegen operators — no cross-operator subexpression
+    // elimination). The space count is a byte scan and pushes to the
+    // scan for free.
+    Partitioning.spread(docs)
+      .where(length(col("text")) - length(replace(col("text"), lit(" ")))
+        >= shingleN - 1)
+      .select(col("doc_id"),
         graft.functions.textNative.minhash_sig(col("text"), shingleN).as("sig"))
-      .where(col("sig").isNotNull)
 
   /** Executable specification of [[minhashSignatures]]: explode + ONE
     * hash-agg with K min() columns (not K array_min(transform(...))
@@ -386,9 +396,16 @@ object Dedup {
       .select((0 until numProbes).map(i =>
         xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
       .collect()
-    var m = 64
-    while (m < probeRows.length * bitsPerKey) m <<= 1
-    val words = new Array[Long](m / 64)
+    // Size in Long: Int arithmetic overflows (and `m <<= 1` wraps
+    // negative) once keys*bitsPerKey passes 2^31. The bloom is a plan
+    // literal shipped to every task, so fail fast past 2^33 bits
+    // (1 GiB of words) rather than silently building a multi-GB plan.
+    var m = 64L
+    val want = probeRows.length.toLong * bitsPerKey
+    require(want <= (1L << 33),
+      s"bloom would need $want bits; eval set too large for a plan-literal bloom")
+    while (m < want) m <<= 1
+    val words = new Array[Long]((m / 64).toInt)
     probeRows.foreach { r =>
       (0 until numProbes).foreach { i =>
         val h = ((r.getLong(i) % m) + m) % m
@@ -396,12 +413,16 @@ object Dedup {
       }
     }
     val bits = typedlit(words.toSeq)
+    // Membership = AND of the probed word: shiftright is an ARITHMETIC
+    // shift and % keeps the dividend's sign, so a probe of a word with
+    // bit 63 set under `(w >> s) % 2 === 1` evaluates to -1 — a silent
+    // false negative. Mask-and-compare-to-zero is sign-safe.
     def mightContain(sh: Column): Column =
       (0 until numProbes).map { i =>
-        val h = pmod(xxhash64(lit(i), sh), lit(m.toLong))
-        (call_function("shiftright",
-          element_at(bits, (h / 64).cast("int") + 1),
-          (h % 64).cast("int")) % 2L) === 1L
+        val h = pmod(xxhash64(lit(i), sh), lit(m))
+        element_at(bits, (h / 64).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (h % 64).cast("int"))) =!= 0L
       }.reduce(_ && _)
     // Probe: row-local prefilter on the scan, then the exact verify
     // join over the surviving sliver only.
@@ -448,8 +469,15 @@ object Dedup {
       .groupBy("doc_id").agg(collect_set("start").as("starts"))
     val ws = TextOps.words(col("text"))
     val startsC = coalesce(col("starts"), array().cast("array<int>"))
-    val kept = filter(ws, (_, i) =>
-      !exists(startsC, s => i >= s && i <= s + lit(n - 1)))
+    // Expand starts to the covered-position set once per doc, then keep
+    // the set-difference of all positions — O(words + n*|starts|) per
+    // doc via hash-based array_except, not the O(words * |starts|) of
+    // an exists() probe per word (quadratic on boilerplate-heavy docs).
+    val covered = array_distinct(flatten(transform(startsC,
+      s => sequence(s, least(s + lit(n - 1), size(ws) - 1)))))
+    val keptPos = array_sort(array_except(
+      sequence(lit(0), size(ws) - 1), covered))
+    val kept = transform(keptPos, p => get(ws, p))
     base.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
@@ -517,9 +545,15 @@ object Dedup {
     * growing lineage (the standard iterative-algorithm discipline). */
   def nearDupClusters(docs: DataFrame, minEstJaccardPpm: Long = 750000L,
                       maxIter: Int = 20): DataFrame = {
+    // Materialize the LSH pairs BEFORE the symmetric union: a union of
+    // a frame with its own swap is TWO plan references, i.e. the full
+    // signature + band-join pipeline would execute twice to build the
+    // edge list. Checkpoint first, derive both directions from the
+    // materialized blocks.
     val pairs = minhashLsh(docs)
       .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
       .select("doc_a", "doc_b")
+      .localCheckpoint(true)
     val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -550,6 +584,24 @@ object Dedup {
     }
     labels.orderBy("doc_id")
   }
+
+  /** Near-dup-aware train/validation split — the leakage guard every
+    * training pipeline needs: a per-DOCUMENT hash split leaks when two
+    * near-duplicates land on opposite sides (the val copy "memorizes"
+    * its train twin), so the split key is the near-dup CLUSTER
+    * representative, not the doc — every member of a connected
+    * near-dup component lands on the same side by construction.
+    * Composes [[nearDupClusters]] (transitive closure of the LSH
+    * pairs) with the same deterministic hash-split rule as
+    * TextAnalysis.datasetSplit. Output: (doc_id, cluster_id, split).
+    *
+    * Scale: one row-local projection over the cluster labels — all
+    * real cost is the clustering itself; the split adds no shuffle. */
+  def leakSplit(docs: DataFrame, valPct: Int = 10): DataFrame =
+    nearDupClusters(docs).select(col("doc_id"), col("cluster_id"),
+        when(PH.h31(concat(lit("split:"), col("cluster_id").cast("string")))
+          % 100 < valPct, "val").otherwise("train").as("split"))
+      .orderBy("doc_id")
 
   /** Embedding near-duplicate pairs via banded sign-bit LSH blocking
     * (nBands bands of bitsPerBand axis-aligned hyperplane signs =

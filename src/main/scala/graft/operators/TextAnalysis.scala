@@ -126,6 +126,22 @@ object TextAnalysis {
     * Java regex and RE2). The declared query derives a deterministic
     * HTML-wrapped input since the corpus itself is plain text; the
     * operator takes any string column. */
+  /** Unicode canonicalization (NFC): fold combining sequences to
+    * precomposed forms BEFORE any hashing/dedup/fingerprint pass —
+    * "café" spelled e+U+0301 and é are byte-different to every hash in
+    * this engine while being visually identical, so an un-normalized
+    * corpus silently under-dedupes. Row-local native expression
+    * (functions.NfcNormalize, codegen'd, with the Normalizer
+    * quick-check fast path so already-NFC text pays one scan and zero
+    * allocation); n_raw/n_norm expose the codepoint delta as the
+    * mojibake signal. */
+  def nfcNormalize(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      length(col(textCol)).cast("long").as("n_raw"),
+      length(graft.functions.textNative.nfc_normalize(col(textCol)))
+        .cast("long").as("n_norm"),
+      graft.functions.textNative.nfc_normalize(col(textCol)).as("norm"))
+
   def htmlStrip(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tags",
         regexp_count(col(textCol), lit("<[^>]*>")).cast("long"))

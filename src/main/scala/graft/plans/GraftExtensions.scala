@@ -70,7 +70,10 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "MinHash signature array over word n-gram shingles (n literal)"),
       (es: Seq[Expression]) => MinhashSig(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "Unicode NFC canonical composition of a string"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
 
   /** Register the same functions on an already-built session (tests,
     * notebooks); extensions-based injection is the production path. */

@@ -200,18 +200,35 @@ object ExtQueries {
       "LEFT JOIN ex ON ex.doc_id = d.doc_id " +
       "LEFT JOIN near ON near.doc_id = d.doc_id ORDER BY d.doc_id"
 
-  private val ddClustersSql: String =
-    "WITH RECURSIVE " +
-      "p AS (SELECT doc_a, doc_b FROM (" + ddMinhashSql + ") " +
+  /** Recursive transitive-closure CTE chain shared by the clusters
+    * oracle and the leakage-guarded split oracle. */
+  private val ddClustersCtes: String =
+    "p AS (SELECT doc_a, doc_b FROM (" + ddMinhashSql + ") " +
       "WHERE est_jaccard_ppm >= 750000), " +
       "e AS (SELECT doc_a AS s, doc_b AS d FROM p " +
       "UNION ALL SELECT doc_b, doc_a FROM p), " +
       "walk(node, reach) AS (" +
       "SELECT doc_id, doc_id FROM documents " +
       "UNION " +
-      "SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach) " +
+      "SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach)"
+
+  private val ddClustersSql: String =
+    s"WITH RECURSIVE $ddClustersCtes " +
       "SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
       "GROUP BY node ORDER BY doc_id"
+
+  /** Leakage-guarded split oracle: cluster labels (same recursive
+    * closure as dd_clusters), split decided by the portable h31 of the
+    * CLUSTER id — the invariant under test is that near-dup cluster
+    * members share a side, which the shared key makes structural. */
+  private val ddLeakSplitSql: String =
+    s"WITH RECURSIVE $ddClustersCtes, " +
+      "cl AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
+      "GROUP BY node) " +
+      "SELECT doc_id, cluster_id, " +
+      s"CASE WHEN ${PH.h31Sql("'split:' || CAST(cluster_id AS VARCHAR)")} " +
+      "% 100 < 10 THEN 'val' ELSE 'train' END AS split " +
+      "FROM cl ORDER BY doc_id"
 
   private val ddLshVerifiedSql: String =
     s"WITH $minhashCteChain, " +
@@ -836,6 +853,50 @@ object ExtQueries {
     "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
       "FROM events GROUP BY 1 ORDER BY 1"
 
+  /** Funnel oracle: same strict-ordering stage chain (first view →
+    * first later click → first later purchase), cumulative counts. */
+  private val relFunnelSql: String =
+    "WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events), " +
+      "v AS (SELECT user_id, min(tsn) AS t_view FROM ev " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "c AS (SELECT e.user_id, min(e.tsn) AS t_click FROM ev e " +
+      "JOIN v USING (user_id) " +
+      "WHERE e.event_type = 'click' AND e.tsn > v.t_view GROUP BY 1), " +
+      "p AS (SELECT e.user_id, min(e.tsn) AS t_purchase FROM ev e " +
+      "JOIN c USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.tsn > c.t_click GROUP BY 1), " +
+      "j AS (SELECT v.user_id, c.t_click, p.t_purchase FROM v " +
+      "LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)) " +
+      "SELECT stage, n_users FROM (" +
+      "SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM j " +
+      "UNION ALL SELECT '2_click', CAST(count(t_click) AS BIGINT) FROM j " +
+      "UNION ALL SELECT '3_purchase', CAST(count(t_purchase) AS BIGINT) FROM j" +
+      ") ORDER BY stage"
+
+  private val relProfileCols =
+    Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus",
+      "l_quantity")
+
+  /** NFC oracle: DuckDB's nfc_normalize is the same Unicode canonical
+    * composition as java.text.Normalizer NFC; the embedded combining
+    * acute (U+0301) exercises the non-identity path. Both engines
+    * count length in codepoints. */
+  private val txNfcSql: String =
+    "WITH inp AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' cafe\u0301 touche\u0301' " +
+      "ELSE '' END AS raw FROM documents) " +
+      "SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, " +
+      "CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm, " +
+      "nfc_normalize(raw) AS norm FROM inp ORDER BY doc_id"
+
+  private val relProfileSql: String = {
+    val selects = relProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count($c) AS BIGINT) AS n_nonnull, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem")
+    s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) ORDER BY col_name"
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -956,6 +1017,21 @@ object ExtQueries {
       .agg(F.countDistinct("user_id").as("n_users"),
         F.count(F.lit(1)).as("n"))
       .orderBy("event_type")),
+    "rel_funnel" -> (RelQueries.funnel _),
+    "tx_nfc" -> ((s, d) => {
+      // corpus text is ASCII (already NFC): embed decomposed combining
+      // sequences for a deterministic subset so the non-identity path
+      // is exercised; ́ = combining acute accent
+      val inp = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.lit(" cafe\u0301 touche\u0301")).otherwise(F.lit("")))
+          .as("raw"))
+      TextAnalysis.nfcNormalize(inp, "raw")
+    }),
+    "rel_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.lineitem(s, d), relProfileCols)),
+    "dd_leak_split" -> ((s, d) => Dedup.leakSplit(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1014,5 +1090,9 @@ object ExtQueries {
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "tx_sample_strat" -> txSampleStratSql,
     "rel_distinct_users" -> relDistinctUsersSql,
+    "rel_funnel" -> relFunnelSql,
+    "tx_nfc" -> txNfcSql,
+    "rel_profile" -> relProfileSql,
+    "dd_leak_split" -> ddLeakSplitSql,
   )
 }

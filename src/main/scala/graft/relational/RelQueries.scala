@@ -238,4 +238,41 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_value_c"))
       .orderBy("hour_epoch_s", "event_type")
   }
+
+  /** Three-step conversion funnel (view → click → purchase) with
+    * strict event-time ordering: a user reaches stage 2 only with a
+    * click strictly after their first view, stage 3 only with a
+    * purchase strictly after that click. Output is the classic
+    * cumulative funnel: (stage, n_users) for users reaching ≥ stage.
+    *
+    * Scale design: each stage is one partial-combinable min-aggregate
+    * plus one equi-join, ALL keyed on user_id — the repeated c-stage
+    * subtree dedupes via exchange reuse, and the three user-keyed
+    * shuffles co-partition so the joins plan without extra exchanges.
+    * No window, no per-user sort, no collect. The final stack is over
+    * a single aggregated row. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOf(Tables.events(spark, sfDir))
+
+  /** [[funnel]] over any (user_id, event_type, ts) frame. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS BIGINT)").as("tsn"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsn").as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("tsn") > col("t_view"))
+      .groupBy("user_id").agg(min("tsn").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("tsn") > col("t_click"))
+      .groupBy("user_id").agg(min("tsn").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n1"), count("t_click").as("n2"),
+        count("t_purchase").as("n3"))
+      .selectExpr("stack(3, '1_view', n1, '2_click', n2, " +
+        "'3_purchase', n3) AS (stage, n_users)")
+      .orderBy("stage")
+  }
 }

@@ -12,7 +12,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 10)
+    assert(GraftExtensions.functions.size == 11)
+  }
+
+  test("nfc_normalize is usable from spark.sql and composes sequences") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS n, " +
+        "length(nfc_normalize('cafe\u0301')) AS l").head
+    assert(r.getString(0) == "caf\u00e9" && r.getInt(1) == 4)
   }
 
   test("minhash_sig is usable from spark.sql; NULL below the shingle width") {

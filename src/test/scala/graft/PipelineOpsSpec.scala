@@ -358,6 +358,83 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("contaminationBloom survives bloom words with bit 63 set") {
+    // Regression class: shiftright is an ARITHMETIC shift, so probing
+    // bit 63 of a negative bloom word under `(w >> 63) % 2 === 1` reads
+    // -1 — a silent false negative that drops truly contaminated docs.
+    // A large eval doc densifies the bloom; the training doc repeats it
+    // verbatim so its shingles probe every inserted position, including
+    // (precondition asserted below) at least one with bit-in-word 63.
+    val evalText = (0 until 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      0L -> evalText,
+      1L -> evalText,
+      2L -> "clean words nothing shared with the eval corpus at all")
+    // Precondition: reproduce the probe-hash layout and require that a
+    // shared shingle probes bit 63 of some word — else this test can't
+    // catch the sign bug and must be re-fixtured.
+    val shRows = d.where(col("doc_id") === 0L)
+      .select(explode(graft.functions.TextOps.wordShingles(col("text"), 5))
+        .as("sh")).distinct()
+      .select((0 until 3).map(i => xxhash64(lit(i), col("sh"))): _*)
+      .collect()
+    var m = 64L
+    while (m < shRows.length.toLong * 16) m <<= 1
+    val probed = shRows.flatMap(r => (0 until 3).map(i =>
+      ((r.getLong(i) % m) + m) % m))
+    assert(probed.exists(_ % 64 == 63),
+      "fixture no longer probes a bit-63 position; enlarge the eval doc")
+    val exact = Dedup.contamination(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = Dedup.contaminationBloom(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
+  test("leakSplit: every near-dup cluster lands on one side of the split") {
+    // 1~2~3 form one near-dup chain (1,2 identical; 2,3 near); 9 is
+    // clean — whatever sides are drawn, cluster members must agree.
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "a b c d e f g h i k",
+      9L -> "totally different content with many other words")
+    val out = Dedup.leakSplit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L))
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(1L)._1 == 1L) // min-label representative
+    assert(out.values.forall(v => v._2 == "train" || v._2 == "val"))
+  }
+
+  test("profile counts rows, non-nulls and distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), None), (None, Some("b"))
+    ).toDF("k", "s")
+    val out = graft.operators.Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("k") == ((4L, 3L, 2L)))
+    assert(out("s") == ((4L, 3L, 2L)))
+  }
+
+  test("funnel enforces strict stage ordering per user") {
+    // u1 converts fully in order; u2 purchases BEFORE clicking (stage
+    // 3 must not count); u3 clicks without ever viewing (stage 2 must
+    // not count); u4 views only.
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "click", 5L),
+      (4L, "view", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.relational.RelQueries.funnelOf(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
   test("knn ivf returns a subset of brute-force candidates, same scoring") {
     val e = (0L to 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))

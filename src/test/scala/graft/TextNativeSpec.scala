@@ -48,4 +48,29 @@ class TextNativeSpec extends AnyFunSuite {
         s"text='${cases(i)}': ${got(i.toLong)} != ${want(i.toLong)}")
     }
   }
+
+  test("nfc_normalize: composes combining sequences, idempotent, " +
+    "identity on NFC text") {
+    import graft.functions.textNative
+    // decomposed e + U+0301 composes to the single codepoint é;
+    // already-NFC text (incl. non-BMP) passes through unchanged
+    val rows = Seq(
+      (1L, "cafe\u0301"), (2L, "caf\u00e9"), (3L, ""), (4L, "plain ascii"),
+      (5L, "\ud83d\ude00 emoji"), (6L, "\u00e1\u00e9"))
+      .toDF("id", "raw")
+    val out = rows.select(col("id"),
+        textNative.nfc_normalize(col("raw")).as("n1"),
+        textNative.nfc_normalize(textNative.nfc_normalize(col("raw"))).as("n2"),
+        length(col("raw")).as("lr"),
+        length(textNative.nfc_normalize(col("raw"))).as("ln"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L)._1 == "caf\u00e9" && out(1L)._4 == 4 && out(1L)._3 == 5)
+    assert(out(2L)._1 == "caf\u00e9" && out(2L)._3 == 4)
+    assert(out(3L)._1 == "")
+    assert(out(4L)._1 == "plain ascii")
+    assert(out(5L)._1 == "\ud83d\ude00 emoji")
+    assert(out(6L)._1 == "\u00e1\u00e9")
+    out.values.foreach { case (n1, n2, _, _) => assert(n1 == n2) }
+  }
 }
