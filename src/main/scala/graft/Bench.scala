@@ -97,10 +97,17 @@ object Bench {
       System.err.println(s"[bench-runs] $name " +
         samples(name).reverse.map(t => f"$t%.2f").mkString(","))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Rounded values: the harness that records this line keeps only a
+    // 2 kB output tail, and ~70 queries at full double precision plus
+    // sbt's trailing "[success]" line overflow it, truncating the head
+    // of the JSON (observed round 3: line present but unparseable).
+    // Two decimals keeps the whole line comfortably inside the window.
+    def fmt(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
