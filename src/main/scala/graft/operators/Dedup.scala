@@ -412,6 +412,54 @@ object Dedup {
         words((h / 64).toInt) |= 1L << (h % 64)
       }
     }
+    bloomProbeVerify(docs, evalSh, words, m, shingleN, evalMod, numProbes)
+  }
+
+  /** [[contaminationBloom]] with the Bloom bit array built by a
+    * DISTRIBUTED aggregate instead of a driver loop — the shape that
+    * survives an eval set too large to collect. The eval shingle
+    * stream maps each probe hash to (word index, bit mask) and ONE
+    * partial-combinable `bit_or` aggregate ORs the masks per word;
+    * the driver receives m/64 packed words (the same bytes it would
+    * have built locally — never a shingle). Sizing needs |distinct
+    * eval shingles|, read with one count-distinct aggregate over the
+    * eval slice only (at real scale this is the benchmark table, not
+    * the corpus). Probe + exact verify are shared with
+    * [[contaminationBloom]] — the result is identical to
+    * [[contamination]] and shares its oracle. */
+  def contaminationBloomDist(docs: DataFrame, shingleN: Int = 5,
+                             evalMod: Long = 19L, bitsPerKey: Int = 16,
+                             numProbes: Int = 3): DataFrame = {
+    val evalSh = shingles(docs.where(col("doc_id") % evalMod === 0), shingleN)
+      .select(col("doc_id").as("eval_doc_id"), col("sh"))
+    val nKeys = evalSh.agg(countDistinct("sh")).collect()(0).getLong(0)
+    var m = 64L
+    val want = nKeys * bitsPerKey
+    require(want <= (1L << 33),
+      s"bloom would need $want bits; raise the cap or shard the bloom")
+    while (m < want) m <<= 1
+    // Build: probe positions -> (word, mask) -> bit_or per word. No
+    // distinct needed (OR is idempotent), so the whole build partial-
+    // aggregates map-side; the shuffle carries ≤ m/64 rows per task.
+    val wordRows = evalSh
+      .select(explode(array((0 until numProbes).map(i =>
+        pmod(xxhash64(lit(i), col("sh")), lit(m))): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+          .as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val words = new Array[Long]((m / 64).toInt)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    bloomProbeVerify(docs, evalSh, words, m, shingleN, evalMod, numProbes)
+  }
+
+  /** Shared bloom probe + exact verify: row-local bit-test prefilter
+    * on the corpus scan, then the exact join over the surviving
+    * sliver (bloom FPs cannot survive it; bloom has no FNs). */
+  private def bloomProbeVerify(docs: DataFrame, evalSh: DataFrame,
+                               words: Array[Long], m: Long, shingleN: Int,
+                               evalMod: Long, numProbes: Int): DataFrame = {
     val bits = typedlit(words.toSeq)
     // Membership = AND of the probed word: shiftright is an ARITHMETIC
     // shift and % keeps the dividend's sign, so a probe of a word with

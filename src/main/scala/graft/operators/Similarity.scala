@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,124 @@ object Similarity {
           col("qn").as("nq"))), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ top-k ANN — the compressed-representation path (the
+    * FAISS IVF-PQ layout, re-expressed relationally): on top of
+    * [[knnIvf]]'s inverted-file pruning, every base vector is stored
+    * as `nSub` product-quantization codes (one codebook entry id per
+    * subspace) and scored by asymmetric-distance computation (ADC):
+    * approx_dot(q, x) = Σ_m T_q[m][code_m(x)] where T_q is the
+    * query's precomputed dot-product table against the codebook.
+    *
+    * Why this is the 100 TB shape: a 64-dim float vector is 256
+    * bytes; its PQ code is `nSub` small ints (8 here — 32×
+    * compression), so the scan that scores candidates reads CODES,
+    * not vectors — the full-precision embedding column is never
+    * touched after encode. The codebook (nSub × nCodes sub-vectors)
+    * and the per-query tables are model-sized driver literals, like
+    * [[knnIvf]]'s centroids; encode and ADC are row-local
+    * projections — the only shuffle-ish op is the broadcast probe
+    * join, identical to IVF.
+    *
+    * Determinism: codebook = sub-vectors of the first `nCodes`
+    * quantized ids (deterministic sampled training, same convention
+    * as the IVF coarse codebook); encode argmin ranks by
+    * (‖c‖² − 2·x_m·c, cid) — exact integers, ties to the lowest
+    * sample id; ADC sums exact integer table entries; the final
+    * cosine is one double division of exact ints (query side uses
+    * its EXACT norm, neighbor side the PQ-reconstructed norm
+    * Σ_m ‖c_{m,code}‖² — standard ADC asymmetry). Recall < 1 by
+    * design; the exact re-rank of the returned page would slot in
+    * as one more join against the full-precision column. */
+  def knnIvfPq(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+               nCentroids: Int = 8, nProbe: Int = 2,
+               nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = quantized(embeddings)
+    // ---- fit collects (model-sized, like knnIvf's centroids) ----
+    val rows: Seq[(Long, Seq[Long], Long)] = base
+      .where(col("vec_id") < math.max(nCentroids, nCodes))
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    if (rows.isEmpty)
+      return base.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("cos_ppm")).limit(0)
+    val dim = rows.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sub = dim / nSub
+    def dotL(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val cents = rows.filter(_._1 < nCentroids)
+    // PQ codebook keyed by SAMPLE ID (not dense position): a sample
+    // excluded by the zero-norm guard must not shift the others'
+    // codes, and the oracle addresses entries by vec_id.
+    val samples = rows.filter(_._1 < nCodes)
+    val cb: Seq[(Long, Array[Seq[Long]])] = samples.map { case (id, qe, _) =>
+      (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
+    }
+    val cbNorm2: Array[Map[Long, Long]] =
+      Array.tabulate(nSub)(m => cb.map { case (id, svs) =>
+        id -> dotL(svs(m), svs(m))
+      }.toMap)
+    // ---- coarse assign (same shape as knnIvf) + PQ encode: ONE
+    // row-local projection emits cid and the nSub codes ----
+    val coarseStructs = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }
+    def argminStruct(ss: Seq[Column]): Column =
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cid")
+    val codeCols = (0 until nSub).map { m =>
+      val ds = cb.map { case (id, svs) =>
+        val cv = svs(m)
+        val dot = aggregate(zip_with(
+          slice(col("qe"), m * sub + 1, sub), typedLit(cv), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+        // ‖x_m‖² is constant across candidates — rank by the reduced
+        // (‖c‖² − 2·dot, cid), exactly what the oracle orders by
+        struct((lit(dotL(cv, cv)) - lit(2L) * dot).as("dist"),
+          lit(id).as("cid"))
+      }
+      argminStruct(ds).as(s"code$m")
+    }
+    val assign = base.select(
+      Seq(col("vec_id"), argminStruct(coarseStructs).as("cid")) ++ codeCols: _*)
+    // ---- query-side models: probe lists + ADC tables (driver,
+    // exact integer arithmetic mirroring the oracle) ----
+    val queries = rows.filter(_._1 < nQueries)
+    val probes = queries.flatMap { case (qid, qe, qn) =>
+      cents.map { case (cid, ce, cn) => (qn + cn - 2L * dotL(qe, ce), cid) }
+        .sorted.take(nProbe).map { case (_, cid) => (qid, cid) }
+    }.toDF("query_id", "cid")
+    val n2a = (0 until nSub).map(m =>
+      element_at(typedlit(cbNorm2(m)), col(s"code$m"))).reduce(_ + _)
+    val cosPq = queries.map { case (qid, qe, qn) =>
+      val t: Array[Map[Long, Long]] = Array.tabulate(nSub)(m =>
+        cb.map { case (id, svs) =>
+          id -> dotL(qe.slice(m * sub, (m + 1) * sub), svs(m))
+        }.toMap)
+      val adot = (0 until nSub).map(m =>
+        element_at(typedlit(t(m)), col(s"code$m"))).reduce(_ + _)
+      (qid, floor((lit(1000000.0) * adot) / (sqrt(lit(qn)) * sqrt(col("n2a"))))
+        .cast("long"))
+    }.foldLeft(lit(null).cast("long")) { case (acc, (qid, c)) =>
+      when(col("query_id") === qid, c).otherwise(acc)
+    }
+    val scored = assign.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("n2a", n2a).where(col("n2a") > 0)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosPq.as("cos_ppm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -386,6 +386,59 @@ object ExtQueries {
       "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
       "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
 
+  /** IVF-PQ: the coarse CTEs mirror [[simKnnIvfSql]]; the PQ side
+    * slices every quantized vector into 8 sub-vectors (DuckDB lists
+    * are 1-based, slices inclusive), addresses codebook entries by
+    * SAMPLE vec_id, encodes by argmin of (‖c‖² − 2·x_m·c, c) — the
+    * ‖x_m‖² term is constant within the argmin, exactly as the
+    * operator ranks — and scores by summed exact-integer ADC table
+    * entries. */
+  private val simKnnIvfPqSql: String =
+    s"WITH $quantCte, " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "cd AS (SELECT b.vec_id, c.cid, " +
+      s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist " +
+      "FROM base b CROSS JOIN cents c), " +
+      "cr AS (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM cd), " +
+      "acid AS (SELECT vec_id, cid FROM cr WHERE rn = 1), " +
+      "probes AS (SELECT vec_id AS query_id, cid FROM cr " +
+      "WHERE rn <= 2 AND vec_id < 8), " +
+      "sub AS (SELECT b.vec_id, r.range AS m, " +
+      "b.qe[(r.range*8+1):(r.range*8+8)] AS sv FROM base b CROSS JOIN range(8) r), " +
+      "cbk AS (SELECT vec_id AS c, m, sv AS cv FROM sub WHERE vec_id < 16), " +
+      "ed AS (SELECT s.vec_id, s.m, k.c, " +
+      s"(${dotSql("k.cv", "k.cv")} - 2 * ${dotSql("s.sv", "k.cv")}) AS dist " +
+      "FROM sub s JOIN cbk k ON k.m = s.m), " +
+      "er AS (SELECT vec_id, m, c, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn " +
+      "FROM ed), " +
+      "codes AS (SELECT vec_id, m, c AS code FROM er WHERE rn = 1), " +
+      "tq AS (SELECT q.vec_id AS query_id, k.m, k.c, " +
+      s"${dotSql("q.sv", "k.cv")} AS t FROM sub q JOIN cbk k ON k.m = q.m " +
+      "WHERE q.vec_id < 8), " +
+      "adc AS (SELECT co.vec_id, t.query_id, CAST(SUM(t.t) AS BIGINT) AS adot " +
+      "FROM codes co JOIN tq t ON t.m = co.m AND t.c = co.code " +
+      "GROUP BY co.vec_id, t.query_id), " +
+      "nrm AS (SELECT co.vec_id, " +
+      s"CAST(SUM(${dotSql("k.cv", "k.cv")}) AS BIGINT) AS n2a " +
+      "FROM codes co JOIN cbk k ON k.m = co.m AND k.c = co.code " +
+      "GROUP BY co.vec_id), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      "CAST(FLOOR((1000000.0 * adc.adot) / (sqrt(qb.n) * sqrt(nrm.n2a))) " +
+      "AS BIGINT) AS cos_ppm " +
+      "FROM acid a JOIN probes p ON p.cid = a.cid AND a.vec_id <> p.query_id " +
+      "JOIN adc ON adc.vec_id = a.vec_id AND adc.query_id = p.query_id " +
+      "JOIN nrm ON nrm.vec_id = a.vec_id " +
+      "JOIN base qb ON qb.vec_id = p.query_id " +
+      "WHERE nrm.n2a > 0), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
   // ---------------------------------------------------------------
   // text analysis
   // ---------------------------------------------------------------
@@ -873,6 +926,19 @@ object ExtQueries {
       "UNION ALL SELECT '3_purchase', CAST(count(t_purchase) AS BIGINT) FROM j" +
       ") ORDER BY stage"
 
+  /** Cohort retention: day index via exact integer nanos division
+    * (`//` floors like Spark's `div` — both operands non-negative). */
+  private val relRetentionSql: String =
+    "WITH ev AS (SELECT user_id, " +
+      "epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+      "c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1), " +
+      "j AS (SELECT DISTINCT ev.user_id, c.cohort_day, " +
+      "ev.day - c.cohort_day AS day_offset FROM ev " +
+      "JOIN c USING (user_id)) " +
+      "SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users " +
+      "FROM j GROUP BY cohort_day, day_offset " +
+      "ORDER BY cohort_day, day_offset"
+
   private val relProfileCols =
     Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus",
       "l_quantity")
@@ -919,6 +985,7 @@ object ExtQueries {
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
     "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    "sim_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -971,6 +1038,10 @@ object ExtQueries {
     // negatives; candidates are exact-verified) -> shares the oracle
     "dd_contamination_bloom" -> ((s, d) =>
       Dedup.contaminationBloom(Tables.documents(s, d))),
+    // same contract with the bloom BUILT distributed (bit_or agg) --
+    // the eval set is never collected; shares the oracle too
+    "dd_contamination_bloomdist" -> ((s, d) =>
+      Dedup.contaminationBloomDist(Tables.documents(s, d))),
     "dd_span_scrub" -> ((s, d) => Dedup.spanScrub(Tables.documents(s, d))),
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1018,6 +1089,7 @@ object ExtQueries {
         F.count(F.lit(1)).as("n"))
       .orderBy("event_type")),
     "rel_funnel" -> (RelQueries.funnel _),
+    "rel_retention" -> (RelQueries.retention _),
     "tx_nfc" -> ((s, d) => {
       // corpus text is ASCII (already NFC): embed decomposed combining
       // sequences for a deterministic subset so the non-identity path
@@ -1050,6 +1122,7 @@ object ExtQueries {
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
+    "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,
@@ -1068,6 +1141,7 @@ object ExtQueries {
     "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
+    "dd_contamination_bloomdist" -> ddContaminationSql,
     "dd_span_scrub" -> ddSpanScrubSql,
     "dd_incremental" -> ddIncrementalSql,
     "mm_meta" -> mmMetaSql,
@@ -1091,6 +1165,7 @@ object ExtQueries {
     "tx_sample_strat" -> txSampleStratSql,
     "rel_distinct_users" -> relDistinctUsersSql,
     "rel_funnel" -> relFunnelSql,
+    "rel_retention" -> relRetentionSql,
     "tx_nfc" -> txNfcSql,
     "rel_profile" -> relProfileSql,
     "dd_leak_split" -> ddLeakSplitSql,

@@ -275,4 +275,35 @@ object RelQueries {
         "'3_purchase', n3) AS (stage, n_users)")
       .orderBy("stage")
   }
+
+  /** Cohort retention matrix: users grouped by the day of their first
+    * event (the cohort), counted by how many are active again
+    * `day_offset` days later — the standard product-analytics
+    * retention triangle, over `events`.
+    *
+    * Scale design: both the first-day aggregate and the activity join
+    * are keyed on user_id, so the join co-partitions with the
+    * aggregate (one user-keyed shuffle, exchange-reused for both plan
+    * arms); the per-user day list is DISTINCTed before counting
+    * (partial-combinable on (user, cohort, offset)); the final
+    * (cohort × offset) aggregate is bounded by days², independent of
+    * corpus size. Day arithmetic stays in exact BIGINT nanos — ts
+    * ≈ 1.7e18 ns is above 2^53, double math would corrupt it. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame =
+    retentionOf(Tables.events(spark, sfDir))
+
+  /** [[retention]] over any (user_id, ts) frame. */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val nanosPerDay = 86400L * 1000000000L
+    val ev = events.select(col("user_id"),
+      expr(s"CAST(ts AS BIGINT) div $nanosPerDay").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

@@ -435,6 +435,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("retention: cohort = first-seen day, offsets distinct per user") {
+    val day = 86400L * 1000000000L
+    // u1 first day 0, active days 0/1/3 (day-1 twice — must count
+    // once); u2 first day 1; u3 day 0 only
+    val ev = Seq(
+      (1L, 0L), (1L, day + 5L), (1L, day + 9L), (1L, 3 * day),
+      (2L, day), (3L, 7L)
+    ).toDF("user_id", "ts")
+    val out = graft.relational.RelQueries.retentionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("distributed-build bloom contamination equals the driver-build one") {
+    // eval docs are doc_id % 19 == 0; give one corpus doc a real
+    // 5-gram overlap with doc 0 and another none
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      19L -> "one two three four five six",
+      3L -> "alpha beta gamma delta epsilon other tail",
+      4L -> "unrelated words entirely disjoint from eval set")
+    val a = Dedup.contaminationBloom(d).collect().toSeq
+    val b = Dedup.contaminationBloomDist(d).collect().toSeq
+    val c = Dedup.contamination(d).collect().toSeq
+    assert(a == c && b == c)
+    assert(c.map(r => r.getLong(0)) == Seq(3L))
+  }
+
+  test("ivf-pq is exact when every vector is a codebook entry") {
+    // vectors 0..15 ARE the PQ samples; 16..19 duplicate 0..3 — every
+    // sub-vector argmin reconstructs its input exactly (‖c−x‖² = 0
+    // uniquely), so ADC degenerates to the exact dot and every
+    // returned score must equal brute force.
+    val vecs = (0L to 15L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq)) ++
+      (16L to 19L).map(i => (i,
+        Array.tabulate(16)(d => math.cos((i - 16) * 7 + d).toFloat).toSeq))
+    val e = vecs.toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(e, nQueries = 4, k = 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val pq = Similarity.knnIvfPq(e, nQueries = 4, k = 5,
+      nCentroids = 4, nProbe = 2, nSub = 4, nCodes = 16).collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5)
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && brute(key) == r.getLong(3),
+        s"pq scored $key differently from brute force")
+    }
+    // the planted duplicate of query 0 must surface at rank 1 (cos of
+    // an identical vector is maximal; exact value is floor(1e6·n/
+    // (√n·√n)) — 999999 when √n² rounds above n, so compare to brute)
+    val dup = pq.find(r => r.getLong(0) == 0L && r.getLong(2) == 16L)
+    assert(dup.isDefined && dup.get.getLong(1) == 1L &&
+      dup.get.getLong(3) == brute((0L, 16L)))
+  }
+
   test("knn ivf returns a subset of brute-force candidates, same scoring") {
     val e = (0L to 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
