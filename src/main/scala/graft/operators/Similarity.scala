@@ -221,6 +221,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage retrieval: [[knnIvfPq]] produces a cheap candidate
+    * PAGE (top-`page` by ADC over codes), then only those
+    * `page × nQueries` rows are re-scored with the exact quantized
+    * cosine from the full-precision column — the standard
+    * compressed-index + exact-re-rank layout (how PQ indexes are
+    * actually served). At 100 TB the first stage never touches the
+    * vector column; the second is a point-lookup join whose input
+    * cardinality is the page size, not the corpus. */
+  def knnIvfPqRerank(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+                     page: Int = 20): DataFrame = {
+    val base = quantized(embeddings)
+    val cand = knnIvfPq(embeddings, nQueries, k = page)
+      .select("query_id", "neighbor_id")
+    val rescored = cand
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("qe"), col("qn")), "neighbor_id")
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+          col("qn").as("nq"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed top-k: same contract as [[knnBrute]] but candidates
     * are limited to same-band-bucket vectors (approximate recall). */
   def knnLshBucketed(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,

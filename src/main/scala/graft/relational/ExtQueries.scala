@@ -393,7 +393,7 @@ object ExtQueries {
     * ‖x_m‖² term is constant within the argmin, exactly as the
     * operator ranks — and scores by summed exact-integer ADC table
     * entries. */
-  private val simKnnIvfPqSql: String =
+  private def simKnnIvfPqCore: String =
     s"WITH $quantCte, " +
       "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
       "cd AS (SELECT b.vec_id, c.cid, " +
@@ -435,9 +435,27 @@ object ExtQueries {
       "WHERE nrm.n2a > 0), " +
       "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
-      "neighbor_id ASC) AS rk FROM scored) " +
-      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "neighbor_id ASC) AS rk FROM scored)"
+
+  private val simKnnIvfPqSql: String =
+    simKnnIvfPqCore +
+      " SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
       "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
+  /** Two-stage retrieval: the PQ page (top-20 by ADC) re-scored with
+    * the EXACT quantized cosine from the full-precision column. */
+  private val simKnnIvfPqRerankSql: String =
+    simKnnIvfPqCore +
+      ", cand AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 20), " +
+      "rescored AS (SELECT c.query_id, c.neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
+      "FROM cand c JOIN base b ON b.vec_id = c.neighbor_id " +
+      "JOIN base qs ON qs.vec_id = c.query_id), " +
+      "r2 AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM rescored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r2 WHERE rk <= 5 ORDER BY query_id, rk"
 
   // ---------------------------------------------------------------
   // text analysis
@@ -986,6 +1004,8 @@ object ExtQueries {
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
     "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "sim_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
+    "sim_knn_ivfpq_rerank" -> ((s, d) =>
+      Similarity.knnIvfPqRerank(Tables.embeddings(s, d))),
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -1123,6 +1143,7 @@ object ExtQueries {
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,
+    "sim_knn_ivfpq_rerank" -> simKnnIvfPqRerankSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{EventTimeOps, Sessionize}
+import graft.streaming.{EventTimeOps, Sessionize, StreamFunnel}
 
 /** Event-time extension operators: exact values in batch mode (the
   * window expression is engine-identical in both modes), watermark
@@ -98,6 +98,82 @@ class EventTimeSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
+  test("StreamFunnel.fold: strict ordering laws of the 3-slot machine") {
+    import StreamFunnel.{Event => E, Hit}
+    // click at the SAME ts as the view must NOT count (strict >);
+    // purchase before the click must not; later duplicates ignored
+    val (s, hits) = StreamFunnel.fold(1L, StreamFunnel.State(-1, -1, -1, Nil),
+      Seq(E(1, "purchase", 5), E(1, "view", 10), E(1, "click", 10),
+        E(1, "click", 20), E(1, "view", 30), E(1, "purchase", 25)))
+    assert(hits.reverse == List(Hit(1, "1_view", 10), Hit(1, "2_click", 20),
+      Hit(1, "3_purchase", 25)))
+    assert((s.t_view, s.t_click, s.t_purchase) == ((10L, 20L, 25L)))
+  }
+
+  test("StreamFunnel.updateState buffers events above the watermark") {
+    import StreamFunnel.{Event => E}
+    val state = new TestGroupState[StreamFunnel.State] {
+      override def getCurrentWatermarkMs(): Long = 15L
+    }
+    // view@10 is final (≤ wm) and emits; click@20 must wait
+    val out1 = StreamFunnel.updateState(1L,
+      Iterator(E(1, "click", 20), E(1, "view", 10)), state).toList
+    assert(out1.map(h => (h.stage, h.ts_ms)) == List(("1_view", 10L)))
+    assert(state.value.get.pending.map(_.ts_ms) == Seq(20L))
+    // watermark passes 20 (timeout path: empty iterator) → click emits
+    val state2 = new TestGroupState[StreamFunnel.State] {
+      override def getCurrentWatermarkMs(): Long = 30L
+    }
+    state2.value = state.value
+    val out2 = StreamFunnel.updateState(1L, Iterator.empty, state2).toList
+    assert(out2.map(h => (h.stage, h.ts_ms)) == List(("2_click", 20L)))
+    assert(state2.value.get.pending.isEmpty)
+  }
+
+  test("StreamFunnel == batch funnel under cross-batch disorder (MemoryStream)") {
+    import StreamFunnel.{Event => E}
+    implicit val sqlCtx = spark.sqlContext
+    // u1 converts fully; u2's click ARRIVES before its view though the
+    // view is event-time earlier (the disorder the buffer must absorb);
+    // u3 purchases without clicking; u4's click ties its view's ts
+    val b1 = Seq(E(1, "view", 1000), E(2, "click", 2500), E(3, "purchase", 1000))
+    val b2 = Seq(E(2, "view", 2000), E(1, "click", 3000),
+      E(4, "view", 4000), E(4, "click", 4000))
+    val b3 = Seq(E(1, "purchase", 6000))
+    val sentinel1 = Seq(E(99, "view", 500000))
+    val sentinel2 = Seq(E(98, "view", 900000))
+    val mem = MemoryStream[E]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "5 seconds")
+      .as[E]
+    val q = StreamFunnel(withWm)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq(b1, b2, b3, sentinel1, sentinel2).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      // sentinels only advance the watermark (the LAST one's own view
+      // stays buffered — nothing moves the watermark past it), so the
+      // equivalence is over the real users
+      val got = spark.table("funnel_out").as[StreamFunnel.Hit].collect()
+        .filter(_.user_id < 90)
+      // each stage emitted at most once per user
+      assert(got.groupBy(h => (h.user_id, h.stage)).forall(_._2.length == 1))
+      val streamCounts = got.groupBy(_.stage).view.mapValues(_.length.toLong).toMap
+      val batch = graft.relational.RelQueries.funnelOf(
+        (b1 ++ b2 ++ b3).map(e => (e.user_id, e.event_type, e.ts_ms))
+          .toDF("user_id", "event_type", "ts")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // funnelOf counts users reaching ≥ stage; hits are per-stage
+      // transitions, so membership sets must agree
+      assert(streamCounts.getOrElse("1_view", 0L) == batch("1_view"))
+      assert(streamCounts.getOrElse("2_click", 0L) == batch("2_click"))
+      assert(streamCounts.getOrElse("3_purchase", 0L) == batch("3_purchase"))
     } finally q.stop()
   }
 

@@ -493,6 +493,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       dup.get.getLong(3) == brute((0L, 16L)))
   }
 
+  test("ivf-pq rerank returns TRUE cosines (exact re-rank of the PQ page)") {
+    val e = (0L to 30L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 13 + d * 3).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(e, nQueries = 3, k = 31).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val out = Similarity.knnIvfPqRerank(e, nQueries = 3, k = 4, page = 10)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // unlike the PQ stage (approximate scores), every re-ranked row
+      // must carry the exact full-precision cosine
+      assert(brute.contains(key) && brute(key) == r.getLong(3),
+        s"rerank emitted a non-exact score for $key")
+    }
+  }
+
   test("knn ivf returns a subset of brute-force candidates, same scoring") {
     val e = (0L to 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
