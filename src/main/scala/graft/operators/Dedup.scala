@@ -339,6 +339,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric containment dedup: C(a,b) = |A∩B| / min(|A|,|B|)
+    * over word-shingle sets — the measure that catches a SHORT doc
+    * embedded in a LONG one, which symmetric Jaccard dilutes to
+    * invisibility (|A|=20 shingles inside |B|=2000: jaccard ≈ 1%,
+    * containment = 100%; quote-farms and scraped aggregators look
+    * exactly like this). Same exact-verify shape as [[ngramJaccard]]
+    * (the shingle equi-join IS the candidate generator, partial-
+    * combined per (a,b)); the production composition puts the verify
+    * behind a blocker — with the caveat that SYMMETRIC MinHash
+    * banding under-recalls high-containment/low-jaccard pairs, which
+    * is why containment blocking at scale samples the SMALLER side's
+    * shingles instead (the [[contamination]] broadcast shape, with
+    * the short-doc side playing the eval set). */
+  def containment(docs: DataFrame, shingleN: Int = 3,
+                  minContainPpm: Long = 600000L): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        floor(lit(1000000.0) * col("n_inter") / least(col("na"), col("nb")))
+          .cast("long").as("contain_ppm"))
+      .where(col("contain_ppm") >= minContainPpm)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Benchmark decontamination: find training docs sharing any word
     * n-gram with an evaluation/benchmark set — the standard
     * contamination check before training. The eval set here is the

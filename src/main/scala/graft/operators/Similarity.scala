@@ -230,9 +230,9 @@ object Similarity {
     * vector column; the second is a point-lookup join whose input
     * cardinality is the page size, not the corpus. */
   def knnIvfPqRerank(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-                     page: Int = 20): DataFrame = {
+                     page: Int = 20, nCodes: Int = 16): DataFrame = {
     val base = quantized(embeddings)
-    val cand = knnIvfPq(embeddings, nQueries, k = page)
+    val cand = knnIvfPq(embeddings, nQueries, k = page, nCodes = nCodes)
       .select("query_id", "neighbor_id")
     val rescored = cand
       .join(base.select(col("vec_id").as("neighbor_id"),

@@ -260,6 +260,28 @@ object ExtQueries {
       "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
       "SELECT * FROM j WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
 
+  private val ddContainmentSql: String =
+    s"WITH ${shinglesCte(3)}, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, n_inter, " +
+      "CAST(FLOOR(1000000.0 * n_inter / least(na.n, nb.n)) AS BIGINT) AS contain_ppm " +
+      "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
+      "SELECT * FROM j WHERE contain_ppm >= 600000 ORDER BY doc_a, doc_b"
+
+  /** lag() inter-event gaps: DuckDB's window semantics match Spark's
+    * exactly for a total-ordered frame; `//` floors like `div`. */
+  private val relUserGapsSql: String =
+    "WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), " +
+      "g AS (SELECT user_id, (tsn - lag(tsn) OVER " +
+      "(PARTITION BY user_id ORDER BY tsn, event_id)) // 1000000000 AS gap_s " +
+      "FROM ev) " +
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s, " +
+      "CAST(sum(gap_s) AS BIGINT) AS sum_gap_s " +
+      "FROM g WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id"
+
   private val ddEmbedNearDupSql: String =
     s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
       "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
@@ -994,6 +1016,7 @@ object ExtQueries {
       Dedup.simhashPairsWide(Tables.documents(s, d))),
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dd_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
@@ -1110,6 +1133,7 @@ object ExtQueries {
       .orderBy("event_type")),
     "rel_funnel" -> (RelQueries.funnel _),
     "rel_retention" -> (RelQueries.retention _),
+    "rel_user_gaps" -> (RelQueries.userGaps _),
     "tx_nfc" -> ((s, d) => {
       // corpus text is ASCII (already NFC): embed decomposed combining
       // sequences for a deterministic subset so the non-identity path
@@ -1134,6 +1158,7 @@ object ExtQueries {
     "dd_simhash_pairs_wide" -> ddSimhashPairsWideSql,
     "dd_clusters" -> ddClustersSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
@@ -1187,6 +1212,7 @@ object ExtQueries {
     "rel_distinct_users" -> relDistinctUsersSql,
     "rel_funnel" -> relFunnelSql,
     "rel_retention" -> relRetentionSql,
+    "rel_user_gaps" -> relUserGapsSql,
     "tx_nfc" -> txNfcSql,
     "rel_profile" -> relProfileSql,
     "dd_leak_split" -> ddLeakSplitSql,

@@ -276,6 +276,27 @@ object RelQueries {
       .orderBy("stage")
   }
 
+  /** Inter-event gap statistics per user via lag(): the
+    * engagement-cadence profile (and the one window shape —
+    * lag/lead — the surface didn't yet exercise). ONE shuffle on
+    * user_id; the frame is total-ordered by (ts, event_id) so ties
+    * cannot flip gaps under retries; gap math in exact BIGINT nanos
+    * floored to seconds. Output is one row per user with ≥ 2 events
+    * — aggregate-bounded by |users|, not |events|. */
+  def userGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(ts AS BIGINT)").as("tsn"))
+      .withColumn("gap_s",
+        expr("(tsn - lag(tsn) OVER " +
+          "(PARTITION BY user_id ORDER BY tsn, event_id)) div 1000000000"))
+      .where(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_s").as("min_gap_s"),
+        max("gap_s").as("max_gap_s"), sum("gap_s").as("sum_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** Cohort retention matrix: users grouped by the day of their first
     * event (the cohort), counted by how many are active again
     * `day_offset` days later — the standard product-analytics

@@ -69,6 +69,27 @@ class KafkaEdgeSpec extends AnyFunSuite {
       "org.apache.kafka.common.errors.TimeoutException"))
   }
 
+  test("ReflectiveKafkaSender degrades to per-record DLT routing without kafka-clients") {
+    // this sandbox has no kafka-clients jar, so the reflective binding
+    // must fail CLOSED: every send reports the binding error as a
+    // producer message (→ production DLT), never throws into the task
+    val sender = new graft.sources.ReflectiveKafkaSender("broker:9092", "out")
+    val err = sender.send("k".getBytes, "v".getBytes)
+    assert(err.isDefined && err.get.contains("kafka producer unavailable"))
+    // ...and it composes with the record-granular fallback path
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val failures = KafkaEdge.sendWithFallback(df, sender).collect()
+    assert(failures.length == 2)
+    // executor shipping: the sender must survive JVM serialization
+    // with its transient binding re-resolved on the other side
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(sender)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.ReflectiveKafkaSender]
+    assert(back.send("k".getBytes, "v".getBytes).isDefined)
+  }
+
   test("sendWithDltFallback routes failures through the DLT sink exactly once") {
     var sunk: Seq[org.apache.spark.sql.Row] = Seq.empty
     val sender = new KafkaEdge.RecordSender {

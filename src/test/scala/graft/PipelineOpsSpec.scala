@@ -435,6 +435,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("containment surfaces short-in-long duplication that jaccard dilutes") {
+    val longText = (1 to 300).map(i => s"w$i").mkString(" ")
+    val shortText = (101 to 110).map(i => s"w$i").mkString(" ") // ⊂ longText
+    val d = docs(1L -> longText, 2L -> shortText, 3L -> "x y z q r s")
+    val cont = Dedup.containment(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // all 8 of the short doc's 3-gram shingles sit inside the long doc
+    assert(cont.toSeq == Seq((1L, 2L, 1000000L)))
+    // symmetric jaccard on the same pair: 8 / 298 ≈ 2.7% — invisible
+    val jac = Dedup.ngramJaccard(d).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("retention: cohort = first-seen day, offsets distinct per user") {
     val day = 86400L * 1000000000L
     // u1 first day 0, active days 0/1/3 (day-1 twice — must count
