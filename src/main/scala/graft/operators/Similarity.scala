@@ -134,31 +134,134 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
                nCentroids: Int = 8, nProbe: Int = 2,
                nSub: Int = 8, nCodes: Int = 16): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val base = quantized(embeddings)
-    // ---- fit collects (model-sized, like knnIvf's centroids) ----
-    val rows: Seq[(Long, Seq[Long], Long)] = base
-      .where(col("vec_id") < math.max(nCentroids, nCodes))
-      .select("vec_id", "qe", "qn").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
-      .toSeq.sortBy(_._1)
-    if (rows.isEmpty)
-      return base.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
-        col("vec_id").as("neighbor_id"), lit(0L).as("cos_ppm")).limit(0)
-    val dim = rows.head._2.length
-    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
-    val sub = dim / nSub
-    def dotL(a: Seq[Long], b: Seq[Long]): Long =
-      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
-    val cents = rows.filter(_._1 < nCentroids)
+    val rows = fitRows(base, math.max(nCentroids, nCodes))
+    if (rows.isEmpty) return emptyKnn(base)
+    val sub = subWidth(rows, nSub)
     // PQ codebook keyed by SAMPLE ID (not dense position): a sample
     // excluded by the zero-norm guard must not shift the others'
     // codes, and the oracle addresses entries by vec_id.
-    val samples = rows.filter(_._1 < nCodes)
-    val cb: Seq[(Long, Array[Seq[Long]])] = samples.map { case (id, qe, _) =>
-      (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
+    val cb: Seq[(Long, Array[Seq[Long]])] =
+      rows.filter(_._1 < nCodes).map { case (id, qe, _) =>
+        (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
+      }
+    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub)
+  }
+
+  /** [[knnIvfPq]] with Lloyd-TRAINED per-subspace codebooks (the
+    * production PQ fit): seeds are the sampled sub-vectors, then
+    * `iters` distributed k-means rounds refine each subspace's
+    * codebook independently — one (m, code, dim) partial aggregate
+    * per round over the exploded sub-vector stream, model collected
+    * like [[graft.operators.Cluster]]'s fit. Same deterministic
+    * discipline (exact-integer assign, floor(mean) update, empty
+    * cell keeps its centroid), but the trained centroids are no
+    * longer corpus rows, so no SQL oracle pins it — declared
+    * rows-only (x_ prefix), with recall measured in tools/SimScale. */
+  def knnIvfPqTrained(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+                      nCentroids: Int = 8, nProbe: Int = 2,
+                      nSub: Int = 8, nCodes: Int = 16,
+                      iters: Int = 2): DataFrame = {
+    // the fit iterates over the quantized base: materialize it once
+    val base = quantized(embeddings).localCheckpoint(true)
+    val rows = fitRows(base, math.max(nCentroids, nCodes))
+    if (rows.isEmpty) return emptyKnn(base)
+    val sub = subWidth(rows, nSub)
+    val seed: Seq[(Long, Array[Seq[Long]])] =
+      rows.filter(_._1 < nCodes).map { case (id, qe, _) =>
+        (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
+      }
+    val cb = trainCodebooks(base, seed, nSub, sub, iters)
+    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub)
+  }
+
+  /** Distributed per-subspace Lloyd: ONE exploded (m, sv) stream
+    * feeds every round; assign is a row-local argmin dispatched on m;
+    * update is one partial-combinable (m, code, dim) sum/count
+    * aggregate whose collected model is nSub × nCodes × sub longs.
+    * Exact integer sums (order-independent) + floor(mean) keep the
+    * fit rerun-deterministic. */
+  private def trainCodebooks(base: DataFrame,
+      seed: Seq[(Long, Array[Seq[Long]])], nSub: Int, sub: Int,
+      iters: Int): Seq[(Long, Array[Seq[Long]])] = {
+    val subs = base.select(explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("qe"), m * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+      .localCheckpoint(true)
+    var cents: Map[Int, Seq[(Long, Seq[Long])]] = (0 until nSub).map(m =>
+      m -> seed.map { case (id, svs) => (id, svs(m)) }).toMap
+    for (_ <- 1 to iters) {
+      val code = (0 until nSub).map { m =>
+        val ds = cents(m).map { case (cid, cv) =>
+          val dot = aggregate(zip_with(col("sv"), typedLit(cv), (x, y) => x * y),
+            lit(0L), (a, v) => a + v)
+          struct((lit(dotL(cv, cv)) - lit(2L) * dot).as("dist"),
+            lit(cid).as("cid"))
+        }
+        m -> (if (ds.size == 1) ds.head else least(ds: _*)).getField("cid")
+      }.foldLeft(lit(null).cast("long")) { case (acc, (m, c)) =>
+        when(col("m") === m, c).otherwise(acc)
+      }
+      // two projections, not one: a generator (posexplode) in the SAME
+      // select triggers Spark's generator extraction to re-resolve the
+      // sibling expressions, which re-derives the least()-over-structs
+      // type with placeholder field names (col1/col2) and breaks the
+      // getField("cid") — resolve the argmin first, then explode (the
+      // optimizer collapses the projections after analysis anyway)
+      val sums = subs.select(col("m"), code.as("cid"), col("sv"))
+        .select(col("m"), col("cid"), posexplode(col("sv")))
+        .groupBy("m", "cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val updated: Map[(Int, Long), Seq[Long]] = sums.groupBy(_._1)
+        .map { case (key, rs) =>
+          // floor(mean): sums stay far below 2^53 — exact in double
+          key -> rs.sortBy(_._2)
+            .map(t => math.floor(t._3.toDouble / t._4).toLong).toSeq
+        }
+      cents = cents.map { case (m, cs) => m -> cs.map { case (cid, old) =>
+        (cid, updated.getOrElse((m, cid), old))
+      } }
     }
+    seed.map { case (id, _) =>
+      (id, Array.tabulate(nSub)(m =>
+        cents(m).collectFirst { case (cid, cv) if cid == id => cv }.get))
+    }
+  }
+
+  private def dotL(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+
+  /** Fit collect shared by the PQ paths (model-sized, like
+    * [[knnIvf]]'s centroids). */
+  private def fitRows(base: DataFrame, below: Int): Seq[(Long, Seq[Long], Long)] =
+    base.where(col("vec_id") < below)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+  private def subWidth(rows: Seq[(Long, Seq[Long], Long)], nSub: Int): Int = {
+    val dim = rows.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    dim / nSub
+  }
+
+  private def emptyKnn(base: DataFrame): DataFrame =
+    base.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
+      col("vec_id").as("neighbor_id"), lit(0L).as("cos_ppm")).limit(0)
+
+  /** Search core shared by the sampled and trained PQ paths: coarse
+    * assign + encode in one row-local projection, driver-side probe
+    * lists and ADC tables, broadcast probe join, per-query top-k. */
+  private def ivfPqSearch(base: DataFrame, rows: Seq[(Long, Seq[Long], Long)],
+      cb: Seq[(Long, Array[Seq[Long]])], nQueries: Int, k: Int,
+      nCentroids: Int, nProbe: Int, nSub: Int, sub: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents = rows.filter(_._1 < nCentroids)
     val cbNorm2: Array[Map[Long, Long]] =
       Array.tabulate(nSub)(m => cb.map { case (id, svs) =>
         id -> dotL(svs(m), svs(m))

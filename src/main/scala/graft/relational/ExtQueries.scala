@@ -1029,6 +1029,11 @@ object ExtQueries {
     "sim_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "sim_knn_ivfpq_rerank" -> ((s, d) =>
       Similarity.knnIvfPqRerank(Tables.embeddings(s, d))),
+    // Lloyd-trained PQ codebooks: centroids are no longer corpus rows,
+    // so no SQL oracle can pin them -> rows-only check (x_ prefix);
+    // recall measured against brute force in tools/SimScale
+    "x_knn_pq_trained" -> ((s, d) =>
+      Similarity.knnIvfPqTrained(Tables.embeddings(s, d))),
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

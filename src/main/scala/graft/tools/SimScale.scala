@@ -24,7 +24,8 @@ object SimScale {
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("sf0.001", "sf0.01", "sf0.1")
     println("sf,n_vecs,recall_lsh,recall_ivf,recall_pq,recall_rerank," +
-      "pq_mean_abs_err_ppm,pq_max_abs_err_ppm,recall_rerank_cb64")
+      "pq_mean_abs_err_ppm,pq_max_abs_err_ppm,recall_rerank_cb64," +
+      "recall_pq_trained,recall_trained_cb64")
     sfs.foreach { sf =>
       val dir = if (sf.contains("/")) sf else s"/root/testdata/$sf"
       val e = Tables.embeddings(spark, dir)
@@ -50,7 +51,10 @@ object SimScale {
       // the codebook-size lever: same path, 64 sampled entries
       val rRe64 = recall(pairsOf(
         Similarity.knnIvfPqRerank(e, nCodes = 64)))
-      println(f"$sf,$n,$rLsh%.3f,$rIvf%.3f,$rPq%.3f,$rRe%.3f,$meanErr,$maxErr,$rRe64%.3f")
+      val rTr = recall(pairsOf(Similarity.knnIvfPqTrained(e)))
+      val rTr64 = recall(pairsOf(Similarity.knnIvfPqTrained(e, nCodes = 64)))
+      println(f"$sf,$n,$rLsh%.3f,$rIvf%.3f,$rPq%.3f,$rRe%.3f,$meanErr,$maxErr," +
+        f"$rRe64%.3f,$rTr%.3f,$rTr64%.3f")
     }
     spark.stop()
   }

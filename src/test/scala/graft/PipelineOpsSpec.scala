@@ -524,6 +524,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-PQ fit is rerun-deterministic and emits full result pages") {
+    val e = (0L to 40L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 11 + d * 5).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.knnIvfPqTrained(e, nQueries = 3, k = 4,
+      nCentroids = 4, nProbe = 2, nSub = 4, nCodes = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val a = run()
+    // exact-integer assign + floor(mean) update → bit-identical refit
+    assert(a == run())
+    assert(a.nonEmpty && a.forall(t => t._2 >= 1 && t._2 <= 4))
+    assert(a.map(t => (t._1, t._3)).distinct.size == a.size)
+  }
+
   test("knn ivf returns a subset of brute-force candidates, same scoring") {
     val e = (0L to 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i * 7 + d).toFloat).toSeq))
