@@ -279,6 +279,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-statistics quality signal (the integer-exact form of the
+    * unigram-LM familiarity score): per doc, the fraction of tokens
+    * whose corpus document frequency is ≥ `minDf`, and the mean df of
+    * its tokens in ppm of corpus size. Low familiarity flags OCR
+    * garbage, codified text, and off-distribution content — the
+    * classic cheap quality gate before an expensive model-based one.
+    *
+    * Scale design: the df table is ONE (doc, word)-distinct +
+    * word-keyed count (both partial-combinable); the token→df join is
+    * word-keyed (at 100 TB the df table is vocabulary-sized —
+    * broadcastable after a min-df cut, or bucketed); the per-doc
+    * aggregate is partial-combinable sums. All ratios are single
+    * divisions of exact integers (ppm floor — sums stay below 2^53 at
+    * any SF where nDocs × tokens fits a task, and the mean-df
+    * numerator is bounded by n_tokens × nDocs). */
+  def wordFamiliarity(docs: DataFrame, minDf: Long = 3L): DataFrame = {
+    val base = Partitioning.spread(docs)
+    val nDocs = base.count()
+    val words = base.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val df = words.distinct().groupBy("w")
+      .agg(count(lit(1)).as("df"))
+    words.join(df, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_familiar"),
+        sum("df").as("sum_df"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(lit(1000000.0) * col("n_familiar") / col("n_tokens"))
+          .cast("long").as("familiar_ppm"),
+        floor((lit(1000000.0) * col("sum_df")) / (col("n_tokens") * lit(nDocs)))
+          .cast("long").as("mean_df_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: redact emails/phone numbers with typed
     * placeholders and count the redactions — the compliance pass every
     * training corpus needs. Row-local codegen'd regexes (no UDF); the

@@ -272,6 +272,22 @@ object ExtQueries {
 
   /** lag() inter-event gaps: DuckDB's window semantics match Spark's
     * exactly for a total-ordered frame; `//` floors like `div`. */
+  /** Word-familiarity: df = distinct-doc count per token; ratios are
+    * single divisions of exact integers (sums < 2^53 at oracle SF). */
+  private val txWordFamiliaritySql: String =
+    "WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+      "FROM ws GROUP BY w), " +
+      "nd AS (SELECT count(*) AS n FROM documents), " +
+      "j AS (SELECT ws.doc_id, df.df FROM ws JOIN df USING (w)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(FLOOR(1000000.0 * sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) " +
+      "/ count(*)) AS BIGINT) AS familiar_ppm, " +
+      "CAST(FLOOR((1000000.0 * CAST(sum(df) AS BIGINT)) " +
+      "/ (count(*) * (SELECT n FROM nd))) AS BIGINT) AS mean_df_ppm " +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"
+
   private val relUserGapsSql: String =
     "WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), " +
       "g AS (SELECT user_id, (tsn - lag(tsn) OVER " +
@@ -1061,6 +1077,8 @@ object ExtQueries {
     }),
     "tx_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d))),
+    "tx_word_familiarity" -> ((s, d) =>
+      TextAnalysis.wordFamiliarity(Tables.documents(s, d))),
     "tx_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "tx_sample_mix" -> ((s, d) =>
@@ -1218,6 +1236,7 @@ object ExtQueries {
     "rel_funnel" -> relFunnelSql,
     "rel_retention" -> relRetentionSql,
     "rel_user_gaps" -> relUserGapsSql,
+    "tx_word_familiarity" -> txWordFamiliaritySql,
     "tx_nfc" -> txNfcSql,
     "rel_profile" -> relProfileSql,
     "dd_leak_split" -> ddLeakSplitSql,

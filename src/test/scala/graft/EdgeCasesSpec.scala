@@ -57,6 +57,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Cluster.semDedup(emptyEmb).count() == 0)
   }
 
+  test("r4 operators: empty and degenerate inputs") {
+    // containment: empty and sub-shingle corpora produce no pairs
+    assert(Dedup.containment(emptyDocs).count() == 0)
+    assert(Dedup.containment(tinyDocs).count() == 0)
+    // distributed bloom build: empty corpus → empty eval set → no hits
+    assert(Dedup.contaminationBloomDist(emptyDocs).count() == 0)
+    // word familiarity survives empty corpora and empty strings
+    assert(TextAnalysis.wordFamiliarity(emptyDocs).count() == 0)
+    assert(TextAnalysis.wordFamiliarity(tinyDocs).count() == 2)
+    // PQ paths: empty embeddings and fewer vectors than codebook slots
+    assert(Similarity.knnIvfPq(emptyEmb).count() == 0)
+    assert(Similarity.knnIvfPqRerank(emptyEmb).count() == 0)
+    assert(Similarity.knnIvfPqTrained(emptyEmb).count() == 0)
+    val fewEmb = (0L to 4L).map(i =>
+      (i, Seq.tabulate(16)(d => (math.cos(i * 3 + d)).toFloat)))
+      .toDF("vec_id", "embedding")
+    // 5 vectors < nCodes=16: the codebook is just smaller, search runs
+    assert(Similarity.knnIvfPq(fewEmb, nQueries = 2, k = 3,
+      nCentroids = 4, nSub = 4).count() > 0)
+    // streaming funnel fold: empty event list is a no-op
+    val (s, hits) = graft.streaming.StreamFunnel.fold(1L,
+      graft.streaming.StreamFunnel.State(-1, -1, -1, Nil), Nil)
+    assert(hits.isEmpty && s.t_view == -1)
+    // retention on an empty frame
+    assert(graft.relational.RelQueries.retentionOf(
+      Seq.empty[(Long, Long)].toDF("user_id", "ts")).count() == 0)
+  }
+
   test("range join: no clicks still reports zero-count purchases") {
     val events = Seq(
       ("purchase", 1L, 10L, 2000000000000000L * 1000L))

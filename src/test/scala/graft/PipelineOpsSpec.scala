@@ -435,6 +435,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("word familiarity: df counts distinct docs, ratios exact") {
+    val d = docs(1L -> "a b c", 2L -> "a b", 3L -> "a x")
+    val out = TextAnalysis.wordFamiliarity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // df: a=3 b=2 c=1 x=1; minDf=3 → only 'a' is familiar; corpus n=3
+    assert(out(1L) == ((3L, 333333L, 666666L))) // sum_df 6 / (3·3)
+    assert(out(2L) == ((2L, 500000L, 833333L))) // sum_df 5 / (2·3)
+    assert(out(3L) == ((2L, 500000L, 666666L))) // sum_df 4 / (2·3)
+  }
+
   test("containment surfaces short-in-long duplication that jaccard dilutes") {
     val longText = (1 to 300).map(i => s"w$i").mkString(" ")
     val shortText = (101 to 110).map(i => s"w$i").mkString(" ") // ⊂ longText
