@@ -196,10 +196,10 @@ object Similarity {
         val ds = cents(m).map { case (cid, cv) =>
           val dot = aggregate(zip_with(col("sv"), typedLit(cv), (x, y) => x * y),
             lit(0L), (a, v) => a + v)
-          struct((lit(dotL(cv, cv)) - lit(2L) * dot).as("dist"),
-            lit(cid).as("cid"))
+          // packed (dist·64 + id) argmin — see ivfPqSearch
+          (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + cid
         }
-        m -> (if (ds.size == 1) ds.head else least(ds: _*)).getField("cid")
+        m -> pmod(argminPacked(ds), lit(64L))
       }.foldLeft(lit(null).cast("long")) { case (acc, (m, c)) =>
         when(col("m") === m, c).otherwise(acc)
       }
@@ -235,6 +235,10 @@ object Similarity {
   private def dotL(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
 
+  /** least() over packed (dist·64 + id) longs. */
+  private def argminPacked(ds: Seq[Column]): Column =
+    if (ds.size == 1) ds.head else least(ds: _*)
+
   /** Fit collect shared by the PQ paths (model-sized, like
     * [[knnIvf]]'s centroids). */
   private def fitRows(base: DataFrame, below: Int): Seq[(Long, Seq[Long], Long)] =
@@ -261,20 +265,21 @@ object Similarity {
       nCentroids: Int, nProbe: Int, nSub: Int, sub: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
+    // packed-argmin precondition: ids must fit the 6-bit slot
+    require(cb.forall(e => e._1 >= 0 && e._1 < 64) && nCentroids <= 64,
+      "PQ codebook/centroid ids must be in [0, 64) for the packed argmin")
     val cents = rows.filter(_._1 < nCentroids)
     val cbNorm2: Array[Map[Long, Long]] =
       Array.tabulate(nSub)(m => cb.map { case (id, svs) =>
         id -> dotL(svs(m), svs(m))
       }.toMap)
     // ---- coarse assign (same shape as knnIvf) + PQ encode: ONE
-    // row-local projection emits cid and the nSub codes ----
-    val coarseStructs = cents.map { case (cid, ce, cn) =>
-      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
-        lit(0L), (a, v) => a + v)
-      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
-    }
-    def argminStruct(ss: Seq[Column]): Column =
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("cid")
+    // row-local projection emits cid and the nSub codes. The argmin
+    // packs (dist, id) into ONE long — dist·64 + id is monotone in
+    // (dist, id) for id < 64, so least() over longs ranks exactly
+    // like the oracle's ORDER BY dist, cid (ties to the lowest id)
+    // at a fraction of the struct comparator's expression size.
+    // No overflow: |dist| ≤ 3·dim·Q² ≈ 2^28, ×64 ≪ 2^63. ----
     val codeCols = (0 until nSub).map { m =>
       val ds = cb.map { case (id, svs) =>
         val cv = svs(m)
@@ -282,14 +287,19 @@ object Similarity {
           slice(col("qe"), m * sub + 1, sub), typedLit(cv), (x, y) => x * y),
           lit(0L), (a, v) => a + v)
         // ‖x_m‖² is constant across candidates — rank by the reduced
-        // (‖c‖² − 2·dot, cid), exactly what the oracle orders by
-        struct((lit(dotL(cv, cv)) - lit(2L) * dot).as("dist"),
-          lit(id).as("cid"))
+        // (‖c‖² − 2·dot, id), exactly what the oracle orders by
+        (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + id
       }
-      argminStruct(ds).as(s"code$m")
+      pmod(argminPacked(ds), lit(64L)).as(s"code$m")
+    }
+    val coarsePacked = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      (col("qn") + cn - lit(2L) * dot) * 64L + cid
     }
     val assign = base.select(
-      Seq(col("vec_id"), argminStruct(coarseStructs).as("cid")) ++ codeCols: _*)
+      Seq(col("vec_id"),
+        pmod(argminPacked(coarsePacked), lit(64L)).as("cid")) ++ codeCols: _*)
     // ---- query-side models: probe lists + ADC tables (driver,
     // exact integer arithmetic mirroring the oracle) ----
     val queries = rows.filter(_._1 < nQueries)
