@@ -279,6 +279,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide top-k term OCCURRENCES via the Misra–Gries
+    * heavy-hitters aggregate ([[graft.functions.MisraGriesTopK]]) —
+    * the bounded-memory alternative to [[topTerms]]'s word-keyed
+    * count: partials are `capacity`-counter summaries that merge
+    * associatively, so nothing vocabulary-sized ever shuffles. Exact
+    * whenever the observed vocabulary fits `capacity` (this corpus:
+    * 31 distinct tokens ≪ 256 — the declared query hash-matches the
+    * exact oracle); under overflow the spec pins the
+    * N/(capacity+1) error bound instead. */
+  def topTermsSketch(docs: DataFrame, capacity: Int = 256,
+                     k: Int = 25): DataFrame =
+    Partitioning.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .agg(graft.functions.sketchNative.mg_topk(col("w"), capacity, k)
+        .as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.term").as("term"), col("e.est").as("n"))
+      .orderBy(col("n").desc, col("term"))
+
   /** Corpus-statistics quality signal (the integer-exact form of the
     * unigram-LM familiarity score): per doc, the fraction of tokens
     * whose corpus document frequency is ≥ `minDf`, and the mean df of

@@ -57,6 +57,14 @@ object GraftExtensions {
       info("quantize_vector", "array<float> -> array<long> floor(x*Q), Q literal"),
       (es: Seq[Expression]) => QuantizeVector(es.head,
         es(1).eval().asInstanceOf[Number].intValue())),
+    // aggregate: the analyzer wraps a raw AggregateFunction builder
+    // result in AggregateExpression itself
+    (FunctionIdentifier("mg_topk"),
+      info("mg_topk", "Misra-Gries heavy hitters: (term, capacity, k) " +
+        "-> array<struct<term,est>> by (est DESC, term)"),
+      (es: Seq[Expression]) => MisraGriesTopK(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("qdot"),
       info("qdot", "exact integer dot product of two array<long>"),
       (es: Seq[Expression]) => QDotLong(es.head, es(1))),

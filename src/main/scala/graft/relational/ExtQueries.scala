@@ -288,6 +288,13 @@ object ExtQueries {
       "/ (count(*) * (SELECT n FROM nd))) AS BIGINT) AS mean_df_ppm " +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** Exact top-k term occurrences — the oracle for the MG sketch
+    * query, valid because the corpus vocabulary fits the sketch. */
+  private val txTopTermsSketchSql: String =
+    "SELECT w AS term, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "GROUP BY w ORDER BY n DESC, term LIMIT 25"
+
   private val relUserGapsSql: String =
     "WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), " +
       "g AS (SELECT user_id, (tsn - lag(tsn) OVER " +
@@ -1079,6 +1086,10 @@ object ExtQueries {
       TextAnalysis.topTerms(Tables.documents(s, d))),
     "tx_word_familiarity" -> ((s, d) =>
       TextAnalysis.wordFamiliarity(Tables.documents(s, d))),
+    // exact on this corpus (vocab 31 <= capacity 256) -> hash-checked;
+    // the approximation guarantee is spec-pinned on an overflow fixture
+    "tx_top_terms_sketch" -> ((s, d) =>
+      TextAnalysis.topTermsSketch(Tables.documents(s, d))),
     "tx_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "tx_sample_mix" -> ((s, d) =>
@@ -1237,6 +1248,7 @@ object ExtQueries {
     "rel_retention" -> relRetentionSql,
     "rel_user_gaps" -> relUserGapsSql,
     "tx_word_familiarity" -> txWordFamiliaritySql,
+    "tx_top_terms_sketch" -> txTopTermsSketchSql,
     "tx_nfc" -> txNfcSql,
     "rel_profile" -> relProfileSql,
     "dd_leak_split" -> ddLeakSplitSql,

@@ -19,7 +19,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r2 additions with fit-collects, windows, or sampling hashes
     "dd_kmeans", "dd_semdedup", "tx_bpe", "tx_tfidf", "tx_sample_mix",
     "tx_sample_strat", "tx_quality_filter", "pipeline_curate_full",
-    "x_compress_ratio")
+    "x_compress_ratio",
+    // r4 additions with fit-collects, distributed builds, or windows
+    "sim_knn_ivfpq", "sim_knn_ivfpq_rerank", "x_knn_pq_trained",
+    "dd_contamination_bloomdist", "tx_word_familiarity", "rel_user_gaps")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>

@@ -12,7 +12,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 11)
+    assert(GraftExtensions.functions.size == 12)
   }
 
   test("nfc_normalize is usable from spark.sql and composes sequences") {
