@@ -52,6 +52,29 @@ object EventTimeOps {
         floor(lit(1000000.0) * col("n_dead") / col("n"))
           .cast("long").as("dead_ppm"))
 
+  /** Windowed trending terms: the Misra–Gries heavy-hitters
+    * aggregate ([[graft.functions.MisraGriesTopK]]) under Structured
+    * Streaming state — per event-time window, the top-k terms by
+    * occurrence. The sketch IS the aggregation buffer, so streaming
+    * state per open window is O(capacity) regardless of vocabulary —
+    * exactly the property that makes corpus-wide top-k viable on an
+    * unbounded stream (a word-keyed streaming count would hold state
+    * per DISTINCT WORD per window). Emits on window close (append +
+    * watermark); exact within capacity, MG-bounded beyond. */
+  def trendingTerms(docs: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours",
+                    capacity: Int = 256, k: Int = 10): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.sketchNative.mg_topk(col("w"), capacity, k)
+        .as("top"))
+      .select(col("window.start").as("window_start"),
+        explode(col("top")).as("e"))
+      .select(col("window_start"), col("e.term").as("term"),
+        col("e.est").as("n"))
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingRollup(events: DataFrame, windowLen: String = "1 hour",
                     slide: String = "15 minutes",

@@ -101,6 +101,31 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingTerms: MG sketch as streaming window state, exact within capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = EventTimeOps.trendingTerms(df, "1 hour", "0 seconds",
+      capacity = 16, k = 3)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,60): a×3 b×2 c×1 across TWO batches (state merges
+      // the sketch buffers across micro-batches)
+      mem.addData((ts(1), "a b a"), (ts(2), "b c"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "a"))
+      q.processAllAvailable()
+      // advance the watermark so [0,60) closes and emits
+      mem.addData((ts(600), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("trending").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2))).toSet
+      assert(rows == Set((0L, "a", 3L), (0L, "b", 2L), (0L, "c", 1L)))
+    } finally q.stop()
+  }
+
   test("StreamFunnel.fold: strict ordering laws of the 3-slot machine") {
     import StreamFunnel.{Event => E, Hit}
     // click at the SAME ts as the view must NOT count (strict >);
