@@ -43,6 +43,17 @@ case class MisraGriesTopK(
 
   require(capacity > 0 && k > 0 && k <= capacity)
 
+  // declared input type: a non-string argument is rejected at
+  // ANALYSIS time instead of failing update()'s UTF8String cast with
+  // a ClassCastException at execution time (AbstractDataType is
+  // private[sql] in Spark 4, so checkInputDataTypes stands in for
+  // ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mg_topk requires a STRING argument, got ${child.dataType.sql}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -88,6 +88,88 @@ case class QDotLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codebook model for [[CentroidArgmin]]: ONE serialized object
+  * holding all k centroids (ids may be sparse/non-contiguous), shipped
+  * to executors as a single codegen reference instead of k plan-
+  * literal expressions. This is what breaks the k ≈ √N ceiling of the
+  * `least()`-over-literals argmin: that form's generated code grows
+  * linearly with k and trips JVM method limits / codegen fallback
+  * around k ≈ 10³, far below the k ≈ 10⁵ a 100 TB SemDedup needs —
+  * here the plan size is O(1) in k and the per-row cost is the same
+  * O(k·d) integer loop, minus k closure dispatches.
+  *
+  * `offset`/`width` select the sub-vector the centroids live in
+  * (product-quantization encode scores subspace m against
+  * v[m·width, (m+1)·width)); width 0 means "full vector".
+  * Ranking contract (bit-identical to the literal form and the
+  * DuckDB oracle): argmin of (normTerm + ‖c‖² − 2·v·c, cid) — ties
+  * to the LOWEST cid; a null vector element or a width mismatch
+  * yields NULL, matching zip_with's null propagation through
+  * least(). */
+final class CentroidModel(val cids: Array[Long],
+    val cents: Array[Array[Long]], val offset: Int) extends Serializable {
+  require(cids.length == cents.length && cids.nonEmpty)
+  private val norms: Array[Long] = cents.map { c =>
+    var s = 0L; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+  private val width: Int = cents(0).length
+
+  /** Boxed so null can signal the HOF paths' null-propagation cases. */
+  def argmin(v: ArrayData, normTerm: Long): java.lang.Long = {
+    if (offset + width > v.numElements()) return null
+    var i = offset
+    while (i < offset + width) { if (v.isNullAt(i)) return null; i += 1 }
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0L; var x = 0
+      while (x < width) { dot += v.getLong(offset + x) * c(x); x += 1 }
+      val d = normTerm + norms(j) - 2L * dot
+      if (d < bestD || (d == bestD && cids(j) < bestC)) {
+        bestD = d; bestC = cids(j)
+      }
+      j += 1
+    }
+    java.lang.Long.valueOf(bestC)
+  }
+}
+
+/** argmin_{cid} (normTerm + ‖c_cid‖² − 2·vec·c_cid) over a
+  * [[CentroidModel]] codebook — the scale form of the per-centroid
+  * plan-literal `least()` argmin (see Cluster.assign / Similarity
+  * encode). normTerm is the candidate-constant part of the squared
+  * distance (‖v‖² for a true L2 argmin; 0 when ranking only — the
+  * PQ-encode case, where ‖x_m‖² is constant across candidates). */
+case class CentroidArgmin(vec: Expression, norm: Expression,
+    model: CentroidModel) extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_argmin"
+
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val r = model.argmin(v.asInstanceOf[ArrayData], n.asInstanceOf[Long])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidModel", model,
+      classOf[CentroidModel].getName)
+    nullSafeCodeGen(ctx, ev, (v, n) => s"""
+      java.lang.Long ${ev.value}_boxed = $m.argmin($v, $n);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.longValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, norm = r)
+}
+
 /** Column-level API. */
 object vectorNative {
   def quantize_vector(v: Column, q: Int): Column =
@@ -95,4 +177,9 @@ object vectorNative {
   def qdot(a: Column, b: Column): Column =
     ColumnBridge.column(QDotLong(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+  def centroid_argmin(vec: Column, norm: Column, cids: Seq[Long],
+      cents: Seq[Seq[Long]], offset: Int = 0): Column =
+    ColumnBridge.column(CentroidArgmin(ColumnBridge.expression(vec),
+      ColumnBridge.expression(norm),
+      new CentroidModel(cids.toArray, cents.map(_.toArray).toArray, offset)))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorOps => V}
+import graft.functions.{vectorNative, VectorOps => V}
 
 /** Embedding clustering + semantic deduplication (SemDedup-style):
   * k-means partitions the embedding space, then near-duplicates are
@@ -28,21 +28,33 @@ import graft.functions.{VectorOps => V}
   */
 object Cluster {
 
+  /** Above this k, the assign stage switches from k plan-literal
+    * per-centroid expressions (`least()` over structs — elegant and
+    * oracle-exact, but generated-code size grows linearly with k and
+    * trips JVM 64 KB method limits / codegen fallback around k ≈ 10³)
+    * to ONE native [[graft.functions.CentroidArgmin]] whose codebook
+    * is a single broadcast reference object — O(1) plan size at any
+    * k, same exact-integer (dist, cid) ranking. k = √N (SemDedup's
+    * production rule) reaches 10⁴–10⁵ at 100 TB, far past the
+    * literal form's ceiling. Both paths are oracle-checked; specs
+    * force the native path at small k to pin parity. */
+  val LiteralArgminMaxK: Int = 512
+
   /** (vec_id, qe, qn, cid) after `iters` Lloyd rounds + final assign. */
   private def kmeansFull(embeddings: DataFrame, k: Int,
-                         iters: Int): DataFrame =
+                         iters: Int, litMaxK: Int): DataFrame =
     // iterative working set: seed collect + one aggregate per round +
     // the final assign each re-read this — materialize the quantized
     // vectors ONCE instead of re-scanning the lake per round (the
     // standard iterative-fit discipline, same as nearDupClusters)
     kmeansFromBase(Similarity.quantized(embeddings).localCheckpoint(true),
-      k, iters)
+      k, iters, litMaxK)
 
   /** [[kmeansFull]] over an already-checkpointed quantized base —
     * split out so [[semDedupAuto]] can derive k = √N from the SAME
     * materialization the fit uses (no separate counting scan). */
   private def kmeansFromBase(base: DataFrame, k: Int,
-                             iters: Int): DataFrame = {
+                             iters: Int, litMaxK: Int): DataFrame = {
     // seed centroids: the quantized vectors of the first k ids
     // (deterministic; a k-means++ sampler would slot in here)
     var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
@@ -54,23 +66,30 @@ object Cluster {
     if (cents.isEmpty)
       return base.select(col("vec_id"), col("qe"), col("qn"),
         lit(-1L).as("cid"))
-    def assign(cs: Seq[(Long, Seq[Long])]): DataFrame = {
-      val dists = cs.map { case (cid, ce) =>
-        val cn = ce.map(x => x * x).sum
-        val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
-          lit(0L), (a, v) => a + v)
-        struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    def assign(cs: Seq[(Long, Seq[Long])]): DataFrame =
+      if (cs.size > litMaxK)
+        // scale path: the whole codebook is ONE reference object —
+        // see [[LiteralArgminMaxK]]
+        base.select(col("vec_id"), col("qe"), col("qn"),
+          vectorNative.centroid_argmin(col("qe"), col("qn"),
+            cs.map(_._1), cs.map(_._2)).as("cid"))
+      else {
+        val dists = cs.map { case (cid, ce) =>
+          val cn = ce.map(x => x * x).sum
+          val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+            lit(0L), (a, v) => a + v)
+          struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+        }
+        // argmin by (dist, cid) via variadic least() over the structs:
+        // struct ordering is lexicographic by field, so this is the same
+        // tie-break as the oracle's ORDER BY dist, cid — and O(k) per row
+        // with no array materialization, which matters once k = √N
+        // (array_sort's O(k log k) + per-row array build measurably slows
+        // the auto path's assign stage)
+        base.select(col("vec_id"), col("qe"), col("qn"),
+          (if (dists.size == 1) dists.head else least(dists: _*))
+            .getField("cid").as("cid"))
       }
-      // argmin by (dist, cid) via variadic least() over the structs:
-      // struct ordering is lexicographic by field, so this is the same
-      // tie-break as the oracle's ORDER BY dist, cid — and O(k) per row
-      // with no array materialization, which matters once k = √N
-      // (array_sort's O(k log k) + per-row array build measurably slows
-      // the auto path's assign stage)
-      base.select(col("vec_id"), col("qe"), col("qn"),
-        (if (dists.size == 1) dists.head else least(dists: _*))
-          .getField("cid").as("cid"))
-    }
     for (_ <- 1 to iters) {
       // update: per-(cluster, dim) sum/count — ONE shuffle of k×d
       // partial rows; the collected model is k×d longs
@@ -91,10 +110,14 @@ object Cluster {
     assign(cents)
   }
 
-  /** K-means cluster assignment: (vec_id, cid). */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
-                   iters: Int = 2): DataFrame =
-    kmeansFull(embeddings, k, iters).select("vec_id", "cid").orderBy("vec_id")
+  /** K-means cluster assignment: (vec_id, cid).
+    * `literalArgminMaxK` picks the assign form (see
+    * [[LiteralArgminMaxK]]); pass 0 to force the native-codebook
+    * path at any k. */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                   literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame =
+    kmeansFull(embeddings, k, iters, literalArgminMaxK)
+      .select("vec_id", "cid").orderBy("vec_id")
 
   /** [[semDedup]] with the production scaling rule applied: k = √N
     * (floored at 8), which holds E[cluster size] = √N and total
@@ -107,10 +130,12 @@ object Cluster {
     * oracle derives k with the identical scalar subquery over its
     * base CTE); the fixed-k dd_semdedup stays as the pinned anchor. */
   def semDedupAuto(embeddings: DataFrame, iters: Int = 2,
-                   minCosPpm: Long = 450000L): DataFrame = {
+                   minCosPpm: Long = 450000L,
+                   literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame = {
     val base = Similarity.quantized(embeddings).localCheckpoint(true)
     val k = math.max(8, math.sqrt(base.count().toDouble).toInt)
-    semDedupFromAssign(kmeansFromBase(base, k, iters), minCosPpm)
+    semDedupFromAssign(kmeansFromBase(base, k, iters, literalArgminMaxK),
+      minCosPpm)
   }
 
   /** Semantic dedup: within-cluster pairs with quantized cosine ≥
@@ -121,8 +146,10 @@ object Cluster {
     * bounded by cluster occupancy (k scales with corpus size to hold
     * E[cluster] constant — SemDedup runs k ≈ √N). */
   def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
-               minCosPpm: Long = 450000L): DataFrame =
-    semDedupFromAssign(kmeansFull(embeddings, k, iters), minCosPpm)
+               minCosPpm: Long = 450000L,
+               literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame =
+    semDedupFromAssign(kmeansFull(embeddings, k, iters, literalArgminMaxK),
+      minCosPpm)
 
   private def semDedupFromAssign(assign: DataFrame,
                                  minCosPpm: Long): DataFrame = {

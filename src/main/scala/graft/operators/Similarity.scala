@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Partitioning, VectorOps => V}
+import graft.functions.{vectorNative, Partitioning, VectorOps => V}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`). Two paths:
@@ -133,9 +133,13 @@ object Similarity {
     * as one more join against the full-precision column. */
   def knnIvfPq(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
                nCentroids: Int = 8, nProbe: Int = 2,
-               nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+               nSub: Int = 8, nCodes: Int = 16,
+               literalArgminMaxK: Int = Cluster.LiteralArgminMaxK): DataFrame = {
     val base = quantized(embeddings)
-    val rows = fitRows(base, math.max(nCentroids, nCodes))
+    // collect through nQueries too: `queries` in ivfPqSearch is sliced
+    // from this same collect, and collecting only max(nCentroids,
+    // nCodes) would silently drop queries when nQueries exceeds it
+    val rows = fitRows(base, math.max(nQueries, math.max(nCentroids, nCodes)))
     if (rows.isEmpty) return emptyKnn(base)
     val sub = subWidth(rows, nSub)
     // PQ codebook keyed by SAMPLE ID (not dense position): a sample
@@ -145,7 +149,8 @@ object Similarity {
       rows.filter(_._1 < nCodes).map { case (id, qe, _) =>
         (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
       }
-    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub)
+    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub,
+      literalArgminMaxK)
   }
 
   /** [[knnIvfPq]] with Lloyd-TRAINED per-subspace codebooks (the
@@ -161,18 +166,22 @@ object Similarity {
   def knnIvfPqTrained(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
                       nCentroids: Int = 8, nProbe: Int = 2,
                       nSub: Int = 8, nCodes: Int = 16,
-                      iters: Int = 2): DataFrame = {
+                      iters: Int = 2,
+                      literalArgminMaxK: Int = Cluster.LiteralArgminMaxK): DataFrame = {
     // the fit iterates over the quantized base: materialize it once
     val base = quantized(embeddings).localCheckpoint(true)
-    val rows = fitRows(base, math.max(nCentroids, nCodes))
+    // nQueries included for the same reason as knnIvfPq: the query
+    // rows come out of this collect
+    val rows = fitRows(base, math.max(nQueries, math.max(nCentroids, nCodes)))
     if (rows.isEmpty) return emptyKnn(base)
     val sub = subWidth(rows, nSub)
     val seed: Seq[(Long, Array[Seq[Long]])] =
       rows.filter(_._1 < nCodes).map { case (id, qe, _) =>
         (id, Array.tabulate(nSub)(m => qe.slice(m * sub, (m + 1) * sub)))
       }
-    val cb = trainCodebooks(base, seed, nSub, sub, iters)
-    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub)
+    val cb = trainCodebooks(base, seed, nSub, sub, iters, literalArgminMaxK)
+    ivfPqSearch(base, rows, cb, nQueries, k, nCentroids, nProbe, nSub, sub,
+      literalArgminMaxK)
   }
 
   /** Distributed per-subspace Lloyd: ONE exploded (m, sv) stream
@@ -183,7 +192,7 @@ object Similarity {
     * fit rerun-deterministic. */
   private def trainCodebooks(base: DataFrame,
       seed: Seq[(Long, Array[Seq[Long]])], nSub: Int, sub: Int,
-      iters: Int): Seq[(Long, Array[Seq[Long]])] = {
+      iters: Int, litMaxK: Int): Seq[(Long, Array[Seq[Long]])] = {
     val subs = base.select(explode(array((0 until nSub).map(m =>
         struct(lit(m).as("m"),
           slice(col("qe"), m * sub + 1, sub).as("sv"))): _*)).as("e"))
@@ -193,13 +202,22 @@ object Similarity {
       m -> seed.map { case (id, svs) => (id, svs(m)) }).toMap
     for (_ <- 1 to iters) {
       val code = (0 until nSub).map { m =>
-        val ds = cents(m).map { case (cid, cv) =>
-          val dot = aggregate(zip_with(col("sv"), typedLit(cv), (x, y) => x * y),
-            lit(0L), (a, v) => a + v)
-          // packed (dist·64 + id) argmin — see ivfPqSearch
-          (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + cid
-        }
-        m -> pmod(argminPacked(ds), lit(64L))
+        // above litMaxK the per-subspace codebook rides as ONE native
+        // reference object (same ceiling as Cluster.assign — k
+        // plan-literal expressions stop codegen'ing near 10³);
+        // ranking drops the candidate-constant ‖sv‖² in both forms
+        m -> (if (cents(m).size > litMaxK)
+          vectorNative.centroid_argmin(col("sv"), lit(0L),
+            cents(m).map(_._1), cents(m).map(_._2))
+        else {
+          val ds = cents(m).map { case (cid, cv) =>
+            val dot = aggregate(zip_with(col("sv"), typedLit(cv), (x, y) => x * y),
+              lit(0L), (a, v) => a + v)
+            // packed (dist·64 + id) argmin — see ivfPqSearch
+            (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + cid
+          }
+          pmod(argminPacked(ds), lit(64L))
+        })
       }.foldLeft(lit(null).cast("long")) { case (acc, (m, c)) =>
         when(col("m") === m, c).otherwise(acc)
       }
@@ -262,11 +280,16 @@ object Similarity {
     * lists and ADC tables, broadcast probe join, per-query top-k. */
   private def ivfPqSearch(base: DataFrame, rows: Seq[(Long, Seq[Long], Long)],
       cb: Seq[(Long, Array[Seq[Long]])], nQueries: Int, k: Int,
-      nCentroids: Int, nProbe: Int, nSub: Int, sub: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int, nSub: Int, sub: Int,
+      litMaxK: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    // packed-argmin precondition: ids must fit the 6-bit slot
-    require(cb.forall(e => e._1 >= 0 && e._1 < 64) && nCentroids <= 64,
+    val packedCb = cb.size <= litMaxK
+    val packedCents = nCentroids <= litMaxK
+    // packed-argmin precondition: ids must fit the 6-bit slot (the
+    // native-codebook path above litMaxK has no id-range limit)
+    require((!packedCb || cb.forall(e => e._1 >= 0 && e._1 < 64)) &&
+      (!packedCents || nCentroids <= 64),
       "PQ codebook/centroid ids must be in [0, 64) for the packed argmin")
     val cents = rows.filter(_._1 < nCentroids)
     val cbNorm2: Array[Map[Long, Long]] =
@@ -281,25 +304,38 @@ object Similarity {
     // at a fraction of the struct comparator's expression size.
     // No overflow: |dist| ≤ 3·dim·Q² ≈ 2^28, ×64 ≪ 2^63. ----
     val codeCols = (0 until nSub).map { m =>
-      val ds = cb.map { case (id, svs) =>
-        val cv = svs(m)
-        val dot = aggregate(zip_with(
-          slice(col("qe"), m * sub + 1, sub), typedLit(cv), (x, y) => x * y),
-          lit(0L), (a, v) => a + v)
-        // ‖x_m‖² is constant across candidates — rank by the reduced
-        // (‖c‖² − 2·dot, id), exactly what the oracle orders by
-        (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + id
+      (if (!packedCb)
+        // native codebook reference (offset selects subspace m in
+        // qe directly — no slice materialization per row)
+        vectorNative.centroid_argmin(col("qe"), lit(0L),
+          cb.map(_._1), cb.map(_._2(m)), offset = m * sub)
+      else {
+        val ds = cb.map { case (id, svs) =>
+          val cv = svs(m)
+          val dot = aggregate(zip_with(
+            slice(col("qe"), m * sub + 1, sub), typedLit(cv), (x, y) => x * y),
+            lit(0L), (a, v) => a + v)
+          // ‖x_m‖² is constant across candidates — rank by the reduced
+          // (‖c‖² − 2·dot, id), exactly what the oracle orders by
+          (lit(dotL(cv, cv)) - lit(2L) * dot) * 64L + id
+        }
+        pmod(argminPacked(ds), lit(64L))
+      }).as(s"code$m")
+    }
+    val cidCol =
+      if (!packedCents)
+        vectorNative.centroid_argmin(col("qe"), col("qn"),
+          cents.map(_._1), cents.map(_._2.toSeq))
+      else {
+        val coarsePacked = cents.map { case (cid, ce, cn) =>
+          val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+            lit(0L), (a, v) => a + v)
+          (col("qn") + cn - lit(2L) * dot) * 64L + cid
+        }
+        pmod(argminPacked(coarsePacked), lit(64L))
       }
-      pmod(argminPacked(ds), lit(64L)).as(s"code$m")
-    }
-    val coarsePacked = cents.map { case (cid, ce, cn) =>
-      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
-        lit(0L), (a, v) => a + v)
-      (col("qn") + cn - lit(2L) * dot) * 64L + cid
-    }
     val assign = base.select(
-      Seq(col("vec_id"),
-        pmod(argminPacked(coarsePacked), lit(64L)).as("cid")) ++ codeCols: _*)
+      Seq(col("vec_id"), cidCol.as("cid")) ++ codeCols: _*)
     // ---- query-side models: probe lists + ADC tables (driver,
     // exact integer arithmetic mirroring the oracle) ----
     val queries = rows.filter(_._1 < nQueries)
@@ -377,10 +413,16 @@ object Similarity {
     val candidates = banded.join(broadcast(queryBands), Seq("band", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+    // Re-score join: the broadcast side MUST be the query subset, not
+    // the whole corpus — the equi-join on query_id keeps results
+    // identical either way, but broadcasting the unfiltered base is an
+    // OOM at any real scale (the filter below is what every sibling
+    // path — knnBrute, ivfPqSearch, knnIvfPqRerank — already does).
     val scored = candidates
       .join(base.select(col("vec_id").as("neighbor_id"), col("qe"), col("qn")), "neighbor_id")
-      .join(broadcast(base.select(col("vec_id").as("query_id"),
-        col("qe").as("qq"), col("qn").as("nq"))), "query_id")
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("qe").as("qq"), col("qn").as("nq"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
     val w = Window.partitionBy("query_id")

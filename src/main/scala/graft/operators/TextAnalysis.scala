@@ -305,26 +305,39 @@ object TextAnalysis {
     * garbage, codified text, and off-distribution content — the
     * classic cheap quality gate before an expensive model-based one.
     *
-    * Scale design: the df table is ONE (doc, word)-distinct +
-    * word-keyed count (both partial-combinable); the token→df join is
-    * word-keyed (at 100 TB the df table is vocabulary-sized —
-    * broadcastable after a min-df cut, or bucketed); the per-doc
-    * aggregate is partial-combinable sums. All ratios are single
+    * Scale design (r5 — the r4 form shuffled the FULL token stream on
+    * the word key, the textbook Zipf hot-key: every "the" occurrence
+    * landed on one reducer key): ONE corpus scan builds the
+    * (doc, word, tf) table — its aggregate keys on (doc_id, word), so
+    * hot words spread across docs and nothing is skewed — and that
+    * checkpointed table feeds everything else: the df count (word-
+    * keyed but map-side count-combined, so each partition emits at
+    * most one row per word), the corpus size (distinct doc_id over the
+    * checkpoint, NOT a second lake scan), and the scoring join. The df
+    * table is cut to df ≥ minDf BEFORE the join and BROADCAST, so the
+    * corpus side never exchanges for it; a word outside the cut table
+    * contributes df = 1 to the mean (the floor of its true df, which
+    * the cut made unknowable — and which is < minDf, so the clamp
+    * error per token is < minDf/nDocs ppm). familiar_ppm is EXACT:
+    * membership in the cut table ⟺ df ≥ minDf. All ratios are single
     * divisions of exact integers (ppm floor — sums stay below 2^53 at
     * any SF where nDocs × tokens fits a task, and the mean-df
     * numerator is bounded by n_tokens × nDocs). */
   def wordFamiliarity(docs: DataFrame, minDf: Long = 3L): DataFrame = {
-    val base = Partitioning.spread(docs)
-    val nDocs = base.count()
-    val words = base.select(col("doc_id"),
-      explode(TextOps.words(col("text"))).as("w"))
-    val df = words.distinct().groupBy("w")
-      .agg(count(lit(1)).as("df"))
-    words.join(df, Seq("w"))
+    val tf = Partitioning.spread(docs)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    // corpus size = docs contributing tokens, read from the SAME
+    // materialization (explode drops only null-text rows)
+    val nDocs = tf.select("doc_id").distinct().count()
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    tf.join(broadcast(df), Seq("w"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_familiar"),
-        sum("df").as("sum_df"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("df").isNotNull, col("tf")).otherwise(0L)).as("n_familiar"),
+        sum(col("tf") * coalesce(col("df"), lit(1L))).as("sum_df"))
       .select(col("doc_id"), col("n_tokens"),
         floor(lit(1000000.0) * col("n_familiar") / col("n_tokens"))
           .cast("long").as("familiar_ppm"),

@@ -272,20 +272,25 @@ object ExtQueries {
 
   /** lag() inter-event gaps: DuckDB's window semantics match Spark's
     * exactly for a total-ordered frame; `//` floors like `div`. */
-  /** Word-familiarity: df = distinct-doc count per token; ratios are
-    * single divisions of exact integers (sums < 2^53 at oracle SF). */
+  /** Word-familiarity: df = distinct-doc count per token, CUT to
+    * df ≥ minDf (the broadcastable-vocabulary contract — out-of-table
+    * words contribute df = 1 to the mean, exactly like the operator);
+    * corpus size = docs contributing tokens; ratios are single
+    * divisions of exact integers (sums < 2^53 at oracle SF). */
   private val txWordFamiliaritySql: String =
     "WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
       "FROM documents), " +
-      "df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
-      "FROM ws GROUP BY w), " +
-      "nd AS (SELECT count(*) AS n FROM documents), " +
-      "j AS (SELECT ws.doc_id, df.df FROM ws JOIN df USING (w)) " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-      "CAST(FLOOR(1000000.0 * sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) " +
-      "/ count(*)) AS BIGINT) AS familiar_ppm, " +
-      "CAST(FLOOR((1000000.0 * CAST(sum(df) AS BIGINT)) " +
-      "/ (count(*) * (SELECT n FROM nd))) AS BIGINT) AS mean_df_ppm " +
+      "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM ws GROUP BY 1, 2), " +
+      "df AS (SELECT w, CAST(count(*) AS BIGINT) AS df " +
+      "FROM tf GROUP BY w HAVING count(*) >= 3), " +
+      "nd AS (SELECT count(DISTINCT doc_id) AS n FROM ws), " +
+      "j AS (SELECT tf.doc_id, tf.tf, df.df FROM tf LEFT JOIN df USING (w)) " +
+      "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+      "CAST(FLOOR(1000000.0 * sum(CASE WHEN df IS NOT NULL THEN tf ELSE 0 END) " +
+      "/ sum(tf)) AS BIGINT) AS familiar_ppm, " +
+      "CAST(FLOOR((1000000.0 * CAST(sum(tf * COALESCE(df, 1)) AS BIGINT)) " +
+      "/ (sum(tf) * (SELECT n FROM nd))) AS BIGINT) AS mean_df_ppm " +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
   /** Exact top-k term occurrences — the oracle for the MG sketch

@@ -245,30 +245,39 @@ object RelQueries {
     * purchase strictly after that click. Output is the classic
     * cumulative funnel: (stage, n_users) for users reaching ≥ stage.
     *
-    * Scale design: each stage is one partial-combinable min-aggregate
-    * plus one equi-join, ALL keyed on user_id — the repeated c-stage
-    * subtree dedupes via exchange reuse, and the three user-keyed
-    * shuffles co-partition so the joins plan without extra exchanges.
-    * No window, no per-user sort, no collect. The final stack is over
-    * a single aggregated row. */
+    * Scale design (r5 — the r4 form read `events` three times, one
+    * filtered scan per stage): ONE scan, ONE user-keyed shuffle. The
+    * stage chain is three unbounded-frame window minimums over the
+    * same user partition — t_view, then the first click after it,
+    * then the first purchase after that — so the three Window nodes
+    * and the per-user collapse all reuse the single exchange (the
+    * partition-key sort is shared too: later nodes see the required
+    * ordering already satisfied). No join, no collect; the final
+    * stack is over a single aggregated row. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelOf(Tables.events(spark, sfDir))
 
   /** [[funnel]] over any (user_id, event_type, ts) frame. */
   def funnelOf(events: DataFrame): DataFrame = {
-    val ev = events
+    val w = Window.partitionBy("user_id")
+    events
       .select(col("user_id"), col("event_type"),
         expr("CAST(ts AS BIGINT)").as("tsn"))
-    val v = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("tsn").as("t_view"))
-    val c = ev.where(col("event_type") === "click")
-      .join(v, "user_id").where(col("tsn") > col("t_view"))
-      .groupBy("user_id").agg(min("tsn").as("t_click"))
-    val p = ev.where(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("tsn") > col("t_click"))
-      .groupBy("user_id").agg(min("tsn").as("t_purchase"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tsn"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("tsn") > col("t_view"), col("tsn"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("tsn") > col("t_click"), col("tsn"))).over(w))
+      // collapse to one row per user (all rows of a user carry the
+      // same stage times); partitioning already satisfied -> no
+      // second exchange
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+      .where(col("t_view").isNotNull)
       .agg(count(lit(1)).as("n1"), count("t_click").as("n2"),
         count("t_purchase").as("n3"))
       .selectExpr("stack(3, '1_view', n1, '2_click', n2, " +

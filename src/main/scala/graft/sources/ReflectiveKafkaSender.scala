@@ -65,6 +65,17 @@ final class ReflectiveKafkaSender(bootstrap: String, topic: String,
             .asInstanceOf[java.util.concurrent.Future[_]]
             .get(sendTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
           None
-        } catch { case e: Throwable => Some(root(e).toString) }
+        } catch {
+          // a task kill (Spark cancellation) must ABORT the partition,
+          // not convert into a per-record DLT message — otherwise a
+          // cancelled task with a hung broker grinds through every
+          // remaining record at sendTimeoutMs each. Restore the
+          // interrupt flag and rethrow; fatal JVM errors propagate too
+          // (NonFatal excludes them).
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw e
+          case scala.util.control.NonFatal(e) => Some(root(e).toString)
+        }
     }
 }

@@ -66,7 +66,13 @@ object EventTimeOps {
                     capacity: Int = 256, k: Int = 10): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .select(col("ts"), explode(split(col("text"), " ")).as("w"))
+      // same tokenizer as the batch topTermsSketch, plus an
+      // empty-token guard: consecutive/leading/trailing spaces would
+      // otherwise mint "" tokens that occupy sketch capacity and can
+      // surface as a trending term
+      .select(col("ts"),
+        explode(graft.functions.TextOps.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
       .groupBy(window(col("ts"), windowLen))
       .agg(graft.functions.sketchNative.mg_topk(col("w"), capacity, k)
         .as("top"))

@@ -73,6 +73,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(nClusters > 8, s"expected >8 populated clusters, got $nClusters")
   }
 
+  test("native-codebook argmin path == literal path (kmeans, semdedup_auto, ivfpq)") {
+    // literalArgminMaxK = 0 forces the CentroidArgmin reference-object
+    // form (the k > 512 scale path) at small k, pinning bit-parity of
+    // the two assign/encode implementations on the real corpus
+    val emb = Tables.embeddings(spark, sf)
+    assert(Cluster.kmeansAssign(emb).collect().toSeq ==
+      Cluster.kmeansAssign(emb, literalArgminMaxK = 0).collect().toSeq)
+    assert(Cluster.semDedupAuto(emb).collect().toSeq ==
+      Cluster.semDedupAuto(emb, literalArgminMaxK = 0).collect().toSeq)
+    assert(graft.operators.Similarity.knnIvfPq(emb).collect().toSeq ==
+      graft.operators.Similarity.knnIvfPq(emb, literalArgminMaxK = 0)
+        .collect().toSeq)
+    assert(graft.operators.Similarity.knnIvfPqTrained(emb).collect().toSeq ==
+      graft.operators.Similarity.knnIvfPqTrained(emb, literalArgminMaxK = 0)
+        .collect().toSeq)
+  }
+
   test("semDedup drops exactly the within-cluster higher-id near-dups") {
     val losers = (for {
       (a, qa) <- vecs; (b, qb) <- vecs

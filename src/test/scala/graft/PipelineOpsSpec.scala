@@ -440,10 +440,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = TextAnalysis.wordFamiliarity(d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    // df: a=3 b=2 c=1 x=1; minDf=3 → only 'a' is familiar; corpus n=3
-    assert(out(1L) == ((3L, 333333L, 666666L))) // sum_df 6 / (3·3)
-    assert(out(2L) == ((2L, 500000L, 833333L))) // sum_df 5 / (2·3)
-    assert(out(3L) == ((2L, 500000L, 666666L))) // sum_df 4 / (2·3)
+    // df: a=3 b=2 c=1 x=1; minDf=3 → only 'a' is familiar; corpus n=3.
+    // Out-of-cut words (df < minDf) clamp to df = 1 in the mean — the
+    // broadcastable-vocabulary contract (b's true df 2 reads as 1)
+    assert(out(1L) == ((3L, 333333L, 555555L))) // sum_df 3+1+1 / (3·3)
+    assert(out(2L) == ((2L, 500000L, 666666L))) // sum_df 3+1 / (2·3)
+    assert(out(3L) == ((2L, 500000L, 666666L))) // sum_df 3+1 / (2·3)
   }
 
   test("containment surfaces short-in-long duplication that jaccard dilutes") {

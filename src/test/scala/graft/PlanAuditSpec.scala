@@ -57,4 +57,41 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).size == 1, s"entry scans:\n$p")
   }
+
+  test("sim_knn_lsh broadcasts ONLY query-filtered sides (r4 finding: " +
+    "the re-score join broadcast the unfiltered corpus)") {
+    // AQE's executedPlan wraps the tree in a leaf AdaptiveSparkPlanExec
+    // that collect() can't descend — disable it for the traversal
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("sim_knn_lsh")(spark, sf)
+        .queryExecution.executedPlan
+      // only the HINTED query-side broadcasts (they alias query_id)
+      // must carry the filter — at bench SF the optimizer may also
+      // auto-broadcast the tiny corpus side, a size-based decision
+      // that disappears at scale
+      val sides = p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child.toString
+      }.filter(_.contains("query_id"))
+      assert(sides.size >= 2, s"expected band + re-score broadcasts:\n$p")
+      sides.foreach { s =>
+        assert(s.contains("< 8"),
+          s"broadcast side lacks the query-id filter:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("rel_funnel reads events exactly once (r4: three filtered scans)") {
+    val p = plan("rel_funnel")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"funnel scans:\n$p")
+  }
+
+  test("tx_word_familiarity joins the df table broadcast — the token " +
+    "stream never exchanges on the Zipf-skewed word key") {
+    val p = plan("tx_word_familiarity")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"word-keyed shuffle join reappeared:\n$p")
+  }
 }

@@ -42,4 +42,59 @@ class VectorNativeSpec extends AnyFunSuite {
     assert(pairs.zipWithIndex.exists { case ((a, b), i) =>
       a.length != b.length && got(i.toLong).isEmpty })
   }
+
+  test("native centroid_argmin == least()-over-literals argmin (ties, offsets)") {
+    import graft.functions.vectorNative
+    val dim = 8
+    // small value range so (dist, cid) ties actually occur
+    val fixedVec = Gen.listOfN(dim, Gen.chooseNum(-2L, 2L))
+    val vecs = Gen.listOfN(200, fixedVec).sample.get
+    val cents: Seq[(Long, Seq[Long])] =
+      Gen.listOfN(17, fixedVec).sample.get.zipWithIndex
+        // sparse, non-contiguous ids — the model must rank by id
+        // value, not position
+        .map { case (c, i) => (i.toLong * 3 + 1, c: Seq[Long]) }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "qe")
+      .select(col("id"), col("qe"),
+        aggregate(transform(col("qe"), x => x * x), lit(0L), (a, v) => a + v)
+          .as("qn"))
+    val litForm = least(cents.map { case (cid, ce) =>
+      val cn = ce.map(x => x * x).sum
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+    val want = df.select(col("id"), litForm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.select(col("id"),
+      vectorNative.centroid_argmin(col("qe"), col("qn"),
+        cents.map(_._1), cents.map(_._2))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // offset form: argmin over the second half of the vector equals
+    // the literal argmin over sliced sub-vectors with normTerm 0
+    // (candidate-constant ‖x_m‖² dropped from both rankings)
+    val half = dim / 2
+    val subCents = cents.map { case (cid, ce) => (cid, ce.drop(half)) }
+    val litSub = least(subCents.map { case (cid, ce) =>
+      val cn = ce.map(x => x * x).sum
+      val dot = aggregate(zip_with(slice(col("qe"), half + 1, half),
+        typedLit(ce), (x, y) => x * y), lit(0L), (a, v) => a + v)
+      struct((lit(cn) - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+    val wantSub = df.select(col("id"), litSub).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSub = df.select(col("id"),
+      vectorNative.centroid_argmin(col("qe"), lit(0L),
+        subCents.map(_._1), subCents.map(_._2), offset = half)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSub == wantSub)
+    // width mismatch yields NULL (matching zip_with null propagation)
+    val shortCents = Seq((0L, Seq(1L, 2L)))
+    val r = df.limit(1).select(vectorNative.centroid_argmin(col("qe"),
+      col("qn"), shortCents.map(_._1), shortCents.map(_._2),
+      offset = dim - 1)).collect()
+    assert(r.head.isNullAt(0))
+  }
 }
