@@ -58,6 +58,29 @@ object ClusterScale {
         s"$autoK,${occAuto.getLong(0)},${occAuto.getDouble(1)},${occAuto.get(2)}," +
         s"$semDropped,$evalSh,$hitRows,$contamDocs")
     }
+    // big-k probe (r5): the k ≥ 1024 assign must still run with a
+    // bounded plan — the native CentroidArgmin path (k > 512) carries
+    // the codebook as ONE reference object, where the k-literal
+    // least() form stops codegen'ing near k ≈ 10³. Prints wall time
+    // and populated-cluster count for the native form, plus the same
+    // k forced through the literal form for an on-record contrast
+    // (expected: codegen fallback / much slower, possibly far slower
+    // to even plan).
+    if (sys.env.get("SPARK_GRAFT_BIGK").exists(_.nonEmpty)) {
+      val k = sys.env("SPARK_GRAFT_BIGK").toInt
+      val dir = "/root/testdata/sf0.1"
+      val emb = Tables.embeddings(spark, dir)
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"bigk,$label,$k,${(System.nanoTime() - t0) / 1e9}%.2f,$n")
+      }
+      time("native")(Cluster.kmeansAssign(emb, k, iters = 1)
+        .select("cid").distinct().count())
+      time("literal")(Cluster.kmeansAssign(emb, k, iters = 1,
+        literalArgminMaxK = Int.MaxValue)
+        .select("cid").distinct().count())
+    }
     spark.stop()
   }
 }
