@@ -1,0 +1,175 @@
+package graft.operators
+
+/** REAL header-level image decode (r5 — closes the "declared stub"
+  * caveat on the multimodal family): parses actual PNG / JPEG / PNM
+  * byte layouts for (format, width, height, channels). This is the
+  * honest version of the decode contract the container's missing
+  * codec libraries kept stubbed — header sniffing needs no codec, it
+  * is pure byte-format knowledge:
+  *
+  *  - PNG (spec: PNG 2nd ed., ISO/IEC 15948): 8-byte signature
+  *    89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk (must be first):
+  *    4-byte big-endian length (13), "IHDR", width u32BE, height
+  *    u32BE, bit-depth u8, color-type u8 (0 gray, 2 RGB, 3 palette,
+  *    4 gray+alpha, 6 RGBA → 1/3/1/2/4 channels).
+  *  - JPEG (ITU-T T.81): SOI FF D8, then a marker walk — each segment
+  *    is FF marker u16BE-length(payload incl. itself); the frame
+  *    header SOFn (C0–CF minus C4/C8/CC) carries precision u8,
+  *    height u16BE, width u16BE, component-count u8 (= channels).
+  *    Fill bytes (repeated FF) before a marker are legal and skipped.
+  *  - PNM (netpbm): "P5" (graymap, 1 channel) / "P6" (pixmap, 3),
+  *    then whitespace-separated ASCII width, height, maxval, with
+  *    '#'-to-end-of-line comments allowed between tokens.
+  *
+  * Unknown/truncated/corrupt headers → None (the route-to-DLT arm of
+  * the decode operator). Everything is row-local: the parser runs
+  * inside the existing mapPartitions batch contract, so decode
+  * parallelism remains the input partitioning. */
+object ImageCodec {
+
+  final case class ImageMeta(format: String, width: Long, height: Long,
+      channels: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def parseHeader(bytes: Array[Byte]): Option[ImageMeta] =
+    parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parsePnm(bytes))
+
+  private def parsePng(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 26) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != PngSig(i)) return None; i += 1 }
+    // first chunk must be IHDR with length 13
+    if (u32(b, 8) != 13L) return None
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val w = u32(b, 16)
+    val h = u32(b, 20)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1L // greyscale
+      case 2 => 3L // truecolor
+      case 3 => 1L // indexed (one palette index per pixel)
+      case 4 => 2L // grey + alpha
+      case 6 => 4L // RGBA
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) None
+    else Some(ImageMeta("png", w, h, channels))
+  }
+
+  private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      // fill bytes before a marker are legal
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS first
+      if (j + 2 >= b.length) return None
+      val len = u16(b, j + 1)
+      if (len < 2) return None
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (j + 8 >= b.length) return None
+        val h = u16(b, j + 4) // after len(2) + precision(1)
+        val w = u16(b, j + 6)
+        val comps = b(j + 8) & 0xffL
+        return if (w > 0 && h > 0 && comps > 0)
+          Some(ImageMeta("jpeg", w.toLong, h.toLong, comps)) else None
+      }
+      i = j + 1 + len
+    }
+    None
+  }
+
+  private def parsePnm(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 2 || b(0) != 'P') return None
+    val channels = b(1) match {
+      case '5' => 1L
+      case '6' => 3L
+      case _ => return None
+    }
+    // whitespace-separated ASCII ints, '#' comments run to end-of-line
+    var i = 2
+    def nextInt(): Long = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t' ||
+          b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w > 0 && h > 0 && maxval > 0)
+      Some(ImageMeta(if (channels == 1) "pgm" else "ppm", w, h, channels))
+    else None
+  }
+
+  // ---------------------------------------------------------------
+  // Deterministic format-correct payload generators (test fixtures:
+  // the container ships no image files, so the fixtures are built to
+  // the same published byte layouts the parser reads — while the
+  // ORACLE pins the expected dimensions from doc_id literals, so a
+  // parser bug cannot self-confirm).
+  // ---------------------------------------------------------------
+
+  def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    be32(13); out.write('I'); out.write('H'); out.write('D'); out.write('R')
+    be32(w.toLong); be32(h.toLong)
+    out.write(8) // bit depth
+    out.write(colorType)
+    out.write(0); out.write(0); out.write(0) // compression/filter/interlace
+    be32(0) // CRC (not validated by header sniffers)
+    // empty IEND chunk for structural plausibility
+    be32(0); out.write('I'); out.write('E'); out.write('N'); out.write('D')
+    be32(0)
+    out.toByteArray
+  }
+
+  def jpegBytes(w: Int, h: Int, nComp: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8) // SOI
+    // APP0/JFIF segment (the typical first segment a real encoder writes)
+    b(0xff); b(0xe0); be16(16)
+    "JFIF".foreach(c => b(c)); b(0)
+    b(1); b(1); b(0); be16(72); be16(72); b(0); b(0)
+    // SOF0 baseline frame header: len = 8 + 3*nComp
+    b(0xff); b(0xc0); be16(8 + 3 * nComp)
+    b(8) // precision
+    be16(h); be16(w); b(nComp)
+    (1 to nComp).foreach { c => b(c); b(0x11); b(0) }
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  def pnmBytes(w: Int, h: Int, grayscale: Boolean): Array[Byte] = {
+    val header = s"P${if (grayscale) 5 else 6}\n# synthetic fixture\n$w $h\n255\n"
+    // a few payload bytes for plausibility (parsers stop at the header)
+    (header.getBytes("US-ASCII").toSeq ++ Seq[Byte](1, 2, 3, 4)).toArray
+  }
+}

@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * iterator-of-rows out; nothing driver-side; partitioning of the
   * input carries straight through).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[stubDecode]]) over the real
-  * byte payload; everything around it — binary column, typed
-  * Dataset schema, batch iteration, feature columns — is the real
-  * production shape and is what the oracle checks.
+  * The container has no image/audio codec LIBRARIES, so the
+  * pixel-level decode steps remain clearly-marked deterministic stubs
+  * ([[stubDecode]], [[stubResize]]) over the real byte payload — but
+  * the HEADER-level decode is real as of r5: [[imageMeta]] parses
+  * actual PNG / JPEG / PNM byte layouts ([[ImageCodec]]) for
+  * (format, width, height, channels) behind the same mapPartitions
+  * batch contract, over format-correct fixture payloads whose
+  * expected dimensions the oracle pins from doc_id literals.
+  * Everything around the kernels — binary column, typed Dataset
+  * schema, batch iteration, feature columns — is the real production
+  * shape and is what the oracle checks.
   */
 object Multimodal {
 
@@ -102,6 +108,49 @@ object Multimodal {
     import spark.implicits._
     payloads(docs).mapPartitions(_.map(d => stubResize(d))).toDF()
       .orderBy("doc_id")
+  }
+
+  /** Parsed header metadata per image payload. */
+  final case class ImageMetaRow(doc_id: Long, format: String,
+      width: Long, height: Long, channels: Long)
+
+  /** Deterministic format-correct image payloads, one per document:
+    * doc_id mod 3 picks PNG / JPEG / PNM, dimensions and channel
+    * layout derive from doc_id — the SAME literals the oracle
+    * recomputes, so [[imageMeta]]'s parser cannot self-confirm. In
+    * production this column is the media blob read off parquet. */
+  def syntheticImages(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 16 + (id % 101).toInt
+        val h = 8 + ((id / 3) % 97).toInt
+        val payload = (id % 3) match {
+          case 0 => ImageCodec.pngBytes(w, h,
+            colorType = if (id % 2 == 0) 6 else 2)
+          case 1 => ImageCodec.jpegBytes(w, h,
+            nComp = if (id % 2 == 0) 3 else 1)
+          case _ => ImageCodec.pnmBytes(w, h, grayscale = id % 2 == 0)
+        }
+        BinaryDoc(id, payload)
+      }
+  }
+
+  /** REAL header-level image decode (see [[ImageCodec]]): bytes in,
+    * (format, width, height, channels) out, per-partition batch
+    * iteration, zero shuffle. An unparseable payload surfaces as
+    * ("unknown", -1, -1, -1) — the row a production pipeline routes
+    * to the dead-letter side, exactly like the reference's
+    * deserialization-exception channel. */
+  def imageMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticImages(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseHeader(d.payload) match {
+        case Some(m) =>
+          ImageMetaRow(d.doc_id, m.format, m.width, m.height, m.channels)
+        case None => ImageMetaRow(d.doc_id, "unknown", -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
   }
 
   /** One sampled frame row per payload (doc_id, frame_idx, offset,

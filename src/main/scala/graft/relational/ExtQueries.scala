@@ -795,6 +795,21 @@ object ExtQueries {
       "FROM documents ORDER BY doc_id"
   }
 
+  /** The oracle recomputes format/dims/channels from the doc_id
+    * literals the fixture generator used — the Spark side must
+    * recover them by PARSING the actual PNG/JPEG/PNM bytes
+    * (ImageCodec), so a parser bug cannot self-confirm. */
+  private val mmImageMetaSql: String =
+    "SELECT doc_id, " +
+      "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+      "ELSE (CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'ppm' END) END AS format, " +
+      "CAST(16 + doc_id % 101 AS BIGINT) AS width, " +
+      "CAST(8 + (doc_id // 3) % 97 AS BIGINT) AS height, " +
+      "CAST(CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END) " +
+      "WHEN doc_id % 3 = 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) " +
+      "ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) END AS BIGINT) AS channels " +
+      "FROM documents ORDER BY doc_id"
+
   private val mmFramesSql: String = {
     val stride = Multimodal.FrameStride
     "WITH f AS (SELECT doc_id, text, unnest(range(0, " +
@@ -1131,6 +1146,7 @@ object ExtQueries {
         docs.where(F.col("doc_id") % 10 =!= 0))
     }),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
+    "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     "mm_resize" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
@@ -1230,6 +1246,7 @@ object ExtQueries {
     "dd_span_scrub" -> ddSpanScrubSql,
     "dd_incremental" -> ddIncrementalSql,
     "mm_meta" -> mmMetaSql,
+    "mm_image_meta" -> mmImageMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "rel_pricing" -> relPricingSql,
