@@ -97,17 +97,48 @@ object Bench {
       System.err.println(s"[bench-runs] $name " +
         samples(name).reverse.map(t => f"$t%.2f").mkString(","))
     }
-    // Rounded values: the harness that records this line keeps only a
-    // 2 kB output tail, and ~70 queries at full double precision plus
-    // sbt's trailing "[success]" line overflow it, truncating the head
-    // of the JSON (observed round 3: line present but unparseable).
-    // Two decimals keeps the whole line comfortably inside the window.
+    println(formatLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The one-line stdout contract, factored out so a spec can pin the
+    * size bound. The harness that records this line keeps only a 2 kB
+    * output tail, and the JSON must survive it WHOLE — round 3 lost a
+    * bench to head-truncation (line present but unparseable) when
+    * full-precision doubles overflowed the window. Degradation ladder,
+    * chosen by RENDERED length (a query-count threshold lies once
+    * names grow): 2-decimal per-query values (77 queries ≈ 1.75 kB)
+    * → 1-decimal → slowest-queries-only with a "_rest" entry summing
+    * the dropped tail (slow queries are what baseline comparison and
+    * regression adjudication read; the dropped fast tail stays
+    * accounted for in "_rest" and the exact total). */
+  private[graft] def formatLine(results: Seq[(String, Double)],
+      sfDir: String): String = {
+    // 2048-byte tail minus sbt's trailing "[success] Total time: …"
+    // line and slack for the closing fields
+    val budget = 1900
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    def render(rs: Seq[(String, Double)], d: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full2 = render(results, 2)
+    if (full2.length <= budget) return full2
+    val full1 = render(results, 1)
+    if (full1.length <= budget) return full1
+    // keep the slowest queries that fit; fold the rest into "_rest"
+    val bySlowest = results.sortBy(-_._2)
+    var keep = bySlowest.size
+    var line = full1
+    while (keep > 0 && line.length > budget) {
+      keep -= 1
+      val kept = bySlowest.take(keep)
+      val rest = bySlowest.drop(keep).map(_._2).sum
+      line = render(kept :+ ("_rest" -> rest), 1)
+    }
+    line
   }
 }

@@ -379,10 +379,21 @@ object Similarity {
     * vector column; the second is a point-lookup join whose input
     * cardinality is the page size, not the corpus. */
   def knnIvfPqRerank(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-                     page: Int = 20, nCodes: Int = 16): DataFrame = {
+                     page: Int = 20, nCodes: Int = 16): DataFrame =
+    rerank(embeddings,
+      knnIvfPq(embeddings, nQueries, k = page, nCodes = nCodes),
+      nQueries, k)
+
+  /** The exact re-rank stage alone: re-score any candidate page
+    * (query_id, neighbor_id, …) with the TRUE quantized cosine from
+    * the full-precision column and take top-k — a point-lookup join
+    * whose input cardinality is the page size, not the corpus.
+    * Composable over any first-stage index (sampled PQ, trained PQ,
+    * LSH) — [[knnIvfPqRerank]] is this over [[knnIvfPq]]'s page. */
+  def rerank(embeddings: DataFrame, page: DataFrame,
+             nQueries: Int = 8, k: Int = 5): DataFrame = {
     val base = quantized(embeddings)
-    val cand = knnIvfPq(embeddings, nQueries, k = page, nCodes = nCodes)
-      .select("query_id", "neighbor_id")
+    val cand = page.select("query_id", "neighbor_id")
     val rescored = cand
       .join(base.select(col("vec_id").as("neighbor_id"),
         col("qe"), col("qn")), "neighbor_id")

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object ProbeGen {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("clustered")) { clustered(args); return }
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/probe/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
@@ -55,6 +56,44 @@ object ProbeGen {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(s"[probegen] wrote ${copies}x $src -> $out")
+    spark.stop()
+  }
+
+  /** `ProbeGen clustered [out] [n] [nClusters] [sigma]` — embeddings
+    * with PLANTED Gaussian cluster structure (r5): vector i = center
+    * (i mod k) + N(0, sigma) per component, centers ~ N(0, 1),
+    * everything seeded from ids so the corpus is rerun-identical.
+    * This is the distribution family real text/image embeddings live
+    * in and the one PQ training exploits — the driver corpus's
+    * ~isotropic vectors made trained-vs-sampled codebooks an honest
+    * wash (BASELINE.md r4); this probe supplies the positive case. */
+  private def clustered(args: Array[String]): Unit = {
+    val out = if (args.length > 1) args(1) else "target/probe/clustered"
+    val n = if (args.length > 2) args(2).toLong else 2000L
+    val nClusters = if (args.length > 3) args(3).toInt else 16
+    val sigma = if (args.length > 4) args(4).toDouble else 0.2
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val centers = Array.tabulate(nClusters) { j =>
+      val rnd = new java.util.Random(7919L * (j + 1))
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val bc = spark.sparkContext.broadcast(centers)
+    spark.range(0L, n, 1L, 32).map { i =>
+      val rnd = new java.util.Random(31L * i + 17)
+      val c = bc.value((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(d => c(d) + (rnd.nextGaussian() * sigma).toFloat)
+      (i, v, (i % nClusters).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[probegen] wrote clustered n=$n k=$nClusters sigma=$sigma -> $out")
     spark.stop()
   }
 }

@@ -25,7 +25,10 @@ object SimScale {
       else Seq("sf0.001", "sf0.01", "sf0.1")
     println("sf,n_vecs,recall_lsh,recall_ivf,recall_pq,recall_rerank," +
       "pq_mean_abs_err_ppm,pq_max_abs_err_ppm,recall_rerank_cb64," +
-      "recall_pq_trained,recall_trained_cb64")
+      "recall_pq_trained,recall_trained_cb64," +
+      // r5 aligned columns: sampled vs trained at the SAME codebook
+      // size, with and without the exact re-rank stage
+      "recall_pq_cb64,recall_trained_rerank,recall_trained_rerank_cb64")
     sfs.foreach { sf =>
       val dir = if (sf.contains("/")) sf else s"/root/testdata/$sf"
       val e = Tables.embeddings(spark, dir)
@@ -53,8 +56,17 @@ object SimScale {
         Similarity.knnIvfPqRerank(e, nCodes = 64)))
       val rTr = recall(pairsOf(Similarity.knnIvfPqTrained(e)))
       val rTr64 = recall(pairsOf(Similarity.knnIvfPqTrained(e, nCodes = 64)))
+      val rPq64 = recall(pairsOf(Similarity.knnIvfPq(e, nCodes = 64)))
+      // trained + exact re-rank: page from the trained index, same
+      // re-rank contract as knnIvfPqRerank
+      def trainedRerank(nCodes: Int): Double = {
+        val page = Similarity.knnIvfPqTrained(e, k = 20, nCodes = nCodes)
+        recall(pairsOf(Similarity.rerank(e, page)))
+      }
+      val rTrRe = trainedRerank(16)
+      val rTrRe64 = trainedRerank(64)
       println(f"$sf,$n,$rLsh%.3f,$rIvf%.3f,$rPq%.3f,$rRe%.3f,$meanErr,$maxErr," +
-        f"$rRe64%.3f,$rTr%.3f,$rTr64%.3f")
+        f"$rRe64%.3f,$rTr%.3f,$rTr64%.3f,$rPq64%.3f,$rTrRe%.3f,$rTrRe64%.3f")
     }
     spark.stop()
   }
