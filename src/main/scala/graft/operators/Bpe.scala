@@ -141,4 +141,23 @@ object Bpe {
   /** Fit-then-encode convenience (the declared tx_bpe query). */
   def tokenize(docs: DataFrame, nMerges: Int = 16): DataFrame =
     encodeCounts(docs, fit(docs, nMerges))
+
+  /** Tokenizer fertility (r5): BPE tokens per word in ppm — THE
+    * standard tokenizer-evaluation metric (a vocabulary mismatched to
+    * the corpus yields high fertility = more sequence positions per
+    * word = more compute per document; multilingual pipelines track
+    * it per language). Composes [[tokenize]] with one row-local
+    * word-count projection; the final join is doc-keyed. */
+  def fertility(docs: DataFrame, nMerges: Int = 16): DataFrame = {
+    val words = graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long")
+          .as("n_words"))
+    tokenize(docs, nMerges).join(words, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        floor(lit(1000000.0) * col("n_bpe_tokens")
+          / greatest(col("n_words"), lit(1L))).cast("long")
+          .as("fertility_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -54,7 +54,14 @@ object Cluster {
     * split out so [[semDedupAuto]] can derive k = √N from the SAME
     * materialization the fit uses (no separate counting scan). */
   private def kmeansFromBase(base: DataFrame, k: Int,
-                             iters: Int, litMaxK: Int): DataFrame = {
+                             iters: Int, litMaxK: Int): DataFrame =
+    kmeansFit(base, k, iters, litMaxK)._1
+
+  /** The fit itself: (final assignment, final centroids) — centroids
+    * exposed so [[kmeansOutliers]] can score distances against the
+    * model without re-deriving it. */
+  private def kmeansFit(base: DataFrame, k: Int, iters: Int,
+      litMaxK: Int): (DataFrame, Seq[(Long, Seq[Long])]) = {
     // seed centroids: the quantized vectors of the first k ids
     // (deterministic; a k-means++ sampler would slot in here)
     var cents: Seq[(Long, Seq[Long])] = base.where(col("vec_id") < k)
@@ -64,8 +71,8 @@ object Cluster {
     // even analyzable (void-typed array), so short-circuit with the
     // correct (empty) schema
     if (cents.isEmpty)
-      return base.select(col("vec_id"), col("qe"), col("qn"),
-        lit(-1L).as("cid"))
+      return (base.select(col("vec_id"), col("qe"), col("qn"),
+        lit(-1L).as("cid")), Nil)
     def assign(cs: Seq[(Long, Seq[Long])]): DataFrame =
       if (cs.size > litMaxK)
         // scale path: the whole codebook is ONE reference object —
@@ -107,7 +114,46 @@ object Cluster {
       // JOIN + COALESCE)
       cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    assign(cents)
+    (assign(cents), cents)
+  }
+
+  /** Embedding-space outlier flagging — the data-cleaning pass that
+    * drops mislabeled / garbage / off-distribution vectors before
+    * training: distance to the assigned k-means centroid, ranked
+    * WITHIN the cluster (percent_rank, tie-broken by vec_id), the top
+    * (1 − keepFrac) flagged. Per-cluster ranking matters: a global
+    * cutoff would empty the naturally-wide clusters and keep all of
+    * the tight ones.
+    *
+    * Scale shape: the fit is [[kmeansAssign]]'s; the distance pass is
+    * ONE broadcast join against the k-row centroid table plus a
+    * native qdot projection (zero extra corpus shuffles); the rank
+    * window shuffles once on cid, payload (vec_id, dist) — never the
+    * vectors. Exact integer distances; percent_rank = (rank−1)/(n−1)
+    * is exact double in both engines. */
+  def kmeansOutliers(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                     keepFrac: Double = 0.9,
+                     literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame = {
+    val base = Similarity.quantized(embeddings).localCheckpoint(true)
+    val (assign, cents) = kmeansFit(base, k, iters, literalArgminMaxK)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    if (cents.isEmpty)
+      return assign.select(col("vec_id"), col("cid"),
+        lit(0L).as("dist"), lit(0L).as("outlier")).limit(0)
+    val centsDf = cents
+      .map { case (cid, ce) => (cid, ce, ce.map(x => x * x).sum) }
+      .toDF("cid", "ce", "cn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("dist").asc, col("vec_id").asc)
+    assign.join(broadcast(centsDf), "cid")
+      .select(col("vec_id"), col("cid"),
+        (col("qn") + col("cn") -
+          lit(2L) * vectorNative.qdot(col("qe"), col("ce"))).as("dist"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("vec_id"), col("cid"), col("dist"),
+        when(col("pr") > keepFrac, 1L).otherwise(0L).as("outlier"))
+      .orderBy("vec_id")
   }
 
   /** K-means cluster assignment: (vec_id, cid).

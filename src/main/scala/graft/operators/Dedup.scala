@@ -25,6 +25,46 @@ import graft.functions.{Partitioning, PortableHash => PH, TextOps, VectorOps => 
   */
 object Dedup {
 
+  /** Paragraph-granular exact dedup (r5 — the C4/RefinedWeb pass that
+    * document-level dedup misses: boilerplate paragraphs repeated
+    * across otherwise-distinct pages): documents split into
+    * `parWords`-word blocks ("paragraphs" — the corpus carries no
+    * punctuation, so the block boundary is positional), a paragraph
+    * is a DUP when an EARLIER doc (lower doc_id) holds identical
+    * content; per doc: paragraph count, dup count, dup fraction.
+    * Within-doc repeats are NOT dups (the doc itself is canonical).
+    *
+    * Scale shape: block construction is row-local (one Generate);
+    * everything downstream keys on md5(paragraph) — a fixed-width
+    * 128-bit content key, so the min-doc aggregate and the join
+    * shuffle hashes + ids, never text. Both aggregates are
+    * partial-combinable; at 100 TB this is exactly [[exact]] at
+    * paragraph grain. */
+  def paragraphDedup(docs: DataFrame, parWords: Int = 16): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val starts = sequence(lit(1),
+      greatest(size(col("ws")) - 1, lit(0)) + 1, lit(parWords))
+    // block fan-out feeds BOTH the canonical-doc aggregate and the
+    // scoring join — materialize once
+    val pars = Partitioning.spread(docs)
+      .select(col("doc_id"), explode(array(ws)).as("ws"))
+      .select(col("doc_id"), col("ws"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("start"), lit(parWords)), " "))
+          .as("ph"))
+      .localCheckpoint(true)
+    val canon = pars.groupBy("ph").agg(min("doc_id").as("min_doc"))
+    pars.join(canon, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_par"),
+        sum(when(col("min_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_par"), col("n_dup"),
+        floor(lit(1000000.0) * col("n_dup") / col("n_par")).cast("long")
+          .as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Exact deduplication: canonical representative (min doc_id) and
     * multiplicity per identical `text`. One hash-agg shuffle. */
   def exact(docs: DataFrame): DataFrame =

@@ -346,6 +346,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** URL normalization + decomposition (r5 — the web-pipeline staple:
+    * dedup and per-domain quality need canonical URLs): lowercase
+    * scheme/host, extract the registrable domain (last two labels —
+    * a public-suffix list refines this in production), drop the
+    * fragment and every `utm_*` tracking parameter, reassemble the
+    * canonical form. Row-local codegen'd regex + array HOFs in the
+    * Java/RE2-identical subset (same discipline as [[piiScrub]]) —
+    * zero shuffles; the per-domain rollup downstream is one
+    * partial-combinable aggregate. */
+  def urlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val qs = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(qs, "&"),
+      p => !(p.startsWith("utm_") || p === ""))
+    val keptQs = array_join(kept, "&")
+    df.withColumn("scheme", scheme)
+      .withColumn("host", host)
+      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("path", path)
+      .withColumn("norm_url", concat(scheme, lit("://"), host, path,
+        when(length(keptQs) > 0, concat(lit("?"), keptQs))
+          .otherwise(lit(""))))
+  }
+
+  /** Temperature-based mixture resampling (r5): per-language keep
+    * rate (n_min / n_l)^(1−α) with α = 0.5 pinned — i.e.
+    * √(n_min/n_l) — so the SMALLEST language keeps everything and
+    * dominant languages are downsampled toward a flatter mix (the
+    * standard multilingual-pretraining rebalance; α = 1 is natural
+    * proportions, α → 0 is uniform). Unlike [[sampleMix]]'s literal
+    * per-language rates, the rates here are DERIVED FROM THE CORPUS:
+    * one tiny lang-count aggregate (the fit), broadcast back, then
+    * the same deterministic salted-hash keep rule (rerun/retry-stable
+    * where rand() is not). α = 0.5 is pinned because √ is the one
+    * bit-portable power (IEEE sqrt; pow(x, y) is not cross-engine
+    * bit-stable). */
+  def sampleTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val minRow = counts.agg(min("n_l")).head()
+    if (minRow.isNullAt(0))
+      return docs.select(col("doc_id"), col("lang"),
+        lit(0L).as("rate_ppm")).limit(0)
+    val nMin = minRow.getLong(0)
+    docs.join(broadcast(counts), "lang")
+      .withColumn("rate_ppm",
+        floor(lit(1000000.0) *
+          sqrt(lit(nMin.toDouble) / col("n_l"))).cast("long"))
+      .where(pmod(PH.h31(concat(lit("temp:"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("rate_ppm"))
+      .select("doc_id", "lang", "rate_ppm")
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: redact emails/phone numbers with typed
     * placeholders and count the redactions — the compliance pass every
     * training corpus needs. Row-local codegen'd regexes (no UDF); the

@@ -293,6 +293,75 @@ object ExtQueries {
       "/ (sum(tf) * (SELECT n FROM nd))) AS BIGINT) AS mean_df_ppm " +
       "FROM j GROUP BY doc_id ORDER BY doc_id"
 
+  /** Paragraph-granular dedup: 16-word positional blocks, md5 content
+    * key, dup = an earlier doc holds identical content. `range` is
+    * end-exclusive (hence the +2 vs Spark's inclusive sequence +1);
+    * DuckDB md5() and Spark md5() agree on lowercase hex. */
+  private val ddParagraphSql: String = {
+    val pw = 16
+    s"WITH ws AS ($wordsCte), " +
+      "s AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 0) + 2, " +
+      s"$pw)) AS start FROM ws), " +
+      s"p AS (SELECT doc_id, md5(array_to_string(w[start:start + ${pw - 1}], ' ')) " +
+      "AS ph FROM s), " +
+      "c AS (SELECT ph, min(doc_id) AS min_doc FROM p GROUP BY 1), " +
+      "j AS (SELECT p.doc_id, CASE WHEN c.min_doc < p.doc_id THEN 1 ELSE 0 END " +
+      "AS dup FROM p JOIN c USING (ph)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par, " +
+      "CAST(sum(dup) AS BIGINT) AS n_dup, " +
+      "CAST(FLOOR(1000000.0 * sum(dup) / count(*)) AS BIGINT) AS dup_ppm " +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  /** URL normalization over the derived deterministic URL column (the
+    * corpus carries no URLs; the derivation embeds mixed case, utm_*
+    * tracking params and a fragment so every normalization rule
+    * fires). Shares the Spark side's regex subset. */
+  private val txUrlExtractSql: String = {
+    val url = "'HTTPS://Sub' || CAST(doc_id % 3 AS VARCHAR) || '.Example' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR) || " +
+      "'?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END || '#frag'"
+    s"WITH u AS (SELECT doc_id, $url AS url FROM documents), " +
+      "parts AS (SELECT doc_id, " +
+      "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host, " +
+      "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path, " +
+      "array_to_string(list_filter(string_split(" +
+      "regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+      "p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS kept FROM u) " +
+      "SELECT doc_id, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, " +
+      "path, scheme || '://' || host || path || " +
+      "CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END AS norm_url " +
+      "FROM parts ORDER BY doc_id"
+  }
+
+  /** Temperature resampling: rates derived from lang counts with the
+    * pinned α = 0.5 (√ is the bit-portable power), then the salted-
+    * hash keep rule. */
+  private val txSampleTempSql: String = {
+    val u = PH.h31Sql("'temp:' || CAST(doc_id AS VARCHAR)")
+    "WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1), " +
+      "mn AS (SELECT min(n_l) AS n_min FROM c), " +
+      "r AS (SELECT d.doc_id, d.lang, " +
+      "CAST(FLOOR(1000000.0 * sqrt(CAST((SELECT n_min FROM mn) AS DOUBLE) / n_l)) " +
+      "AS BIGINT) AS rate_ppm FROM documents d JOIN c USING (lang)) " +
+      s"SELECT doc_id, lang, rate_ppm FROM r WHERE ($u % 1000000) < rate_ppm " +
+      "ORDER BY doc_id"
+  }
+
+  /** Fertility: the full BPE oracle chain reused verbatim as a CTE,
+    * joined to a word count. Lazy: txBpeSql is declared further down
+    * the file (strict init order would capture null). */
+  private lazy val txFertilitySql: String =
+    "WITH b AS (" + txBpeSql + "), " +
+      "wc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+      "AS n_words FROM documents) " +
+      "SELECT b.doc_id, wc.n_words, b.n_bpe_tokens, " +
+      "CAST(FLOOR(1000000.0 * b.n_bpe_tokens / greatest(wc.n_words, 1)) " +
+      "AS BIGINT) AS fertility_ppm " +
+      "FROM b JOIN wc ON wc.doc_id = b.doc_id ORDER BY b.doc_id"
+
   /** Exact top-k term occurrences — the oracle for the MG sketch
     * query, valid because the corpus vocabulary fits the sketch. */
   private val txTopTermsSketchSql: String =
@@ -383,6 +452,22 @@ object ExtQueries {
 
   private val ddSemdedupAutoSql: String =
     semdedupTail(kmeansCtes(sqrtKSql, 2))
+
+  /** Embedding-space outliers: the kmeans chain's final distance
+    * table (d3) re-used — per vec the (dist, cid)-argmin row keeps
+    * its distance, then percent_rank within the cluster (ties broken
+    * by vec_id, matching the operator's window). */
+  private val ddOutliersSql: String =
+    s"WITH ${kmeansCtes("8", 2)}, " +
+      "ad AS (SELECT vec_id, cid, dist FROM " +
+      "(SELECT vec_id, cid, dist, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d3) " +
+      "WHERE rn = 1), " +
+      "r AS (SELECT vec_id, cid, dist, percent_rank() OVER " +
+      "(PARTITION BY cid ORDER BY dist ASC, vec_id ASC) AS pr FROM ad) " +
+      "SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist, " +
+      "CAST(CASE WHEN pr > 0.9 THEN 1 ELSE 0 END AS BIGINT) AS outlier " +
+      "FROM r ORDER BY vec_id"
 
   // ---------------------------------------------------------------
   // similarity search
@@ -1063,6 +1148,28 @@ object ExtQueries {
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
+    "dd_outliers" -> ((s, d) => Cluster.kmeansOutliers(Tables.embeddings(s, d))),
+    "dd_paragraph" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    "tx_sample_temp" -> ((s, d) =>
+      TextAnalysis.sampleTemperature(Tables.documents(s, d))),
+    "tx_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
+    "tx_url_extract" -> ((s, d) => {
+      // derived deterministic URL input (the corpus carries no URLs);
+      // mixed case + utm_* params + a fragment exercise every
+      // normalization rule
+      val inp = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.lit("HTTPS://Sub"), (F.col("doc_id") % 3).cast("string"),
+          F.lit(".Example"), (F.col("doc_id") % 7).cast("string"),
+          F.lit(".COM/p/"), F.col("doc_id").cast("string"),
+          F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+          F.lit("&utm_campaign=x"),
+          F.when(F.col("doc_id") % 2 === 0, F.lit("&ref=home"))
+            .otherwise(F.lit("")),
+          F.lit("#frag")).as("url"))
+      TextAnalysis.urlParts(inp, "url")
+        .select("doc_id", "host", "domain", "path", "norm_url")
+        .orderBy("doc_id")
+    }),
     "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
     "dd_semdedup_auto" -> ((s, d) =>
       Cluster.semDedupAuto(Tables.embeddings(s, d))),
@@ -1217,6 +1324,11 @@ object ExtQueries {
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
+    "dd_outliers" -> ddOutliersSql,
+    "dd_paragraph" -> ddParagraphSql,
+    "tx_sample_temp" -> txSampleTempSql,
+    "tx_fertility" -> txFertilitySql,
+    "tx_url_extract" -> txUrlExtractSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_semdedup_auto" -> ddSemdedupAutoSql,
     "sim_knn_brute" -> simKnnBruteSql,

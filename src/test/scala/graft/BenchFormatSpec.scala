@@ -22,12 +22,15 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.endsWith("\"}"))
   }
 
-  test("77-query line (current surface size, real names) stays 2-decimal") {
+  test("current full surface fits with every query individually present") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.formatLine(names.map(_ -> 1.23), "/root/testdata/sf0.1")
     parseable(line)
     assert(line.length < 1900, s"line is ${line.length} bytes")
-    assert(line.contains(":1.23"), "full surface should keep 2 decimals")
+    // the ladder may drop precision as the surface grows, but at the
+    // current size no query may be folded away into _rest
+    assert(!line.contains("\"_rest\":"))
+    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n missing"))
   }
 
   test("100 long-named queries fit via the degradation ladder") {

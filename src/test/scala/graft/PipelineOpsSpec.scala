@@ -448,6 +448,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 500000L, 666666L))) // sum_df 3+1 / (2·3)
   }
 
+  test("paragraph dedup: shared blocks flag the LATER doc, within-doc repeats don't") {
+    val par1 = (1 to 16).map(i => s"p$i").mkString(" ")   // shared block
+    val par2 = (21 to 36).map(i => s"q$i").mkString(" ")  // unique to doc 2
+    val d = docs(
+      1L -> s"$par1 $par1",        // doc 1: the block twice (canonical)
+      2L -> s"$par1 $par2",        // doc 2: block copied from doc 1 + own
+      3L -> (41 to 56).map(i => s"r$i").mkString(" "))
+    val out = Dedup.paragraphDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0L)), "within-doc repeat is not a dup")
+    assert(out(2L) == ((2L, 1L, 500000L)), "cross-doc copy flags the later doc")
+    assert(out(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("url normalization: lowercases, strips utm_* and fragment, keeps the rest") {
+    val d = Seq(
+      (1L, "HTTPS://WWW.Example.COM/A/b?utm_source=x&id=7&utm_b=y#frag"),
+      (2L, "http://sub.host.ORG/p"),               // no query, no fragment
+      (3L, "https://h.io/x?utm_only=1")            // all params stripped
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlParts(d, "url").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), r.getAs[String]("domain"),
+          r.getAs[String]("norm_url"))).toMap
+    assert(out(1L) == (("www.example.com", "example.com",
+      "https://www.example.com/A/b?id=7")))
+    assert(out(2L) == (("sub.host.org", "host.org", "http://sub.host.org/p")))
+    assert(out(3L) == (("h.io", "h.io", "https://h.io/x")))
+  }
+
+  test("temperature sampling: smallest language keeps everything, rates fall with size") {
+    val rows = (1L to 100L).map(i => (i, "w", if (i <= 4) "small" else "big"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.sampleTemperature(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = out.groupBy(_._2)
+    // rate(small) = floor(1e6·√(4/4)) = 1e6 → every hash < 1e6 → all kept
+    assert(byLang("small").map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // rate(big) = floor(1e6·√(4/96)) = 204124 ppm — all emitted rows
+    // carry the rate, and roughly that fraction of big survives
+    assert(byLang("big").forall(_._3 == 204124L))
+    assert(byLang("big").size < 50, "big language must be downsampled")
+  }
+
+  test("fertility: single-char words are one token each -> fertility 1e6") {
+    val d = docs(1L -> "a b a b", 2L -> "a a a")
+    val out = graft.operators.Bpe.fertility(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 1000000L)))
+    assert(out(2L) == ((3L, 3L, 1000000L)))
+  }
+
+  test("kmeans outliers: the planted far point is flagged, tight cluster kept") {
+    // two tight clusters + one outlier near cluster 0 (moderate — a
+    // huge outlier would drag the floor-mean centroid onto itself and
+    // become a singleton cluster, which the rank contract rightly
+    // does not flag)
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f), // seeds k=2
+      2L -> Array(1.1f, 0.1f), 3L -> Array(0.9f, 0.05f),
+      4L -> Array(0.1f, 1.1f), 5L -> Array(0.05f, 0.9f),
+      6L -> Array(3.0f, 0.0f) // planted outlier, stays in cluster 0
+    )
+    val d = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val out = graft.operators.Cluster.kmeansOutliers(d, k = 2, keepFrac = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(6L) == 1L, "planted far point must be flagged")
+    assert(Seq(0L, 2L, 3L).forall(out(_) == 0L),
+      "tight cluster-0 members stay")
+    // per-cluster rank contract: cluster 1 (3 members) flags exactly
+    // its farthest member at keepFrac 0.7 (percent_ranks 0, .5, 1)
+    assert(Seq(1L, 4L, 5L).map(out).count(_ == 1L) == 1)
+    // native path agrees
+    val nat = graft.operators.Cluster
+      .kmeansOutliers(d, k = 2, keepFrac = 0.7, literalArgminMaxK = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(nat == out)
+  }
+
   test("containment surfaces short-in-long duplication that jaccard dilutes") {
     val longText = (1 to 300).map(i => s"w$i").mkString(" ")
     val shortText = (101 to 110).map(i => s"w$i").mkString(" ") // ⊂ longText
