@@ -727,6 +727,53 @@ object Dedup {
     * multi-table random-hyperplane LSH) verified with the exact
     * quantized cosine. Approximate-recall by design: only pairs
     * agreeing on at least one full band are candidates. */
+  /** Incremental-ingest dedup on the EMBEDDING side (r5) — the
+    * vector twin of [[incremental]]: the daily batch of NEW vectors
+    * (here the deterministic 10% slice vec_id % 10 == 7; in
+    * production the ingest partition) probes the existing corpus via
+    * CROSS sign-LSH — batch bands join corpus bands, never a
+    * self-join — then exact quantized-cosine verify; every batch
+    * vector is labeled (n_matches, admit).
+    *
+    * Scale shape: the corpus side streams its bands ONCE per ingest;
+    * candidate volume is bounded by the BATCH's bucket occupancy
+    * (same argument as the text-side incremental); the verify join
+    * is |candidates|, never batch × corpus. */
+  def embeddingIncremental(embeddings: DataFrame, nBands: Int = 4,
+                           bitsPerBand: Int = 4,
+                           minCosPpm: Long = 400000L): DataFrame = {
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7
+    val q = Partitioning.spread(embeddings).select(col("vec_id"),
+        V.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
+      .where(col("qn") > 0)
+    val banded = embeddings.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.where(isBatch)
+      .select(col("vec_id").as("vec_new"), col("band"), col("bucket"))
+      .join(banded.where(!isBatch)
+        .select(col("vec_id").as("vec_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("vec_new", "vec_old").distinct()
+    val matches = cand
+      .join(q.select(col("vec_id").as("vec_new"), col("qe").as("qa"),
+        col("qn").as("na")), "vec_new")
+      .join(q.select(col("vec_id").as("vec_old"), col("qe").as("qb"),
+        col("qn").as("nb")), "vec_old")
+      .select(col("vec_new"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .groupBy("vec_new").agg(count(lit(1)).as("nm"))
+    q.where(isBatch).select(col("vec_id"))
+      .join(matches, col("vec_id") === col("vec_new"), "left")
+      .select(col("vec_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
+        when(col("nm").isNull, 1L).otherwise(0L).as("admit"))
+      .orderBy("vec_id")
+  }
+
   def embeddingNearDup(embeddings: DataFrame, nBands: Int = 4,
                        bitsPerBand: Int = 4,
                        minCosPpm: Long = 400000L,

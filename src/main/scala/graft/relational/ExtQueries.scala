@@ -391,6 +391,25 @@ object ExtQueries {
       "SELECT vec_a, vec_b, cos_ppm FROM c WHERE cos_ppm >= 400000 " +
       "ORDER BY vec_a, vec_b"
 
+  /** Embedding-side incremental ingest: batch (vec_id % 10 = 7) bands
+    * probe corpus bands, exact cosine verify, per-batch-vector
+    * (n_matches, admit). */
+  private val ddEmbedIncrementalSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "nb AS (SELECT * FROM bands WHERE vec_id % 10 = 7), " +
+      "ob AS (SELECT * FROM bands WHERE vec_id % 10 <> 7), " +
+      "cand AS (SELECT DISTINCT nb.vec_id AS vec_new, ob.vec_id AS vec_old " +
+      "FROM nb JOIN ob ON nb.band = ob.band AND nb.bucket = ob.bucket), " +
+      "m AS (SELECT c.vec_new, CAST(count(*) AS BIGINT) AS nm FROM cand c " +
+      "JOIN base x ON x.vec_id = c.vec_new " +
+      "JOIN base y ON y.vec_id = c.vec_old " +
+      s"WHERE ${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} >= 400000 " +
+      "GROUP BY 1) " +
+      "SELECT b.vec_id, COALESCE(m.nm, 0) AS n_matches, " +
+      "CAST(CASE WHEN m.vec_new IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit " +
+      "FROM (SELECT vec_id FROM base WHERE vec_id % 10 = 7) b " +
+      "LEFT JOIN m ON m.vec_new = b.vec_id ORDER BY b.vec_id"
+
   /** Unrolled deterministic Lloyd k-means CTE chain (the oracle of
     * Cluster.kmeansFull): c0 = seed centroids, then per round i:
     * d_i (distances) → a_i (argmin assign) → m_i (floor-mean per
@@ -985,6 +1004,12 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  private val relCubeSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+      s"CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+
   private val relJsonPropsSql: String =
     "SELECT event_type, count(*) AS n, " +
       "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
@@ -1147,6 +1172,9 @@ object ExtQueries {
     "dd_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "dd_embed_incremental" -> ((s, d) =>
+      Dedup.embeddingIncremental(Tables.embeddings(s, d))),
+    "rel_cube" -> (RelQueries.pricingCube _),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
     "dd_outliers" -> ((s, d) => Cluster.kmeansOutliers(Tables.embeddings(s, d))),
     "dd_paragraph" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
@@ -1325,6 +1353,8 @@ object ExtQueries {
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
     "dd_outliers" -> ddOutliersSql,
+    "dd_embed_incremental" -> ddEmbedIncrementalSql,
+    "rel_cube" -> relCubeSql,
     "dd_paragraph" -> ddParagraphSql,
     "tx_sample_temp" -> txSampleTempSql,
     "tx_fertility" -> txFertilitySql,

@@ -121,6 +121,17 @@ object RelQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** CUBE grouping-sets coverage (r5 — completes the family with
+    * [[pricingRollup]]: CUBE adds the (∅, linestatus) cross slices
+    * ROLLUP omits). Same single-shuffle Expand+aggregate plan shape;
+    * NULLS FIRST pinned for the oracle as in rollup. */
+  def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** JSON scalar-function coverage: `props` carries a JSON payload;
     * extract + aggregate per event type (get_json_object is the
     * codegen'd built-in; no UDF, no schema inference over the lake). */

@@ -529,6 +529,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nat == out)
   }
 
+  test("embedding incremental: batch near-dup of a corpus vector rejected, novel admitted") {
+    // 16-dim so the 4×4 sign bands have bits to read. Corpus = vecs
+    // 1, 2 (both the alternating pattern); batch (vec_id % 10 == 7):
+    // vec 7 is a near-copy of corpus vec 1, vec 17 is the
+    // blockwise-orthogonal pattern (dot = 0 against the corpus —
+    // below any threshold, so it must admit even if a bucket collides)
+    val near = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val nearish = near.clone(); nearish(0) = 0.9f
+    val ortho = Array.tabulate(16)(i => if (i % 4 < 2) 1.0f else -1.0f)
+    val d = Seq(1L -> near, 2L -> near.map(_ * 2.0f),
+      7L -> nearish, 17L -> ortho).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingIncremental(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(7L, 17L), "only batch vectors are labeled")
+    assert(out(7L)._1 >= 1L && out(7L)._2 == 0L, "near-dup must not admit")
+    assert(out(17L) == ((0L, 1L)), "novel vector admits with zero matches")
+  }
+
   test("containment surfaces short-in-long duplication that jaccard dilutes") {
     val longText = (1 to 300).map(i => s"w$i").mkString(" ")
     val shortText = (101 to 110).map(i => s"w$i").mkString(" ") // ⊂ longText
