@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the "what is in this lake" pass that
@@ -33,5 +33,31 @@ object Profile {
         s"stack(${cols.size}, $rows) AS (col_name, n_nonnull, n_distinct)")
       .select("col_name", "n_rows", "n_nonnull", "n_distinct")
       .orderBy("col_name")
+  }
+
+  /** Declarative data-quality expectations (r5 — the Deequ-style
+    * validation pass run before admitting a partition to the lake):
+    * each check is a named boolean predicate; the report is
+    * (check_name, n_rows, n_violations, pass) per check.
+    *
+    * Scale design: ONE scan, ONE aggregate — every check folds into a
+    * conditional sum in the same partial-combinable aggregate (k
+    * checks cost k counters per partition, not k passes over 100 TB);
+    * the stack to long format runs over the single aggregated row.
+    * Checks are (name, violated-when) pairs so callers declare
+    * constraints next to ingestion code. */
+  def expectations(df: DataFrame,
+                   checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "zero expectations")
+    val aggs = count(lit(1)).as("n_rows") +: checks.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${checks.size}, $rows) AS (check_name, n_violations)")
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+      .orderBy("check_name")
   }
 }

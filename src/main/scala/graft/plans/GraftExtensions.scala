@@ -81,7 +81,25 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "Unicode NFC canonical composition of a string"),
-      (es: Seq[Expression]) => NfcNormalize(es.head)))
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
+    // the codebook arguments are evaluated ONCE at resolution time
+    // into the single reference object the expression ships to
+    // executors — the SQL route to the same O(1)-plan-size argmin the
+    // DataFrame API gets (see CentroidModel)
+    (FunctionIdentifier("centroid_argmin"),
+      info("centroid_argmin", "(vec array<long>, norm long, cids array<long>, " +
+        "cents array<array<long>>[, offset]) -> cid minimizing " +
+        "(norm + dot(c,c) - 2*dot(vec,c), cid); codebook args literal"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val cids = es(2).eval().asInstanceOf[ArrayData].toLongArray()
+        val centsAd = es(3).eval().asInstanceOf[ArrayData]
+        val cents = Array.tabulate(centsAd.numElements())(i =>
+          centsAd.getArray(i).toLongArray())
+        val off = if (es.length > 4)
+          es(4).eval().asInstanceOf[Number].intValue() else 0
+        CentroidArgmin(es.head, es(1), new CentroidModel(cids, cents, off))
+      }))
 
   /** Register the same functions on an already-built session (tests,
     * notebooks); extensions-based injection is the production path. */

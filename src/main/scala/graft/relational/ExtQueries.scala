@@ -1148,6 +1148,28 @@ object ExtQueries {
       "CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm, " +
       "nfc_normalize(raw) AS norm FROM inp ORDER BY doc_id"
 
+  /** Deequ-style expectations over lineitem: named checks with their
+    * violated-when predicates (one check is deliberately breakable —
+    * a report with only green rows tests nothing). */
+  private val expectationChecks: Seq[(String, String)] = Seq(
+    "discount_le_10pct" -> "l_discount > 0.1",
+    "orderkey_not_null" -> "l_orderkey IS NULL",
+    "quantity_in_1_50" -> "(l_quantity < 1 OR l_quantity > 50)",
+    "quantity_le_30" -> "l_quantity > 30",
+    "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')")
+
+  private val relExpectationsSql: String = {
+    val sums = expectationChecks.zipWithIndex.map { case ((_, bad), i) =>
+      s"CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+    }.mkString(", ")
+    val branches = expectationChecks.zipWithIndex.map { case ((name, _), i) =>
+      s"SELECT '$name' AS check_name, n_rows, v$i AS n_violations, " +
+        s"CAST(CASE WHEN v$i = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM a"
+    }.mkString(" UNION ALL ")
+    s"WITH a AS (SELECT count(*) AS n_rows, $sums FROM lineitem) " +
+      s"SELECT * FROM ($branches) ORDER BY check_name"
+  }
+
   private val relProfileSql: String = {
     val selects = relProfileCols.map(c =>
       s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
@@ -1175,6 +1197,9 @@ object ExtQueries {
     "dd_embed_incremental" -> ((s, d) =>
       Dedup.embeddingIncremental(Tables.embeddings(s, d))),
     "rel_cube" -> (RelQueries.pricingCube _),
+    "rel_expectations" -> ((s, d) =>
+      graft.operators.Profile.expectations(Tables.lineitem(s, d),
+        expectationChecks.map { case (n, bad) => (n, F.expr(bad)) })),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
     "dd_outliers" -> ((s, d) => Cluster.kmeansOutliers(Tables.embeddings(s, d))),
     "dd_paragraph" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
@@ -1355,6 +1380,7 @@ object ExtQueries {
     "dd_outliers" -> ddOutliersSql,
     "dd_embed_incremental" -> ddEmbedIncrementalSql,
     "rel_cube" -> relCubeSql,
+    "rel_expectations" -> relExpectationsSql,
     "dd_paragraph" -> ddParagraphSql,
     "tx_sample_temp" -> txSampleTempSql,
     "tx_fertility" -> txFertilitySql,

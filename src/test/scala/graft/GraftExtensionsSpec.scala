@@ -12,7 +12,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 12)
+    assert(GraftExtensions.functions.size == 13)
+  }
+
+  test("centroid_argmin is usable from spark.sql with a literal codebook") {
+    GraftExtensions.register(spark)
+    // centroids 10 -> (1,0), 20 -> (0,1); vec (3,1) with norm 10 is
+    // closer to (1,0): 10+1-6=5 vs 10+1-2=9
+    val r = spark.sql(
+      "SELECT centroid_argmin(array(3L, 1L), 10L, array(10L, 20L), " +
+        "array(array(1L, 0L), array(0L, 1L))) AS cid, " +
+        // offset form: score only the 2nd component (width-1 codebook)
+        "centroid_argmin(array(3L, 1L), 0L, array(7L), array(array(5L)), 1) AS c2")
+      .head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 7L)
   }
 
   test("nfc_normalize is usable from spark.sql and composes sequences") {

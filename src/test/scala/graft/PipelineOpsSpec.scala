@@ -547,6 +547,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(17L) == ((0L, 1L)), "novel vector admits with zero matches")
   }
 
+  test("expectations: violations counted per check in one scan, pass flag exact") {
+    val d = Seq((1L, 10.0), (2L, -3.0), (3L, 200.0)).toDF("id", "v")
+    val out = graft.operators.Profile.expectations(d, Seq(
+      "id_not_null" -> col("id").isNull,
+      "v_nonneg" -> (col("v") < 0),
+      "v_le_100" -> (col("v") > 100)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id_not_null") == ((3L, 0L, 1L)))
+    assert(out("v_nonneg") == ((3L, 1L, 0L)))
+    assert(out("v_le_100") == ((3L, 1L, 0L)))
+    // one scan: a k-check report must not plan k aggregates over the source
+    val plan = graft.operators.Profile.expectations(d, Seq(
+      "a" -> (col("v") < 0), "b" -> (col("v") > 100)))
+      .queryExecution.optimizedPlan.toString
+    assert("LocalRelation|LogicalRDD".r.findAllIn(plan).size <= 1)
+  }
+
   test("containment surfaces short-in-long duplication that jaccard dilutes") {
     val longText = (1 to 300).map(i => s"w$i").mkString(" ")
     val shortText = (101 to 110).map(i => s"w$i").mkString(" ") // ⊂ longText
