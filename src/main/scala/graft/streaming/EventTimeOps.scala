@@ -52,6 +52,31 @@ object EventTimeOps {
         floor(lit(1000000.0) * col("n_dead") / col("n"))
           .cast("long").as("dead_ppm"))
 
+  /** Windowed data-quality expectations (r5) — the streaming twin of
+    * Profile.expectations: per event-time window, total rows plus a
+    * violation counter per named (check, violated-when) predicate —
+    * the continuous-ingest DQ monitor (alert when a window's
+    * violation count jumps). Same fold-into-one-aggregate shape as
+    * the batch pass: k checks cost k conditional sums in the SAME
+    * watermark-bounded windowed aggregate, state O(windows in the
+    * horizon), never a second pass over the stream. Runs unchanged in
+    * batch mode, which is how the spec pins exact values. */
+  def expectationsRollup(events: DataFrame,
+                         checks: Seq[(String, Column)],
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    require(checks.nonEmpty, "zero expectations")
+    val aggs = count(lit(1)).as("n_rows") +: checks.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("window_start"), col("n_rows")) ++
+        checks.map { case (name, _) => col(s"v_$name") }: _*)
+  }
+
   /** Windowed trending terms: the Misra–Gries heavy-hitters
     * aggregate ([[graft.functions.MisraGriesTopK]]) under Structured
     * Streaming state — per event-time window, the top-k terms by

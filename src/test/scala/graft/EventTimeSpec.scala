@@ -42,6 +42,41 @@ class EventTimeSpec extends AnyFunSuite {
     assert(out == Set((7L, 0L, 2L), (7L, 90L, 1L), (8L, 5L, 1L)))
   }
 
+  test("expectationsRollup: per-window violation counters, streaming == batch") {
+    import org.apache.spark.sql.functions.col
+    val checks = Seq(
+      "value_nonneg" -> (col("value") < 0),
+      "type_domain" -> !col("event_type").isin("a", "b"))
+    // batch form pins exact values: window [0,60) has one negative
+    // value; window [60,120) has one domain violation
+    val df = eventsDf((1, 1, "a", 1.5), (5, 1, "a", -2.0),
+      (61, 2, "zzz", 4.0))
+    val batch = EventTimeOps.expectationsRollup(df, checks).collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == Set((0L, 2L, 1L, 0L), (60L, 1L, 0L, 1L)))
+    // the SAME rows through MemoryStream micro-batches emit the same
+    // windows once the watermark closes them
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventTimeOps.expectationsRollup(
+        mem.toDF().toDF("ts", "user_id", "event_type", "value"), checks,
+        "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("dq_rollup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(1), 1L, "a", 1.5), (ts(5), 1L, "a", -2.0),
+        (ts(61), 2L, "zzz", 4.0))
+      q.processAllAvailable()
+      mem.addData((ts(600), 1L, "a", 1.0)) // close all open windows
+      q.processAllAvailable()
+      val got = spark.table("dq_rollup").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.subsetOf(got))
+    } finally q.stop()
+  }
+
   test("tumblingRollup drops late data behind the watermark (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
