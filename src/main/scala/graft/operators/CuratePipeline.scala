@@ -36,6 +36,40 @@ object CuratePipeline {
       .orderBy("doc_id")
   }
 
+  /** The WEB-corpus curation composite (r5 — composes the r5 operator
+    * additions end-to-end): keep a document iff
+    *   1. its paragraph-duplication fraction is below `maxDupPpm`
+    *      ([[Dedup.paragraphDedup]] — boilerplate-heavy pages drop),
+    *   2. its quality score clears `minQualityPpm`,
+    *   3. it survives temperature resampling
+    *      ([[TextAnalysis.sampleTemperature]] — corpus-derived
+    *      per-language rates rebalance the mix);
+    * emit (doc_id, lang, domain) with the domain from the canonical
+    * URL ([[TextAnalysis.urlParts]] over `urlDocs`).
+    *
+    * Plan shape: three independent per-doc signals (each its own
+    * bounded-shuffle pipeline) meet in doc-keyed equi-joins; the URL
+    * parse is a row-local projection. Nothing collects beyond
+    * sampleTemperature's lang-count model. */
+  def curateWeb(spark: SparkSession, docs: DataFrame, urlDocs: DataFrame,
+                maxDupPpm: Long = 500000L,
+                minQualityPpm: Long = 750000L): DataFrame = {
+    val lowDup = Dedup.paragraphDedup(docs)
+      .where(col("dup_ppm") < maxDupPpm).select("doc_id")
+    val quality = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_ppm")
+      .where(col("quality_ppm") >= minQualityPpm)
+      .select("doc_id")
+    val sampled = TextAnalysis.sampleTemperature(docs)
+      .select("doc_id", "lang")
+    val domains = TextAnalysis.urlParts(urlDocs, "url")
+      .select("doc_id", "domain")
+    sampled.join(lowDup, "doc_id").join(quality, "doc_id")
+      .join(domains, "doc_id")
+      .select("doc_id", "lang", "domain")
+      .orderBy("doc_id")
+  }
+
   /** [[curate]] extended with the embedding modality: additionally
     * require the document's embedding to survive semantic dedup
     * (Cluster.semDedup kept = 1). The text-side and embedding-side

@@ -1079,6 +1079,32 @@ object ExtQueries {
 
   /** Multimodal composite: text-side curation ∩ embedding-side
     * semantic-dedup survivors (both oracle chains reused verbatim). */
+  /** Derived deterministic URL input shared by tx_url_extract and
+    * pipeline_curate_web (the corpus carries no URLs); mixed case +
+    * utm_* params + a fragment exercise every normalization rule. */
+  private def derivedUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(F.col("doc_id"),
+      F.concat(F.lit("HTTPS://Sub"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x"),
+        F.when(F.col("doc_id") % 2 === 0, F.lit("&ref=home"))
+          .otherwise(F.lit("")),
+        F.lit("#frag")).as("url"))
+
+  /** Web-curation composite: the r5 operator oracles reused verbatim
+    * as CTEs (paragraph dedup + quality + temperature sampling +
+    * URL parse), met in doc-keyed joins. */
+  private lazy val pipelineCurateWebSql: String =
+    "WITH pd AS (" + ddParagraphSql + "), qq AS (" + txQualitySql + "), " +
+      "st AS (" + txSampleTempSql + "), ue AS (" + txUrlExtractSql + ") " +
+      "SELECT st.doc_id, st.lang, ue.domain FROM st " +
+      "JOIN pd ON pd.doc_id = st.doc_id AND pd.dup_ppm < 500000 " +
+      "JOIN qq ON qq.doc_id = st.doc_id AND qq.quality_ppm >= 750000 " +
+      "JOIN ue ON ue.doc_id = st.doc_id " +
+      "ORDER BY st.doc_id"
+
   private val pipelineCurateFullSql: String =
     "WITH cur AS (" + pipelineCurateSql + "), sd AS (" + ddSemdedupSql + ") " +
       "SELECT cur.doc_id, cur.lang, cur.source, cur.n_chars, " +
@@ -1206,23 +1232,12 @@ object ExtQueries {
     "tx_sample_temp" -> ((s, d) =>
       TextAnalysis.sampleTemperature(Tables.documents(s, d))),
     "tx_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
-    "tx_url_extract" -> ((s, d) => {
-      // derived deterministic URL input (the corpus carries no URLs);
-      // mixed case + utm_* params + a fragment exercise every
-      // normalization rule
-      val inp = Tables.documents(s, d).select(F.col("doc_id"),
-        F.concat(F.lit("HTTPS://Sub"), (F.col("doc_id") % 3).cast("string"),
-          F.lit(".Example"), (F.col("doc_id") % 7).cast("string"),
-          F.lit(".COM/p/"), F.col("doc_id").cast("string"),
-          F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
-          F.lit("&utm_campaign=x"),
-          F.when(F.col("doc_id") % 2 === 0, F.lit("&ref=home"))
-            .otherwise(F.lit("")),
-          F.lit("#frag")).as("url"))
-      TextAnalysis.urlParts(inp, "url")
+    "tx_url_extract" -> ((s, d) =>
+      TextAnalysis.urlParts(derivedUrls(s, d), "url")
         .select("doc_id", "host", "domain", "path", "norm_url")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+    "pipeline_curate_web" -> ((s, d) =>
+      CuratePipeline.curateWeb(s, Tables.documents(s, d), derivedUrls(s, d))),
     "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
     "dd_semdedup_auto" -> ((s, d) =>
       Cluster.semDedupAuto(Tables.embeddings(s, d))),
@@ -1432,6 +1447,7 @@ object ExtQueries {
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
+    "pipeline_curate_web" -> pipelineCurateWebSql,
     "tx_sample_strat" -> txSampleStratSql,
     "rel_distinct_users" -> relDistinctUsersSql,
     "rel_funnel" -> relFunnelSql,
