@@ -26,7 +26,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val line = Bench.formatLine(names.map(_ -> 1.23), "/root/testdata/sf0.1")
     parseable(line)
-    assert(line.length < 1900, s"line is ${line.length} bytes")
+    // the ladder accepts lines up to its 1900-byte budget inclusive
+    assert(line.length <= 1900, s"line is ${line.length} bytes")
     // the ladder may drop precision as the surface grows, but at the
     // current size no query may be folded away into _rest
     assert(!line.contains("\"_rest\":"))
