@@ -115,8 +115,8 @@ object Bench {
   private[graft] def formatLine(results: Seq[(String, Double)],
       sfDir: String): String = {
     // 2048-byte tail minus sbt's trailing "[success] Total time: …"
-    // line and slack for the closing fields
-    val budget = 1900
+    // line (~62 bytes incl. newline) and a small slack
+    val budget = 1960
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
