@@ -1004,6 +1004,20 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  private val relSetOpsSql: String =
+    "WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'), " +
+      "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
+      "SELECT op, n_users FROM (" +
+      "SELECT '1_intersect' AS op, CAST(count(*) AS BIGINT) AS n_users " +
+      "FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p) " +
+      "UNION ALL SELECT '2_view_only', CAST(count(*) AS BIGINT) " +
+      "FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p) " +
+      "UNION ALL SELECT '3_purchase_only', CAST(count(*) AS BIGINT) " +
+      "FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v) " +
+      "UNION ALL SELECT '4_union', CAST(count(*) AS BIGINT) " +
+      "FROM (SELECT user_id FROM v UNION SELECT user_id FROM p)" +
+      ") ORDER BY op"
+
   private val relCubeSql: String =
     "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
       s"CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c " +
@@ -1223,6 +1237,7 @@ object ExtQueries {
     "dd_embed_incremental" -> ((s, d) =>
       Dedup.embeddingIncremental(Tables.embeddings(s, d))),
     "rel_cube" -> (RelQueries.pricingCube _),
+    "rel_set_ops" -> (RelQueries.setOps _),
     "rel_expectations" -> ((s, d) =>
       graft.operators.Profile.expectations(Tables.lineitem(s, d),
         expectationChecks.map { case (n, bad) => (n, F.expr(bad)) })),
@@ -1395,6 +1410,7 @@ object ExtQueries {
     "dd_outliers" -> ddOutliersSql,
     "dd_embed_incremental" -> ddEmbedIncrementalSql,
     "rel_cube" -> relCubeSql,
+    "rel_set_ops" -> relSetOpsSql,
     "rel_expectations" -> relExpectationsSql,
     "dd_paragraph" -> ddParagraphSql,
     "tx_sample_temp" -> txSampleTempSql,

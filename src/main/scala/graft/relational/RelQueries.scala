@@ -296,6 +296,28 @@ object RelQueries {
       .orderBy("stage")
   }
 
+  /** Set-operation coverage (r5 — INTERSECT / EXCEPT / UNION were the
+    * last §2.2-absent category without a declared query): audience
+    * overlap between event types — users who viewed AND purchased,
+    * viewed but never purchased, purchased without a view, and the
+    * union. Spark plans INTERSECT/EXCEPT as left-semi / left-anti
+    * joins over distinct inputs — one user-keyed shuffle per side,
+    * aggregate-bounded output. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) =
+      ev.where(col("event_type") === t).select("user_id").distinct()
+    val v = users("view")
+    val p = users("purchase")
+    def n(op: String, df: DataFrame) =
+      df.agg(lit(op).as("op"), count(lit(1)).as("n_users"))
+    n("1_intersect", v.intersect(p))
+      .unionByName(n("2_view_only", v.except(p)))
+      .unionByName(n("3_purchase_only", p.except(v)))
+      .unionByName(n("4_union", v.union(p).distinct()))
+      .orderBy("op")
+  }
+
   /** Inter-event gap statistics per user via lag(): the
     * engagement-cadence profile (and the one window shape —
     * lag/lead — the surface didn't yet exercise). ONE shuffle on
