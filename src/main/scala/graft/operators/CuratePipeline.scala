@@ -70,6 +70,33 @@ object CuratePipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-domain quality rollup (r5) — the domain-blocklist builder:
+    * for each registrable domain (from the canonical URL), document
+    * count, mean quality and mean paragraph-duplication rate. Web
+    * pipelines cut whole domains on these aggregates before paying
+    * per-document model costs.
+    *
+    * Shape: two per-doc signal pipelines + a row-local URL parse meet
+    * in doc-keyed joins; the final aggregate is |domains|-bounded
+    * with map-side partials. Means are floor(sum/count) of exact
+    * integer ppms — portable (sums ≪ 2^53). */
+  def domainQuality(spark: SparkSession, docs: DataFrame,
+                    urlDocs: DataFrame): DataFrame = {
+    val domains = TextAnalysis.urlParts(urlDocs, "url")
+      .select("doc_id", "domain")
+    val quality = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_ppm")
+    val dup = Dedup.paragraphDedup(docs).select("doc_id", "dup_ppm")
+    domains.join(quality, "doc_id").join(dup, "doc_id")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        floor(sum("quality_ppm") / count(lit(1))).cast("long")
+          .as("mean_quality_ppm"),
+        floor(sum("dup_ppm") / count(lit(1))).cast("long")
+          .as("mean_dup_ppm"))
+      .orderBy("domain")
+  }
+
   /** [[curate]] extended with the embedding modality: additionally
     * require the document's embedding to survive semantic dedup
     * (Cluster.semDedup kept = 1). The text-side and embedding-side

@@ -1119,6 +1119,18 @@ object ExtQueries {
       "JOIN ue ON ue.doc_id = st.doc_id " +
       "ORDER BY st.doc_id"
 
+  /** Domain-blocklist rollup: the three signal oracles as CTEs,
+    * floor(sum/count) integer means per domain. */
+  private lazy val relDomainQualitySql: String =
+    "WITH qq AS (" + txQualitySql + "), pd AS (" + ddParagraphSql + "), " +
+      "ue AS (" + txUrlExtractSql + ") " +
+      "SELECT ue.domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(FLOOR(sum(qq.quality_ppm) / count(*)) AS BIGINT) AS mean_quality_ppm, " +
+      "CAST(FLOOR(sum(pd.dup_ppm) / count(*)) AS BIGINT) AS mean_dup_ppm " +
+      "FROM ue JOIN qq ON qq.doc_id = ue.doc_id " +
+      "JOIN pd ON pd.doc_id = ue.doc_id " +
+      "GROUP BY ue.domain ORDER BY ue.domain"
+
   private val pipelineCurateFullSql: String =
     "WITH cur AS (" + pipelineCurateSql + "), sd AS (" + ddSemdedupSql + ") " +
       "SELECT cur.doc_id, cur.lang, cur.source, cur.n_chars, " +
@@ -1253,6 +1265,8 @@ object ExtQueries {
         .orderBy("doc_id")),
     "pipeline_curate_web" -> ((s, d) =>
       CuratePipeline.curateWeb(s, Tables.documents(s, d), derivedUrls(s, d))),
+    "rel_domain_quality" -> ((s, d) =>
+      CuratePipeline.domainQuality(s, Tables.documents(s, d), derivedUrls(s, d))),
     "dd_semdedup" -> ((s, d) => Cluster.semDedup(Tables.embeddings(s, d))),
     "dd_semdedup_auto" -> ((s, d) =>
       Cluster.semDedupAuto(Tables.embeddings(s, d))),
@@ -1464,6 +1478,7 @@ object ExtQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
+    "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,
     "rel_distinct_users" -> relDistinctUsersSql,
     "rel_funnel" -> relFunnelSql,

@@ -60,6 +60,23 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.parseHeader("P6 0 5 255".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("fuzz: no byte sequence makes the parser throw") {
+    val rnd = new java.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      ImageCodec.parseHeader(b) // must return, never throw
+      // adversarial prefixes: valid magic, random tail
+      val png = (ImageCodec.pngBytes(4, 4, 2).take(8 + rnd.nextInt(18))
+        ++ b).toArray
+      ImageCodec.parseHeader(png)
+      val jpg = (Array[Byte](0xff.toByte, 0xd8.toByte) ++ b).toArray
+      ImageCodec.parseHeader(jpg)
+      ImageCodec.parseHeader(("P6 " + new String(b.map(x =>
+        (Math.abs(x % 64) + 32).toChar))).getBytes("US-ASCII"))
+    }
+  }
+
   test("corrupt / truncated / alien payloads are rejected, not mis-parsed") {
     assert(ImageCodec.parseHeader(Array.emptyByteArray).isEmpty)
     assert(ImageCodec.parseHeader("not an image at all".getBytes).isEmpty)
