@@ -75,4 +75,55 @@ object StreamingCuration {
       .join(corpusFp, Seq("fp"), "left_anti")
       .select("ts", "doc_id", "text")
   }
+
+  /** Streaming VECTOR admit (r5) — the streaming twin of
+    * Dedup.embeddingIncremental: arriving embeddings are dropped when
+    * a NEAR-duplicate (quantized cosine ≥ minCosPpm) exists in the
+    * static corpus. Fully STATELESS on the stream side — the shapes
+    * that need stream-side state (a candidate explode + re-aggregate,
+    * or an anti-join back to the stream, which would be an
+    * unsupported stream-stream join) are avoided by inverting the
+    * layout:
+    *  - the corpus is pre-aggregated ONCE per snapshot into a
+    *    (band, bucket) → list<(qe, norm)> lookup table (bounded by
+    *    bucket occupancy — cap degenerate buckets exactly like the
+    *    batch LSH family);
+    *  - each arriving vector computes its `nBands` bucket keys as
+    *    plain columns and takes one stream-static LEFT join per band;
+    *  - the verify is a row-local `exists` over the joined candidate
+    *    lists — exact quantized cosine, no shuffle, no state.
+    * LSH recall < 1 means rare near-dups slip through — the standard
+    * ingest-gate trade, same as the batch twin. Stream shape:
+    * (ts: timestamp, vec_id: bigint, embedding: array<float>). */
+  def admitVectorStream(vecs: DataFrame, corpus: DataFrame,
+                        nBands: Int = 4, bitsPerBand: Int = 4,
+                        minCosPpm: Long = 400000L): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    val corpusQ = corpus
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qb"))
+      .select(col("vec_id"), col("qb"), V.qnorm2(col("qb")).as("nb"))
+      .where(col("nb") > 0)
+    val corpusBuckets = corpus.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(b =>
+          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .join(corpusQ, "vec_id")
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("qb"), col("nb"))).as("cands"))
+    val base = vecs.select(col("ts"), col("vec_id"), col("embedding"),
+        V.quantize(col("embedding")).as("qa"))
+      .withColumn("na", V.qnorm2(col("qa")))
+    val joined = (0 until nBands).foldLeft(base) { (df, b) =>
+      df.join(corpusBuckets.where(col("band") === b)
+          .select(col("bucket").as(s"bk$b"), col("cands").as(s"cands$b")),
+        V.signBucket(col("embedding"), b, bitsPerBand) === col(s"bk$b"),
+        "left")
+    }
+    val matched = (0 until nBands).map { b =>
+      coalesce(exists(col(s"cands$b"), c =>
+        V.cosPpm(V.qdot(col("qa"), c.getField("qb")), col("na"),
+          c.getField("nb")) >= minCosPpm), lit(false))
+    }.reduce(_ || _)
+    joined.where(!matched).select("ts", "vec_id", "embedding")
+  }
 }

@@ -81,6 +81,39 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admitVectorStream drops near-dups of corpus vectors, admits novel ones") {
+    implicit val sqlCtx = spark.sqlContext
+    // 16-dim so the 4×4 sign bands have bits to read; corpus holds the
+    // alternating pattern; arriving vec 100 is a near-copy (dropped),
+    // vec 101 is blockwise-orthogonal (dot = 0 — admitted even where a
+    // bucket might collide)
+    val near = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val nearish = near.clone(); nearish(0) = 0.9f
+    val ortho = Array.tabulate(16)(i => if (i % 4 < 2) 1.0f else -1.0f)
+    val corpus = Seq(1L -> near, 2L -> near.map(_ * 2.0f))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = StreamingCuration.admitVectorStream(
+        mem.toDF().toDF("ts", "vec_id", "embedding"), corpus)
+      .writeStream.format("memory").queryName("vec_admit_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(0), 100L, nearish), (ts(1), 101L, ortho))
+      q.processAllAvailable()
+      val ids = spark.table("vec_admit_out").collect()
+        .map(_.getLong(1)).toSet
+      assert(ids == Set(101L), s"expected only the novel vector, got $ids")
+      // agreement with the batch twin on the union corpus: the batch
+      // labels vec 7 (near-dup) admit=0 and vec 17 (novel) admit=1 —
+      // same verdicts the stream just produced for the same geometry
+      val batch = graft.operators.Dedup.embeddingIncremental(
+        Seq(1L -> near, 2L -> near.map(_ * 2.0f), 7L -> nearish,
+          17L -> ortho).toDF("vec_id", "embedding"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch == Map(7L -> 0L, 17L -> 1L))
+    } finally q.stop()
+  }
+
   test("contaminationTag flags docs sharing a 5-gram with the eval set") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
