@@ -1004,6 +1004,17 @@ object ExtQueries {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
 
+  /** Pivot oracle: the conditional-aggregation form Spark's
+    * explicit-values pivot compiles to. */
+  private val relPivotSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(", ")
+    "SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, " + cols +
+      " FROM events GROUP BY 1 ORDER BY 1"
+  }
+
   private val relSetOpsSql: String =
     "WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'), " +
       "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') " +
@@ -1250,6 +1261,7 @@ object ExtQueries {
       Dedup.embeddingIncremental(Tables.embeddings(s, d))),
     "rel_cube" -> (RelQueries.pricingCube _),
     "rel_set_ops" -> (RelQueries.setOps _),
+    "rel_pivot" -> (RelQueries.hourlyPivot _),
     "rel_expectations" -> ((s, d) =>
       graft.operators.Profile.expectations(Tables.lineitem(s, d),
         expectationChecks.map { case (n, bad) => (n, F.expr(bad)) })),
@@ -1425,6 +1437,7 @@ object ExtQueries {
     "dd_embed_incremental" -> ddEmbedIncrementalSql,
     "rel_cube" -> relCubeSql,
     "rel_set_ops" -> relSetOpsSql,
+    "rel_pivot" -> relPivotSql,
     "rel_expectations" -> relExpectationsSql,
     "dd_paragraph" -> ddParagraphSql,
     "tx_sample_temp" -> txSampleTempSql,

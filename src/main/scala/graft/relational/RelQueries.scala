@@ -296,6 +296,27 @@ object RelQueries {
       .orderBy("stage")
   }
 
+  /** PIVOT coverage (r5): hourly event counts pivoted to one column
+    * per event type — the wide-format rollup reporting tools ask for.
+    * The pivot VALUES are passed explicitly (the five literal event
+    * types): with values known, Spark plans a single hash-aggregate
+    * with conditional counters (no extra distinct-values job, no
+    * second shuffle) — exactly the conditional-aggregation form the
+    * oracle states, and the only shape that works when the grouping
+    * cardinality is lake-scale. */
+  def hourlyPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .select(expr("CAST(ts AS BIGINT) div 3600000000000").as("hour_bucket"),
+        col("event_type"))
+      .groupBy("hour_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("hour_bucket") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("hour_bucket")
+  }
+
   /** Set-operation coverage (r5 — INTERSECT / EXCEPT / UNION were the
     * last §2.2-absent category without a declared query): audience
     * overlap between event types — users who viewed AND purchased,
