@@ -97,8 +97,33 @@ object Bench {
       System.err.println(s"[bench-runs] $name " +
         samples(name).reverse.map(t => f"$t%.2f").mkString(","))
     }
+    // Full-fidelity record: the stdout ladder may fold the fastest
+    // queries into "_rest" to fit the driver's 2 kB tail window, so
+    // persist the complete 3-decimal per-query map to a file the
+    // judge/BASELINE can read (overwritten per run, keyed by SF).
+    writeFullRecord(results, sfDir)
     println(formatLine(results, sfDir))
     spark.stop()
+  }
+
+  private def writeFullRecord(results: Seq[(String, Double)],
+      sfDir: String): Unit = {
+    val sf = sfDir.split('/').last
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    try {
+      val p = java.nio.file.Paths.get(s"bench_full_$sf.json")
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full record -> $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-record write failed: $e")
+    }
   }
 
   /** The one-line stdout contract, factored out so a spec can pin the
@@ -114,9 +139,14 @@ object Bench {
     * accounted for in "_rest" and the exact total). */
   private[graft] def formatLine(results: Seq[(String, Double)],
       sfDir: String): String = {
-    // 2048-byte tail minus sbt's trailing "[success] Total time: …"
-    // line (~62 bytes incl. newline) and a small slack
-    val budget = 1960
+    // The driver keeps the LAST 2,000 bytes of output; sbt appends a
+    // trailing "[success] Total time: …" line (observed 74 bytes incl.
+    // newline) AFTER our line, so the real head-safe budget is ≈1,926.
+    // Round 5 lost the official record to this: a 1,954-byte line fit
+    // the old 1,960 budget but the trailer pushed its head out of the
+    // window ("parsed": null). 1,900 leaves 26 bytes of slack against
+    // trailer drift.
+    val budget = 1900
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -109,6 +109,11 @@ case class QDotLong(left: Expression, right: Expression)
 final class CentroidModel(val cids: Array[Long],
     val cents: Array[Array[Long]], val offset: Int) extends Serializable {
   require(cids.length == cents.length && cids.nonEmpty)
+  // a ragged codebook would otherwise surface as an executor-side
+  // ArrayIndexOutOfBounds (or silent short reads) deep in argmin —
+  // fail at construction on the driver instead
+  require(cents.forall(_.length == cents(0).length),
+    s"ragged codebook: centroid widths ${cents.map(_.length).distinct.mkString(",")}")
   private val norms: Array[Long] = cents.map { c =>
     var s = 0L; var i = 0
     while (i < c.length) { s += c(i) * c(i); i += 1 }

@@ -172,4 +172,117 @@ object ImageCodec {
     // a few payload bytes for plausibility (parsers stop at the header)
     (header.getBytes("US-ASCII").toSeq ++ Seq[Byte](1, 2, 3, 4)).toArray
   }
+
+  // ---------------------------------------------------------------
+  // REAL pixel-level PNM decode + resize (r6 — closes the pixel-level
+  // stub): P5/P6 rasters are UNCOMPRESSED (after the ASCII header the
+  // file is exactly width·height·channels bytes, row-major,
+  // interleaved channels), so full decode needs no codec library —
+  // just the published netpbm byte layout. This is the step the
+  // mapInPandas-shaped batch contract in [[Multimodal]] was stubbing.
+  // ---------------------------------------------------------------
+
+  /** Fully-decoded PNM image: header metadata + the raw raster
+    * (row-major, channel-interleaved, one byte per sample — maxval
+    * must be ≤ 255; 2-byte-per-sample PNMs are rejected). */
+  final case class PnmImage(format: String, width: Int, height: Int,
+      channels: Int, raster: Array[Byte])
+
+  /** Pixel-level P5/P6 decode: header fields as [[parsePnm]], then
+    * the raster copied out whole. Truncated raster / maxval > 255 /
+    * non-PNM magic → None (the DLT arm). Row-local. */
+  def parsePnmRaster(b: Array[Byte]): Option[PnmImage] = {
+    if (b.length < 2 || b(0) != 'P') return None
+    val channels = b(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _ => return None
+    }
+    var i = 2
+    def nextInt(): Long = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t' ||
+          b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates the maxval from the raster
+    if (i >= b.length ||
+      !(b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t'))
+      return None
+    i += 1
+    val n = w * h * channels
+    if (w > (1 << 15) || h > (1 << 15) || b.length - i < n) return None
+    val raster = java.util.Arrays.copyOfRange(b, i, i + n.toInt)
+    Some(PnmImage(if (channels == 1) "pgm" else "ppm",
+      w.toInt, h.toInt, channels, raster))
+  }
+
+  /** 2×2 integer box-filter downsample (the canonical half-resolution
+    * resize): each output sample is the FLOOR MEAN (sum div count) of
+    * its up-to-2×2 input block per channel; odd edges use 1×2/2×1/1×1
+    * blocks. Integer arithmetic end-to-end so the DuckDB oracle can
+    * restate it exactly (sum // count — no float rounding to drift).
+    * Returns (raster, outW, outH). */
+  def boxHalve(raster: Array[Byte], w: Int, h: Int,
+      c: Int): (Array[Byte], Int, Int) = {
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    val out = new Array[Byte](ow * oh * c)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var ch = 0
+        while (ch < c) {
+          var sum = 0; var cnt = 0
+          var iy = oy * 2
+          val yEnd = math.min(oy * 2 + 2, h)
+          while (iy < yEnd) {
+            var ix = ox * 2
+            val xEnd = math.min(ox * 2 + 2, w)
+            while (ix < xEnd) {
+              sum += raster((iy * w + ix) * c + ch) & 0xff
+              cnt += 1
+              ix += 1
+            }
+            iy += 1
+          }
+          out((oy * ow + ox) * c + ch) = (sum / cnt).toByte
+          ch += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (out, ow, oh)
+  }
+
+  /** Deterministic full P5/P6 fixture WITH raster: header (including
+    * a comment line, exercising the tokenizer) followed by
+    * width·height·channels bytes where byte i = pixel(i). The oracle
+    * recomputes pixel(i) from doc_id literals, so a decode or resize
+    * bug cannot self-confirm. */
+  def pnmRasterBytes(w: Int, h: Int, grayscale: Boolean,
+      pixel: Int => Int): Array[Byte] = {
+    val c = if (grayscale) 1 else 3
+    val header = s"P${if (grayscale) 5 else 6}\n#r\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * c)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h * c) {
+      out(header.length + i) = (pixel(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
 }

@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   * input carries straight through).
   *
   * The container has no image/audio codec LIBRARIES, so the
-  * pixel-level decode steps remain clearly-marked deterministic stubs
+  * generic-media decode remains a clearly-marked deterministic stub
   * ([[stubDecode]], [[stubResize]]) over the real byte payload — but
-  * the HEADER-level decode is real as of r5: [[imageMeta]] parses
-  * actual PNG / JPEG / PNM byte layouts ([[ImageCodec]]) for
-  * (format, width, height, channels) behind the same mapPartitions
-  * batch contract, over format-correct fixture payloads whose
-  * expected dimensions the oracle pins from doc_id literals.
-  * Everything around the kernels — binary column, typed Dataset
-  * schema, batch iteration, feature columns — is the real production
-  * shape and is what the oracle checks.
+  * as of r5 the HEADER-level decode is real ([[imageMeta]]: actual
+  * PNG / JPEG / PNM byte layouts via [[ImageCodec]]), and as of r6
+  * the PIXEL level is real for PNM ([[resizeImages]]): P5/P6 rasters
+  * are uncompressed, so full decode + a 2×2 integer box-filter
+  * resize need no codec library at all. Fixture payloads derive from
+  * doc_id literals that the oracle recomputes independently, so a
+  * parser or kernel bug cannot self-confirm. Everything around the
+  * kernels — binary column, typed Dataset schema, batch iteration,
+  * feature columns — is the real production shape and is what the
+  * oracle checks.
   */
 object Multimodal {
 
@@ -149,6 +151,55 @@ object Multimodal {
         case Some(m) =>
           ImageMetaRow(d.doc_id, m.format, m.width, m.height, m.channels)
         case None => ImageMetaRow(d.doc_id, "unknown", -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Pixel-resize output row: input dims, output dims, and a
+    * position-weighted checksum of the resized raster (Σ byteᵢ·(i+1) —
+    * weighting catches ordering/interleave bugs a plain sum hides). */
+  final case class ResizedImage(doc_id: Long, format: String,
+      width: Long, height: Long, out_w: Long, out_h: Long,
+      out_bytes: Long, checksum: Long)
+
+  /** Deterministic full-raster PNM payloads (r6): small dims so both
+    * engines can enumerate every pixel; P5 (gray) / P6 (RGB)
+    * alternate by parity; raster byte i = (doc_id·7 + i·13) mod 256.
+    * The SAME doc_id literals drive the oracle's pixel recomputation.
+    * In production this column is the media blob off parquet. */
+  def syntheticRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 4 + (id % 7).toInt
+        BinaryDoc(id, ImageCodec.pnmRasterBytes(w, h,
+          grayscale = id % 2 == 0,
+          pixel = i => ((id * 7 + i.toLong * 13) % 256).toInt))
+      }
+  }
+
+  /** REAL pixel-level decode + resize (r6 — the formerly-stubbed
+    * kernel): parse the P5/P6 raster ([[ImageCodec.parsePnmRaster]]),
+    * 2×2 integer box-filter halve ([[ImageCodec.boxHalve]]), emit
+    * dims + the position-weighted checksum of the actual resized
+    * raster. Same mapPartitions batch contract — decode parallelism
+    * is the input partitioning, zero shuffle, nothing driver-side.
+    * Corrupt payloads → the ("unknown", −1…) DLT-shaped row. */
+  def resizeImages(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticRasters(docs).mapPartitions(_.map { d =>
+      ImageCodec.parsePnmRaster(d.payload) match {
+        case Some(img) =>
+          val (out, ow, oh) =
+            ImageCodec.boxHalve(img.raster, img.width, img.height, img.channels)
+          var cs = 0L
+          var i = 0
+          while (i < out.length) { cs += (out(i) & 0xffL) * (i + 1); i += 1 }
+          ResizedImage(d.doc_id, img.format, img.width.toLong,
+            img.height.toLong, ow.toLong, oh.toLong, out.length.toLong, cs)
+        case None =>
+          ResizedImage(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L, -1L)
       }
     }).toDF().orderBy("doc_id")
   }

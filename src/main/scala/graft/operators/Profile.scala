@@ -49,6 +49,14 @@ object Profile {
   def expectations(df: DataFrame,
                    checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "zero expectations")
+    // names are interpolated into the stack() selectExpr below (and
+    // become v_<name> columns), so they must be bare identifiers — a
+    // quote/space/metachar would break analysis or splice SQL
+    checks.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"expectation name '$name' must match [A-Za-z0-9_]+ " +
+          "(it is spliced into a stack() expression and a v_<name> column)")
+    }
     val aggs = count(lit(1)).as("n_rows") +: checks.map { case (name, bad) =>
       sum(when(bad, 1L).otherwise(0L)).as(s"v_$name")
     }

@@ -346,29 +346,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** URL normalization + decomposition (r5 — the web-pipeline staple:
-    * dedup and per-domain quality need canonical URLs): lowercase
-    * scheme/host, extract the registrable domain (last two labels —
-    * a public-suffix list refines this in production), drop the
-    * fragment and every `utm_*` tracking parameter, reassemble the
-    * canonical form. Row-local codegen'd regex + array HOFs in the
+  /** Literal public-suffix subset (r6): the most common multi-label
+    * registrable-domain suffixes, embedded as a plan literal — the
+    * same model-as-literal pattern as the langId profiles. A host
+    * ending in one of these keeps THREE labels as its registrable
+    * domain (`shop.example.co.uk` → `example.co.uk`); otherwise the
+    * last two; a dotless host (intranet names) falls back to itself.
+    * The full PSL is ~9k rules; this subset covers the high-traffic
+    * ccTLD second-level registries, and the fallback is the old
+    * last-two-labels rule — never worse than r5. Shared with the
+    * DuckDB oracle generator so both engines state the SAME table. */
+  val publicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.kr", "co.za", "com.co")
+
+  /** URL normalization + decomposition (r5; r6 hardening — the
+    * web-pipeline staple: dedup and per-domain quality need canonical
+    * URLs): lowercase scheme/host, strip `user:pw@` userinfo and the
+    * `:port` from the host (port kept as its own column and in the
+    * canonical form — a non-default port is routing-significant;
+    * credentials are not), extract the registrable domain via the
+    * [[publicSuffixes]] table (three labels on a listed ccTLD suffix,
+    * else last two, else the bare dotless host), drop the fragment
+    * and every `utm_*` tracking parameter, reassemble the canonical
+    * form. Row-local codegen'd regex + array HOFs in the
     * Java/RE2-identical subset (same discipline as [[piiScrub]]) —
     * zero shuffles; the per-domain rollup downstream is one
-    * partial-combinable aggregate. */
+    * partial-combinable aggregate. (IPv6 bracket authorities are out
+    * of scope for the port strip — crawl URLs are hostname-form.) */
   def urlParts(df: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // authority = userinfo@host:port; both regexp_replaces are
+    // anchored so first-match (DuckDB) and all-match (Spark)
+    // replacement semantics coincide
+    val authority =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val host = lower(regexp_replace(
+      regexp_replace(authority, "^[^@/]*@", ""), ":[0-9]+$", ""))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val qs = regexp_extract(u, "\\?([^#]*)", 1)
     val kept = filter(split(qs, "&"),
       p => !(p.startsWith("utm_") || p === ""))
     val keptQs = array_join(kept, "&")
+    val onListedSuffix = publicSuffixes
+      .map(sfx => host.endsWith("." + sfx)).reduce(_ || _)
+    val domain =
+      when(onListedSuffix, regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+        .when(host.contains("."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+        .otherwise(host)
     df.withColumn("scheme", scheme)
       .withColumn("host", host)
-      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("port", port)
+      .withColumn("domain", domain)
       .withColumn("path", path)
-      .withColumn("norm_url", concat(scheme, lit("://"), host, path,
+      .withColumn("norm_url", concat(scheme, lit("://"), host,
+        when(length(port) > 0, concat(lit(":"), port)).otherwise(lit("")),
+        path,
         when(length(keptQs) > 0, concat(lit("?"), keptQs))
           .otherwise(lit(""))))
   }

@@ -315,23 +315,45 @@ object ExtQueries {
 
   /** URL normalization over the derived deterministic URL column (the
     * corpus carries no URLs; the derivation embeds mixed case, utm_*
-    * tracking params and a fragment so every normalization rule
-    * fires). Shares the Spark side's regex subset. */
+    * tracking params, a fragment, ccTLD suffixes, userinfo, a port
+    * and dotless hosts so every normalization rule fires). Shares the
+    * Spark side's regex subset AND its [[TextAnalysis.publicSuffixes]]
+    * table — the suffix CASE below is generated from the same Seq the
+    * operator compiles into its plan, so the two engines cannot state
+    * different registries. */
   private val txUrlExtractSql: String = {
-    val url = "'HTTPS://Sub' || CAST(doc_id % 3 AS VARCHAR) || '.Example' || " +
-      "CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR) || " +
+    val url = "'HTTPS://' || " +
+      "CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 4 THEN 'IntraNet' || CAST(doc_id % 3 AS VARCHAR) " +
+      "ELSE 'Sub' || CAST(doc_id % 3 AS VARCHAR) || '.Example' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '.COM' WHEN doc_id % 5 = 1 THEN '.co.UK' " +
+      "WHEN doc_id % 5 = 2 THEN '.com.AU' ELSE '.ORG' END END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END || " +
+      "'/p/' || CAST(doc_id AS VARCHAR) || " +
       "'?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x' || " +
       "CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END || '#frag'"
+    val onSuffix = TextAnalysis.publicSuffixes
+      .map(sfx => s"ends_with(host, '.$sfx')").mkString(" OR ")
     s"WITH u AS (SELECT doc_id, $url AS url FROM documents), " +
-      "parts AS (SELECT doc_id, " +
+      "a AS (SELECT doc_id, " +
       "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
-      "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host, " +
+      "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS authority, " +
       "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path, " +
       "array_to_string(list_filter(string_split(" +
       "regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
-      "p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS kept FROM u) " +
-      "SELECT doc_id, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, " +
-      "path, scheme || '://' || host || path || " +
+      "p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS kept FROM u), " +
+      "parts AS (SELECT doc_id, scheme, path, kept, " +
+      "lower(regexp_replace(regexp_replace(authority, '^[^@/]*@', ''), " +
+      "':[0-9]+$', '')) AS host, " +
+      "regexp_extract(authority, ':([0-9]+)$', 1) AS port FROM a) " +
+      "SELECT doc_id, host, port, " +
+      s"CASE WHEN $onSuffix " +
+      "THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) " +
+      "WHEN contains(host, '.') THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) " +
+      "ELSE host END AS domain, " +
+      "path, scheme || '://' || host || " +
+      "CASE WHEN length(port) > 0 THEN ':' || port ELSE '' END || path || " +
       "CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END AS norm_url " +
       "FROM parts ORDER BY doc_id"
   }
@@ -924,7 +946,37 @@ object ExtQueries {
       "AS BIGINT) AS sample FROM f ORDER BY doc_id, frame_idx"
   }
 
-  private val mmResizeSql: String = {
+  /** Pixel-exact oracle for the r6 REAL resize: recomputes every
+    * input pixel from the doc_id literal formula (byte i =
+    * (doc_id·7 + i·13) mod 256 over w = 8 + id%9, h = 4 + id%7,
+    * channels by parity), groups input pixels into their 2×2 output
+    * blocks, integer floor-mean (SUM // COUNT — the Spark kernel's
+    * exact arithmetic), then the position-weighted checksum. The
+    * oracle never sees the Spark raster — only the shared literals —
+    * so a decode/kernel bug cannot self-confirm. */
+  private val mmResizeSql: String =
+    "WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c, " +
+      "8 + doc_id % 9 AS w, 4 + doc_id % 7 AS h FROM documents), " +
+      "ys AS (SELECT doc_id, c, w, h, unnest(range(0, h)) AS iy FROM d), " +
+      "xs AS (SELECT doc_id, c, w, h, iy, unnest(range(0, w)) AS ix FROM ys), " +
+      "px AS (SELECT doc_id, c, w, h, iy, ix, unnest(range(0, c)) AS ch FROM xs), " +
+      "v AS (SELECT doc_id, c, w, h, iy // 2 AS oy, ix // 2 AS ox, ch, " +
+      "(doc_id * 7 + ((iy * w + ix) * c + ch) * 13) % 256 AS pv FROM px), " +
+      "cell AS (SELECT doc_id, c, w, h, oy, ox, ch, " +
+      "SUM(pv) // COUNT(*) AS ov FROM v " +
+      "GROUP BY doc_id, c, w, h, oy, ox, ch) " +
+      "SELECT doc_id, " +
+      "CASE WHEN c = 1 THEN 'pgm' ELSE 'ppm' END AS format, " +
+      "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+      "CAST((w + 1) // 2 AS BIGINT) AS out_w, " +
+      "CAST((h + 1) // 2 AS BIGINT) AS out_h, " +
+      "CAST(((w + 1) // 2) * ((h + 1) // 2) * c AS BIGINT) AS out_bytes, " +
+      "CAST(SUM(ov * ((oy * ((w + 1) // 2) + ox) * c + ch + 1)) AS BIGINT) " +
+      "AS checksum " +
+      "FROM cell GROUP BY doc_id, c, w, h ORDER BY doc_id"
+
+  private val mmResizeBytesSql: String = {
     val t = Multimodal.ResizeTarget
     // stride = ceil(n/target); sampled offsets 0, stride, 2*stride, …
     s"WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, " +
@@ -1106,17 +1158,31 @@ object ExtQueries {
     * semantic-dedup survivors (both oracle chains reused verbatim). */
   /** Derived deterministic URL input shared by tx_url_extract and
     * pipeline_curate_web (the corpus carries no URLs); mixed case +
-    * utm_* params + a fragment exercise every normalization rule. */
-  private def derivedUrls(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(F.col("doc_id"),
-      F.concat(F.lit("HTTPS://Sub"), (F.col("doc_id") % 3).cast("string"),
-        F.lit(".Example"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".COM/p/"), F.col("doc_id").cast("string"),
-        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+    * utm_* params + a fragment exercise every normalization rule, and
+    * the r6 extension adds ccTLD public-suffix hosts (co.uk/com.au —
+    * the PSL path), dotless intranet hosts (bare-host domain
+    * fallback), `user:pw@` userinfo, and an explicit `:8080` port. */
+  private def derivedUrls(s: SparkSession, d: String): DataFrame = {
+    val id = F.col("doc_id")
+    val suffix = F.when(id % 5 === 0, F.lit(".COM"))
+      .when(id % 5 === 1, F.lit(".co.UK"))
+      .when(id % 5 === 2, F.lit(".com.AU"))
+      .otherwise(F.lit(".ORG"))
+    val hostPart = F.when(id % 5 === 4,
+        F.concat(F.lit("IntraNet"), (id % 3).cast("string")))
+      .otherwise(F.concat(F.lit("Sub"), (id % 3).cast("string"),
+        F.lit(".Example"), (id % 7).cast("string"), suffix))
+    Tables.documents(s, d).select(id,
+      F.concat(F.lit("HTTPS://"),
+        F.when(id % 11 === 0, F.lit("crawler:pw@")).otherwise(F.lit("")),
+        hostPart,
+        F.when(id % 4 === 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), id.cast("string"),
+        F.lit("?utm_source=feed&id="), id.cast("string"),
         F.lit("&utm_campaign=x"),
-        F.when(F.col("doc_id") % 2 === 0, F.lit("&ref=home"))
-          .otherwise(F.lit("")),
+        F.when(id % 2 === 0, F.lit("&ref=home")).otherwise(F.lit("")),
         F.lit("#frag")).as("url"))
+  }
 
   /** Web-curation composite: the r5 operator oracles reused verbatim
     * as CTEs (paragraph dedup + quality + temperature sampling +
@@ -1273,7 +1339,7 @@ object ExtQueries {
     "tx_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
     "tx_url_extract" -> ((s, d) =>
       TextAnalysis.urlParts(derivedUrls(s, d), "url")
-        .select("doc_id", "host", "domain", "path", "norm_url")
+        .select("doc_id", "host", "port", "domain", "path", "norm_url")
         .orderBy("doc_id")),
     "pipeline_curate_web" -> ((s, d) =>
       CuratePipeline.curateWeb(s, Tables.documents(s, d), derivedUrls(s, d))),
@@ -1364,7 +1430,11 @@ object ExtQueries {
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
-    "mm_resize" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
+    // r6: mm_resize is the REAL pixel kernel (PNM raster decode +
+    // 2×2 box halve); the r4 byte-sampling surrogate stays declared
+    // as mm_resize_bytes
+    "mm_resize" -> ((s, d) => Multimodal.resizeImages(Tables.documents(s, d))(s)),
+    "mm_resize_bytes" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -1475,6 +1545,7 @@ object ExtQueries {
     "mm_image_meta" -> mmImageMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
+    "mm_resize_bytes" -> mmResizeBytesSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

@@ -3,10 +3,22 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench stdout contract: ONE JSON line that must survive the
-  * driver's 2 kB output-tail window (minus sbt's trailing
-  * "[success]" line) at ANY surface size — round 3 lost a bench run
-  * to head-truncation of an overlong line. */
+  * driver's 2,000-byte output-tail window WHOLE. The window holds our
+  * line PLUS sbt's trailing "[success] Total time: …" line (observed
+  * 74 bytes incl. newline), so the head-safe budget is line + "\n" +
+  * trailer ≤ 2,000. Round 3 lost a bench to full-precision doubles;
+  * round 5 lost one to exactly this trailer (1,954-byte line +
+  * 74-byte trailer > 2,000 → "parsed": null). */
 class BenchFormatSpec extends AnyFunSuite {
+
+  // sbt's post-run line; 74 bytes observed in the round-5 record.
+  // Pad to 80 so the assertion survives trailer drift.
+  private val sbtTrailer = "x" * 80
+
+  private def survivesTailWindow(line: String): Unit =
+    assert(line.length + 1 + sbtTrailer.length <= 2000,
+      s"line (${line.length} B) + newline + ${sbtTrailer.length} B trailer " +
+        "overflows the driver's 2,000-byte tail window")
 
   // adversarially long names (the real surface averages ~14 chars;
   // dd_contamination_bloomdist is 26)
@@ -22,30 +34,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.endsWith("\"}"))
   }
 
-  test("current full surface fits with every query individually present") {
+  test("current full surface fits the window; slow queries stay individually present") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val line = Bench.formatLine(names.map(_ -> 1.23), "/root/testdata/sf0.1")
+    // slowest-first ranking is what the ladder preserves; give each
+    // query a distinct time so the kept set is deterministic
+    val timed = names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.01) }
+    val line = Bench.formatLine(timed, "/root/testdata/sf0.1")
     parseable(line)
-    // the ladder accepts lines up to its 1960-byte budget inclusive
-    // (2048-byte tail minus sbt's ~62-byte trailing line)
-    assert(line.length <= 1960, s"line is ${line.length} bytes")
-    // the ladder may drop precision as the surface grows, but at the
-    // current size no query may be folded away into _rest
-    assert(!line.contains("\"_rest\":"))
-    names.foreach(n => assert(line.contains("\"" + n + "\":"), s"$n missing"))
+    survivesTailWindow(line)
+    // the ladder may fold the FASTEST queries into _rest (the full
+    // per-query map is persisted to bench_full_<sf>.json by main),
+    // but the slowest 50 must always be individually present — they
+    // are what baseline comparison and regression adjudication read
+    timed.sortBy(-_._2).take(50).foreach { case (n, _) =>
+      assert(line.contains("\"" + n + "\":"), s"$n missing")
+    }
   }
 
   test("100 long-named queries fit via the degradation ladder") {
     val line = Bench.formatLine(synthetic(100), "/root/testdata/sf0.1")
     parseable(line)
-    assert(line.length <= 1960, s"line is ${line.length} bytes")
+    survivesTailWindow(line)
   }
 
   test("300 long-named queries still fit; dropped tail lands in _rest") {
     val rs = synthetic(300)
     val line = Bench.formatLine(rs, "/root/testdata/sf0.1")
     parseable(line)
-    assert(line.length <= 1960, s"line is ${line.length} bytes")
+    survivesTailWindow(line)
     assert(line.contains("\"_rest\":"))
     // the exact total survives any truncation
     val total = rs.map(_._2).sum

@@ -479,6 +479,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == (("h.io", "h.io", "https://h.io/x")))
   }
 
+  test("url normalization r6: public suffixes, userinfo, port, dotless hosts") {
+    val d = Seq(
+      (1L, "https://Shop.Example.co.UK/x"),        // PSL: 3-label domain
+      (2L, "https://news.site.com.au/y"),          // PSL: 3-label domain
+      (3L, "https://user:pw@h.io:8080/z?a=1"),     // userinfo dropped, port kept
+      (4L, "http://LocalHost/admin"),              // dotless: domain = host
+      (5L, "https://example.co.uk/")               // bare registrable on PSL
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlParts(d, "url").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), r.getAs[String]("port"),
+          r.getAs[String]("domain"), r.getAs[String]("norm_url"))).toMap
+    assert(out(1L) == (("shop.example.co.uk", "", "example.co.uk",
+      "https://shop.example.co.uk/x")))
+    assert(out(2L) == (("news.site.com.au", "", "site.com.au",
+      "https://news.site.com.au/y")))
+    assert(out(3L) == (("h.io", "8080", "h.io", "https://h.io:8080/z?a=1")))
+    assert(out(4L) == (("localhost", "", "localhost", "http://localhost/admin")))
+    // host is already the bare registrable: 3-label extract returns it
+    assert(out(5L) == (("example.co.uk", "", "example.co.uk",
+      "https://example.co.uk/")))
+  }
+
   test("temperature sampling: smallest language keeps everything, rates fall with size") {
     val rows = (1L to 100L).map(i => (i, "w", if (i <= 4) "small" else "big"))
     val d = rows.toDF("doc_id", "text", "lang")
