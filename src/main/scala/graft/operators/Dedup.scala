@@ -625,13 +625,46 @@ object Dedup {
                   bands: Int = 8, rowsPerBand: Int = 2,
                   minEstJaccardPpm: Long = 750000L,
                   maxBucketSize: Option[Int] = None): DataFrame = {
-    val exactDup = newDocs.select(col("doc_id"), col("text"))
-      .join(corpus.select("text").distinct(), Seq("text"), "left_semi")
-      .select(col("doc_id").as("e_id"))
-    val nb = minhashBands(newDocs, shingleN, bands, rowsPerBand)
     val cb = capBuckets(minhashBands(corpus, shingleN, bands, rowsPerBand),
         maxBucketSize)
       .select(col("band"), col("bucket"), col("sig").as("csig"))
+    incrementalAgainstSnapshot(newDocs, cb, corpus.select("text"),
+      shingleN, bands, rowsPerBand, minEstJaccardPpm)
+  }
+
+  /** Nightly corpus-snapshot prep (r6): persist the corpus LSH band
+    * table BUCKETED (and sorted) on the band-join key, so every
+    * daily-ingest [[incrementalAgainstSnapshot]] plans with ZERO
+    * corpus-side exchange — the bucketed scan already provides the
+    * join's required HashPartitioning, only the (small) daily batch
+    * shuffles. At 100 TB this is the difference between re-shuffling
+    * the whole corpus band table per ingest and shuffling just the
+    * day's documents: the snapshot is written once per corpus
+    * rebuild, read-only thereafter. */
+  def writeCorpusBandSnapshot(corpus: DataFrame, table: String,
+      nBuckets: Int = 32, shingleN: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, maxBucketSize: Option[Int] = None): Unit =
+    capBuckets(minhashBands(corpus, shingleN, bands, rowsPerBand),
+        maxBucketSize)
+      .select(col("band"), col("bucket"), col("sig").as("csig"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** [[incremental]] against a PREPARED corpus: `corpusBands` is the
+    * (band, bucket, csig) table — in production the bucketed snapshot
+    * written by [[writeCorpusBandSnapshot]], so the band join needs
+    * no corpus-side exchange (plan-audited in
+    * IncrementalSnapshotSpec) — and `corpusTexts` the corpus text
+    * column for the exact-duplicate semi-join. */
+  def incrementalAgainstSnapshot(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusTexts: DataFrame, shingleN: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 2, minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val exactDup = newDocs.select(col("doc_id"), col("text"))
+      .join(corpusTexts.select("text").distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id").as("e_id"))
+    val nb = minhashBands(newDocs, shingleN, bands, rowsPerBand)
+    val cb = corpusBands
     val nearDup = nb.join(cb, Seq("band", "bucket"))
       .select(col("doc_id"), col("sig"), col("csig")).distinct()
       .select(col("doc_id"),
@@ -743,31 +776,64 @@ object Dedup {
                            bitsPerBand: Int = 4,
                            minCosPpm: Long = 400000L): DataFrame = {
     val isBatch = pmod(col("vec_id"), lit(10L)) === 7
-    val q = Partitioning.spread(embeddings).select(col("vec_id"),
-        V.quantize(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
-      .where(col("qn") > 0)
-    val banded = embeddings.select(col("vec_id"),
+    val corpus = embeddings.where(!isBatch)
+    val corpusBands = vectorBands(corpus, nBands, bitsPerBand)
+      .select(col("band"), col("bucket"), col("vec_id").as("vec_old"))
+    embeddingIncrementalAgainstSnapshot(embeddings.where(isBatch),
+      corpusBands, corpus, nBands, bitsPerBand, minCosPpm)
+  }
+
+  /** Sign-LSH band table for vectors — shared by the self-join, the
+    * incremental probe, and the bucketed snapshot writer. */
+  private def vectorBands(embeddings: DataFrame, nBands: Int,
+      bitsPerBand: Int): DataFrame =
+    embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
         V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.where(isBatch)
+
+  /** Vector twin of [[writeCorpusBandSnapshot]]: persist the corpus
+    * sign-LSH band table bucketed on the band-join key, so each
+    * daily vector-ingest probe plans with zero corpus-side exchange. */
+  def writeVectorBandSnapshot(embeddings: DataFrame, table: String,
+      nBuckets: Int = 32, nBands: Int = 4, bitsPerBand: Int = 4): Unit =
+    vectorBands(embeddings, nBands, bitsPerBand)
+      .select(col("band"), col("bucket"), col("vec_id").as("vec_old"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** [[embeddingIncremental]] against a PREPARED corpus:
+    * `corpusBands` is the (band, bucket, vec_old) table — in
+    * production the bucketed snapshot from
+    * [[writeVectorBandSnapshot]] — and `corpusVectors` the corpus
+    * (vec_id, embedding) rows the exact-cosine verify joins by
+    * candidate id (bounded by candidate volume, never batch×corpus). */
+  def embeddingIncrementalAgainstSnapshot(batch: DataFrame,
+      corpusBands: DataFrame, corpusVectors: DataFrame, nBands: Int = 4,
+      bitsPerBand: Int = 4, minCosPpm: Long = 400000L): DataFrame = {
+    def quantized(df: DataFrame): DataFrame =
+      Partitioning.spread(df).select(col("vec_id"),
+          V.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
+        .where(col("qn") > 0)
+    val qNew = quantized(batch)
+    val qOld = quantized(corpusVectors)
+    val cand = vectorBands(batch, nBands, bitsPerBand)
       .select(col("vec_id").as("vec_new"), col("band"), col("bucket"))
-      .join(banded.where(!isBatch)
-        .select(col("vec_id").as("vec_old"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+      .join(corpusBands, Seq("band", "bucket"))
       .select("vec_new", "vec_old").distinct()
     val matches = cand
-      .join(q.select(col("vec_id").as("vec_new"), col("qe").as("qa"),
+      .join(qNew.select(col("vec_id").as("vec_new"), col("qe").as("qa"),
         col("qn").as("na")), "vec_new")
-      .join(q.select(col("vec_id").as("vec_old"), col("qe").as("qb"),
+      .join(qOld.select(col("vec_id").as("vec_old"), col("qe").as("qb"),
         col("qn").as("nb")), "vec_old")
       .select(col("vec_new"),
         V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
           .as("cos_ppm"))
       .where(col("cos_ppm") >= minCosPpm)
       .groupBy("vec_new").agg(count(lit(1)).as("nm"))
-    q.where(isBatch).select(col("vec_id"))
+    qNew.select(col("vec_id"))
       .join(matches, col("vec_id") === col("vec_new"), "left")
       .select(col("vec_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
         when(col("nm").isNull, 1L).otherwise(0L).as("admit"))

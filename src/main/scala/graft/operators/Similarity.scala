@@ -284,13 +284,14 @@ object Similarity {
       litMaxK: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val packedCb = cb.size <= litMaxK
-    val packedCents = nCentroids <= litMaxK
-    // packed-argmin precondition: ids must fit the 6-bit slot (the
-    // native-codebook path above litMaxK has no id-range limit)
-    require((!packedCb || cb.forall(e => e._1 >= 0 && e._1 < 64)) &&
-      (!packedCents || nCentroids <= 64),
-      "PQ codebook/centroid ids must be in [0, 64) for the packed argmin")
+    // packed-argmin precondition: ids must fit the 6-bit slot — books
+    // that exceed it (e.g. the 256-entry production default) ride the
+    // native CentroidArgmin path, which has no id-range limit (r6:
+    // was a hard require, making nCodes > 64 unusable at default
+    // litMaxK; bit-parity of the two paths is spec-pinned)
+    val packedCb = cb.size <= litMaxK &&
+      cb.forall(e => e._1 >= 0 && e._1 < 64)
+    val packedCents = nCentroids <= litMaxK && nCentroids <= 64
     val cents = rows.filter(_._1 < nCentroids)
     val cbNorm2: Array[Map[Long, Long]] =
       Array.tabulate(nSub)(m => cb.map { case (id, svs) =>
