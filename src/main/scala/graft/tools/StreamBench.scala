@@ -1,0 +1,128 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.streaming.StreamingCuration
+
+/** Streaming-throughput micro-bench (dev tool — the r6 evidence row
+  * VERDICT r5 asked for): events/s through the two always-on ingest
+  * pipelines, driven by MemoryStream micro-batches on the Bench
+  * session shape (local[32], 32 shuffle partitions).
+  *
+  *  - text path: dedupStream (stateful, watermark 1 h) → qualityGate
+  *    (stateless) → admitStream (stream-static anti-join against the
+  *    sf0.1 corpus, 5 000 docs) — synthetic docs, ~25 tokens each,
+  *    30 % in-stream duplicate rate, event time advancing 1 min per
+  *    micro-batch so the pinned watermark holds all state.
+  *  - vector path: admitVectorStream (fully stream-stateless
+  *    LSH-bucket lookup + row-local exists-verify) against the
+  *    sf0.1 embeddings corpus (2 000 × dim-64).
+  *
+  * Prints one CSV row per pipeline: rows in, wall s (from first
+  * addData to the final processAllAvailable), rows/s, state rows at
+  * the end (from the last progress's stateOperators), output rows.
+  * MemoryStream is driver-resident — this measures the ENGINE's
+  * micro-batch path (planning + state store + shuffle), not a source;
+  * a Kafka source adds its own consumer throughput in front. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nText = sys.env.getOrElse("STREAMBENCH_TEXT_ROWS", "200000").toInt
+    val nVec = sys.env.getOrElse("STREAMBENCH_VEC_ROWS", "50000").toInt
+    val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
+
+    def stateRows(q: StreamingQuery): Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }
+
+    println("pipeline,rows_in,batches,wall_s,rows_per_s,state_rows,rows_out")
+
+    // ---- text path ----
+    {
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingCuration.admitStream(
+        StreamingCuration.qualityGate(
+          StreamingCuration.dedupStream(
+            mem.toDF().toDF("ts", "doc_id", "text"))),
+        corpus)
+      val q = out.writeStream.format("memory").queryName("sb_text")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // ~25 tokens/doc; 30% duplicate the text of an earlier doc
+        def text(i: Int): String = {
+          val base = if (i % 10 < 3) i / 2 else i
+          (0 until 24).map(t => s"w${(base * 31 + t * 7) % 5000}")
+            .mkString(" ") + s" d$base"
+        }
+        val perBatch = nText / batches
+        val t0 = System.nanoTime()
+        (0 until batches).foreach { b =>
+          val rows = (0 until perBatch).map { j =>
+            val i = b * perBatch + j
+            (ts(b), i.toLong, text(i))
+          }
+          mem.addData(rows)
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val outRows = spark.table("sb_text").count()
+        val in = perBatch.toLong * batches
+        println(f"text_dedup_quality_admit,$in,$batches,$wall%.1f," +
+          f"${in / wall}%.0f,${stateRows(q)},$outRows")
+      } finally q.stop()
+    }
+
+    // ---- vector path ----
+    {
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val mem = MemoryStream[(Timestamp, Long, Array[Float])]
+      val out = StreamingCuration.admitVectorStream(
+        mem.toDF().toDF("ts", "vec_id", "embedding"), corpus)
+      val q = out.writeStream.format("memory").queryName("sb_vec")
+        .outputMode(OutputMode.Append).start()
+      try {
+        def vec(i: Int): Array[Float] = {
+          val rnd = new java.util.Random(31L * i + 5)
+          Array.fill(64)(rnd.nextGaussian().toFloat)
+        }
+        val perBatch = nVec / batches
+        val t0 = System.nanoTime()
+        (0 until batches).foreach { b =>
+          val rows = (0 until perBatch).map { j =>
+            val i = b * perBatch + j
+            (ts(b), i.toLong, vec(i))
+          }
+          mem.addData(rows)
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val outRows = spark.table("sb_vec").count()
+        val in = perBatch.toLong * batches
+        println(f"vector_admit,$in,$batches,$wall%.1f," +
+          f"${in / wall}%.0f,${stateRows(q)},$outRows")
+      } finally q.stop()
+    }
+
+    spark.stop()
+  }
+}
