@@ -605,6 +605,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-URL dedup (r6 — the crawl-frontier staple: the same
+    * page arrives under case variants, tracking params and fragment
+    * anchors; canonicalize first, then first-doc-wins): composes
+    * [[TextAnalysis.urlParts]]'s normalization with a min-per-group
+    * window keyed on the canonical form. ONE shuffle on norm_url
+    * (uniform hash key — URL length doesn't skew it); output is one
+    * row per input doc with its canonical representative and dup
+    * flag, the same contract as the content-hash families. */
+  def urlDedup(urlDocs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_url")
+    graft.operators.TextAnalysis.urlParts(urlDocs, "url")
+      .select(col("doc_id"), col("norm_url"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("doc_id") > col("canonical_id"), 1L).otherwise(0L)
+          .as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental-ingest dedup: label every document of a NEW batch
     * against the EXISTING corpus — exact duplicate (same text), near
     * duplicate (MinHash-LSH estimate ≥ threshold vs any corpus doc),

@@ -204,6 +204,45 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Parsed audio metadata per payload (r6). */
+  final case class AudioMetaRow(doc_id: Long, format: String,
+      channels: Long, sample_rate: Long, bits: Long, n_samples: Long,
+      duration_ms: Long)
+
+  /** Deterministic complete WAV payloads, one per document: rate /
+    * channels / bit depth / length derive from doc_id (the SAME
+    * literals the oracle recomputes); every 13th payload is truncated
+    * mid-data — the corrupt-file DLT case. */
+  def syntheticAudio(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = AudioCodec.wavBytes(
+          sampleRate = 8000 + (id % 5).toInt * 4000,
+          channels = 1 + (id % 2).toInt,
+          bits = if (id % 3 == 0) 8 else 16,
+          nSamples = 100 + (id % 400).toInt,
+          seed = id)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 40) else full)
+      }
+  }
+
+  /** REAL header-level audio decode (see [[AudioCodec]]): bytes in,
+    * (channels, sample_rate, bits, n_samples, duration_ms) out, same
+    * mapPartitions batch contract and DLT arm as [[imageMeta]]. */
+  def audioMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(docs).mapPartitions(_.map { d =>
+      AudioCodec.parseWav(d.payload) match {
+        case Some(m) => AudioMetaRow(d.doc_id, m.format, m.channels,
+          m.sample_rate, m.bits, m.n_samples, m.duration_ms)
+        case None => AudioMetaRow(d.doc_id, "unknown", -1L, -1L, -1L,
+          -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** One sampled frame row per payload (doc_id, frame_idx, offset,
     * sample byte). */
   final case class Frame(doc_id: Long, frame_idx: Long, offset: Long,

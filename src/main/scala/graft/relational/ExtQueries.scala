@@ -936,6 +936,24 @@ object ExtQueries {
       "ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) END AS BIGINT) AS channels " +
       "FROM documents ORDER BY doc_id"
 
+  /** The audio twin (r6): the oracle recomputes rate/channels/bits/
+    * length — and the truncated-every-13th DLT rows — from the same
+    * doc_id literals the WAV fixture generator used; the Spark side
+    * must recover them by walking the actual RIFF chunk layout. */
+  private val mmAudioMetaSql: String = {
+    def known(expr: String) =
+      s"CASE WHEN doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+        s"ELSE CAST($expr AS BIGINT) END"
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'unknown' ELSE 'wav' END AS format, " +
+      known("1 + doc_id % 2") + " AS channels, " +
+      known("8000 + (doc_id % 5) * 4000") + " AS sample_rate, " +
+      known("CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END") + " AS bits, " +
+      known("100 + doc_id % 400") + " AS n_samples, " +
+      known("(100 + doc_id % 400) * 1000 // (8000 + (doc_id % 5) * 4000)") +
+      " AS duration_ms FROM documents ORDER BY doc_id"
+  }
+
   private val mmFramesSql: String = {
     val stride = Multimodal.FrameStride
     "WITH f AS (SELECT doc_id, text, unnest(range(0, " +
@@ -1184,6 +1202,43 @@ object ExtQueries {
         F.lit("#frag")).as("url"))
   }
 
+  /** Derived URL fixture for dd_url_dedup (r6): ~5 docs share each
+    * canonical form once case, utm_* params and the fragment are
+    * normalized away — doc_id % 100 is the collision group, and the
+    * varying parts (utm value, fragment) carry the raw doc_id so the
+    * INPUTS are all distinct. */
+  private def derivedDupUrls(s: SparkSession, d: String): DataFrame = {
+    val id = F.col("doc_id")
+    Tables.documents(s, d).select(id,
+      F.concat(F.lit("HTTPS://Docs.Example.COM/a/"),
+        (id % 100).cast("string"),
+        F.lit("?utm_source=s"), id.cast("string"),
+        F.lit("&v="), (id % 100).cast("string"),
+        F.lit("#f"), id.cast("string")).as("url"))
+  }
+
+  /** Oracle for dd_url_dedup: the canonical group is recomputed
+    * INDEPENDENTLY from the doc_id literal (doc_id % 100), never from
+    * the Spark-side normalization — if urlParts failed to collapse a
+    * case/utm/fragment variant, groups would split and the hashes
+    * mismatch (the mm-fixture discipline applied to URL dedup). */
+  private val ddUrlDedupSql: String =
+    "WITH g AS (SELECT doc_id, doc_id % 100 AS grp FROM documents), " +
+      "m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS canonical_id " +
+      "FROM g) " +
+      "SELECT doc_id, canonical_id, " +
+      "CAST(CASE WHEN doc_id > canonical_id THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS is_dup FROM m ORDER BY doc_id"
+
+  /** Running-spend oracle: cumulative integer-cents sum per customer
+    * ordered by (date, orderkey) — unique orderkey tie-break makes
+    * the default RANGE frame equal ROWS in both engines. */
+  private val relRunningSpendSql: String =
+    "SELECT o_custkey, o_orderkey, " +
+      s"CAST(SUM(${centsSql("o_totalprice")}) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) " +
+      "AS run_spend_c FROM orders ORDER BY o_custkey, o_orderkey"
+
   /** Web-curation composite: the r5 operator oracles reused verbatim
     * as CTEs (paragraph dedup + quality + temperature sampling +
     * URL parse), met in doc-keyed joins. */
@@ -1422,6 +1477,8 @@ object ExtQueries {
     "dd_contamination_bloomdist" -> ((s, d) =>
       Dedup.contaminationBloomDist(Tables.documents(s, d))),
     "dd_span_scrub" -> ((s, d) => Dedup.spanScrub(Tables.documents(s, d))),
+    "dd_url_dedup" -> ((s, d) => Dedup.urlDedup(derivedDupUrls(s, d))),
+    "rel_running_spend" -> (RelQueries.runningSpend _),
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incremental(docs.where(F.col("doc_id") % 10 === 0),
@@ -1429,6 +1486,7 @@ object ExtQueries {
     }),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
+    "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     // r6: mm_resize is the REAL pixel kernel (PNM raster decode +
     // 2×2 box halve); the r4 byte-sampling surrogate stays declared
@@ -1513,6 +1571,8 @@ object ExtQueries {
     "tx_sample_temp" -> txSampleTempSql,
     "tx_fertility" -> txFertilitySql,
     "tx_url_extract" -> txUrlExtractSql,
+    "dd_url_dedup" -> ddUrlDedupSql,
+    "rel_running_spend" -> relRunningSpendSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_semdedup_auto" -> ddSemdedupAutoSql,
     "sim_knn_brute" -> simKnnBruteSql,
@@ -1543,6 +1603,7 @@ object ExtQueries {
     "dd_incremental" -> ddIncrementalSql,
     "mm_meta" -> mmMetaSql,
     "mm_image_meta" -> mmImageMetaSql,
+    "mm_audio_meta" -> mmAudioMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resize_bytes" -> mmResizeBytesSql,

@@ -339,6 +339,25 @@ object RelQueries {
       .orderBy("op")
   }
 
+  /** Running (cumulative) spend per customer (r6 — the cumulative-
+    * window shape the surface didn't yet exercise: lag, rank and
+    * percent_rank were covered; an UNBOUNDED-PRECEDING running
+    * aggregate was not). ONE shuffle on o_custkey; each partition
+    * sorts locally by (date, orderkey) — the unique orderkey
+    * tie-break makes the default RANGE frame equal ROWS, so Spark
+    * and the oracle agree bit-for-bit; money in integer cents. At
+    * scale this is the per-entity-timeline pattern (balance, LTV):
+    * state per partition is one accumulator, output = input rows. */
+  def runningSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(cents(col("o_totalprice"))).over(w).as("run_spend_c"))
+      .select("o_custkey", "o_orderkey", "run_spend_c")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Inter-event gap statistics per user via lag(): the
     * engagement-cadence profile (and the one window shape —
     * lag/lead — the surface didn't yet exercise). ONE shuffle on

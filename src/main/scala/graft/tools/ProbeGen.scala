@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object ProbeGen {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("clustered")) { clustered(args); return }
+    if (args.headOption.contains("full")) { full(args); return }
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/probe/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
@@ -56,6 +57,84 @@ object ProbeGen {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(s"[probegen] wrote ${copies}x $src -> $out")
+    spark.stop()
+  }
+
+  /** `ProbeGen full [src] [out] [copies]` — the FULL-surface probe SF
+    * (r6): every table the 92-query bench reads, with FACTS scaled
+    * `copies`× and DIMENSIONS kept as-is — exactly how a bigger SF
+    * behaves (dims grow sublinearly). Key discipline: primary keys
+    * shift by c·10⁹ so fact-fact joins (orders↔lineitem on orderkey,
+    * dedup families on doc_id) stay consistent across copies, while
+    * FOREIGN keys into dimensions (custkey, partkey, suppkey,
+    * user_id) are left unchanged — each dim row simply serves 10×
+    * the fact rows, the realistic skew direction. Text/embedding
+    * copies perturb like the default mode (one-token suffix /
+    * one-component nudge) so the dedup/ANN fit costs see genuinely
+    * larger corpora, not byte-identical clones. */
+  private def full(args: Array[String]): Unit = {
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else "target/probe/sf1full"
+    val copies = if (args.length > 3) args(3).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shift = 1000000000L
+
+    def scaled(table: String, keyShifts: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map { c =>
+        if (c == 0) df
+        else keyShifts.foldLeft(df) { (d, k) =>
+          d.withColumn(k, col(k) + lit(c * shift)) }
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    def copied(table: String): Unit =
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+
+    // facts: pk shifted, dimension fks unchanged
+    scaled("orders", Seq("o_orderkey"))
+    scaled("lineitem", Seq("l_orderkey"))
+    scaled("events", Seq("event_id"))
+    // dims as-is
+    Seq("customer", "supplier", "part", "nation", "region").foreach(copied)
+
+    // documents/embeddings: same perturbed-copy recipe as the default
+    // mode (shifted ids + near-dup text variants / nudged vectors)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$c")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(s" v$c".length.toLong)).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { c =>
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(lit(c), size(col("embedding"))),
+            x + lit(0.001f * c)).otherwise(x)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[probegen] wrote full ${copies}x $src -> $out")
     spark.stop()
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AudioCodec
+import graft.operators.AudioCodec.AudioMeta
+
+/** RIFF/WAVE header decode: chunk walk, field extraction, DLT arm.
+  * Fixtures are hand-written byte layouts per the published RIFF
+  * spec, plus the generator round-trip the mm_audio_meta oracle
+  * leans on. */
+class AudioCodecSpec extends AnyFunSuite {
+
+  test("generator round-trip across the fixture parameter space") {
+    for (id <- 0L to 30L) {
+      val rate = 8000 + (id % 5).toInt * 4000
+      val ch = 1 + (id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val n = 100 + (id % 400).toInt
+      val m = AudioCodec.parseWav(AudioCodec.wavBytes(rate, ch, bits, n, id))
+      assert(m.contains(AudioMeta("wav", ch.toLong, rate.toLong, bits.toLong,
+        n.toLong, n.toLong * 1000L / rate)), s"id $id: $m")
+    }
+  }
+
+  test("chunk walk skips unknown chunks (LIST before fmt) and pads odd sizes") {
+    // hand-assemble: RIFF/WAVE, then a 3-byte junk chunk (odd -> pad),
+    // then fmt + data
+    val base = AudioCodec.wavBytes(16000, 1, 16, 10)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 12) // RIFF....WAVE
+    "LIST".foreach(c => out.write(c))
+    out.write(3); out.write(0); out.write(0); out.write(0) // size 3 LE
+    out.write(Array[Byte](1, 2, 3), 0, 3); out.write(0)    // payload + pad
+    out.write(base, 12, base.length - 12) // fmt + data as-is
+    val m = AudioCodec.parseWav(out.toByteArray)
+    assert(m.contains(AudioMeta("wav", 1L, 16000L, 16L, 10L, 0L)))
+  }
+
+  test("corrupt / truncated / alien payloads reject, never throw") {
+    assert(AudioCodec.parseWav(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.parseWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(AudioCodec.parseWav("not audio".getBytes("US-ASCII")).isEmpty)
+    val ok = AudioCodec.wavBytes(8000, 2, 16, 50)
+    // truncated mid-data: declared data size not present
+    assert(AudioCodec.parseWav(java.util.Arrays.copyOf(ok, 40)).isEmpty)
+    assert(AudioCodec.parseWav(java.util.Arrays.copyOf(ok, ok.length - 1)).isEmpty)
+    // non-PCM audioFormat rejected
+    val nonPcm = ok.clone(); nonPcm(20) = 3 // IEEE float tag
+    assert(AudioCodec.parseWav(nonPcm).isEmpty)
+    // inconsistent blockAlign rejected
+    val badAlign = ok.clone(); badAlign(32) = 7
+    assert(AudioCodec.parseWav(badAlign).isEmpty)
+    // crafted u32 chunk size near 2^32 (would wrap .toInt negative
+    // and stall the chunk walk if advanced in Int) must terminate
+    val huge = new java.io.ByteArrayOutputStream()
+    huge.write(ok, 0, 12)
+    "JUNK".foreach(c => huge.write(c))
+    huge.write(0xf8); huge.write(0xff); huge.write(0xff); huge.write(0xff)
+    assert(AudioCodec.parseWav(huge.toByteArray).isEmpty)
+    // fuzz: no byte sequence throws
+    val rnd = new java.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(b)
+      AudioCodec.parseWav(b)
+      AudioCodec.parseWav(("RIFF" + new String(b, "ISO-8859-1"))
+        .getBytes("ISO-8859-1"))
+    }
+  }
+}

@@ -502,6 +502,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       "https://example.co.uk/")))
   }
 
+  test("url dedup: canonical form collapses case/utm/fragment variants, first doc wins") {
+    val d = Seq(
+      (1L, "https://a.io/p?utm_s=1#x"),
+      (2L, "HTTPS://A.IO/p?utm_s=2#y"),   // same canonical as 1
+      (3L, "https://a.io/p?q=1"),          // kept param -> distinct
+      (4L, "https://a.io/p?q=1#z")         // same canonical as 3
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 0L)) && out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((3L, 0L)) && out(4L) == ((3L, 1L)))
+  }
+
   test("temperature sampling: smallest language keeps everything, rates fall with size") {
     val rows = (1L to 100L).map(i => (i, "w", if (i <= 4) "small" else "big"))
     val d = rows.toDF("doc_id", "text", "lang")
