@@ -34,7 +34,33 @@ object AudioCodec {
   private def tag(b: Array[Byte], i: Int, s: String): Boolean =
     i + 4 <= b.length && (0 until 4).forall(j => b(i + j) == s.charAt(j))
 
-  def parseWav(b: Array[Byte]): Option[AudioMeta] = {
+  def parseWav(b: Array[Byte]): Option[AudioMeta] =
+    parseWavFull(b).map(_._1)
+
+  /** Decoded PCM sample values, channel-interleaved, center-adjusted
+    * signed: 8-bit WAV is unsigned around 128 (v = byte − 128);
+    * 16-bit is signed little-endian. This is the SAMPLE-level decode
+    * — the audio twin of [[ImageCodec.parsePnmRaster]]'s pixel level:
+    * PCM in a parsed RIFF container needs no codec library, so the
+    * kernel is real, not a stub. */
+  def parseWavSamples(b: Array[Byte]): Option[(AudioMeta, Array[Int])] =
+    parseWavFull(b).map { case (m, off) =>
+      val n = (m.n_samples * m.channels).toInt
+      val out = new Array[Int](n)
+      var j = 0
+      if (m.bits == 8) {
+        while (j < n) { out(j) = (b(off + j) & 0xff) - 128; j += 1 }
+      } else {
+        while (j < n) {
+          val v = u16le(b, off + 2 * j)
+          out(j) = if (v >= 0x8000) v - 0x10000 else v
+          j += 1
+        }
+      }
+      (m, out)
+    }
+
+  private def parseWavFull(b: Array[Byte]): Option[(AudioMeta, Int)] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     // the walk cursor is a LONG: a crafted u32 chunk size near 2³²
     // in Int arithmetic would either wrap the advance negative
@@ -45,7 +71,7 @@ object AudioCodec {
     // fits an Int, so the walk always terminates and never throws.
     var i = 12L
     var channels = -1L; var rate = -1L; var bits = -1L; var blockAlign = -1L
-    var dataSize = -1L
+    var dataSize = -1L; var dataOff = -1
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
       val p = i.toInt
       val size = u32le(b, p + 4)
@@ -62,6 +88,7 @@ object AudioCodec {
         // declared size must actually be present
         if (i + 8 + size > b.length) return None
         dataSize = size
+        dataOff = p + 8
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       i += 8L + size + (size & 1L)
@@ -69,8 +96,9 @@ object AudioCodec {
     if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 ||
       dataSize < 0) return None
     if (blockAlign != channels * (bits / 8)) return None
-    Some(AudioMeta("wav", channels, rate, bits, dataSize / blockAlign,
-      dataSize / blockAlign * 1000L / rate))
+    if (bits != 8 && bits != 16) return None
+    Some((AudioMeta("wav", channels, rate, bits, dataSize / blockAlign,
+      dataSize / blockAlign * 1000L / rate), dataOff))
   }
 
   /** Deterministic PCM WAV fixture: a real, complete RIFF/WAVE file

@@ -605,6 +605,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window exact-substring dedup (r6 — the ExactSubstr pass
+    * of Lee et al. 2022, arXiv:2107.06499, at k-token-gram
+    * granularity): a window position is duplicated when an EARLIER
+    * doc contains the identical k-token run ANYWHERE — the sliding
+    * grams catch shifted/offset duplication that [[paragraphDedup]]'s
+    * positional blocks miss (a copied passage rarely starts on a
+    * 16-word boundary). Per doc: window count, dup-window count,
+    * dup fraction; docs shorter than k words carry zero windows.
+    *
+    * Scale shape: fan-out is one row per token position (linear, not
+    * pairwise); everything downstream of the row-local window hash
+    * keys on md5(gram) — fixed-width, uniform — so the canonical-doc
+    * aggregate and the scoring join shuffle hashes + ids, never text,
+    * and Spark reuses the single gh exchange for both. The fan-out
+    * is localCheckpoint'd once and feeds both consumers. */
+  def substringDup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val starts = sequence(lit(1), size(col("ws")) - lit(k - 1))
+    val grams = Partitioning.spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .where(size(col("ws")) >= k) // sequence(1, stop<1) would DESCEND
+      .select(col("doc_id"), col("ws"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("start"), lit(k)), " "))
+          .as("gh"))
+      .localCheckpoint(true)
+    val canon = grams.groupBy("gh").agg(min("doc_id").as("min_doc"))
+    val scored = grams.join(canon, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("min_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(floor(lit(1000000.0) * col("n_dup") / col("n_win"))
+          .cast("long"), lit(0L)).as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-URL dedup (r6 — the crawl-frontier staple: the same
     * page arrives under case variants, tracking params and fragment
     * anchors; canonicalize first, then first-doc-wins): composes

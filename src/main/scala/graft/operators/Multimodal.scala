@@ -243,6 +243,80 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Sample-level audio amplitude stats (r6 — the audio twin of the
+    * PNM pixel kernel: PCM in a parsed RIFF container needs no codec
+    * library, so the decode is REAL). peak = max |v|, mean_abs =
+    * ⌊Σ|v|/n⌋, rms = ⌊√⌊Σv²/n⌋⌋ — integer floors at each step and
+    * IEEE sqrt, both bit-portable to the DuckDB oracle, which
+    * recomputes EVERY sample value from the doc_id literals the
+    * fixture generator used. */
+  final case class AudioStatsRow(doc_id: Long, format: String,
+      n_vals: Long, peak_abs: Long, mean_abs: Long, rms: Long)
+
+  def audioStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(docs).mapPartitions(_.map { d =>
+      AudioCodec.parseWavSamples(d.payload) match {
+        case Some((m, vs)) if vs.nonEmpty =>
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+          var i = 0
+          while (i < vs.length) {
+            val a = math.abs(vs(i).toLong)
+            if (a > peak) peak = a
+            sumAbs += a; sumSq += a * a
+            i += 1
+          }
+          val n = vs.length.toLong
+          AudioStatsRow(d.doc_id, m.format, n, peak, sumAbs / n,
+            math.floor(math.sqrt((sumSq / n).toDouble)).toLong)
+        case _ => AudioStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Parsed video metadata per payload (r6). */
+  final case class VideoMetaRow(doc_id: Long, format: String,
+      width: Long, height: Long, total_frames: Long, us_per_frame: Long,
+      streams: Long, duration_ms: Long)
+
+  /** Deterministic complete AVI payloads, one per document:
+    * dimensions / frame count / frame period / stream count derive
+    * from doc_id (the SAME literals the oracle recomputes); every
+    * 13th payload is truncated inside the header list — the
+    * corrupt-file DLT case. */
+  def syntheticVideos(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = VideoCodec.aviBytes(
+          width = 160 + (id % 8).toInt * 80,
+          height = 120 + (id % 6).toInt * 60,
+          totalFrames = 10 + (id % 240).toInt,
+          usPerFrame = 33333 + (id % 4).toInt * 8333,
+          streams = 1 + (id % 2).toInt,
+          seed = id)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 30) else full)
+      }
+  }
+
+  /** REAL header-level video decode (see [[VideoCodec]]): bytes in,
+    * (width, height, frames, frame period, streams, duration) out,
+    * same mapPartitions batch contract and DLT arm as
+    * [[imageMeta]]/[[audioMeta]]. */
+  def videoMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticVideos(docs).mapPartitions(_.map { d =>
+      VideoCodec.parseAvi(d.payload) match {
+        case Some(m) => VideoMetaRow(d.doc_id, m.format, m.width,
+          m.height, m.total_frames, m.us_per_frame, m.streams,
+          m.duration_ms)
+        case None => VideoMetaRow(d.doc_id, "unknown", -1L, -1L, -1L,
+          -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** One sampled frame row per payload (doc_id, frame_idx, offset,
     * sample byte). */
   final case class Frame(doc_id: Long, frame_idx: Long, offset: Long,

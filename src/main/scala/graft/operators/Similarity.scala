@@ -56,6 +56,31 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Threshold RANGE search (r6 — the other similarity-query shape:
+    * ALL corpus vectors within cosine ≥ τ of each query, not a fixed
+    * top-k; the contract radius joins and near-dup admission want).
+    * Brute variant: the query set broadcasts (model-sized, like
+    * [[knnBrute]]'s) and the corpus streams through one row-local
+    * scoring pass — zero shuffles, no window, output bounded by the
+    * radius. At production query-set sizes the LSH-bucketed candidate
+    * path ([[lshCandidates]]-style band join + this exact filter) is
+    * the same contract with sub-linear candidates — but an
+    * approximate candidate set can MISS in-radius neighbors, so the
+    * exact scan is the declared (oracle-checkable) semantics. */
+  def rangeSearch(embeddings: DataFrame, nQueries: Int = 8,
+                  minCosPpm: Long = 300000L): DataFrame = {
+    val base = quantized(embeddings)
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+        col("qn").as("nq"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn"))
+          .as("cos_ppm"))
+      .where(col("cos_ppm") >= minCosPpm)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** IVF (inverted-file) top-k ANN — the codebook path:
     *  - coarse codebook = the quantized vectors of the first
     *    `nCentroids` ids (deterministic sampled training; a k-means

@@ -56,6 +56,63 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     qualityFeatures(docs).drop("lang").orderBy("doc_id")
 
+  /** Gopher-style quality-rule battery (r6 — Rae et al. 2021,
+    * arXiv:2112.11446 Table A1, the rule set most web pipelines
+    * start from, adapted to this corpus's whitespace tokens): each
+    * rule is a NAMED 0/1 flag so downstream filters can cut on any
+    * subset and ablations can report per-rule kill rates — the
+    * difference from [[qualityScore]]'s single composite. All
+    * row-local (one projection, zero shuffles); every feature is an
+    * integer/ppm so the DuckDB oracle restates the rules exactly.
+    *
+    * Rules: word count in [50, 100 000]; mean word length in
+    * [3, 10] chars; symbol-to-word ratio ('#' chars + '…'-as-'...'
+    * runs) ≤ 10 %; lines starting with a bullet ('-'/'*') ≤ 90 %;
+    * lines ending in '...' ≤ 30 %; words containing an alphabetic
+    * char ≥ 80 %; ≥ 2 stopword occurrences. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val n = size(ws).cast("long")
+    val nG = greatest(n, lit(1L))
+    val tokChars = length(col("text")).cast("long") - (n - 1)
+    val meanLenPpm = floor(lit(1000000.0) * tokChars / nG).cast("long")
+    val hashCnt =
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long")
+    val ellCnt =
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symPpm = floor(lit(1000000.0) * (hashCnt + ellCnt) / nG).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = greatest(size(lines).cast("long"), lit(1L))
+    val bulletCnt = aggregate(lines, lit(0L), (a, l) =>
+      a + when(l.startsWith("-") || l.startsWith("*"), 1L).otherwise(0L))
+    val ellEndCnt = aggregate(lines, lit(0L), (a, l) =>
+      a + when(l.endsWith("..."), 1L).otherwise(0L))
+    val alphaCnt = aggregate(ws, lit(0L), (a, w) =>
+      a + when(w.rlike("[A-Za-z]"), 1L).otherwise(0L))
+    val stopCnt = aggregate(ws, lit(0L), (a, w) =>
+      a + when(w.isin(Stopwords: _*), 1L).otherwise(0L))
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    docs.select(col("doc_id"), n.as("n_words"),
+        flag(n >= 50L && n <= 100000L).as("ok_word_count"),
+        flag(meanLenPpm >= 3000000L && meanLenPpm <= 10000000L)
+          .as("ok_word_len"),
+        flag(symPpm <= 100000L).as("ok_symbol"),
+        flag(floor(lit(1000000.0) * bulletCnt / nLines) <= 900000L)
+          .as("ok_bullet"),
+        flag(floor(lit(1000000.0) * ellEndCnt / nLines) <= 300000L)
+          .as("ok_ellipsis"),
+        flag(floor(lit(1000000.0) * alphaCnt / nG) >= 800000L)
+          .as("ok_alpha"),
+        flag(stopCnt >= 2L).as("ok_stop"))
+      .withColumn("pass",
+        flag(col("ok_word_count") + col("ok_word_len") + col("ok_symbol") +
+          col("ok_bullet") + col("ok_ellipsis") + col("ok_alpha") +
+          col("ok_stop") === 7L))
+      .orderBy("doc_id")
+  }
+
   /** Per-language quantile quality gate: keep each language's top
     * (1 - keepAbovePpm/1e6) fraction by quality score — filtering on a
     * WITHIN-language percentile instead of a global absolute threshold

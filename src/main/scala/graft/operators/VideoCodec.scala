@@ -1,0 +1,113 @@
+package graft.operators
+
+/** REAL header-level VIDEO decode (r6 — the video twin of
+  * [[ImageCodec]]/[[AudioCodec]]): parses the AVI byte layout for
+  * (width, height, frame count, frame period, stream count,
+  * duration). AVI is a published RIFF container (MS 'AVI RIFF File
+  * Reference'); like the other header sniffers this needs no codec
+  * library:
+  *
+  *  - bytes 0–3 "RIFF", 4–7 u32LE riff size, 8–11 "AVI ";
+  *  - a chunk walk of 4-byte id + u32LE size + payload (even-padded).
+  *    "LIST" chunks carry a 4-byte list type at payload start and
+  *    nest further chunks after it. The LIST:"hdrl" list's first
+  *    sub-chunk "avih" (MainAVIHeader, ≥ 56 bytes) carries
+  *    dwMicroSecPerFrame u32LE @0, dwTotalFrames u32LE @16,
+  *    dwStreams u32LE @24, dwWidth u32LE @32, dwHeight u32LE @36;
+  *    duration_ms = totalFrames · usPerFrame / 1000 (integer floor —
+  *    exact in the DuckDB oracle too).
+  *
+  * Unknown/truncated/corrupt layouts → None (the route-to-DLT arm).
+  * Row-local: runs inside the [[Multimodal]] mapPartitions batch
+  * contract. The walk cursor is a LONG for the same reason as
+  * [[AudioCodec]]'s: crafted u32 sizes must not stall or overflow
+  * the loop. */
+object VideoCodec {
+
+  final case class VideoMeta(format: String, width: Long, height: Long,
+      total_frames: Long, us_per_frame: Long, streams: Long,
+      duration_ms: Long)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i >= 0 && i + 4 <= b.length &&
+      (0 until 4).forall(j => b(i + j) == s.charAt(j))
+
+  def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val p = i.toInt
+      val size = u32le(b, p + 4)
+      if (tag(b, p, "LIST") && tag(b, p + 8, "hdrl")) {
+        // hdrl's first sub-chunk must be avih (MainAVIHeader); its
+        // declared payload must be fully present
+        val a = p + 12
+        if (!tag(b, a, "avih") || a + 8 > b.length) return None
+        val avihSize = u32le(b, a + 4)
+        if (avihSize < 56 || a + 8 + avihSize > b.length ||
+          a.toLong + 8 + avihSize > i + 8 + size) return None
+        val h = a + 8
+        val usPerFrame = u32le(b, h)
+        val totalFrames = u32le(b, h + 16)
+        val streams = u32le(b, h + 24)
+        val width = u32le(b, h + 32)
+        val height = u32le(b, h + 36)
+        if (usPerFrame <= 0 || width <= 0 || height <= 0 || streams <= 0)
+          return None
+        return Some(VideoMeta("avi", width, height, totalFrames,
+          usPerFrame, streams, totalFrames * usPerFrame / 1000L))
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Deterministic complete AVI fixture: RIFF('AVI ') with a
+    * LIST:hdrl carrying a 56-byte avih and a LIST:movi of '00dc'
+    * frame chunks (8 bytes/frame, byte i of frame f =
+    * (f·17 + i·31 + seed) mod 256) — parsers must walk the actual
+    * nested-LIST layout to reach the header fields the oracle pins
+    * from doc_id literals. */
+  def aviBytes(width: Int, height: Int, totalFrames: Int,
+      usPerFrame: Int, streams: Int = 1, seed: Long = 0L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def str(s: String): Unit = s.foreach(c => out.write(c))
+    val frameBytes = 8
+    val moviSize = 4L + totalFrames.toLong * (8 + frameBytes)
+    val hdrlSize = 4L + 8 + 56
+    val riffSize = 4L + (8 + hdrlSize) + (8 + moviSize)
+    str("RIFF"); le32(riffSize); str("AVI ")
+    str("LIST"); le32(hdrlSize); str("hdrl")
+    str("avih"); le32(56L)
+    le32(usPerFrame.toLong)               // dwMicroSecPerFrame
+    le32(width.toLong * height * 30L)     // dwMaxBytesPerSec (advisory)
+    le32(0L)                              // dwPaddingGranularity
+    le32(0x10L)                           // dwFlags (AVIF_HASINDEX clear, arbitrary)
+    le32(totalFrames.toLong)              // dwTotalFrames
+    le32(0L)                              // dwInitialFrames
+    le32(streams.toLong)                  // dwStreams
+    le32(frameBytes.toLong)               // dwSuggestedBufferSize
+    le32(width.toLong)                    // dwWidth
+    le32(height.toLong)                   // dwHeight
+    le32(0L); le32(0L); le32(0L); le32(0L) // dwReserved[4]
+    str("LIST"); le32(moviSize); str("movi")
+    var f = 0
+    while (f < totalFrames) {
+      str("00dc"); le32(frameBytes.toLong)
+      var i = 0
+      while (i < frameBytes) {
+        out.write(((f * 17L + i * 31L + seed) % 256).toInt); i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -954,6 +954,55 @@ object ExtQueries {
       " AS duration_ms FROM documents ORDER BY doc_id"
   }
 
+  /** Video twin (r6): the oracle recomputes width/height/frames/
+    * period/streams — and the truncated-every-13th DLT rows — from
+    * the same doc_id literals the AVI fixture generator used; the
+    * Spark side must recover them by walking the actual nested
+    * RIFF/LIST layout. */
+  private val mmVideoMetaSql: String = {
+    def known(expr: String) =
+      s"CASE WHEN doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+        s"ELSE CAST($expr AS BIGINT) END"
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'unknown' ELSE 'avi' END AS format, " +
+      known("160 + (doc_id % 8) * 80") + " AS width, " +
+      known("120 + (doc_id % 6) * 60") + " AS height, " +
+      known("10 + doc_id % 240") + " AS total_frames, " +
+      known("33333 + (doc_id % 4) * 8333") + " AS us_per_frame, " +
+      known("1 + doc_id % 2") + " AS streams, " +
+      known("(10 + doc_id % 240) * (33333 + (doc_id % 4) * 8333) // 1000") +
+      " AS duration_ms FROM documents ORDER BY doc_id"
+  }
+
+  /** Sample-level audio stats oracle (r6): recomputes EVERY PCM
+    * sample value from the fixture's byte formula (data byte k =
+    * (k·31 + doc_id) mod 256; 8-bit unsigned-center-128, 16-bit
+    * signed LE), then the same integer-floor stat chain the operator
+    * computes — a decode bug at any byte cannot self-confirm. */
+  private val mmAudioStatsSql: String =
+    "WITH p AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits, " +
+      "(100 + doc_id % 400) * (1 + doc_id % 2) AS n " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, bits, n, unnest(range(0, n)) AS j FROM p), " +
+      "v AS (SELECT doc_id, n, CASE WHEN bits = 8 " +
+      "THEN ((j * 31 + doc_id) % 256) - 128 " +
+      "ELSE CASE WHEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) >= 32768 " +
+      "THEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) - 65536 " +
+      "ELSE ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) END END AS v FROM j), " +
+      "s AS (SELECT doc_id, n, max(abs(v)) AS peak, sum(abs(v)) AS sa, " +
+      "sum(v * v) AS sq FROM v GROUP BY doc_id, n) " +
+      "SELECT doc_id, 'wav' AS format, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(peak AS BIGINT) AS peak_abs, CAST(sa // n AS BIGINT) AS mean_abs, " +
+      "CAST(FLOOR(SQRT(sq // n)) AS BIGINT) AS rms FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS n_vals, CAST(-1 AS BIGINT) AS peak_abs, " +
+      "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS rms " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   private val mmFramesSql: String = {
     val stride = Multimodal.FrameStride
     "WITH f AS (SELECT doc_id, text, unnest(range(0, " +
@@ -1217,6 +1266,98 @@ object ExtQueries {
         F.lit("#f"), id.cast("string")).as("url"))
   }
 
+  /** Sliding k-gram exact-substring dedup oracle (k = 8): the same
+    * window/canonical/score chain as the operator, restated over
+    * DuckDB's end-exclusive range (empty for docs shorter than k —
+    * matching the Spark side's explicit size filter) and inclusive
+    * array slice. */
+  private val ddSubstringSql: String = {
+    val k = 8
+    s"WITH ws AS ($wordsCte), " +
+      "s AS (SELECT doc_id, w, unnest(range(1, " +
+      s"greatest(len(w) - ${k - 1}, 0) + 1)) AS start FROM ws), " +
+      s"p AS (SELECT doc_id, md5(array_to_string(w[start:start + ${k - 1}], ' ')) " +
+      "AS gh FROM s), " +
+      "c AS (SELECT gh, min(doc_id) AS min_doc FROM p GROUP BY 1), " +
+      "j AS (SELECT p.doc_id, CASE WHEN c.min_doc < p.doc_id THEN 1 ELSE 0 END " +
+      "AS dup FROM p JOIN c USING (gh)), " +
+      "a AS (SELECT doc_id, count(*) AS n_win, sum(dup) AS n_dup " +
+      "FROM j GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(a.n_win, 0) AS BIGINT) AS n_win, " +
+      "CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup, " +
+      "CAST(coalesce(FLOOR(1000000.0 * a.n_dup / a.n_win), 0) AS BIGINT) " +
+      "AS dup_ppm FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"
+  }
+
+  /** Gopher rule battery oracle: every rule restated over the same
+    * integer/ppm features; the stopword IN-list is generated from the
+    * operator's own literal Seq so the two engines cannot diverge. */
+  private val txGopherRulesSql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    "WITH f AS (SELECT doc_id, " +
+      "len(string_split(text, ' ')) AS n, " +
+      "greatest(len(string_split(text, ' ')), 1) AS ng, " +
+      "length(text) - (len(string_split(text, ' ')) - 1) AS tok_chars, " +
+      "length(text) - length(replace(text, '#', '')) AS hash_cnt, " +
+      "(length(text) - length(replace(text, '...', ''))) // 3 AS ell_cnt, " +
+      "greatest(len(string_split(text, chr(10))), 1) AS nl, " +
+      "list_sum(list_transform(string_split(text, chr(10)), " +
+      "l -> CASE WHEN l LIKE '-%' OR l LIKE '*%' THEN 1 ELSE 0 END)) AS bullet_cnt, " +
+      "list_sum(list_transform(string_split(text, chr(10)), " +
+      "l -> CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)) AS ellend_cnt, " +
+      "list_sum(list_transform(string_split(text, ' '), " +
+      "x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)) AS alpha_cnt, " +
+      "list_sum(list_transform(string_split(text, ' '), " +
+      s"x -> CASE WHEN x IN ($stops) THEN 1 ELSE 0 END)) AS stop_cnt " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, n, " +
+      "CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_word_count, " +
+      "CASE WHEN FLOOR(1000000.0 * tok_chars / ng) BETWEEN 3000000 AND 10000000 " +
+      "THEN 1 ELSE 0 END AS ok_word_len, " +
+      "CASE WHEN FLOOR(1000000.0 * (hash_cnt + ell_cnt) / ng) <= 100000 " +
+      "THEN 1 ELSE 0 END AS ok_symbol, " +
+      "CASE WHEN FLOOR(1000000.0 * bullet_cnt / nl) <= 900000 " +
+      "THEN 1 ELSE 0 END AS ok_bullet, " +
+      "CASE WHEN FLOOR(1000000.0 * ellend_cnt / nl) <= 300000 " +
+      "THEN 1 ELSE 0 END AS ok_ellipsis, " +
+      "CASE WHEN FLOOR(1000000.0 * alpha_cnt / ng) >= 800000 " +
+      "THEN 1 ELSE 0 END AS ok_alpha, " +
+      "CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END AS ok_stop FROM f) " +
+      "SELECT doc_id, CAST(n AS BIGINT) AS n_words, " +
+      "CAST(ok_word_count AS BIGINT) AS ok_word_count, " +
+      "CAST(ok_word_len AS BIGINT) AS ok_word_len, " +
+      "CAST(ok_symbol AS BIGINT) AS ok_symbol, " +
+      "CAST(ok_bullet AS BIGINT) AS ok_bullet, " +
+      "CAST(ok_ellipsis AS BIGINT) AS ok_ellipsis, " +
+      "CAST(ok_alpha AS BIGINT) AS ok_alpha, " +
+      "CAST(ok_stop AS BIGINT) AS ok_stop, " +
+      "CAST(CASE WHEN ok_word_count + ok_word_len + ok_symbol + ok_bullet + " +
+      "ok_ellipsis + ok_alpha + ok_stop = 7 THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS pass FROM g ORDER BY doc_id"
+  }
+
+  /** Ratio-to-report oracle: the share window runs over the per-part
+    * aggregate, mirroring the operator's agg-then-window shape. */
+  private val relWindowShareSql: String =
+    "WITH r AS (SELECT p_partkey, p_brand, " +
+      s"CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) " +
+      "AS revenue_c FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "GROUP BY 1, 2) " +
+      "SELECT p_partkey, p_brand, revenue_c, " +
+      "CAST(FLOOR(1000000.0 * revenue_c / " +
+      "SUM(revenue_c) OVER (PARTITION BY p_brand)) AS BIGINT) AS share_ppm " +
+      "FROM r ORDER BY p_partkey"
+
+  /** Threshold range-search oracle: the brute scored set filtered at
+    * the radius instead of ranked to k. */
+  private val simRangeSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
+      "FROM base qs JOIN base b ON b.vec_id <> qs.vec_id WHERE qs.vec_id < 8) " +
+      "SELECT query_id, neighbor_id, cos_ppm FROM scored " +
+      "WHERE cos_ppm >= 300000 ORDER BY query_id, neighbor_id"
+
   /** Oracle for dd_url_dedup: the canonical group is recomputed
     * INDEPENDENTLY from the doc_id literal (doc_id % 100), never from
     * the Spark-side normalization — if urlParts failed to collapse a
@@ -1478,6 +1619,11 @@ object ExtQueries {
       Dedup.contaminationBloomDist(Tables.documents(s, d))),
     "dd_span_scrub" -> ((s, d) => Dedup.spanScrub(Tables.documents(s, d))),
     "dd_url_dedup" -> ((s, d) => Dedup.urlDedup(derivedDupUrls(s, d))),
+    "dd_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    "tx_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "rel_window_share" -> (RelQueries.windowShare _),
+    "sim_range" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
     "rel_running_spend" -> (RelQueries.runningSpend _),
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1487,6 +1633,8 @@ object ExtQueries {
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
+    "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
+    "mm_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     // r6: mm_resize is the REAL pixel kernel (PNM raster decode +
     // 2×2 box halve); the r4 byte-sampling surrogate stays declared
@@ -1572,6 +1720,10 @@ object ExtQueries {
     "tx_fertility" -> txFertilitySql,
     "tx_url_extract" -> txUrlExtractSql,
     "dd_url_dedup" -> ddUrlDedupSql,
+    "dd_substring" -> ddSubstringSql,
+    "tx_gopher_rules" -> txGopherRulesSql,
+    "rel_window_share" -> relWindowShareSql,
+    "sim_range" -> simRangeSql,
     "rel_running_spend" -> relRunningSpendSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_semdedup_auto" -> ddSemdedupAutoSql,
@@ -1604,6 +1756,8 @@ object ExtQueries {
     "mm_meta" -> mmMetaSql,
     "mm_image_meta" -> mmImageMetaSql,
     "mm_audio_meta" -> mmAudioMetaSql,
+    "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_video_meta" -> mmVideoMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resize_bytes" -> mmResizeBytesSql,

@@ -358,6 +358,29 @@ object RelQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Ratio-to-report window (r6 — the remaining window shape after
+    * lag, rank, percent_rank and the r6 cumulative frame: a
+    * full-partition aggregate frame): each part's revenue share
+    * within its brand, in ppm. Scale shape: the WINDOW RUNS OVER THE
+    * AGGREGATE, not the fact table — lineitem is reduced to one row
+    * per part by a partial-combinable hash-agg first (broadcast dim
+    * join; the fact side never shuffles before aggregation), so the
+    * share window sorts \|parts\| rows, not \|lineitem\|. */
+  def windowShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_brand")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"))
+      .withColumn("share_ppm",
+        floor(lit(1000000.0) * col("revenue_c") /
+          sum(col("revenue_c")).over(w)).cast("long"))
+      .select("p_partkey", "p_brand", "revenue_c", "share_ppm")
+      .orderBy("p_partkey")
+  }
+
   /** Inter-event gap statistics per user via lag(): the
     * engagement-cadence profile (and the one window shape —
     * lag/lead — the surface didn't yet exercise). ONE shuffle on

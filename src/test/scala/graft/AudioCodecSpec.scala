@@ -36,6 +36,23 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(m.contains(AudioMeta("wav", 1L, 16000L, 16L, 10L, 0L)))
   }
 
+  test("sample decode: 8-bit centers on 128, 16-bit signed LE round-trips") {
+    // 8-bit: data byte k = (k*31 + seed) % 256, v = byte - 128
+    val b8 = AudioCodec.wavBytes(8000, 1, 8, 5, seed = 3L)
+    val (m8, v8) = AudioCodec.parseWavSamples(b8).get
+    assert(m8.bits == 8L && v8.toSeq ==
+      (0 until 5).map(k => ((k * 31 + 3) % 256) - 128))
+    // 16-bit stereo: sample j = bytes (2j, 2j+1) LE, signed
+    val b16 = AudioCodec.wavBytes(16000, 2, 16, 3, seed = 7L)
+    val (m16, v16) = AudioCodec.parseWavSamples(b16).get
+    def byteAt(k: Int) = (k * 31 + 7) % 256
+    val expect = (0 until 6).map { j =>
+      val u = byteAt(2 * j) + 256 * byteAt(2 * j + 1)
+      if (u >= 32768) u - 65536 else u
+    }
+    assert(m16.n_samples == 3L && v16.toSeq == expect)
+  }
+
   test("corrupt / truncated / alien payloads reject, never throw") {
     assert(AudioCodec.parseWav(Array.emptyByteArray).isEmpty)
     assert(AudioCodec.parseWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)

@@ -515,6 +515,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L)) && out(4L) == ((3L, 1L)))
   }
 
+  test("substring dedup: sliding grams catch SHIFTED duplication, short docs get zero windows") {
+    val stolen = (1 to 8).map(i => s"w$i").mkString(" ") // an 8-word run
+    val d = docs(
+      1L -> s"intro $stolen outro",            // canonical owner (10 words)
+      2L -> s"x y z $stolen",                  // same run, different offset
+      3L -> "totally different words here only aa bb cc dd",
+      4L -> "short doc")                        // < 8 words -> no windows
+    val out = Dedup.substringDup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 0L)))  // 10 words -> 3 windows, none dup
+    // doc 2: 11 words -> 4 windows; exactly one (the stolen run) is dup
+    assert(out(2L) == ((4L, 1L)))
+    assert(out(3L)._2 == 0L)
+    assert(out(4L) == ((0L, 0L)))
+  }
+
+  test("gopher rules: each rule fires independently on a constructed violation") {
+    val okWords = (1 to 60).map(i => s"word$i").mkString(" ") + " the the"
+    val d = docs(
+      1L -> okWords,                                    // passes all
+      2L -> "too short the the",                        // word-count rule
+      3L -> ((1 to 60).map(_ => "a").mkString(" ") + " the the"), // mean len < 3
+      4L -> ((1 to 60).map(i => s"w$i ###").mkString(" ") + " the the"), // symbols
+      5L -> ((1 to 60).map(i => s"11$i").mkString(" ") + " 0 0"), // no alpha, no stops
+      6L -> (okWords + " pad\n- bullet\n- bullet\n- bullet")) // bullets but <= 90%
+    val out = TextAnalysis.gopherRules(d).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    // (ok_word_count, ok_word_len, ok_symbol, ok_alpha, ok_stop, pass)
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L)._1 == 0L && out(2L)._6 == 0L)
+    assert(out(3L)._2 == 0L)
+    assert(out(4L)._3 == 0L)
+    assert(out(5L)._4 == 0L && out(5L)._5 == 0L)
+    assert(out(6L)._6 == 1L) // 3 of 4 lines bulleted = 75% <= 90%
+  }
+
+  test("range search returns exactly the in-radius pairs, symmetric in the corpus scan") {
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),   // query
+      1L -> Array(0.9f, 0.1f, 0.0f, 0.0f),   // close to q0
+      2L -> Array(0.0f, 1.0f, 0.0f, 0.0f),   // orthogonal
+      3L -> Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite
+    val d = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(d, nQueries = 1, minCosPpm = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L))) // only the near vector is in radius
+  }
+
   test("temperature sampling: smallest language keeps everything, rates fall with size") {
     val rows = (1L to 100L).map(i => (i, "w", if (i <= 4) "small" else "big"))
     val d = rows.toDF("doc_id", "text", "lang")
