@@ -340,4 +340,32 @@ object Multimodal {
       }
     }).toDF().orderBy("doc_id", "frame_idx")
   }
+
+  /** Every `VideoFrameStride`-th frame of every container is sampled;
+    * 25 ≈ one frame/second at the fixture's ~30 fps — the thumbnail/
+    * contact-sheet cadence. */
+  val VideoFrameStride: Int = 25
+
+  /** One sampled REAL video frame per row (r6). */
+  final case class VideoFrameRow(doc_id: Long, frame_idx: Long,
+      n_bytes: Long, byte_sum: Long)
+
+  /** REAL frame-sample over the AVI containers (upgrades
+    * [[sampleFrames]]'s byte-stride stub to the actual movi chunk
+    * walk — see [[VideoCodec.sampleFrames]]): every 25th "00dc"
+    * frame chunk → (frame_idx, n_bytes, byte_sum); a corrupt
+    * container yields ONE DLT row (-1s), never partial frames. Same
+    * fan-out shape as [[sampleFrames]]: flatMap inside
+    * mapPartitions, zero shuffle, output volume ∝ media length —
+    * at 100 TB this writes partitioned by doc key, never collects. */
+  def videoFrames(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticVideos(docs).mapPartitions(_.flatMap { d =>
+      VideoCodec.sampleFrames(d.payload, VideoFrameStride) match {
+        case Some(fs) => fs.iterator.map { case (f, n, s) =>
+          VideoFrameRow(d.doc_id, f, n, s) }
+        case None => Iterator.single(VideoFrameRow(d.doc_id, -1L, -1L, -1L))
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
 }

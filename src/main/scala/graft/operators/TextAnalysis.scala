@@ -620,4 +620,69 @@ object TextAnalysis {
           (h, w) => (h * PH.FpBase + PH.h31(w)) % PH.P31)
           .as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Bigram-LM quality score (r6 — the CCNet/KenLM-style "does a
+    * corpus LM like this document" signal, integer-exact): fit
+    * bigram context/continuation counts over the corpus itself, cut
+    * bigrams below `minCount` (the model-pruning step that makes the
+    * artifact bounded — rare bigrams score 0, the OOV convention),
+    * then score every document by the mean conditional probability
+    * floor(c(w1,w2)·10⁶ / c(w1·)) of its bigrams.
+    *
+    * Scale shape: the fit is one groupBy over the exploded bigram
+    * stream — Zipf keys are safe under partial (map-side) aggregation
+    * because hot keys collapse per-partition before the exchange (the
+    * [[wordFamiliarity]] lesson: aggs tolerate skew, joins do not).
+    * The score join broadcasts the PRUNED model — after a min-count
+    * cut the bigram table is the bounded artifact a production KenLM
+    * is (CCNet ships ~GBs); the token stream itself never exchanges
+    * on a word key. */
+  def ngramLm(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c12.where(col("c12") >= minCount)
+      .join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        expr("c12 * 1000000 DIV c1").as("ppm"))
+    val scored = pairs
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ppm"), lit(0L))).as("sum_ppm"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_ppm DIV n_bigrams"), lit(0L)).as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Integer Flesch reading-ease (r6): 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), in milli-points with each
+    * ratio floored independently — exact integer arithmetic in both
+    * engines. Syllables ≈ vowel-group count (the standard
+    * dictionary-free proxy), sentences ≈ terminator count, both
+    * clamped to ≥1. Row-local, codegen'd regexes, zero shuffle. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = greatest(size(TextOps.words(col("text"))), lit(1))
+      .cast("long")
+    val sentences = greatest(
+      regexp_count(col("text"), lit("[.!?]")), lit(1)).cast("long")
+    val syllables = greatest(
+      regexp_count(lower(col("text")), lit("[aeiou]+")), lit(1))
+      .cast("long")
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("1015 * n_words DIV n_sentences")
+          - expr("84600 * n_syllables DIV n_words"))
+      .orderBy("doc_id")
+  }
 }

@@ -66,6 +66,50 @@ object VideoCodec {
     None
   }
 
+  /** Frame sampling (the brief's "frame-sample" kernel, on REAL
+    * bytes): walk to LIST:"movi" and take every `stride`-th video
+    * frame chunk ("00dc"), emitting (frame_idx, n_bytes, byte_sum)
+    * per sampled frame. The movi walk enforces the same bounds
+    * discipline as [[parseAvi]]: a declared chunk that overruns the
+    * list (or a list that overruns the file) → None, the DLT arm —
+    * a sampler must never return partial frames from a corrupt
+    * container. Non-"00dc" chunks (audio "01wb", index padding) are
+    * skipped without consuming a frame index. */
+  def sampleFrames(b: Array[Byte], stride: Int): Option[Vector[(Long, Long, Long)]] = {
+    require(stride > 0, "stride must be positive")
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val p = i.toInt
+      val size = u32le(b, p + 4)
+      if (tag(b, p, "LIST") && tag(b, p + 8, "movi")) {
+        val end = i + 8L + size
+        if (end > b.length) return None
+        var j = i + 12L
+        var f = 0L
+        val out = Vector.newBuilder[(Long, Long, Long)]
+        while (j + 8 <= end) {
+          val q = j.toInt
+          val fsize = u32le(b, q + 4)
+          if (j + 8L + fsize > end) return None
+          if (tag(b, q, "00dc")) {
+            if (f % stride == 0) {
+              var s = 0L
+              var k = 0
+              while (k < fsize) { s += (b(q + 8 + k) & 0xffL); k += 1 }
+              out += ((f, fsize, s))
+            }
+            f += 1
+          }
+          j += 8L + fsize + (fsize & 1L)
+        }
+        return Some(out.result())
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
   /** Deterministic complete AVI fixture: RIFF('AVI ') with a
     * LIST:hdrl carrying a 56-byte avih and a LIST:movi of '00dc'
     * frame chunks (8 bytes/frame, byte i of frame f =

@@ -974,6 +974,29 @@ object ExtQueries {
       " AS duration_ms FROM documents ORDER BY doc_id"
   }
 
+  /** Frame-sample oracle (r6): recomputes every sampled frame's
+    * byte_sum from the AVI fixture's frame-byte formula (byte i of
+    * frame f = (f·17 + i·31 + doc_id) mod 256, 8 bytes/frame,
+    * stride 25) — the Spark side must walk the real movi chunk
+    * layout to land on the same bytes; corrupt every-13th payloads
+    * yield the single DLT row. */
+  private val mmVideoFramesSql: String = {
+    val stride = Multimodal.VideoFrameStride
+    "WITH p AS (SELECT doc_id, 10 + doc_id % 240 AS nf FROM documents " +
+      "WHERE doc_id % 13 <> 0), " +
+      s"f AS (SELECT doc_id, unnest(range(0, nf, $stride)) AS frame_idx " +
+      "FROM p), " +
+      "b AS (SELECT doc_id, frame_idx, unnest(range(0, 8)) AS i FROM f), " +
+      "s AS (SELECT doc_id, frame_idx, " +
+      "sum((frame_idx * 17 + i * 31 + doc_id) % 256) AS byte_sum " +
+      "FROM b GROUP BY doc_id, frame_idx) " +
+      "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+      "CAST(8 AS BIGINT) AS n_bytes, CAST(byte_sum AS BIGINT) AS byte_sum " +
+      "FROM s UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), " +
+      "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM documents " +
+      "WHERE doc_id % 13 = 0 ORDER BY doc_id, frame_idx"
+  }
+
   /** Sample-level audio stats oracle (r6): recomputes EVERY PCM
     * sample value from the fixture's byte formula (data byte k =
     * (k·31 + doc_id) mod 256; 8-bit unsigned-center-128, 16-bit
@@ -1292,6 +1315,56 @@ object ExtQueries {
   /** Gopher rule battery oracle: every rule restated over the same
     * integer/ppm features; the stopword IN-list is generated from the
     * operator's own literal Seq so the two engines cannot diverge. */
+  /** Bigram-LM oracle (r6): the identical fit restated — context/
+    * continuation counts over 1-based array indexing, the same
+    * min-count-2 prune, floor-ppm conditional, and per-doc floor
+    * mean; a count divergence at any bigram fails the hash. */
+  private val txNgramLmSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      "p AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w " +
+      "FROM ws WHERE len(w) >= 2), " +
+      "bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM p), " +
+      "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), " +
+      "m AS (SELECT w1, w2, (c12 * 1000000) // c1 AS ppm " +
+      "FROM c12 JOIN c1 USING (w1) WHERE c12 >= 2), " +
+      "s AS (SELECT bg.doc_id, count(*) AS n_bigrams, " +
+      "sum(coalesce(m.ppm, 0)) AS sp FROM bg " +
+      "LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2 GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) " +
+      "AS n_bigrams, CAST(coalesce(s.sp // s.n_bigrams, 0) AS BIGINT) " +
+      "AS lm_ppm FROM documents d LEFT JOIN s USING (doc_id) " +
+      "ORDER BY doc_id"
+
+  /** Flesch oracle (r6): same clamped integer feature chain; vowel
+    * groups / sentence terminators via regexp_extract_all (leftmost-
+    * longest non-overlapping in both regex engines for these
+    * character-class patterns). */
+  private val txReadabilitySql: String =
+    "WITH f AS (SELECT doc_id, " +
+      "greatest(len(string_split(text, ' ')), 1) AS n_words, " +
+      "greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sentences, " +
+      "greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1) " +
+      "AS n_syllables FROM documents) " +
+      "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+      "CAST(n_sentences AS BIGINT) AS n_sentences, " +
+      "CAST(n_syllables AS BIGINT) AS n_syllables, " +
+      "CAST(206835 - (1015 * n_words) // n_sentences " +
+      "- (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli " +
+      "FROM f ORDER BY doc_id"
+
+  /** GROUPING SETS oracle (r6): DuckDB's GROUPING() emits the same
+    * left-to-right bitmask Spark's grouping_id() does (bit set ⇔
+    * column aggregated away in that set). */
+  private val relGroupingSetsSql: String =
+    "SELECT o_orderpriority, o_orderstatus, " +
+      "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
+      "count(*) AS n_orders, " +
+      s"CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_total_c " +
+      "FROM orders GROUP BY GROUPING SETS " +
+      "((o_orderpriority, o_orderstatus), (o_orderpriority), ()) " +
+      "ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"
+
   private val txGopherRulesSql: String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     "WITH f AS (SELECT doc_id, " +
@@ -1622,6 +1695,10 @@ object ExtQueries {
     "dd_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "tx_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "tx_ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(Tables.documents(s, d))),
+    "tx_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+    "rel_grouping_sets" -> (RelQueries.groupingSetsSummary _),
     "rel_window_share" -> (RelQueries.windowShare _),
     "sim_range" -> ((s, d) => Similarity.rangeSearch(Tables.embeddings(s, d))),
     "rel_running_spend" -> (RelQueries.runningSpend _),
@@ -1635,6 +1712,7 @@ object ExtQueries {
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))(s)),
+    "mm_video_frames" -> ((s, d) => Multimodal.videoFrames(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
     // r6: mm_resize is the REAL pixel kernel (PNM raster decode +
     // 2×2 box halve); the r4 byte-sampling surrogate stays declared
@@ -1722,6 +1800,9 @@ object ExtQueries {
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
     "tx_gopher_rules" -> txGopherRulesSql,
+    "tx_ngram_lm" -> txNgramLmSql,
+    "tx_readability" -> txReadabilitySql,
+    "rel_grouping_sets" -> relGroupingSetsSql,
     "rel_window_share" -> relWindowShareSql,
     "sim_range" -> simRangeSql,
     "rel_running_spend" -> relRunningSpendSql,
@@ -1758,6 +1839,7 @@ object ExtQueries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_video_meta" -> mmVideoMetaSql,
+    "mm_video_frames" -> mmVideoFramesSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resize_bytes" -> mmResizeBytesSql,

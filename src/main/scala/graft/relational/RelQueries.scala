@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,25 @@ object RelQueries {
       .agg(count(lit(1)).as("n_rows"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS (r6 — the third of the grouping trio
+    * after [[pricingCube]] CUBE and rel_rollup ROLLUP): the
+    * ad-hoc-set shape neither cube nor rollup can express —
+    * (priority, status), (priority), () but NOT (status). One
+    * hash-agg pass expands each row into its member sets (Catalyst's
+    * Expand), so the cost is |sets|× the scan, never |sets| scans;
+    * `grouping_id()` disambiguates NULL-as-rolled-up from NULL data
+    * — the same bitmask DuckDB's GROUPING() emits, oracle-pinned. */
+  def groupingSetsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_total_c"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
 
   /** JSON scalar-function coverage: `props` carries a JSON payload;
     * extract + aggregate per event type (get_json_object is the

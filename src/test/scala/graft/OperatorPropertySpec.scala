@@ -73,4 +73,27 @@ class OperatorPropertySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("groupingSets equals the union of its member groupBy aggregates") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.relational.RelQueries
+      .groupingSetsSummary(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // gid bitmask: both present → 0; status rolled up → 1; all → 3
+    assert(rows.filter(_._3 == 0L).forall(r => r._1.isDefined && r._2.isDefined))
+    assert(rows.filter(_._3 == 1L).forall(r => r._1.isDefined && r._2.isEmpty))
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._1.isEmpty)
+    // no (status)-only set was produced (the shape cube WOULD add)
+    assert(rows.map(_._3).toSet == Set(0L, 1L, 3L))
+    // each coarser set sums its finer set exactly
+    val fine = rows.filter(_._3 == 0L)
+    rows.filter(_._3 == 1L).foreach { case (p, _, _, n, s) =>
+      val members = fine.filter(_._1 == p)
+      assert(members.map(_._4).sum == n && members.map(_._5).sum == s, s"$p")
+    }
+    assert(fine.map(_._4).sum == grand.head._4)
+    assert(fine.map(_._5).sum == grand.head._5)
+  }
 }

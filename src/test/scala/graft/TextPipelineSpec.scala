@@ -143,6 +143,58 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("ngramLm matches the brute-force bigram reference") {
+    val rnd = new Random(17)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val texts = (0 until 60).map(_ =>
+      (1 to 1 + rnd.nextInt(15)).map(_ =>
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // brute-force: corpus bigram/context counts, min-count-2 prune,
+    // floor-ppm conditional, per-doc floor mean (0 when < 2 tokens)
+    val bigrams = texts.flatMap(t => t.split(" ").sliding(2)
+      .collect { case Array(a, b) => (a, b) })
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val bs = t.split(" ").sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+      if (bs.isEmpty) (i.toLong, 0L, 0L)
+      else {
+        val sp = bs.map { b =>
+          if (c12(b) >= 2) c12(b) * 1000000L / c1(b._1) else 0L
+        }.sum
+        (i.toLong, bs.size.toLong, sp / bs.size)
+      }
+    }.sorted
+    val got = TextAnalysis.ngramLm(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected)
+    // a doc made of corpus-frequent bigrams must outscore one made of
+    // singleton bigrams (the OOV-scores-zero convention)
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId.values.max > 0L)
+  }
+
+  test("readability orders simple text above vowel-dense run-ons") {
+    val simple = "the cat sat. the dog ran. it was fun."
+    val dense = "extraordinarily sesquipedalian vocabulary " +
+      "overwhelming unsophisticated audiences continuously"
+    val d = Seq((1L, simple), (2L, dense)).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // hand-check doc 1: 9 words, 3 sentences, syllables = vowel groups
+    val vg = "[aeiou]+".r.findAllIn(simple).size.toLong
+    assert(out(1L) == (9L, 3L, vg,
+      206835L - 1015L * 9 / 3 - 84600L * vg / 9))
+    assert(out(1L)._4 > out(2L)._4, s"$out")
+    // clamps: empty text scores with all features at the floor of 1
+    val e = TextAnalysis.readability(Seq((3L, "")).toDF("doc_id", "text"))
+      .collect().head
+    assert(e.getLong(1) == 1L && e.getLong(2) == 1L && e.getLong(3) == 1L)
+  }
+
   test("tfidf matches the brute-force reference on a random corpus") {
     val rnd = new Random(11)
     val vocab = (1 to 30).map(i => s"w$i")

@@ -36,6 +36,60 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(m.exists(v => v.width == 320 && v.total_frames == 24))
   }
 
+  test("frame sampling walks the real movi chunks and matches the byte formula") {
+    val id = 7L
+    val frames = 10 + (id % 240).toInt
+    val b = VideoCodec.aviBytes(160 + (id % 8).toInt * 80,
+      120 + (id % 6).toInt * 60, frames, 33333, 1, id)
+    val got = VideoCodec.sampleFrames(b, 25).get
+    val want = (0 until frames).filter(_ % 25 == 0).map { f =>
+      (f.toLong, 8L, (0 until 8).map(i => (f * 17L + i * 31L + id) % 256).sum)
+    }
+    assert(got == want.toVector)
+    // stride 1 samples every frame; frame count matches the header
+    assert(VideoCodec.sampleFrames(b, 1).get.size == frames)
+    // non-00dc chunks inside movi are skipped without consuming a
+    // frame index: splice an "01wb" audio chunk before the first
+    // frame and patch the riff + movi sizes
+    val withAudio = {
+      // fixture layout: RIFF(12) + LIST:hdrl(8+68) → LIST:movi at 88,
+      // its payload ("movi" + frames) at 96; first frame chunk at 100
+      val audio = "01wb".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+      val arr = new Array[Byte](b.length + audio.length)
+      System.arraycopy(b, 0, arr, 0, 100)
+      System.arraycopy(audio, 0, arr, 100, audio.length)
+      System.arraycopy(b, 100, arr, 100 + audio.length, b.length - 100)
+      def patch(off: Int): Unit = {
+        val old = (arr(off) & 0xffL) | ((arr(off + 1) & 0xffL) << 8) |
+          ((arr(off + 2) & 0xffL) << 16) | ((arr(off + 3) & 0xffL) << 24)
+        val v = old + audio.length
+        arr(off) = (v & 0xff).toByte; arr(off + 1) = ((v >> 8) & 0xff).toByte
+        arr(off + 2) = ((v >> 16) & 0xff).toByte
+        arr(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      patch(4); patch(92) // riff size, movi list size
+      arr
+    }
+    assert(VideoCodec.sampleFrames(withAudio, 25).get == got)
+  }
+
+  test("frame sampling rejects corrupt containers whole, never partially") {
+    val ok = VideoCodec.aviBytes(320, 240, 60, 33333, 1, 3L)
+    assert(VideoCodec.sampleFrames(ok, 25).isDefined)
+    // truncate inside the movi list: a frame chunk overruns → None,
+    // not the frames seen so far
+    assert(VideoCodec.sampleFrames(
+      java.util.Arrays.copyOf(ok, ok.length - 3), 25).isEmpty)
+    assert(VideoCodec.sampleFrames(
+      java.util.Arrays.copyOf(ok, 30), 25).isEmpty)
+    val rnd = new java.util.Random(13)
+    (1 to 1000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(b)
+      VideoCodec.sampleFrames(b, 25)
+    }
+  }
+
   test("corrupt / truncated / alien payloads reject, never throw") {
     assert(VideoCodec.parseAvi(Array.emptyByteArray).isEmpty)
     assert(VideoCodec.parseAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
