@@ -94,4 +94,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"word-keyed shuffle join reappeared:\n$p")
   }
+
+  test("tx_ngram_lm scores via a broadcast model join — the bigram " +
+    "stream never exchanges on the Zipf-skewed (w1, w2) key") {
+    // the FIT's groupBys exchange (partial agg makes that safe); the
+    // SCORE side must stay broadcast — a shuffle join on bigram keys
+    // would hot-spot on stopword pairs at corpus scale
+    val p = plan("tx_ngram_lm")
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    val sorted = "SortMergeJoin .*w1".r.findAllIn(p).toList
+    assert(sorted.isEmpty, s"bigram-keyed shuffle join reappeared:\n$p")
+  }
+
+  test("rel_grouping_sets is one Expand over one scan — never " +
+    "|sets| passes") {
+    val p = plan("rel_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, s"expand count:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scan count:\n$p")
+  }
+
+  test("mm_video_frames / tx_readability stay shuffle-free " +
+    "(row-local media fan-out and scoring)") {
+    // one exchange is allowed for the declared ORDER BY (range
+    // partitioning); nothing else may shuffle
+    Seq("mm_video_frames", "tx_readability").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("HashAggregate") || q != "tx_readability",
+        s"$q aggregates:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q plans a shuffle join:\n$p")
+    }
+  }
 }
