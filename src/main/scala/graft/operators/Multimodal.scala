@@ -274,6 +274,47 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Decimated-audio summary per payload (r6). */
+  final case class AudioResampleRow(doc_id: Long, format: String,
+      n_out: Long, peak_abs: Long, mean_abs: Long, wsum: Long)
+
+  /** REAL sample-level PCM resample (r6 — the audio twin of
+    * [[resizeImages]]'s pixel kernel): decode the WAV's actual
+    * samples ([[AudioCodec.parseWavSamples]]), then decimate 4:1 by
+    * block mean — output sample j = floorDiv(Σ s[4j..4j+3], 4), the
+    * tail remainder dropped (n_out = n div 4). Summary row per doc:
+    * peak |v|, floor-mean |v|, and an ORDER-SENSITIVE weighted sum
+    * Σ (j+1)·v_j — a value the oracle can only reproduce by decoding
+    * every byte AND decimating in the same order, so a swapped pair
+    * of samples fails the hash. floorDiv (not Scala's truncating /)
+    * everywhere a negative sum can appear; the oracle emulates it as
+    * floor(sum/4.0) since DuckDB's // truncates toward zero.
+    * Row-local, zero shuffle, same DLT arm as [[audioStats]]. */
+  def audioResample(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(docs).mapPartitions(_.map { d =>
+      AudioCodec.parseWavSamples(d.payload) match {
+        case Some((m, vs)) if vs.length >= 4 =>
+          val nOut = vs.length / 4
+          var peak = 0L; var sumAbs = 0L; var wsum = 0L
+          var j = 0
+          while (j < nOut) {
+            val s = vs(4 * j).toLong + vs(4 * j + 1) + vs(4 * j + 2) +
+              vs(4 * j + 3)
+            val v = Math.floorDiv(s, 4L)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumAbs += a
+            wsum += (j + 1L) * v
+            j += 1
+          }
+          AudioResampleRow(d.doc_id, m.format, nOut.toLong, peak,
+            sumAbs / nOut, wsum)
+        case _ => AudioResampleRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Parsed video metadata per payload (r6). */
   final case class VideoMetaRow(doc_id: Long, format: String,
       width: Long, height: Long, total_frames: Long, us_per_frame: Long,

@@ -1026,6 +1026,43 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS rms " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** Resample oracle (r6): recomputes every PCM sample from the
+    * fixture byte formula, decimates 4:1 by floor-div block mean,
+    * and pins order with the weighted sum — both engines must decode
+    * AND decimate byte-for-byte in the same order. Floor division:
+    * DuckDB's `//` TRUNCATES toward zero on negatives (-3//4 = 0)
+    * where the operator's Math.floorDiv floors (-3 floorDiv 4 = -1),
+    * so the block mean is `floor(sum/4.0)` — division by a power of
+    * two is IEEE-exact for |sum| ≤ 4·32768, making the double round
+    * trip bit-safe cross-engine. */
+  private val mmAudioResampleSql: String =
+    "WITH p AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits, " +
+      "(100 + doc_id % 400) * (1 + doc_id % 2) AS n " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, bits, n, unnest(range(0, n)) AS j FROM p), " +
+      "v AS (SELECT doc_id, n, j, CASE WHEN bits = 8 " +
+      "THEN ((j * 31 + doc_id) % 256) - 128 " +
+      "ELSE CASE WHEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) >= 32768 " +
+      "THEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) - 65536 " +
+      "ELSE ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) END END AS v FROM j), " +
+      "g AS (SELECT doc_id, j // 4 AS g, " +
+      "CAST(floor(sum(v) / 4.0) AS BIGINT) AS rv FROM v " +
+      "WHERE j < (n // 4) * 4 GROUP BY doc_id, j // 4), " +
+      "s AS (SELECT doc_id, count(*) AS n_out, max(abs(rv)) AS peak, " +
+      "sum(abs(rv)) AS sa, sum((g + 1) * rv) AS ws FROM g GROUP BY doc_id) " +
+      "SELECT doc_id, 'wav' AS format, CAST(n_out AS BIGINT) AS n_out, " +
+      "CAST(peak AS BIGINT) AS peak_abs, " +
+      "CAST(sa // n_out AS BIGINT) AS mean_abs, " +
+      "CAST(ws AS BIGINT) AS wsum FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS n_out, CAST(-1 AS BIGINT) AS peak_abs, " +
+      "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   private val mmFramesSql: String = {
     val stride = Multimodal.FrameStride
     "WITH f AS (SELECT doc_id, text, unnest(range(0, " +
@@ -1711,6 +1748,8 @@ object ExtQueries {
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
+    "mm_audio_resample" -> ((s, d) =>
+      Multimodal.audioResample(Tables.documents(s, d))(s)),
     "mm_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))(s)),
     "mm_video_frames" -> ((s, d) => Multimodal.videoFrames(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
@@ -1838,6 +1877,7 @@ object ExtQueries {
     "mm_image_meta" -> mmImageMetaSql,
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_audio_resample" -> mmAudioResampleSql,
     "mm_video_meta" -> mmVideoMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
     "mm_frames" -> mmFramesSql,

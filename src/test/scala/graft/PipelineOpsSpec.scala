@@ -531,6 +531,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L)))
   }
 
+  test("audio resample: 4:1 block-mean decimation matches the brute " +
+    "force on real decoded samples; floor-div on negative blocks") {
+    import graft.operators.{AudioCodec, Multimodal}
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 13L) // 8/16-bit, 1/2ch, corrupt 0+13
+    val d = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Multimodal.audioResample(d)(spark).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(got(id) == (("unknown", -1L, -1L, -1L, -1L)))
+      else {
+        val vs = AudioCodec.parseWavSamples(AudioCodec.wavBytes(
+          8000 + (id % 5).toInt * 4000, 1 + (id % 2).toInt,
+          if (id % 3 == 0) 8 else 16, 100 + (id % 400).toInt,
+          seed = id)).get._2
+        val rv = vs.grouped(4).filter(_.length == 4)
+          .map(g => Math.floorDiv(g.map(_.toLong).sum, 4L)).toSeq
+        val want = ("wav", rv.size.toLong, rv.map(math.abs).max,
+          rv.map(math.abs).sum / rv.size,
+          rv.zipWithIndex.map { case (v, j) => (j + 1L) * v }.sum)
+        assert(got(id) == want, s"doc $id")
+        assert(rv.exists(_ < 0), s"doc $id: no negative block exercised")
+      }
+    }
+  }
+
   test("gopher rules: each rule fires independently on a constructed violation") {
     val okWords = (1 to 60).map(i => s"word$i").mkString(" ") + " the the"
     val d = docs(
