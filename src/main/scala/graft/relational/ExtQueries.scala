@@ -1402,6 +1402,58 @@ object ExtQueries {
       "((o_orderpriority, o_orderstatus), (o_orderpriority), ()) " +
       "ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"
 
+  /** Shared edge-list CTE body for the graph oracles — the
+    * relationally-derived customer graph of
+    * [[graft.operators.Graph.customerEdges]]: a per-nation ring
+    * (lead by custkey, wrap to the nation min) plus a bridge ring
+    * over the per-nation minimums. */
+  private val graphEdgesCte: String =
+    "ring AS (SELECT c_custkey AS src, " +
+      "coalesce(lead(c_custkey) OVER " +
+      "(PARTITION BY c_nationkey ORDER BY c_custkey), " +
+      "min(c_custkey) OVER (PARTITION BY c_nationkey)) AS dst " +
+      "FROM customer), " +
+      "mins AS (SELECT c_nationkey AS nk, min(c_custkey) AS mc " +
+      "FROM customer GROUP BY c_nationkey), " +
+      "bridge AS (SELECT mc AS src, coalesce(lead(mc) OVER (ORDER BY nk), " +
+      "first_value(mc) OVER (ORDER BY nk ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND UNBOUNDED FOLLOWING)) AS dst FROM mins), " +
+      "e AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM bridge)"
+
+  /** BFS oracle (r6): a depth-capped recursive CTE — UNION dedups
+    * (node, d) pairs so the recursion terminates on the cyclic graph;
+    * min(d) per node is the BFS distance, identical to the Spark
+    * frontier iteration's fixpoint. */
+  private val relReachabilitySql: String =
+    s"WITH RECURSIVE $graphEdgesCte, " +
+      "r(node, d) AS (SELECT c_custkey, CAST(0 AS BIGINT) FROM customer " +
+      "WHERE c_custkey % 100 = 1 " +
+      "UNION SELECT e.dst, r.d + 1 FROM r JOIN e ON r.node = e.src " +
+      s"WHERE r.d < ${graft.operators.Graph.BfsDepth}) " +
+      "SELECT node, min(d) AS d FROM r GROUP BY node ORDER BY node"
+
+  /** PageRank oracle (r6): [[graft.operators.Graph.PrRounds]] rounds
+    * unrolled as chained CTEs. All quantities are nonnegative
+    * integers; DuckDB's `/` on integers is float division (same as
+    * the operator's cast-to-double division), products stay below
+    * 2^53, so every floor is bit-identical cross-engine. */
+  private val relPagerankSql: String = {
+    val rounds = (1 to graft.operators.Graph.PrRounds).map { i =>
+      s"p$i AS (SELECT e2.dst AS node, CAST(150000 + floor(sum(" +
+        "CAST(floor(p.pr / e2.outdeg) AS BIGINT)) * 850 / 1000.0) " +
+        s"AS BIGINT) AS pr FROM e2 JOIN p${i - 1} p ON e2.src = p.node " +
+        "GROUP BY e2.dst)"
+    }.mkString(", ")
+    s"WITH $graphEdgesCte, " +
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+      "e2 AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg " +
+      "ON e.src = deg.src), " +
+      "p0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS pr " +
+      "FROM e), " + rounds +
+      s" SELECT node, pr FROM p${graft.operators.Graph.PrRounds} " +
+      "ORDER BY node"
+  }
+
   private val txGopherRulesSql: String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     "WITH f AS (SELECT doc_id, " +
@@ -1632,6 +1684,8 @@ object ExtQueries {
     "dd_embed_incremental" -> ((s, d) =>
       Dedup.embeddingIncremental(Tables.embeddings(s, d))),
     "rel_cube" -> (RelQueries.pricingCube _),
+    "rel_reachability" -> (graft.operators.Graph.reachability _),
+    "rel_pagerank" -> (graft.operators.Graph.pagerank _),
     "rel_set_ops" -> (RelQueries.setOps _),
     "rel_pivot" -> (RelQueries.hourlyPivot _),
     "rel_expectations" -> ((s, d) =>
@@ -1829,6 +1883,8 @@ object ExtQueries {
     "dd_outliers" -> ddOutliersSql,
     "dd_embed_incremental" -> ddEmbedIncrementalSql,
     "rel_cube" -> relCubeSql,
+    "rel_reachability" -> relReachabilitySql,
+    "rel_pagerank" -> relPagerankSql,
     "rel_set_ops" -> relSetOpsSql,
     "rel_pivot" -> relPivotSql,
     "rel_expectations" -> relExpectationsSql,

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Graph operator checks (r6): the relationally-derived customer
+  * graph's structural invariants, plus exact agreement of the
+  * distributed BFS / PageRank loops with driver-side reference
+  * implementations over the collected edge list. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val edges: Seq[(Long, Long)] = {
+    val c = graft.relational.Tables.customer(spark, sf)
+    Graph.customerEdges(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+  private lazy val nodes: Set[Long] = {
+    val c = graft.relational.Tables.customer(spark, sf)
+    c.select("c_custkey").collect().map(_.getLong(0)).toSet
+  }
+
+  test("customerEdges: closed graph — every node has out-degree and " +
+    "in-degree >= 1; |edges| = |customers| + |nations|") {
+    val c = graft.relational.Tables.customer(spark, sf)
+    val nNations = c.select("c_nationkey").distinct().count()
+    assert(edges.size == nodes.size + nNations)
+    assert(edges.map(_._1).toSet == nodes, "every node has an out-edge")
+    assert(edges.map(_._2).toSet == nodes, "every node has an in-edge")
+    // no self-loops unless a nation has a single customer
+    val perNation = c.groupBy("c_nationkey").count().collect()
+      .map(_.getLong(1))
+    if (perNation.forall(_ > 1))
+      assert(edges.count { case (s, d) => s == d } == 0)
+  }
+
+  test("reachability: matches a driver-side BFS over the collected " +
+    "edges, capped at BfsDepth") {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val seeds = nodes.filter(_ % 100 == 1)
+    assert(seeds.nonEmpty)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    (1 to Graph.BfsDepth).foreach { step =>
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> step.toLong)
+      frontier = next
+    }
+    val got = Graph.reachability(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    // the cap binds: some node is beyond BfsDepth hops of every seed
+    assert(got.size < nodes.size,
+      "BfsDepth cap should leave part of the ring unreached")
+    assert(got.values.max == Graph.BfsDepth.toLong)
+  }
+
+  test("pagerank: matches a driver-side integer-ppm reference over " +
+    "the collected edges, every node present each round") {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var pr: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    (1 to Graph.PrRounds).foreach { _ =>
+      val contrib = edges.map { case (s, d) =>
+        d -> Math.floorDiv(pr(s), outdeg(s).toLong)
+      }
+      pr = contrib.groupBy(_._1).map { case (d, cs) =>
+        val s = cs.map(_._2).sum
+        d -> (150000L + math.floor(s.toDouble * 850 / 1000).toLong)
+      }
+    }
+    val got = Graph.pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    assert(got.keySet == nodes, "no rank mass lost: closed graph")
+  }
+}
