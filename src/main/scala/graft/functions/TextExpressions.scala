@@ -210,6 +210,36 @@ object TextNative {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** Mojibake repair (r6) — the ftfy core move: text that is valid
+    * UTF-8 mis-decoded as Latin-1 shows up as digraph salad ("Ã©"
+    * for "é"); re-encoding the chars as Latin-1 bytes and decoding
+    * those bytes as UTF-8 inverts the corruption EXACTLY, with no
+    * digraph table. Guards (fail-closed, never clobber genuine
+    * text): only strings whose non-ASCII chars are all ≤ U+00FF are
+    * candidates (a genuine "é" alone is an invalid UTF-8 start byte
+    * → the decode check rejects it), and the round trip is accepted
+    * only when the byte stream decodes with zero replacement chars.
+    * Mixed genuine-Latin-1 + mojibake strings are left untouched
+    * (the known ftfy ambiguity; documented, not guessed at). */
+  def fixMojibake(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var hasHigh = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80) {
+        if (c > 0xFF) return text // not Latin-1-encodable: leave as-is
+        hasHigh = true
+      }
+      i += 1
+    }
+    if (!hasHigh) return text // pure ASCII: nothing to repair
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cand = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (cand.indexOf('\uFFFD') >= 0) text // not UTF-8: genuine Latin-1
+    else UTF8String.fromString(cand)
+  }
+
   /** Distinct character trigrams (codepoint-based, like substr). */
   def charTrigrams(text: UTF8String): ArrayData = {
     val s = text.toString
@@ -346,6 +376,22 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.fixMojibake(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.fixMojibake($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class DeflateSize(child: Expression, level: Int)
     extends UnaryExpression {
   require(level >= 0 && level <= 9)
@@ -378,6 +424,8 @@ object textNative {
     ColumnBridge.column(Simhash48(ColumnBridge.expression(text)))
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+  def fix_mojibake(text: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(text)))
   def minhash_sig(text: Column, n: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(text), n))
 }

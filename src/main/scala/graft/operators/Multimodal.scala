@@ -315,6 +315,39 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Waveform-shape summary per payload (r6). */
+  final case class AudioZcrRow(doc_id: Long, format: String,
+      n_vals: Long, zc: Long, zcr_ppm: Long, ac1: Long)
+
+  /** Zero-crossing rate + lag-1 autocorrelation on REAL decoded PCM
+    * samples (r6) — the classic speech/silence discriminator pair:
+    * zc = #{i ≥ 1 : (vᵢ ≥ 0) ≠ (vᵢ₋₁ ≥ 0)}, zcr_ppm = ⌊10⁶·zc/(n−1)⌋
+    * (nonnegative, so truncating and floor division agree), and
+    * ac1 = Σᵢ≥₁ vᵢ·vᵢ₋₁ — an ADJACENCY-sensitive product sum that
+    * pins sample order (any sample swap perturbs it) and stays exact
+    * in BIGINT (n·32768² < 2⁴⁰). Interleaved channels are treated as
+    * one sequence, same as [[audioStats]]. Row-local, zero shuffle,
+    * DLT arm for corrupt containers. */
+  def audioZcr(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(docs).mapPartitions(_.map { d =>
+      AudioCodec.parseWavSamples(d.payload) match {
+        case Some((m, vs)) if vs.length >= 2 =>
+          var zc = 0L; var ac1 = 0L
+          var i = 1
+          while (i < vs.length) {
+            if ((vs(i) >= 0) != (vs(i - 1) >= 0)) zc += 1
+            ac1 += vs(i).toLong * vs(i - 1)
+            i += 1
+          }
+          val n = vs.length.toLong
+          AudioZcrRow(d.doc_id, m.format, n, zc,
+            zc * 1000000L / (n - 1), ac1)
+        case _ => AudioZcrRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Parsed video metadata per payload (r6). */
   final case class VideoMetaRow(doc_id: Long, format: String,
       width: Long, height: Long, total_frames: Long, us_per_frame: Long,

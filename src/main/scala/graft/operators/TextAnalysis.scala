@@ -685,4 +685,49 @@ object TextAnalysis {
           - expr("84600 * n_syllables DIV n_words"))
       .orderBy("doc_id")
   }
+
+  /** Fixture phrases for [[mojibake]] — clean UTF-8 with non-ASCII
+    * chars across the interesting ranges: Latin-1 accents, a char
+    * above U+00FF (œ), and punctuation whose UTF-8 bytes land on C1
+    * controls when misread as Latin-1 (curly quotes, em-dash). No
+    * ASCII apostrophes (keeps the oracle SQL literal-safe). */
+  val MojibakePhrases: Seq[String] = Seq(
+    "café récit déjà vu", "naïve façade garçon", "über größe weiß",
+    "mañana niño señor", "smörgåsbord på åre", "crème brûlée entrée",
+    "cœur élève maîtrise", "typographie — “citée”")
+
+  /** The UTF-8-bytes-read-as-Latin-1 corruption of each phrase —
+    * computed, not hand-written, so operator and oracle share one
+    * source of truth. */
+  val MojibakeCorrupt: Seq[String] = MojibakePhrases.map(p =>
+    new String(p.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  /** ftfy-style encoding repair (r6): detect-and-invert UTF-8
+    * mis-decoded as Latin-1 ([[graft.functions.TextNative.fixMojibake]]
+    * — a native codegen'd expression, no digraph table, fail-closed
+    * guards). Fixture: docs with doc_id % 7 != 0 get a corrupted
+    * phrase appended (selected by doc_id % 8, corruption computed at
+    * plan build); % 7 == 0 docs stay clean and must pass through
+    * unchanged. The oracle pins the REPAIRED text (clean phrase
+    * appended) by md5 + codepoint lengths — the repair must invert
+    * the corruption exactly, byte for byte. Row-local projection,
+    * zero shuffle, whole-stage codegen. */
+  def mojibake(docs: DataFrame): DataFrame = {
+    val corrupt = element_at(
+      array(MojibakeCorrupt.map(lit): _*),
+      (col("doc_id") % 8).cast("int") + 1)
+    val input = when(col("doc_id") % 7 === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" "), corrupt))
+    Partitioning.spread(docs)
+      .select(col("doc_id"), input.as("input"))
+      .select(col("doc_id"), col("input"),
+        graft.functions.textNative.fix_mojibake(col("input")).as("fixed"))
+      .select(col("doc_id"),
+        when(col("fixed") =!= col("input"), 1L).otherwise(0L).as("changed"),
+        length(col("input")).cast("long").as("len_in"),
+        length(col("fixed")).cast("long").as("len_out"),
+        md5(col("fixed").cast("binary")).as("out_md5"))
+      .orderBy("doc_id")
+  }
 }

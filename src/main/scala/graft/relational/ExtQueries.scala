@@ -1026,6 +1026,67 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS rms " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** Mojibake-repair oracle (r6): pins the REPAIRED text — the
+    * operator corrupts phrase(doc_id % 8) (UTF-8 bytes re-read as
+    * Latin-1, computed from the same literal table) and appends it;
+    * the oracle states the clean phrase appended, by md5 and
+    * codepoint lengths. A repair that is anything but an exact
+    * byte-level inverse of the corruption hash-mismatches. len_in is
+    * the corrupt codepoint count = UTF-8 byte count of the phrase
+    * (every byte becomes one Latin-1 char), embedded as literals. */
+  private val txMojibakeSql: String = {
+    val phraseList = TextAnalysis.MojibakePhrases
+      .map(p => s"'$p'").mkString("[", ", ", "]")
+    val corrList = TextAnalysis.MojibakeCorrupt
+      .map(_.length).mkString("[", ", ", "]")
+    "WITH c AS (SELECT doc_id, text, " +
+      s"$phraseList[CAST(1 + doc_id % 8 AS INT)] AS ph, " +
+      s"$corrList[CAST(1 + doc_id % 8 AS INT)] AS cl FROM documents) " +
+      "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(1 AS BIGINT) END AS changed, " +
+      "CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) " +
+      "ELSE length(text) + 1 + cl END AS BIGINT) AS len_in, " +
+      "CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) " +
+      "ELSE length(text) + 1 + length(ph) END AS BIGINT) AS len_out, " +
+      "md5(CASE WHEN doc_id % 7 = 0 THEN text " +
+      "ELSE text || ' ' || ph END) AS out_md5 " +
+      "FROM c ORDER BY doc_id"
+  }
+
+  /** ZCR oracle (r6): recomputes every PCM sample from the fixture
+    * byte formula, then lag-1 windows per doc ordered by sample
+    * index. All quantities nonnegative or exact-integer products, so
+    * DuckDB `//` and Scala `/` agree; ac1 pins adjacency order. */
+  private val mmAudioZcrSql: String =
+    "WITH p AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits, " +
+      "(100 + doc_id % 400) * (1 + doc_id % 2) AS n " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, bits, n, unnest(range(0, n)) AS j FROM p), " +
+      "v AS (SELECT doc_id, n, j, CASE WHEN bits = 8 " +
+      "THEN ((j * 31 + doc_id) % 256) - 128 " +
+      "ELSE CASE WHEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) >= 32768 " +
+      "THEN ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) - 65536 " +
+      "ELSE ((2 * j * 31 + doc_id) % 256) + " +
+      "256 * (((2 * j + 1) * 31 + doc_id) % 256) END END AS v FROM j), " +
+      "z AS (SELECT doc_id, n, v, " +
+      "lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM v), " +
+      "s AS (SELECT doc_id, n, " +
+      "sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) " +
+      "THEN 1 ELSE 0 END) AS zc, " +
+      "sum(CASE WHEN pv IS NOT NULL THEN v * pv ELSE 0 END) AS ac1 " +
+      "FROM z GROUP BY doc_id, n) " +
+      "SELECT doc_id, 'wav' AS format, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(zc AS BIGINT) AS zc, " +
+      "CAST(zc * 1000000 // (n - 1) AS BIGINT) AS zcr_ppm, " +
+      "CAST(ac1 AS BIGINT) AS ac1 FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS n_vals, CAST(-1 AS BIGINT) AS zc, " +
+      "CAST(-1 AS BIGINT) AS zcr_ppm, CAST(-1 AS BIGINT) AS ac1 " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** Resample oracle (r6): recomputes every PCM sample from the
     * fixture byte formula, decimates 4:1 by floor-div block mean,
     * and pins order with the weighted sum — both engines must decode
@@ -1804,6 +1865,10 @@ object ExtQueries {
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
       Multimodal.audioResample(Tables.documents(s, d))(s)),
+    "mm_audio_zcr" -> ((s, d) =>
+      Multimodal.audioZcr(Tables.documents(s, d))(s)),
+    "tx_mojibake" -> ((s, d) =>
+      TextAnalysis.mojibake(Tables.documents(s, d))),
     "mm_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))(s)),
     "mm_video_frames" -> ((s, d) => Multimodal.videoFrames(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
@@ -1934,6 +1999,8 @@ object ExtQueries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_audio_resample" -> mmAudioResampleSql,
+    "mm_audio_zcr" -> mmAudioZcrSql,
+    "tx_mojibake" -> txMojibakeSql,
     "mm_video_meta" -> mmVideoMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
     "mm_frames" -> mmFramesSql,

@@ -558,6 +558,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio zcr: sign changes and lag-1 product sum match the " +
+    "brute force on real decoded samples") {
+    import graft.operators.{AudioCodec, Multimodal}
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 13L)
+    val d = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Multimodal.audioZcr(d)(spark).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(got(id) == (("unknown", -1L, -1L, -1L, -1L)))
+      else {
+        val vs = AudioCodec.parseWavSamples(AudioCodec.wavBytes(
+          8000 + (id % 5).toInt * 4000, 1 + (id % 2).toInt,
+          if (id % 3 == 0) 8 else 16, 100 + (id % 400).toInt,
+          seed = id)).get._2
+        val zc = vs.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+        val ac1 = vs.sliding(2).map(p => p(0).toLong * p(1)).sum
+        val want = ("wav", vs.length.toLong, zc.toLong,
+          zc.toLong * 1000000L / (vs.length - 1), ac1)
+        assert(got(id) == want, s"doc $id")
+        assert(zc > 0, s"doc $id: no sign change exercised")
+      }
+    }
+  }
+
   test("gopher rules: each rule fires independently on a constructed violation") {
     val okWords = (1 to 60).map(i => s"word$i").mkString(" ") + " the the"
     val d = docs(

@@ -73,4 +73,28 @@ class TextNativeSpec extends AnyFunSuite {
     assert(out(6L)._1 == "\u00e1\u00e9")
     out.values.foreach { case (n1, n2, _, _) => assert(n1 == n2) }
   }
+
+  test("fix_mojibake: inverts UTF-8-as-Latin-1 for every fixture " +
+    "phrase; fail-closed on ASCII, genuine Latin-1, >U+00FF, mixed") {
+    import graft.functions.textNative
+    import graft.operators.TextAnalysis.{MojibakeCorrupt, MojibakePhrases}
+    val fixtures = MojibakeCorrupt.zip(MojibakePhrases)
+    val guards = Seq(
+      "plain ascii" -> "plain ascii",       // no high chars
+      "caf\u00e9" -> "caf\u00e9",           // genuine Latin-1: E9 is an
+                                            // invalid UTF-8 start byte
+      "c\u0153ur" -> "c\u0153ur",           // >U+00FF: not encodable
+      // mojibake digraph + genuine >U+00FF char: ambiguous, untouched
+      ("caf\u00c3\u00a9 \u0153" -> "caf\u00c3\u00a9 \u0153"))
+    val cases = (fixtures ++ guards).zipWithIndex
+      .map { case ((in, want), i) => (i.toLong, in, want) }
+    val got = cases.map { case (i, in, _) => (i, in) }.toDF("id", "raw")
+      .select(col("id"), textNative.fix_mojibake(col("raw")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, in, want) =>
+      assert(got(i) == want, s"input='$in'")
+    }
+    // every fixture phrase actually changed (the corruption is real)
+    fixtures.foreach { case (c, p) => assert(c != p) }
+  }
 }
