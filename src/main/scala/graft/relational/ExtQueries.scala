@@ -1026,6 +1026,50 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS rms " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** Z-order oracle (r6): the bit-interleave formula is generated
+    * from the same ZorderBits loop as the Spark expression — one
+    * shared formula, DuckDB `&`/`|`/`<<`/`>>` on nonnegative
+    * integers are exact. */
+  private val relZorderSql: String = {
+    val a = "(o_custkey % 256)"
+    val b = s"(${centsSql("o_totalprice")} % 256)"
+    val z = (0 until RelQueries.ZorderBits).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i + 1}) | " +
+        s"((($b >> $i) & 1) << ${2 * i}))").mkString(" | ")
+    s"WITH zt AS (SELECT ($z) AS z, $a AS a, $b AS b FROM orders) " +
+      "SELECT CAST(z // 1024 AS BIGINT) AS z_bucket, " +
+      "count(*) AS n_orders, min(a) AS min_cust, max(a) AS max_cust, " +
+      "min(b) AS min_val, max(b) AS max_val " +
+      "FROM zt GROUP BY 1 ORDER BY 1"
+  }
+
+  /** SCD2 oracle (r6): the same derived snapshot and four-arm merge,
+    * stated as a full outer join + UNION ALL. */
+  private val relScd2Sql: String =
+    "WITH prev AS (SELECT c_custkey AS key, c_mktsegment AS old_attr " +
+      "FROM customer), " +
+      "snap AS (SELECT c_custkey AS key, CASE WHEN c_custkey % 10 = 3 " +
+      "THEN 'MOVED_' || c_mktsegment ELSE c_mktsegment END AS new_attr " +
+      "FROM customer WHERE c_custkey % 89 <> 0 " +
+      "UNION ALL SELECT c_custkey + 1000000 AS key, 'NEWSEG' " +
+      "FROM customer WHERE c_custkey % 97 = 0), " +
+      "j AS (SELECT coalesce(prev.key, snap.key) AS key, old_attr, " +
+      "new_attr FROM prev FULL OUTER JOIN snap ON prev.key = snap.key) " +
+      "SELECT key, attr, valid_from, valid_to, action FROM (" +
+      "SELECT key, old_attr AS attr, CAST(1 AS BIGINT) AS valid_from, " +
+      "CAST(2 AS BIGINT) AS valid_to, CASE WHEN new_attr IS NULL " +
+      "THEN 'closed_churn' ELSE 'closed' END AS action FROM j " +
+      "WHERE old_attr IS NOT NULL AND (new_attr IS NULL OR " +
+      "new_attr <> old_attr) " +
+      "UNION ALL SELECT key, old_attr, CAST(1 AS BIGINT), " +
+      "CAST(-1 AS BIGINT), 'kept' FROM j WHERE new_attr = old_attr " +
+      "UNION ALL SELECT key, new_attr, CAST(2 AS BIGINT), " +
+      "CAST(-1 AS BIGINT), CASE WHEN old_attr IS NULL " +
+      "THEN 'opened_new' ELSE 'opened' END FROM j " +
+      "WHERE new_attr IS NOT NULL AND (old_attr IS NULL OR " +
+      "new_attr <> old_attr)" +
+      ") ORDER BY key, valid_from, action"
+
   /** Mojibake-repair oracle (r6): pins the REPAIRED text — the
     * operator corrupts phrase(doc_id % 8) (UTF-8 bytes re-read as
     * Latin-1, computed from the same literal table) and appends it;
@@ -1869,6 +1913,8 @@ object ExtQueries {
       Multimodal.audioZcr(Tables.documents(s, d))(s)),
     "tx_mojibake" -> ((s, d) =>
       TextAnalysis.mojibake(Tables.documents(s, d))),
+    "rel_zorder" -> (RelQueries.zorderSpans _),
+    "rel_scd2" -> (RelQueries.scd2Merge _),
     "mm_video_meta" -> ((s, d) => Multimodal.videoMeta(Tables.documents(s, d))(s)),
     "mm_video_frames" -> ((s, d) => Multimodal.videoFrames(Tables.documents(s, d))(s)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(Tables.documents(s, d))(s)),
@@ -2001,6 +2047,8 @@ object ExtQueries {
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,
+    "rel_zorder" -> relZorderSql,
+    "rel_scd2" -> relScd2Sql,
     "mm_video_meta" -> mmVideoMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
     "mm_frames" -> mmFramesSql,

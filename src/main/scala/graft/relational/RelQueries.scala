@@ -451,4 +451,88 @@ object RelQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Bits per dimension of the [[zorderSpans]] curve (8 → 16-bit z). */
+  val ZorderBits = 8
+
+  /** The interleaved-bit Z-value of two [[ZorderBits]]-bit dims:
+    * dim a on odd bit positions, b on even. Pure shift/and/or —
+    * whole-stage codegen, and the same expression tree is emitted as
+    * DuckDB SQL by the oracle builder (one shared formula). */
+  def zvalue(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZorderBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order layout demo (r6) — the multi-dimensional data-layout
+    * technique behind Delta/Iceberg OPTIMIZE ZORDER: interleaving
+    * the bits of two scan dimensions gives a 1-D sort key whose
+    * ranges are small rectangles in BOTH dims, so min/max file stats
+    * prune selective scans on EITHER column (a plain sort prunes
+    * only its leading key). Dims: o_custkey % 256 ("by customer")
+    * and floor-cents of o_totalprice % 256 ("by value band"). The
+    * query buckets the 16-bit z-space into 64 ranges (the "files" a
+    * writer would emit after repartitionByRange(z)) and reports each
+    * bucket's row count and per-dim min/max span — the bounded spans
+    * ARE the pruning guarantee. One scan, one hash-agg over 64
+    * groups; at 100 TB the same z expression feeds
+    * repartitionByRange(z) + sortWithinPartitions before the write. */
+  def zorderSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val a = col("o_custkey") % 256
+    val b = cents(col("o_totalprice")) % 256
+    o.select(zvalue(a, b).as("z"), a.as("a"), b.as("b"))
+      .groupBy((col("z") / 1024).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("a").as("min_cust"), max("a").as("max_cust"),
+        min("b").as("min_val"), max("b").as("max_val"))
+      .orderBy("z_bucket")
+  }
+
+  /** SCD2 dimension merge (r6) — the warehouse MERGE INTO shape the
+    * surface lacked: reconcile the current dimension against a new
+    * snapshot, closing changed/churned versions and opening new
+    * ones, emitting full validity history. The snapshot is derived
+    * deterministically from customer (segment rewritten for
+    * custkey%10==3, churned %89==0, inserted keys +10⁶ for %97==0).
+    * Versions are integers (1 = original, 2 = this batch, -1 =
+    * open). Shape: ONE full-outer sort-merge join on the dimension
+    * key; the four action arms are partition-local projections of
+    * that join (union adds no shuffle) — at 100 TB the dimension
+    * merge cost is exactly one co-partitioned join, and with both
+    * sides bucketed by key it plans exchange-free. */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val old = c.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("old_attr"))
+    val snap = c.where(col("c_custkey") % 89 =!= 0)
+      .select(col("c_custkey").as("key"),
+        when(col("c_custkey") % 10 === 3,
+          concat(lit("MOVED_"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("new_attr"))
+      .unionByName(c.where(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"),
+          lit("NEWSEG").as("new_attr")))
+    val j = old.join(snap, Seq("key"), "full_outer")
+    val closed = j.where(col("old_attr").isNotNull &&
+        (col("new_attr").isNull || col("new_attr") =!= col("old_attr")))
+      .select(col("key"), col("old_attr").as("attr"),
+        lit(1L).as("valid_from"), lit(2L).as("valid_to"),
+        when(col("new_attr").isNull, "closed_churn").otherwise("closed")
+          .as("action"))
+    val kept = j.where(col("new_attr") === col("old_attr"))
+      .select(col("key"), col("old_attr").as("attr"),
+        lit(1L).as("valid_from"), lit(-1L).as("valid_to"),
+        lit("kept").as("action"))
+    val opened = j.where(col("new_attr").isNotNull &&
+        (col("old_attr").isNull || col("new_attr") =!= col("old_attr")))
+      .select(col("key"), col("new_attr").as("attr"),
+        lit(2L).as("valid_from"), lit(-1L).as("valid_to"),
+        when(col("old_attr").isNull, "opened_new").otherwise("opened")
+          .as("action"))
+    closed.unionByName(kept).unionByName(opened)
+      .orderBy("key", "valid_from", "action")
+  }
 }

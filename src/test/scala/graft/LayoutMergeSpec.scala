@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.relational.RelQueries
+
+/** rel_zorder / rel_scd2 invariants (r6) beyond the oracle hash:
+  * the z-curve's locality guarantee and the SCD2 merge's version
+  * bookkeeping laws. */
+class LayoutMergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("zvalue: matches a reference bit-interleave and is a " +
+    "bijection on the 16-bit square") {
+    def ref(a: Int, b: Int): Int =
+      (0 until RelQueries.ZorderBits).map { i =>
+        (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))
+      }.reduce(_ | _)
+    val pairs = for (a <- 0 until 256 by 17; b <- 0 until 256 by 13)
+      yield (a.toLong, b.toLong)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        RelQueries.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a.toInt, b.toInt).toLong, s"($a,$b)")
+    }
+    assert(got.values.toSet.size == pairs.size, "z is injective")
+  }
+
+  test("zorder buckets: every 1024-wide z-range spans at most a " +
+    "32-wide rectangle in each dimension (the pruning guarantee)") {
+    // 1024 z-values = 10 interleaved bits = 5 bits per dim → each
+    // bucket covers one aligned 32×32 tile of the 256×256 square
+    val rows = RelQueries.zorderSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minC, maxC) = (r.getLong(2), r.getLong(3))
+      val (minV, maxV) = (r.getLong(4), r.getLong(5))
+      assert(maxC - minC < 32, s"bucket ${r.getLong(0)} cust span")
+      assert(maxV - minV < 32, s"bucket ${r.getLong(0)} val span")
+      assert(minC / 32 == maxC / 32 && minV / 32 == maxV / 32,
+        s"bucket ${r.getLong(0)} not tile-aligned")
+    }
+  }
+
+  test("scd2: version laws — changed keys close v1 and open v2, " +
+    "churned close without reopen, inserts open v2 only, kept " +
+    "stay open at v1; no key has two open rows with equal attrs") {
+    val out = RelQueries.scd2Merge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byKey = out.groupBy(_._1)
+    val custkeys = graft.relational.Tables.customer(spark, sf)
+      .select("c_custkey").as[Long].collect().toSet
+    custkeys.foreach { k =>
+      val acts = byKey(k).map(_._5).sorted.toSeq
+      if (k % 89 == 0) assert(acts == Seq("closed_churn"), s"key $k")
+      else if (k % 10 == 3) assert(acts == Seq("closed", "opened"), s"key $k")
+      else assert(acts == Seq("kept"), s"key $k")
+      if (k % 97 == 0)
+        assert(byKey(k + 1000000L).map(_._5).toSeq == Seq("opened_new"))
+    }
+    // exactly one open (valid_to = -1) row per surviving key
+    out.groupBy(_._1).foreach { case (k, rows) =>
+      val open = rows.count(_._4 == -1L)
+      assert(open == (if (custkeys.contains(k) && k % 89 == 0) 0 else 1),
+        s"key $k open-row count")
+    }
+  }
+}
