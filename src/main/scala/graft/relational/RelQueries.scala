@@ -499,10 +499,10 @@ object RelQueries {
     * custkey%10==3, churned %89==0, inserted keys +10⁶ for %97==0).
     * Versions are integers (1 = original, 2 = this batch, -1 =
     * open). Shape: ONE full-outer sort-merge join on the dimension
-    * key; the four action arms are partition-local projections of
-    * that join (union adds no shuffle) — at 100 TB the dimension
-    * merge cost is exactly one co-partitioned join, and with both
-    * sides bucketed by key it plans exchange-free. */
+    * key, then ONE explode pass emitting each key's 1–2 history rows
+    * — at 100 TB the dimension merge cost is exactly one
+    * co-partitioned join, and with both sides bucketed by key it
+    * plans exchange-free. */
   def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val old = c.select(col("c_custkey").as("key"),
@@ -516,23 +516,26 @@ object RelQueries {
         .select((col("c_custkey") + 1000000L).as("key"),
           lit("NEWSEG").as("new_attr")))
     val j = old.join(snap, Seq("key"), "full_outer")
-    val closed = j.where(col("old_attr").isNotNull &&
-        (col("new_attr").isNull || col("new_attr") =!= col("old_attr")))
-      .select(col("key"), col("old_attr").as("attr"),
-        lit(1L).as("valid_from"), lit(2L).as("valid_to"),
-        when(col("new_attr").isNull, "closed_churn").otherwise("closed")
-          .as("action"))
-    val kept = j.where(col("new_attr") === col("old_attr"))
-      .select(col("key"), col("old_attr").as("attr"),
-        lit(1L).as("valid_from"), lit(-1L).as("valid_to"),
-        lit("kept").as("action"))
-    val opened = j.where(col("new_attr").isNotNull &&
-        (col("old_attr").isNull || col("new_attr") =!= col("old_attr")))
-      .select(col("key"), col("new_attr").as("attr"),
-        lit(2L).as("valid_from"), lit(-1L).as("valid_to"),
-        when(col("old_attr").isNull, "opened_new").otherwise("opened")
-          .as("action"))
-    closed.unionByName(kept).unionByName(opened)
+    // ONE pass over the join: each joined row explodes into its 1–2
+    // history rows. Filter-per-arm + union would re-reference j three
+    // times and Spark would plan the full-outer join THREE times —
+    // the explode keeps the merge at exactly one join execution.
+    def row(attr: org.apache.spark.sql.Column, vf: Long, vt: Long,
+            action: String) =
+      struct(attr.as("attr"), lit(vf).as("valid_from"),
+        lit(vt).as("valid_to"), lit(action).as("action"))
+    val arms = when(col("old_attr").isNull,
+        array(row(col("new_attr"), 2L, -1L, "opened_new")))
+      .when(col("new_attr").isNull,
+        array(row(col("old_attr"), 1L, 2L, "closed_churn")))
+      .when(col("new_attr") === col("old_attr"),
+        array(row(col("old_attr"), 1L, -1L, "kept")))
+      .otherwise(array(row(col("old_attr"), 1L, 2L, "closed"),
+        row(col("new_attr"), 2L, -1L, "opened")))
+    j.select(col("key"), explode(arms).as("r"))
+      .select(col("key"), col("r.attr").as("attr"),
+        col("r.valid_from").as("valid_from"),
+        col("r.valid_to").as("valid_to"), col("r.action").as("action"))
       .orderBy("key", "valid_from", "action")
   }
 }

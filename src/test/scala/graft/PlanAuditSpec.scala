@@ -125,4 +125,39 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q plans a shuffle join:\n$p")
     }
   }
+
+  /** Plan with AQE off: AdaptiveSparkPlan prints pre-codegen, so
+    * WholeStageCodegen spans are only visible in a non-adaptive
+    * executedPlan (the playbook gotcha). */
+  private def planNoAqe(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try plan(name)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("tx_mojibake is a codegen'd projection — no join, no " +
+    "aggregate, repair inside WholeStageCodegen (r6)") {
+    val p = planNoAqe("tx_mojibake")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"tx_mojibake not projection-only:\n$p")
+    // codegen spans print as "*(n)" stage markers in plan toString
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("rel_zorder is one scan + one hash-agg, z computed in " +
+    "codegen — never a join or second pass (r6)") {
+    val p = planNoAqe("rel_zorder")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scan count:\n$p")
+    assert(!p.contains("Join"), s"rel_zorder joins:\n$p")
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("rel_scd2 executes its full-outer join EXACTLY once — the " +
+    "explode form, not three filtered re-joins (r6)") {
+    val p = plan("rel_scd2")
+    assert("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"scd2 join count != 1:\n$p")
+    assert("Generate".r.findAllIn(p).size == 1, s"explode count:\n$p")
+  }
 }
