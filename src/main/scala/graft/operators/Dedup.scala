@@ -317,6 +317,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Visual near-duplicate pairs over perceptual hashes (r6): takes
+    * [[graft.operators.Multimodal.imagePhash]]'s (doc_id, hash_hi,
+    * hash_lo) aHash table and pairs images within `maxHamming` of
+    * each other — the image-side twin of [[simhashPairsWide]].
+    * Blocking: the 64-bit hash splits into 4 bands of 16 bits
+    * (2 per 32-bit half, pure integer div/mod — codegen'd); by
+    * pigeonhole a pair within hamming distance 3 has at most 3 dirty
+    * bands, so at least ONE intact band — the blocking is EXACT
+    * (100% recall) for maxHamming ≤ 3 and the oracle verifies with a
+    * brute-force hamming filter over its recomputed hashes. The only
+    * shuffle is the (band, bucket) equi-join; DLT rows (hash −1 from
+    * corrupt payloads) are excluded before banding; `maxBucketSize`
+    * caps a degenerate bucket (an all-black/boilerplate-logo bucket
+    * at crawl scale) like the other LSH joins. */
+  def imageNearDup(phash: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band blocking is exact only for hamming <= 3")
+    val ok = phash.where(col("hash_hi") >= 0)
+    val bandKeys = array(
+      col("hash_lo") % (1L << 16),
+      floor(col("hash_lo") / (1L << 16)).cast("long") % (1L << 16),
+      col("hash_hi") % (1L << 16),
+      floor(col("hash_hi") / (1L << 16)).cast("long") % (1L << 16))
+    val banded = capBuckets(
+      ok.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+          posexplode(bandKeys))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize)
+    val pairs = banded
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("hi_a ^ hi_b")) +
+          bit_count(expr("lo_a ^ lo_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact word n-gram Jaccard near-duplicate pairs via an
     * inverted-index self-join on shingles (no cross join: only doc
     * pairs sharing >= 1 shingle are materialized). Emits pairs with

@@ -266,6 +266,61 @@ object ImageCodec {
     (out, ow, oh)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint over a decoded
+    * raster, returned as (hi, lo) 32-bit halves so the value stays
+    * nonnegative in BOTH engines (a single 64-bit word with bit 63 set
+    * goes negative in two's complement, and cross-engine shift
+    * semantics at bit 63 are exactly the kind of edge the oracle
+    * should not depend on).
+    *
+    * The classic algorithm (the dHash/aHash family behind every
+    * image-dedup pipeline): downsample to an 8×8 grid of floor-mean
+    * cells — input pixel (iy, ix) lands in cell (iy·8/h, ix·8/w), RGB
+    * collapses to gray = floor(Σ channels / c) FIRST, per pixel — then
+    * bit idx (= cy·8+cx) is set iff cell > floor-mean of the 64 cells.
+    * Every step is integer floor arithmetic so the DuckDB oracle can
+    * restate it exactly. aHash is invariant to global brightness
+    * shifts (a constant added to every pixel shifts every cell AND the
+    * mean) and to resolution (the 8×8 grid normalizes dims) — which is
+    * precisely what makes it a near-dup KEY rather than a checksum.
+    * Caller must guarantee w ≥ 8 and h ≥ 8 (every cell nonempty). */
+  def averageHash(raster: Array[Byte], w: Int, h: Int, c: Int): (Long, Long) = {
+    require(w >= 8 && h >= 8, s"aHash needs w,h >= 8, got ${w}x$h")
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var iy = 0
+    while (iy < h) {
+      val cy = iy * 8 / h
+      var ix = 0
+      while (ix < w) {
+        val cx = ix * 8 / w
+        var s = 0L
+        var ch = 0
+        while (ch < c) { s += raster((iy * w + ix) * c + ch) & 0xff; ch += 1 }
+        val idx = cy * 8 + cx
+        cellSum(idx) += s / c
+        cellCnt(idx) += 1
+        ix += 1
+      }
+      iy += 1
+    }
+    val cells = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < 64) { cells(i) = cellSum(i) / cellCnt(i); tot += cells(i); i += 1 }
+    val mean = tot / 64
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   /** Deterministic full P5/P6 fixture WITH raster: header (including
     * a comment line, exercising the tokenizer) followed by
     * width·height·channels bytes where byte i = pixel(i). The oracle

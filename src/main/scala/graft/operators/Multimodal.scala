@@ -204,6 +204,56 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Perceptual-hash output row: dims + the 64-bit aHash as two
+    * nonnegative 32-bit halves (see [[ImageCodec.averageHash]]). */
+  final case class PhashRow(doc_id: Long, width: Long, height: Long,
+      channels: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Deterministic GROUPED full-raster PNM payloads (r6): 4 docs per
+    * group share dims/channels and a per-group structural multiplier
+    * k = 3 + g % 97 (pixel i = (i·k + g·11 + …) mod 256 — the
+    * MULTIPLIER varies structure across groups; an additive offset
+    * alone would be invisible to aHash, which is brightness-shift
+    * invariant by construction); each member m = doc_id % 4 perturbs
+    * every 37th pixel by m·24, so intra-group images are visual
+    * near-dups (hamming mostly ≤ 3) and inter-group ones are not.
+    * The SAME doc_id literals drive the oracle's recomputation. */
+  def syntheticGroupRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val g = id / 4
+        val m = id % 4
+        val w = 8 + (g % 5).toInt
+        val h = 8 + (g % 3).toInt
+        val k = 3 + (g % 97)
+        BinaryDoc(id, ImageCodec.pnmRasterBytes(w, h,
+          grayscale = g % 2 == 0,
+          pixel = i => ((i.toLong * k + g * 11 +
+            (if (i % 37 == 0) m * 24 else 0)) % 256).toInt))
+      }
+  }
+
+  /** REAL pixel-level perceptual fingerprint (r6): decode the P5/P6
+    * raster, compute the 8×8 aHash ([[ImageCodec.averageHash]]) —
+    * the image twin of [[graft.functions.TextExpressions]]' SimHash:
+    * a row-local 64-bit near-dup key, zero shuffle; pairing happens
+    * downstream in [[Dedup.imageNearDup]] via banded blocking, never
+    * all-pairs. Corrupt / sub-8×8 payloads → the −1 DLT-shaped row. */
+  def imagePhash(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGroupRasters(docs).mapPartitions(_.map { d =>
+      ImageCodec.parsePnmRaster(d.payload) match {
+        case Some(img) if img.width >= 8 && img.height >= 8 =>
+          val (hi, lo) = ImageCodec.averageHash(
+            img.raster, img.width, img.height, img.channels)
+          PhashRow(d.doc_id, img.width.toLong, img.height.toLong,
+            img.channels.toLong, hi, lo)
+        case _ => PhashRow(d.doc_id, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Parsed audio metadata per payload (r6). */
   final case class AudioMetaRow(doc_id: Long, format: String,
       channels: Long, sample_rate: Long, bits: Long, n_samples: Long,

@@ -1227,6 +1227,54 @@ object ExtQueries {
       "END AS checksum FROM s ORDER BY doc_id"
   }
 
+  /** Shared CTE chain recomputing every grouped-raster pixel from
+    * doc_id literals (the [[Multimodal.syntheticGroupRasters]]
+    * formula), collapsing to gray, 8×8 floor-mean cells, the cell
+    * mean, and finally the aHash as two nonnegative 32-bit halves —
+    * the full [[graft.operators.ImageCodec.averageHash]] pipeline
+    * restated in SQL, so a decode/grid/threshold bug at any pixel
+    * fails the hash. Pixel index decomposes as i = (iy·w + ix)·c + ch
+    * ⇒ iy = i // (w·c), ix = (i // c) % w. */
+  private val mmPhashBaseSql: String =
+    "WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents), " +
+      "p AS (SELECT doc_id, g, m, CASE WHEN g % 2 = 0 THEN 1 ELSE 3 END AS c, " +
+      "8 + g % 5 AS w, 8 + g % 3 AS h, 3 + g % 97 AS k FROM d), " +
+      "px AS (SELECT doc_id, c, w, h, k, g, m, unnest(range(0, w * h * c)) AS i FROM p), " +
+      "v AS (SELECT doc_id, c, w, h, i // (w * c) AS iy, (i // c) % w AS ix, " +
+      "(i * k + g * 11 + CASE WHEN i % 37 = 0 THEN m * 24 ELSE 0 END) % 256 AS pv FROM px), " +
+      "gr AS (SELECT doc_id, w, h, iy, ix, SUM(pv) // c AS gv " +
+      "FROM v GROUP BY doc_id, c, w, h, iy, ix), " +
+      "cell AS (SELECT doc_id, (iy * 8) // h AS cy, (ix * 8) // w AS cx, " +
+      "SUM(gv) // COUNT(*) AS cv FROM gr GROUP BY doc_id, w, h, cy, cx), " +
+      "mu AS (SELECT doc_id, SUM(cv) // 64 AS mean FROM cell GROUP BY doc_id), " +
+      "hs AS (SELECT cell.doc_id, " +
+      "CAST(SUM(CASE WHEN cv > mean AND cy * 8 + cx >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << (cy * 8 + cx - 32)) ELSE 0 END) AS BIGINT) AS hash_hi, " +
+      "CAST(SUM(CASE WHEN cv > mean AND cy * 8 + cx < 32 " +
+      "THEN (CAST(1 AS BIGINT) << (cy * 8 + cx)) ELSE 0 END) AS BIGINT) AS hash_lo " +
+      "FROM cell JOIN mu ON cell.doc_id = mu.doc_id GROUP BY cell.doc_id)"
+
+  private val mmPhashSql: String =
+    mmPhashBaseSql +
+      " SELECT p.doc_id, CAST(p.w AS BIGINT) AS width, " +
+      "CAST(p.h AS BIGINT) AS height, CAST(p.c AS BIGINT) AS channels, " +
+      "hash_hi, hash_lo FROM p JOIN hs ON p.doc_id = hs.doc_id ORDER BY p.doc_id"
+
+  /** Brute-force hamming pairs over the recomputed hashes: the banded
+    * blocker's d ≤ 3 recall guarantee (pigeonhole over 4×16-bit
+    * bands) means the oracle can verify the GUARANTEE itself instead
+    * of replicating the banding — same adjudication pattern as
+    * dd_simhash_pairs_wide. */
+  private val ddImageNearDupSql: String =
+    mmPhashBaseSql +
+      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + " +
+      "bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + " +
+      "bit_count(xor(a.hash_lo, b.hash_lo)) <= 3 " +
+      "ORDER BY doc_a, doc_b"
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -1367,6 +1415,62 @@ object ExtQueries {
       "count(*) AS n, " +
       s"CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_value_c " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** [[RelQueries.kAnonymity]]: DOUBLE floor for the balance band —
+    * integer-division negative semantics differ between the engines
+    * (Spark div truncates, DuckDB // floors) and acctbal goes
+    * negative; FLOOR(x/1000.0) floors identically in both. */
+  private val relKanonSql: String =
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, " +
+      "c_mktsegment AS mktsegment, " +
+      "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band, " +
+      "COUNT(*) AS n_members, " +
+      "CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+      "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+
+  /** [[RelQueries.hourlyAnomaly]]: the 3σ rule cross-multiplied to
+    * exact integers — (nh·x − s1)² > 9·(nh·s2 − s1²). */
+  private val relAnomalySql: String =
+    "WITH h AS (SELECT event_type, " +
+      "(epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, " +
+      "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+      "s AS (SELECT event_type, COUNT(*) AS nh, SUM(n) AS s1, " +
+      "SUM(n * n) AS s2 FROM h GROUP BY 1) " +
+      "SELECT h.event_type, h.hour_epoch_s, h.n, " +
+      "CAST(CASE WHEN (s.nh * h.n - s.s1) * (s.nh * h.n - s.s1) > " +
+      "9 * (s.nh * s.s2 - s.s1 * s.s1) THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS is_anomaly " +
+      "FROM h JOIN s ON h.event_type = s.event_type " +
+      "ORDER BY h.event_type, h.hour_epoch_s"
+
+  /** [[graft.operators.Graph.coOrderTriangles]]: the oracle restates
+    * the SAME degree-ordered orientation (each triangle counted once
+    * at its min-(degree, id) vertex); MATERIALIZED pins the edge CTE
+    * to one evaluation across its three consumers. */
+  private val relTrianglesSql: String =
+    "WITH l AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk " +
+      "FROM lineitem WHERE l_quantity >= 25), " +
+      "e AS MATERIALIZED (SELECT DISTINCT a.pk AS lo, b.pk AS hi " +
+      "FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk), " +
+      "deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM " +
+      "(SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e) GROUP BY v), " +
+      "arcs AS MATERIALIZED (SELECT " +
+      "CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND e.lo < e.hi) " +
+      "THEN e.lo ELSE e.hi END AS src, " +
+      "CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND e.lo < e.hi) " +
+      "THEN e.hi ELSE e.lo END AS dst, " +
+      "CASE WHEN (dl.d < dh.d) OR (dl.d = dh.d AND e.lo < e.hi) " +
+      "THEN dh.d ELSE dl.d END AS ddst " +
+      "FROM e JOIN deg dl ON e.lo = dl.v JOIN deg dh ON e.hi = dh.v), " +
+      "w AS (SELECT x.src AS ta, x.dst AS tb, y.dst AS tc " +
+      "FROM arcs x JOIN arcs y ON x.src = y.src " +
+      "WHERE (x.ddst < y.ddst) OR (x.ddst = y.ddst AND x.dst < y.dst)), " +
+      "t AS (SELECT ta, tb, tc FROM w JOIN e " +
+      "ON e.lo = LEAST(w.tb, w.tc) AND e.hi = GREATEST(w.tb, w.tc)), " +
+      "verts AS (SELECT ta AS part_id FROM t UNION ALL " +
+      "SELECT tb FROM t UNION ALL SELECT tc FROM t) " +
+      "SELECT part_id, COUNT(*) AS n_triangles FROM verts " +
+      "GROUP BY part_id ORDER BY part_id"
 
   // ---------------------------------------------------------------
   // composite curation pipeline + distinct-agg coverage
@@ -1923,6 +2027,13 @@ object ExtQueries {
     // as mm_resize_bytes
     "mm_resize" -> ((s, d) => Multimodal.resizeImages(Tables.documents(s, d))(s)),
     "mm_resize_bytes" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
+    "mm_phash" -> ((s, d) => Multimodal.imagePhash(Tables.documents(s, d))(s)),
+    "dd_image_neardup" -> ((s, d) =>
+      Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
+    "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
+    "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
+    "rel_triangles" -> ((s, d) =>
+      graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -2054,6 +2165,11 @@ object ExtQueries {
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
     "mm_resize_bytes" -> mmResizeBytesSql,
+    "mm_phash" -> mmPhashSql,
+    "dd_image_neardup" -> ddImageNearDupSql,
+    "rel_kanon" -> relKanonSql,
+    "rel_anomaly" -> relAnomalySql,
+    "rel_triangles" -> relTrianglesSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

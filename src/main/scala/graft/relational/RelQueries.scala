@@ -538,4 +538,59 @@ object RelQueries {
         col("r.valid_to").as("valid_to"), col("r.action").as("action"))
       .orderBy("key", "valid_from", "action")
   }
+
+  /** k-anonymity audit (r6): group records by their quasi-identifier
+    * tuple — nation, market segment, $1000 account-balance band — and
+    * flag equivalence classes smaller than k (= 5): any member of
+    * such a class is re-identifiable by those attributes alone. The
+    * privacy gate a training pipeline runs before releasing tabular
+    * data; the flagged classes are what generalization/suppression
+    * would then widen. ONE partial-combinable hash-agg (class count
+    * is bounded by the QI domain, not by rows); the band uses DOUBLE
+    * floor(x/1000) — NOT integer division, whose negative semantics
+    * differ between engines (Spark `div` truncates toward zero,
+    * DuckDB `//` floors) and acctbal goes negative. Exact-thousand
+    * boundaries divide exactly in IEEE, so the floor is portable. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("at_risk",
+        when(col("n_members") < k, 1L).otherwise(0L))
+      .orderBy("nationkey", "mktsegment", "bal_band")
+
+  /** Hourly-count anomaly flags per event type (r6): the volume-spike
+    * monitor every ingest pipeline runs. Hour buckets and counts come
+    * from ONE aggregate; per-type mean/variance from a second, |types|-
+    * sized one that BROADCASTS back — the fact side never re-shuffles.
+    * The 3σ rule is evaluated in cross-multiplied exact-integer form:
+    * (x − μ)² > 9σ²  ⇔  (nh·x − s1)² > 9·(nh·s2 − s1²)
+    * with s1 = Σx, s2 = Σx², nh = hour count — no division, no sqrt,
+    * so both engines compute identical BIGINTs (population σ over the
+    * observed hours; the anomalous hour is inside its own baseline —
+    * fine for flagging, a leave-one-out variant subtracts the point
+    * from s1/s2 with the same algebra). Exact while nh·max(x) < 3·10⁹
+    * (the square must stay under 2⁶³); beyond that, pre-scale counts
+    * — at 100 TB that is ~4M events/sec PER TYPE for a month. */
+  def hourlyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (expr(s"CAST(ts AS BIGINT) div $nanosPerHour") * 3600L)
+          .as("hour_epoch_s"))
+      .groupBy("event_type", "hour_epoch_s")
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val dev = col("nh") * col("n") - col("s1")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_epoch_s"), col("n"),
+        when(dev * dev > lit(9L) * (col("nh") * col("s2") -
+          col("s1") * col("s1")), 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "hour_epoch_s")
+  }
 }

@@ -75,4 +75,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got == pr)
     assert(got.keySet == nodes, "no rank mass lost: closed graph")
   }
+
+  test("coOrderTriangles: degree-ordered count matches a driver-side " +
+    "adjacency-set reference; every triangle counted exactly once") {
+    val li = graft.relational.Tables.lineitem(spark, sf)
+      .where(org.apache.spark.sql.functions.col("l_quantity") >= 25)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val coEdges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        yield (ps(i), ps(j))
+    }.toSet
+    assert(coEdges.nonEmpty)
+    // reference: for each edge (a,b) with a<b, count common neighbors
+    // c > b — enumerates each id-ordered triangle exactly once,
+    // independent of the DEGREE ordering the operator uses
+    val adj = (coEdges.toSeq ++ coEdges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val refPerVertex = collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var refTotal = 0L
+    coEdges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).filter(_ > b).foreach { c =>
+        refTotal += 1
+        Seq(a, b, c).foreach(v => refPerVertex(v) += 1)
+      }
+    }
+    assert(refTotal > 0, "fixture corpus should contain triangles")
+    val got = Graph.coOrderTriangles(
+      graft.relational.Tables.lineitem(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPerVertex.toMap.filter(_._2 > 0))
+    assert(got.values.sum == 3 * refTotal,
+      "each triangle contributes to exactly its 3 vertices")
+  }
 }

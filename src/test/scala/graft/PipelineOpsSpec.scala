@@ -821,4 +821,94 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"ivf scored $key differently from brute force")
     }
   }
+
+  test("imageNearDup is EXACT at hamming<=3 over hand-made hashes; " +
+    "DLT rows excluded; d=4 pairs out of scope") {
+    // hashes placed so pairs sit at hamming 0, 1, 3 (caught), 4
+    // (excluded by the filter), plus a corrupt-payload -1 row
+    val rows = Seq(
+      (1L, 0x0L, 0x0FF00L), (2L, 0x0L, 0x0FF00L), // d=0
+      (3L, 0x0L, 0x0FF01L), // d=1 vs 1/2
+      (4L, 0x0L, 0x0FF07L), // d=3 vs 3 (bits 1,2 added); d=2 vs 1
+      (5L, 0x0L, 0x0FF0FL), // d=4 vs 1 — excluded vs 1, d=1 vs 4
+      (6L, -1L, -1L), // DLT row: never paired
+      (7L, 0xABCD1234L, 0x5EF00000L)) // far from everything
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    val phash = rows.withColumn("width", lit(8L))
+      .withColumn("height", lit(8L)).withColumn("channels", lit(1L))
+    val ok = rows.where(col("hash_hi") >= 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- ok.keys; b <- ok.keys if a < b
+      h = java.lang.Long.bitCount(ok(a)._1 ^ ok(b)._1) +
+        java.lang.Long.bitCount(ok(a)._2 ^ ok(b)._2)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.imageNearDup(phash).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.exists(_._3 == 3L), "a d=3 pair must be present")
+    assert(!brute.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(got == brute)
+  }
+
+  test("imagePhash -> imageNearDup on the fixture corpus matches " +
+    "brute force; groups yield near-dup pairs") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val ph = graft.operators.Multimodal.imagePhash(d)(spark)
+    val hs = ph.collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(hs.values.forall(h => h._1 >= 0 && h._2 >= 0),
+      "fixture rasters all decode (no DLT rows)")
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      h = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.imageNearDup(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // intra-group perturbed variants really do land within hamming 3
+    assert(brute.exists { case (a, b, _) => a / 4 == b / 4 },
+      "same-group images should pair")
+  }
+
+  test("kAnonymity flags classes smaller than k; bands floor " +
+    "negative balances downward") {
+    val q = graft.relational.RelQueries
+      .kAnonymity(spark, "/root/testdata/sf0.001").collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert((r.getLong(3) < 5) == (r.getLong(4) == 1L))
+    }
+    // negative acctbal exists in TPC-H; floor puts it in band -1
+    assert(q.exists(_.getLong(2) < 0), "negative band present")
+  }
+
+  test("hourlyAnomaly: flags match an independent driver-side exact " +
+    "3-sigma reference built from raw events") {
+    // independent reference: re-bucket raw events on the driver and
+    // evaluate the 3-sigma rule in exact BigInt arithmetic — shares
+    // NOTHING with the operator but the events parquet
+    val raw = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000000L * 3600L))
+    val counts = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = counts.map { case ((typ, hr), n) =>
+      val hs = counts.collect { case ((t, _), c) if t == typ => c }.toSeq
+      val nh = BigInt(hs.size)
+      val s1 = BigInt(hs.sum)
+      val s2 = hs.map(c => BigInt(c) * BigInt(c)).sum
+      val dev = nh * n - s1
+      (typ, hr, n, if (dev * dev > 9 * (nh * s2 - s1 * s1)) 1L else 0L)
+    }.toSet
+    val got = graft.relational.RelQueries
+      .hourlyAnomaly(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
 }
