@@ -317,6 +317,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sorted-neighborhood near-dup candidates (r6) — the OTHER classic
+    * blocking family (Hernández & Stolfo SIGMOD'95's merge/purge),
+    * complementing the LSH blockers: sort the corpus on a similarity-
+    * preserving key (the SimHash fingerprint — near-dups share high
+    * bits, so they sort adjacent) and compare each record only with
+    * its next `windowSize` neighbors in sort order, verified by exact
+    * hamming distance. Cost is corpus-LINEAR (N·w comparisons, no
+    * pair blow-up on ANY corpus — the property LSH buckets only give
+    * in expectation), recall is heuristic: a pair straddling more
+    * than w positions (or the top-8-bit partition boundary) is
+    * missed, exactly the SNM trade-off the literature documents.
+    * Spark shape: the sort is WITHIN top-8-bit partitions of the key
+    * space — at 100 TB this is repartitionByRange + per-partition
+    * sort (no global single-partition window; the blk column IS the
+    * range key), the same layout the Z-order writer uses. The oracle
+    * restates the identical window walk. */
+  def sortedNeighborhood(docs: DataFrame, windowSize: Int = 3,
+                         maxHamming: Long = 10L): DataFrame = {
+    val fp = simhash(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("simhash48", "doc_id")
+    val nbs = array((1 to windowSize).map { i =>
+      struct(lead("doc_id", i).over(w).as("nb_id"),
+        lead("simhash48", i).over(w).as("nb_fp"))
+    }: _*)
+    fp.withColumn("blk",
+        floor(col("simhash48") / lit((1L << 40).toDouble)).cast("long"))
+      // window expressions must materialize in their own projection —
+      // a generator (explode) cannot host them directly
+      .select(col("doc_id"), col("simhash48"), nbs.as("nbs"))
+      .select(col("doc_id"), col("simhash48"), explode(col("nbs")).as("nb"))
+      .where(col("nb.nb_id").isNotNull)
+      .select(
+        least(col("doc_id"), col("nb.nb_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.nb_id")).as("doc_b"),
+        bit_count(expr("simhash48 ^ nb.nb_fp")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Visual near-duplicate pairs over perceptual hashes (r6): takes
     * [[graft.operators.Multimodal.imagePhash]]'s (doc_id, hash_hi,
     * hash_lo) aHash table and pairs images within `maxHamming` of

@@ -730,4 +730,40 @@ object TextAnalysis {
         md5(col("fixed").cast("binary")).as("out_md5"))
       .orderBy("doc_id")
   }
+
+  /** The Harman S-stemmer CASE over one token `w` — shared verbatim
+    * with the DuckDB oracle (suffix LIKE + substring are identical in
+    * both dialects), so the two engines cannot state different rules:
+    * "ies"→"y" (unless -eies/-aies), "es"→drop s (unless
+    * -aes/-ees/-oes), "s"→drop (unless -us/-ss). */
+  val SStemCaseSql: String =
+    "CASE WHEN w LIKE '%eies' OR w LIKE '%aies' THEN w " +
+      "WHEN w LIKE '%ies' THEN concat(substring(w, 1, length(w) - 3), 'y') " +
+      "WHEN w LIKE '%aes' OR w LIKE '%ees' OR w LIKE '%oes' THEN w " +
+      "WHEN w LIKE '%es' THEN substring(w, 1, length(w) - 1) " +
+      "WHEN w LIKE '%us' OR w LIKE '%ss' THEN w " +
+      "WHEN w LIKE '%s' THEN substring(w, 1, length(w) - 1) " +
+      "ELSE w END"
+
+  /** S-stemmer vocabulary fold (r6): the light plural stemmer
+    * (Harman 1991, "How effective is suffixing?") IR pipelines run
+    * before vocabulary statistics — three suffix rules, no dictionary,
+    * far cheaper than Porter and nearly as effective on English
+    * plurals. Per doc: token count, distinct-token count, distinct
+    * count AFTER stemming (the vocabulary fold the stemmer buys), and
+    * the min/max stem (pins actual stemmed CONTENT, not just counts —
+    * a wrong rule shifts the extremes). Entirely row-local HOFs
+    * (transform + array_distinct + array_min/max over the words
+    * array): zero shuffles, the [[qualityScore]] shape. */
+  def sStem(docs: DataFrame): DataFrame =
+    Partitioning.spread(docs)
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("st", expr(s"transform(ws, w -> $SStemCaseSql)"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        size(array_distinct(col("st"))).cast("long").as("n_distinct_stem"),
+        array_min(col("st")).as("min_stem"),
+        array_max(col("st")).as("max_stem"))
+      .orderBy("doc_id")
 }

@@ -1443,6 +1443,70 @@ object ExtQueries {
       "FROM h JOIN s ON h.event_type = s.event_type " +
       "ORDER BY h.event_type, h.hour_epoch_s"
 
+  /** [[RelQueries.valueHistogram]]: bin arithmetic all-nonneg, so
+    * DuckDB `//` == Spark `div`. */
+  private val relHistogramSql: String =
+    s"WITH e AS (SELECT event_type, ${centsSql("value")} AS v FROM events), " +
+      "x AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY 1) " +
+      "SELECT e.event_type, " +
+      "CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+      "LEAST(9, ((v - mn) * 10) // (mx - mn)) END AS BIGINT) AS bin, " +
+      "COUNT(*) AS n_rows " +
+      "FROM e JOIN x ON e.event_type = x.event_type " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** [[RelQueries.winsorize]]: nearest-rank p5/p95 bounds at integer
+    * index ⌊(n−1)·p/100⌋ — actual corpus values, no interpolation,
+    * so no cross-engine float drift. */
+  private val relWinsorizeSql: String =
+    s"WITH e AS (SELECT event_type, ${centsSql("value")} AS v, event_id FROM events), " +
+      "r AS (SELECT event_type, v, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY v, event_id) - 1 AS rn FROM e), " +
+      "s AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1), " +
+      "b AS (SELECT r.event_type, " +
+      "MIN(CASE WHEN rn = ((n - 1) * 5) // 100 THEN v END) AS lo_c, " +
+      "MIN(CASE WHEN rn = ((n - 1) * 95) // 100 THEN v END) AS hi_c " +
+      "FROM r JOIN s ON r.event_type = s.event_type " +
+      "WHERE rn = ((n - 1) * 5) // 100 OR rn = ((n - 1) * 95) // 100 " +
+      "GROUP BY r.event_type) " +
+      "SELECT e.event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CASE WHEN v < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped, " +
+      "CAST(SUM(CASE WHEN v > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped, " +
+      "CAST(SUM(LEAST(GREATEST(v, lo_c), hi_c)) AS BIGINT) AS sum_winsor_c " +
+      "FROM e JOIN b ON e.event_type = b.event_type " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** [[graft.operators.Dedup.sortedNeighborhood]]: the identical
+    * window walk — top-8-bit block partition, (fingerprint, doc_id)
+    * sort, leads 1..3, least/greatest pair normalization. */
+  private val ddSortedNeighborhoodSql: String = {
+    val over = "OVER (PARTITION BY b ORDER BY simhash48, doc_id)"
+    val leads = (1 to 3).map { i =>
+      s"SELECT doc_id, simhash48, lead(doc_id, $i) $over AS nb_id, " +
+        s"lead(simhash48, $i) $over AS nb_fp FROM blk"
+    }.mkString(" UNION ALL ")
+    "WITH fp AS (SELECT doc_id, simhash48 FROM (" + ddSimhashSql + ")), " +
+      s"blk AS (SELECT doc_id, simhash48, simhash48 // ${1L << 40} AS b FROM fp), " +
+      s"n AS ($leads) " +
+      "SELECT LEAST(doc_id, nb_id) AS doc_a, GREATEST(doc_id, nb_id) AS doc_b, " +
+      "CAST(bit_count(xor(simhash48, nb_fp)) AS BIGINT) AS hamming " +
+      "FROM n WHERE nb_id IS NOT NULL " +
+      "AND bit_count(xor(simhash48, nb_fp)) <= 10 " +
+      "ORDER BY doc_a, doc_b"
+  }
+
+  /** [[graft.operators.TextAnalysis.sStem]]: the stem CASE is the
+    * SAME string the operator compiles into its transform lambda. */
+  private val txStemSql: String =
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "s AS (SELECT doc_id, w, " +
+      graft.operators.TextAnalysis.SStemCaseSql + " AS st FROM t) " +
+      "SELECT doc_id, COUNT(*) AS n_tokens, " +
+      "COUNT(DISTINCT w) AS n_distinct, " +
+      "COUNT(DISTINCT st) AS n_distinct_stem, " +
+      "MIN(st) AS min_stem, MAX(st) AS max_stem " +
+      "FROM s GROUP BY doc_id ORDER BY doc_id"
+
   /** [[graft.operators.Graph.coOrderTriangles]]: the oracle restates
     * the SAME degree-ordered orientation (each triangle counted once
     * at its min-(degree, id) vertex); MATERIALIZED pins the edge CTE
@@ -2034,6 +2098,11 @@ object ExtQueries {
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
+    "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
+    "rel_winsorize" -> (RelQueries.winsorize _),
+    "dd_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(Tables.documents(s, d))),
+    "tx_stem" -> ((s, d) => TextAnalysis.sStem(Tables.documents(s, d))),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -2170,6 +2239,10 @@ object ExtQueries {
     "rel_kanon" -> relKanonSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_triangles" -> relTrianglesSql,
+    "rel_histogram" -> relHistogramSql,
+    "rel_winsorize" -> relWinsorizeSql,
+    "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
+    "tx_stem" -> txStemSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

@@ -562,6 +562,74 @@ object RelQueries {
         when(col("n_members") < k, 1L).otherwise(0L))
       .orderBy("nationkey", "mktsegment", "bal_band")
 
+  /** Equi-width value histogram per event type (r6): the profiling
+    * primitive behind every data-quality dashboard. Two passes, both
+    * partial-combinable: a |types|-sized min/max extent aggregate
+    * BROADCAST back, then bin = ⌊(v − min)·nBins / (max − min)⌋
+    * clamped to nBins−1 (the max value lands in the last bin, not a
+    * phantom one) — all integer-exact on cents, `div` == DuckDB `//`
+    * because v − min ≥ 0 by construction (the negative-division trap
+    * [[kAnonymity]] documents never arises). Degenerate extent
+    * (max == min) puts everything in bin 0. Output bounded by
+    * |types|·nBins. */
+  def valueHistogram(spark: SparkSession, sfDir: String,
+                     nBins: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+    val ext = ev.groupBy("event_type")
+      .agg(min("v_c").as("min_c"), max("v_c").as("max_c"))
+    ev.join(broadcast(ext), "event_type")
+      .select(col("event_type"),
+        when(col("max_c") === col("min_c"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            expr(s"((v_c - min_c) * $nBins) div (max_c - min_c)")))
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n_rows"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Winsorized per-type value stats (r6): clamp each value into its
+    * type's [p5, p95] band and report clip counts + the winsorized
+    * sum — the outlier-robust aggregate reporting pipelines use when
+    * a single corrupt 1e12 row would swamp a mean. The bounds are
+    * NEAREST-RANK percentiles at integer index ⌊(n−1)·p/100⌋ over
+    * (value, event_id)-ordered rows — an ACTUAL corpus value picked
+    * by pure integer arithmetic, so both engines agree bit-for-bit
+    * (interpolated percentiles at p ≠ 0.5 are NOT cross-engine
+    * bit-stable: index (n−1)·0.05 has a non-dyadic fraction, unlike
+    * [[medianValueByType]]'s ×2 trick at 0.5). The rank window is a
+    * per-type sort — same declared scale shape as the exact median,
+    * with approx_percentile as the documented 100 TB swap; bounds and
+    * counts are |types|-sized and broadcast back, the fact side
+    * never re-shuffles. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v_c"),
+        col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("v_c", "event_id")
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val loIdx = expr("((n - 1) * 5) div 100")
+    val hiIdx = expr("((n - 1) * 95) div 100")
+    val bounds = ranked.join(broadcast(n), "event_type")
+      .where(col("rn") === loIdx || col("rn") === hiIdx)
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === loIdx, col("v_c"))).as("lo_c"),
+        min(when(col("rn") === hiIdx, col("v_c"))).as("hi_c"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v_c") < col("lo_c"), 1L).otherwise(0L))
+          .as("n_lo_clipped"),
+        sum(when(col("v_c") > col("hi_c"), 1L).otherwise(0L))
+          .as("n_hi_clipped"),
+        sum(least(greatest(col("v_c"), col("lo_c")), col("hi_c")))
+          .as("sum_winsor_c"))
+      .orderBy("event_type")
+  }
+
   /** Hourly-count anomaly flags per event type (r6): the volume-spike
     * monitor every ingest pipeline runs. Hour buckets and counts come
     * from ONE aggregate; per-type mean/variance from a second, |types|-

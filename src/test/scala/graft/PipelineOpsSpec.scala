@@ -886,6 +886,107 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("sortedNeighborhood matches a driver-side window walk; " +
+    "identical docs are always adjacent and found") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs((1L to 20L).map { i =>
+      i -> (i % 3 match {
+        case 0 => base
+        case 1 => base.replace("w5", s"x$i")
+        case _ => s"unrelated $i " + (1 to 15).map(j => s"q${i}_$j").mkString(" ")
+      })
+    }: _*)
+    val fps = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // reference: partition by top-8 bits, sort by (fp, id), leads 1..3
+    val ref = fps.groupBy(_._2 >> 40).values.flatMap { blk =>
+      val sorted = blk.sortBy(x => (x._2, x._1))
+      for {
+        i <- sorted.indices; o <- 1 to 3 if i + o < sorted.size
+        (ida, fa) = sorted(i); (idb, fb) = sorted(i + o)
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 10
+      } yield (math.min(ida, idb), math.max(ida, idb), h.toLong)
+    }.toSet
+    val got = Dedup.sortedNeighborhood(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+    // identical docs share a fingerprint -> sort-adjacent -> hamming 0
+    val sameFp = fps.filter(_._1 % 3 == 0).map(_._1)
+    val idPairs = for (a <- sameFp; b <- sameFp if a < b) yield (a, b)
+    // adjacency only guarantees pairs within the window size
+    val adjacent = idPairs.filter { case (a, b) =>
+      val sorted = sameFp.sorted
+      math.abs(sorted.indexOf(a) - sorted.indexOf(b)) <= 3
+    }
+    adjacent.foreach { case (a, b) =>
+      assert(got.contains((a, b, 0L)), s"identical pair ($a,$b) missed")
+    }
+  }
+
+  test("sStem applies the Harman rules; counts fold the vocabulary") {
+    val words = Seq(
+      "ponies" -> "pony", "movies" -> "movy", "dogs" -> "dog",
+      "churches" -> "churche", "classes" -> "classe",
+      "bus" -> "bus", "glass" -> "glass", "eies" -> "eies",
+      "aies" -> "aies", "goes" -> "goes", "trees" -> "trees",
+      "cat" -> "cat", "s" -> "", "ies" -> "y")
+    val d = words.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }
+    val got = graft.operators.TextAnalysis.sStem(docs(d: _*)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    words.zipWithIndex.foreach { case ((w, stem), i) =>
+      assert(got(i.toLong) == stem, s"$w should stem to '$stem'")
+    }
+    // vocabulary fold: dog + dogs in one doc -> 2 distinct, 1 stemmed
+    val fold = graft.operators.TextAnalysis
+      .sStem(docs(1L -> "dog dogs dog")).collect().head
+    assert(fold.getLong(1) == 3 && fold.getLong(2) == 2 &&
+      fold.getLong(3) == 1)
+  }
+
+  test("valueHistogram: bins match a driver-side reference; " +
+    "totals conserved; bins within range") {
+    val raw = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100).toLong))
+    val ext = raw.groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).min, vs.map(_._2).max)).toMap
+    val ref = raw.groupBy { case (t, v) =>
+      val (mn, mx) = ext(t)
+      (t, if (mx == mn) 0L else math.min(9L, (v - mn) * 10 / (mx - mn)))
+    }.view.mapValues(_.length.toLong).toMap
+    val got = graft.relational.RelQueries
+      .valueHistogram(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+    assert(got.keys.forall { case (_, b) => b >= 0 && b <= 9 })
+    assert(got.values.sum == raw.length)
+  }
+
+  test("winsorize: nearest-rank bounds and clipped sums match a " +
+    "driver-side exact reference") {
+    val raw = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100).toLong, r.getLong(2)))
+    val ref = raw.groupBy(_._1).map { case (t, vs) =>
+      val sorted = vs.map(v => (v._2, v._3)).sortBy(identity).map(_._1)
+      val n = sorted.size
+      val lo = sorted(((n - 1) * 5 / 100).toInt)
+      val hi = sorted(((n - 1) * 95 / 100).toInt)
+      (t, (n.toLong, sorted.count(_ < lo).toLong,
+        sorted.count(_ > hi).toLong,
+        sorted.map(v => math.min(math.max(v, lo), hi)).sum))
+    }
+    val got = graft.relational.RelQueries
+      .winsorize(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == ref)
+  }
+
   test("hourlyAnomaly: flags match an independent driver-side exact " +
     "3-sigma reference built from raw events") {
     // independent reference: re-bucket raw events on the driver and

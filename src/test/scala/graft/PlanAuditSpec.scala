@@ -160,4 +160,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scd2 join count != 1:\n$p")
     assert("Generate".r.findAllIn(p).size == 1, s"explode count:\n$p")
   }
+
+  test("rel_anomaly joins its |types|-sized stats BROADCAST — the " +
+    "hourly fact side never re-shuffles for the flag (r6)") {
+    val p = plan("rel_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rel_anomaly shuffle-joins:\n$p")
+  }
+
+  test("rel_kanon is ONE hash-aggregate over one scan — the QI class " +
+    "audit never joins or re-passes (r6)") {
+    val p = planNoAqe("rel_kanon")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scan count:\n$p")
+    assert(!p.contains("Join"), s"rel_kanon joins:\n$p")
+  }
+
+  test("rel_triangles keeps both degree joins BROADCAST — only the " +
+    "wedge and closing joins shuffle (r6)") {
+    val p = plan("rel_triangles")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"degree joins not broadcast:\n$p")
+  }
+
+  test("mm_phash plans no exchange beyond spread's round-robin — the " +
+    "fingerprint is partition-local like dd_simhash (r6)") {
+    val p = planNoAqe("mm_phash")
+    // orderBy (oracle determinism) adds a rangepartitioning exchange;
+    // nothing else may shuffle, and there is no join/aggregate
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"mm_phash not map-only:\n$p")
+  }
 }
