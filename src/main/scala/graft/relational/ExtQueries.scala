@@ -1443,6 +1443,46 @@ object ExtQueries {
       "FROM h JOIN s ON h.event_type = s.event_type " +
       "ORDER BY h.event_type, h.hour_epoch_s"
 
+  /** [[RelQueries.bitmapDistinct]]: the whole sketch recomputed in
+    * DuckDB — h31 bit positions, 63-bit word packing, bit_or words,
+    * popcount sum. */
+  private val relBitmapDistinctSql: String = {
+    val pos = s"(${PH.h31Sql("CAST(user_id AS VARCHAR)")} % 1008)"
+    "WITH e AS (SELECT event_type, user_id, " + pos + " AS pos FROM events), " +
+      "m AS (SELECT event_type, user_id, pos // 63 AS wd, " +
+      "(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS mask FROM e), " +
+      "w AS (SELECT event_type, wd, bit_or(mask) AS bits FROM m GROUP BY 1, 2), " +
+      "v AS (SELECT event_type, SUM(bit_count(bits)) AS nb FROM w GROUP BY 1), " +
+      "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM e GROUP BY 1) " +
+      "SELECT v.event_type, CAST(v.nb AS BIGINT) AS n_bits_set, x.n_exact " +
+      "FROM v JOIN x ON v.event_type = x.event_type ORDER BY 1"
+  }
+
+  /** [[RelQueries.snapshotDiff]]: both engines derive snapshot B from
+    * the same mutation literals, so the diff is fully determined. */
+  private val relSnapshotDiffSql: String =
+    s"WITH a AS (SELECT c_custkey AS key, c_mktsegment AS seg_a, " +
+      s"${centsSql("c_acctbal")} AS bal_a FROM customer), " +
+      "b AS (SELECT c_custkey AS key, " +
+      "CASE WHEN c_custkey % 10 = 3 THEN concat('MOVED_', c_mktsegment) " +
+      "ELSE c_mktsegment END AS seg_b, " +
+      s"${centsSql("c_acctbal")} + " +
+      "CASE WHEN c_custkey % 7 = 2 THEN 12345 ELSE 0 END AS bal_b " +
+      "FROM customer WHERE c_custkey % 89 <> 0 " +
+      "UNION ALL SELECT c_custkey + 2000000 AS key, 'NEWSEG' AS seg_b, " +
+      s"${centsSql("c_acctbal")} AS bal_b FROM customer " +
+      "WHERE c_custkey % 97 = 0) " +
+      "SELECT COALESCE(a.key, b.key) AS key, " +
+      "CASE WHEN seg_a IS NULL THEN 'added' " +
+      "WHEN seg_b IS NULL THEN 'removed' " +
+      "WHEN seg_a = seg_b AND bal_a = bal_b THEN 'same' " +
+      "ELSE 'changed' END AS status, " +
+      "CAST(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL " +
+      "AND seg_a <> seg_b THEN 1 ELSE 0 END AS BIGINT) AS seg_changed, " +
+      "CAST(CASE WHEN bal_a IS NOT NULL AND bal_b IS NOT NULL " +
+      "AND bal_a <> bal_b THEN 1 ELSE 0 END AS BIGINT) AS bal_changed " +
+      "FROM a FULL OUTER JOIN b ON a.key = b.key ORDER BY key"
+
   /** [[RelQueries.valueHistogram]]: bin arithmetic all-nonneg, so
     * DuckDB `//` == Spark `div`. */
   private val relHistogramSql: String =
@@ -2099,6 +2139,8 @@ object ExtQueries {
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
+    "rel_snapshot_diff" -> (RelQueries.snapshotDiff _),
+    "rel_bitmap_distinct" -> (RelQueries.bitmapDistinct _),
     "rel_winsorize" -> (RelQueries.winsorize _),
     "dd_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(Tables.documents(s, d))),
@@ -2240,6 +2282,8 @@ object ExtQueries {
     "rel_anomaly" -> relAnomalySql,
     "rel_triangles" -> relTrianglesSql,
     "rel_histogram" -> relHistogramSql,
+    "rel_snapshot_diff" -> relSnapshotDiffSql,
+    "rel_bitmap_distinct" -> relBitmapDistinctSql,
     "rel_winsorize" -> relWinsorizeSql,
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "tx_stem" -> txStemSql,

@@ -539,6 +539,86 @@ object RelQueries {
       .orderBy("key", "valid_from", "action")
   }
 
+  /** Portable bitmap-sketch distinct count (r6): linear ("probabilistic")
+    * counting — Whang et al. TODS'90 — with an m = 1008-bit bitmap
+    * packed as 16 words × 63 bits, built by ONE partial-combinable
+    * bit_or aggregate. Unlike HLL (`x_approx_users`, engine-opaque
+    * sketch bytes → rows-only check), every bit here is portable
+    * integer math, so the ORACLE CAN HASH-CHECK an approximate-distinct
+    * structure: bit = h31(user_id) % 1008, word = bit div 63, mask =
+    * 1 << (bit mod 63) — 63 bits per word because a 1 << 63 mask
+    * overflows DuckDB's BIGINT shift where Spark wraps negative; ≤ 62
+    * keeps every mask positive in both engines. Emits occupied-bit
+    * count V beside the exact distinct; the estimate −m·ln(1−V/m) is a
+    * float formula for the caller (ln is not bit-portable — V is the
+    * mergeable state, 128 bytes/group at ANY cardinality, which is
+    * what makes the sketch map-side combinable at 100 TB). */
+  def bitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        (graft.functions.PortableHash.h31(col("user_id").cast("string"))
+          % 1008L).as("pos"))
+      .select(col("event_type"), col("user_id"),
+        expr("pos div 63").as("wd"),
+        call_function("shiftleft", lit(1L),
+          (col("pos") % 63L).cast("int")).as("mask"))
+    val words = (0 until 16).map(w =>
+      expr(s"bit_or(CASE WHEN wd = $w THEN mask ELSE 0 END)").as(s"b$w"))
+    val bitsum = (0 until 16).map(w => s"bit_count(b$w)").mkString(" + ")
+    ev.groupBy("event_type")
+      .agg(words.head,
+        (words.tail :+ countDistinct(col("user_id")).as("n_exact")): _*)
+      .select(col("event_type"),
+        expr(s"CAST($bitsum AS BIGINT)").as("n_bits_set"),
+        col("n_exact"))
+      .orderBy("event_type")
+  }
+
+  /** Snapshot diff / CDC extract (r6): classify every key across two
+    * table snapshots as added / removed / changed / same, with
+    * per-column change flags — the reconciliation pass behind every
+    * incremental-load audit (and the input a MERGE INTO consumes; the
+    * history-keeping twin is [[scd2Merge]]). Snapshot B derives from
+    * the current customer table with the same deterministic mutation
+    * rules the SCD2 demo uses (every 89th key removed, every 10th
+    * segment relabeled, every 7th balance shifted, every 97th key
+    * re-added shifted — so both engines construct identical inputs
+    * from literals). ONE full-outer join on the key; the
+    * classification arms are projection-local. At 100 TB both sides
+    * bucket by key and the join plans exchange-free. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val a = c.select(col("c_custkey").as("key"),
+      col("c_mktsegment").as("seg_a"),
+      cents(col("c_acctbal")).as("bal_a"))
+    val b = c.where(col("c_custkey") % 89 =!= 0)
+      .select(col("c_custkey").as("key"),
+        when(col("c_custkey") % 10 === 3,
+          concat(lit("MOVED_"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("seg_b"),
+        (cents(col("c_acctbal")) +
+          when(col("c_custkey") % 7 === 2, 12345L).otherwise(0L))
+          .as("bal_b"))
+      .unionByName(c.where(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 2000000L).as("key"),
+          lit("NEWSEG").as("seg_b"),
+          cents(col("c_acctbal")).as("bal_b")))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("seg_a").isNull, lit("added"))
+          .when(col("seg_b").isNull, lit("removed"))
+          .when(col("seg_a") === col("seg_b") &&
+            col("bal_a") === col("bal_b"), lit("same"))
+          .otherwise(lit("changed")).as("status"),
+        when(col("seg_a").isNotNull && col("seg_b").isNotNull &&
+          col("seg_a") =!= col("seg_b"), 1L).otherwise(0L)
+          .as("seg_changed"),
+        when(col("bal_a").isNotNull && col("bal_b").isNotNull &&
+          col("bal_a") =!= col("bal_b"), 1L).otherwise(0L)
+          .as("bal_changed"))
+      .orderBy("key")
+  }
+
   /** k-anonymity audit (r6): group records by their quasi-identifier
     * tuple — nation, market segment, $1000 account-balance band — and
     * flag equivalence classes smaller than k (= 5): any member of

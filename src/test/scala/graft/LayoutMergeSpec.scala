@@ -71,4 +71,73 @@ class LayoutMergeSpec extends AnyFunSuite {
         s"key $k open-row count")
     }
   }
+
+  test("snapshotDiff: classification matches a driver-side rebuild " +
+    "of both snapshots; flags consistent with status") {
+    val cust = graft.relational.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100).toLong))
+    val a = cust.map { case (k, s0, b) => k -> (s0, b) }.toMap
+    val b = (cust.filter(_._1 % 89 != 0).map { case (k, s0, bal) =>
+      k -> ((if (k % 10 == 3) s"MOVED_$s0" else s0),
+        bal + (if (k % 7 == 2) 12345L else 0L))
+    } ++ cust.filter(_._1 % 97 == 0).map { case (k, s0, bal) =>
+      (k + 2000000L) -> (("NEWSEG", bal))
+    }).toMap
+    val expect = (a.keySet ++ b.keySet).map { k =>
+      val status = (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) => if (x == y) "same" else "changed"
+      }
+      val segCh = (a.get(k), b.get(k)) match {
+        case (Some((s1, _)), Some((s2, _))) if s1 != s2 => 1L
+        case _ => 0L
+      }
+      val balCh = (a.get(k), b.get(k)) match {
+        case (Some((_, b1)), Some((_, b2))) if b1 != b2 => 1L
+        case _ => 0L
+      }
+      (k, status, segCh, balCh)
+    }
+    val got = RelQueries.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expect)
+    // all four statuses exercised
+    assert(got.map(_._2) == Set("added", "removed", "changed", "same"))
+    got.foreach { case (k, st, sc, bc) =>
+      if (st == "added" || st == "removed")
+        assert(sc == 0 && bc == 0, s"$k: $st rows carry no change flags")
+      if (st == "changed")
+        assert(sc + bc >= 1, s"$k: changed needs a flagged column")
+      if (st == "same") assert(sc == 0 && bc == 0)
+    }
+  }
+
+  test("bitmapDistinct: occupied bits match a driver-side md5 " +
+    "reference; V <= min(m, exact)") {
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val raw = graft.relational.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = raw.groupBy(_._1).map { case (t, us) =>
+      val ids = us.map(_._2).distinct
+      (t, (ids.map(u => h31(u.toString) % 1008L).distinct.size.toLong,
+        ids.size.toLong))
+    }
+    val got = RelQueries.bitmapDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    got.values.foreach { case (v, exact) =>
+      assert(v <= math.min(1008L, exact))
+      assert(v > 0)
+    }
+  }
 }
