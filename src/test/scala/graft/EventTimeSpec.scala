@@ -115,7 +115,7 @@ class EventTimeSpec extends AnyFunSuite {
     // ... and the SAME rows fed through MemoryStream micro-batches
     // (ts nanos -> micros truncation cannot cross an hour boundary:
     // boundaries are multiples of 1000 ns)
-    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
       .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
     val mem = MemoryStream[(Timestamp, Double)]
