@@ -731,6 +731,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Chunk-grain dedup over content-defined chunks (r6): the
+    * composition CDC chunking exists FOR — because
+    * [[TextAnalysis.cdcChunksRaw]]'s boundaries are content-defined,
+    * a duplicated passage produces byte-identical chunks at ANY
+    * offset in any document, so chunk-hash equality finds shifted
+    * duplication that [[paragraphDedup]]'s positional blocks and
+    * [[exact]]'s whole-doc hash both miss ([[substringDup]] finds it
+    * too but fans out one row per token; CDC amortizes to one row per
+    * ~16 tokens — the classic storage-dedup trade, LBFS §3). Same
+    * min-wins contract as the other families: the canonical copy of
+    * a chunk is the smallest (doc_id, chunk_id) carrying it, packed
+    * as doc_id·2²⁰ + chunk_id (chunk ids are token-bounded ≪ 2²⁰) so
+    * the argmin is ONE partial-combinable min — skew-safe under
+    * boilerplate chunks where a per-group sort would hotspot. Chunk
+    * stream localCheckpoint'd once for its two consumers; joins key
+    * on fixed-width md5, never text. */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val packed = col("doc_id") * 1048576L + col("chunk_id")
+    val chunks = graft.operators.TextAnalysis.cdcChunksRaw(docs)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .localCheckpoint(true)
+    val first = chunks.groupBy("chunk_md5")
+      .agg(min(packed).as("first_key"))
+    val scored = chunks.join(first, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(packed =!= col("first_key"), 1L).otherwise(0L))
+          .as("n_dup"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(floor(lit(1000000.0) * col("n_dup") / col("n_chunks"))
+          .cast("long"), lit(0L)).as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-URL dedup (r6 — the crawl-frontier staple: the same
     * page arrives under case variants, tracking params and fragment
     * anchors; canonicalize first, then first-doc-wins): composes

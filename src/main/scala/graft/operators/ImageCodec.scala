@@ -321,6 +321,114 @@ object ImageCodec {
     (hi, lo)
   }
 
+  // ---------------------------------------------------------------
+  // REAL pixel-level BMP decode (r6): the third uncompressed raster
+  // family beside PNM and WAV-PCM. A 24-bpp BI_RGB Windows bitmap
+  // (BITMAPFILEHEADER + BITMAPINFOHEADER, the layout published since
+  // Windows 3.0) is fully decodable with zero codec dependencies —
+  // but unlike PNM it is a little-endian, BOTTOM-UP, BGR format whose
+  // rows pad to 4-byte boundaries: four independent layout traps a
+  // decoder can get wrong while still "reading pixels". The decode
+  // returns the raster in canonical top-down row-major RGB order, so
+  // every downstream stat is layout-independent — and the oracle,
+  // which recomputes expected samples from doc_id literals in that
+  // canonical order, fails the hash if ANY of the four traps is
+  // mishandled.
+  // ---------------------------------------------------------------
+
+  /** Decoded 24-bpp BMP: dims + raster re-ordered to top-down
+    * row-major RGB (file order is bottom-up BGR with padded rows). */
+  final case class BmpImage(width: Int, height: Int, raster: Array[Byte])
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Pixel-level BMP decode: 'BM' magic, pixel-array offset at byte
+    * 10 (u32LE), InfoHeader ≥ 40 bytes (size at 14), width s32LE at
+    * 18, height s32LE at 22 (positive ⇒ bottom-up, the common case;
+    * top-down negative-height bitmaps are accepted too), planes = 1,
+    * bpp = 24, compression = 0 (BI_RGB). Stride = ⌈3·w/4⌉·4.
+    * Truncated raster / palette formats / compressed bitmaps → None
+    * (the DLT arm). Row-local. */
+  def parseBmp(b: Array[Byte]): Option[BmpImage] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val offset = u32le(b, 10)
+    val hdrSize = u32le(b, 14)
+    if (hdrSize < 40L) return None
+    val w = u32le(b, 18).toInt
+    val hRaw = u32le(b, 22).toInt
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    if (u16le(b, 26) != 1 || u16le(b, 28) != 24) return None
+    if (u32le(b, 30) != 0L) return None // BI_RGB only
+    if (w <= 0 || h == 0 || w > (1 << 15) || h > (1 << 15)) return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (offset < 54L || offset + stride.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = offset.toInt + (if (bottomUp) (h - 1 - y) else y) * stride
+      var x = 0
+      while (x < w) {
+        // file order BGR -> canonical RGB
+        out((y * w + x) * 3)     = b(srcRow + x * 3 + 2)
+        out((y * w + x) * 3 + 1) = b(srcRow + x * 3 + 1)
+        out((y * w + x) * 3 + 2) = b(srcRow + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, out))
+  }
+
+  /** Deterministic 24-bpp bottom-up BMP fixture: `sample(i)` gives the
+    * CANONICAL top-down row-major RGB sample i (= (y·w + x)·3 + ch);
+    * the writer re-orders it into the file's bottom-up BGR padded
+    * layout, so a decoder that mishandles any layout trap reads
+    * different canonical samples than the oracle recomputes. */
+  def bmpBytes(w: Int, h: Int, sample: Int => Int): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size.toLong) // file size
+    le32(10, 54L)        // pixel-array offset
+    le32(14, 40L)        // InfoHeader size
+    le32(18, w.toLong)
+    le32(22, h.toLong)   // positive: bottom-up
+    le16(26, 1)          // planes
+    le16(28, 24)         // bpp
+    le32(30, 0L)         // BI_RGB
+    le32(34, (stride * h).toLong) // image size
+    var y = 0
+    while (y < h) {
+      val dstRow = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        out(dstRow + x * 3)     = (sample(base + 2) & 0xff).toByte // B
+        out(dstRow + x * 3 + 1) = (sample(base + 1) & 0xff).toByte // G
+        out(dstRow + x * 3 + 2) = (sample(base) & 0xff).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Deterministic full P5/P6 fixture WITH raster: header (including
     * a comment line, exercising the tokenizer) followed by
     * width·height·channels bytes where byte i = pixel(i). The oracle

@@ -324,6 +324,59 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Decoded-BMP pixel stats (r6): canonical-order sample stats over
+    * the third REAL uncompressed raster family. wsum = Σ vᵢ·(i+1)
+    * over TOP-DOWN row-major RGB samples — the file stores bottom-up
+    * BGR with 4-byte-padded rows, so the position-weighted sum fails
+    * if the decoder mishandles row order, channel order, or padding
+    * (a plain sum would forgive all three). */
+  final case class BmpStatsRow(doc_id: Long, width: Long, height: Long,
+      n_vals: Long, peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Deterministic 24-bpp BMP payloads, one per document: dims from
+    * doc_id, canonical sample i = (id·5 + (i div 3)·7 + (i mod 3)·11)
+    * mod 256 — the SAME literals the oracle recomputes; every 13th
+    * payload is truncated mid-raster (the corrupt-file DLT case). */
+  def syntheticBmps(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 5 + (id % 12).toInt
+        val h = 3 + (id % 10).toInt
+        val full = ImageCodec.bmpBytes(w, h,
+          sample = i => ((id * 5 + (i / 3).toLong * 7 + (i % 3) * 11) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 60) else full)
+      }
+  }
+
+  /** REAL pixel-level BMP decode → stats (r6): parse the actual
+    * Windows bitmap layout ([[ImageCodec.parseBmp]]), re-order to
+    * canonical top-down RGB, emit integer stats the oracle recomputes
+    * sample-by-sample from the fixture formula. Same mapPartitions
+    * batch contract and DLT arm as the WAV/PNM kernels. */
+  def bmpStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticBmps(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseBmp(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          BmpStatsRow(d.doc_id, img.width.toLong, img.height.toLong,
+            r.length.toLong, peak, sum / r.length, wsum)
+        case None =>
+          BmpStatsRow(d.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decimated-audio summary per payload (r6). */
   final case class AudioResampleRow(doc_id: Long, format: String,
       n_out: Long, peak_abs: Long, mean_abs: Long, wsum: Long)

@@ -113,6 +113,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-style LINE-level cleaning battery (r6 — Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2, the other canonical web-cleanup rule set
+    * beside [[gopherRules]]'s doc-level battery): C4 cleans INSIDE the
+    * page before deciding on it — a line survives iff it ends in a
+    * terminal punctuation mark ('.', '!', '?', '"') and carries ≥ 3
+    * words; the page survives iff its CLEANED text still has ≥ 5
+    * sentence terminators and the raw text shows neither "lorem ipsum"
+    * (boilerplate filler) nor '{' (leaked code). Emits the kept-line
+    * counts, the cleaned-text length, and md5 of the cleaned text
+    * itself — the hash pins WHICH lines survived byte-for-byte, so a
+    * keep-rule bug cannot hide behind matching counts. (C4's
+    * three-sentence-span dedup is [[graft.operators.Dedup.substringDedup]];
+    * its word-blocklist is deliberately out of scope.) Entirely
+    * row-local higher-order functions over the line array — one
+    * projection, zero shuffles, free-riding on the scan at 100 TB. */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 3)
+    val cleaned = concat_ws("\n", kept)
+    val sentences = (length(cleaned) -
+      length(translateTerminators(cleaned))).cast("long")
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    docs.select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        length(cleaned).cast("long").as("clean_chars"),
+        sentences.as("n_sentences"),
+        flag(lower(col("text")).contains("lorem ipsum")).as("has_lorem"),
+        flag(col("text").contains("{")).as("has_brace"),
+        md5(cleaned).as("clean_md5"))
+      .withColumn("pass",
+        flag(col("n_sentences") >= 5L && col("has_lorem") === 0L &&
+          col("has_brace") === 0L))
+      .orderBy("doc_id")
+  }
+
+  /** Delete every '.', '!', '?' (translate with empty mapping — one
+    * codegen'd pass; the DuckDB oracle states the same deletion as
+    * nested literal replaces, which is the identical function). */
+  private def translateTerminators(c: org.apache.spark.sql.Column) =
+    translate(c, ".!?", "")
+
   /** Per-language quantile quality gate: keep each language's top
     * (1 - keepAbovePpm/1e6) fraction by quality score — filtering on a
     * WITHIN-language percentile instead of a global absolute threshold
@@ -593,6 +636,46 @@ object TextAnalysis {
         least(size(col("ws")) - col("col") + 1, lit(chunkTokens))
           .cast("long").as("n_tokens"))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Content-defined chunking (r6): a token ENDS its chunk when
+    * h31('cdc:' || token) mod 16 == 0 — the boundary depends only on
+    * local content, never on position, so an insertion early in a
+    * document shifts NO later chunk boundaries. That shift-invariance
+    * is the whole point (Muthitacharoen et al. SOSP'01, LBFS): under
+    * [[chunk]]'s fixed windows one prepended sentence re-frames every
+    * downstream chunk and defeats chunk-level dedup; under CDC all
+    * chunks after the edit re-align. Expected chunk ≈ 16 tokens from
+    * the mask. Emits (doc_id, chunk_id, n_tokens, chunk_md5) — the
+    * md5 is over the space-joined token run, so chunk-content equality
+    * across docs is joinable on the hash ([[graft.operators.Dedup]]
+    * composes from there). Shape: posexplode (row-local fan-out,
+    * linear), then ONE exchange on doc_id serving BOTH the prefix-sum
+    * window and the (doc_id, chunk_id) aggregate — hash-partitioning
+    * on doc_id satisfies the grouping distribution, so no second
+    * shuffle. At 100 TB chunk state never exceeds the token stream. */
+  def cdcChunk(docs: DataFrame): DataFrame =
+    cdcChunksRaw(docs).orderBy("doc_id", "chunk_id")
+
+  /** [[cdcChunk]] without the deterministic output sort — the form
+    * downstream operators ([[graft.operators.Dedup.cdcDedup]]) compose
+    * on, so the chunk stream flows straight into their shuffle instead
+    * of through a pointless global sort. */
+  def cdcChunksRaw(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+    val flag = when(graft.functions.PortableHash
+      .h31(concat(lit("cdc:"), col("w"))) % 16L === 0L, 1L).otherwise(0L)
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    // boundary token ends its chunk: id = boundaries strictly before
+    val chunkId = coalesce(
+      sum(flag).over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    tok.select(col("doc_id"), col("pos"), col("w"), chunkId.as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ")).as("chunk_md5"))
   }
 
   /** Compression-ratio quality signal: DEFLATE size / original size

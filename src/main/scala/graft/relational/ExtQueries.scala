@@ -897,6 +897,65 @@ object ExtQueries {
       "FROM s ORDER BY doc_id, chunk_id"
   }
 
+  /** [[TextAnalysis.cdcChunk]]: same salted boundary hash, same
+    * strictly-before prefix sum, md5 over the ORDER BY pos token run
+    * (string_agg ORDER BY ≡ the operator's sort-then-join). */
+  private val txCdcChunkSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      "tok AS (SELECT doc_id, unnest(w) AS tk, " +
+      "generate_subscripts(w, 1) AS pos FROM ws), " +
+      "fl AS (SELECT doc_id, pos, tk, " +
+      s"CASE WHEN ${PH.h31Sql("'cdc:' || tk")} % 16 = 0 " +
+      "THEN 1 ELSE 0 END AS f FROM tok), " +
+      "ch AS (SELECT doc_id, pos, tk, COALESCE(SUM(f) OVER (" +
+      "PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM fl) " +
+      "SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+      "md5(string_agg(tk, ' ' ORDER BY pos)) AS chunk_md5 " +
+      "FROM ch GROUP BY doc_id, cid ORDER BY doc_id, chunk_id"
+
+  /** [[Dedup.cdcDedup]]: the chunk CTE restated, then the same packed
+    * argmin + min-wins scoring. */
+  private val ddCdcDedupSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      "tok AS (SELECT doc_id, unnest(w) AS tk, " +
+      "generate_subscripts(w, 1) AS pos FROM ws), " +
+      "fl AS (SELECT doc_id, pos, tk, " +
+      s"CASE WHEN ${PH.h31Sql("'cdc:' || tk")} % 16 = 0 " +
+      "THEN 1 ELSE 0 END AS f FROM tok), " +
+      "ch AS (SELECT doc_id, pos, tk, COALESCE(SUM(f) OVER (" +
+      "PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM fl), " +
+      "c AS (SELECT doc_id, cid, md5(string_agg(tk, ' ' ORDER BY pos)) AS mh " +
+      "FROM ch GROUP BY doc_id, cid), " +
+      "fk AS (SELECT mh, min(doc_id * 1048576 + cid) AS first_key " +
+      "FROM c GROUP BY 1), " +
+      "s AS (SELECT c.doc_id, count(*) AS n_chunks, " +
+      "sum(CASE WHEN c.doc_id * 1048576 + c.cid <> fk.first_key " +
+      "THEN 1 ELSE 0 END) AS n_dup " +
+      "FROM c JOIN fk ON c.mh = fk.mh GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(COALESCE(s.n_chunks, 0) AS BIGINT) AS n_chunks, " +
+      "CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup, " +
+      "CAST(COALESCE(FLOOR(1000000.0 * s.n_dup / s.n_chunks), 0) AS BIGINT) " +
+      "AS dup_ppm " +
+      "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
+
+  /** [[RelQueries.skyline]]: per-day max collapse, then the same
+    * running-max frontier window — the sort-scan algorithm restated,
+    * checked against the quadratic definition by the spec. */
+  private val relSkylineSql: String =
+    "WITH pts AS (SELECT o_orderpriority AS priority, " +
+      "epoch_ns(o_orderdate) // 86400000000000 AS day, " +
+      s"max(${centsSql("o_totalprice")}) AS price_c " +
+      "FROM orders GROUP BY 1, 2), " +
+      "w AS (SELECT priority, day, price_c, max(price_c) OVER (" +
+      "PARTITION BY priority ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM pts) " +
+      "SELECT priority, CAST(day AS BIGINT) AS day, " +
+      "CAST(price_c AS BIGINT) AS price_c FROM w " +
+      "WHERE mx IS NULL OR price_c > mx ORDER BY priority, day"
+
   private val txFingerprintSql: String =
     "SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
       "list_transform(string_split(text, ' '), " +
@@ -1024,6 +1083,28 @@ object ExtQueries {
       "UNION ALL SELECT doc_id, 'unknown' AS format, " +
       "CAST(-1 AS BIGINT) AS n_vals, CAST(-1 AS BIGINT) AS peak_abs, " +
       "CAST(-1 AS BIGINT) AS mean_abs, CAST(-1 AS BIGINT) AS rms " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
+  /** [[Multimodal.bmpStats]]: expected samples recomputed in the
+    * CANONICAL top-down RGB order from the doc_id literals — the
+    * oracle never sees the file's bottom-up BGR padded layout, so any
+    * mishandled layout trap in the decoder fails the wsum. */
+  private val mmBmpStatsSql: String =
+    "WITH d AS (SELECT doc_id, 5 + doc_id % 12 AS w, 3 + doc_id % 10 AS h " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, i, " +
+      "(doc_id * 5 + (i // 3) * 7 + (i % 3) * 11) % 256 AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(peak AS BIGINT) AS peak, CAST(sv // n AS BIGINT) AS mean_floor, " +
+      "CAST(ws AS BIGINT) AS wsum FROM s " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS width, " +
+      "CAST(-1 AS BIGINT) AS height, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
   /** Z-order oracle (r6): the bit-interleave formula is generated
@@ -1458,6 +1539,24 @@ object ExtQueries {
       "FROM v JOIN x ON v.event_type = x.event_type ORDER BY 1"
   }
 
+  /** [[RelQueries.cmsTopk]]: the full d×w sketch rebuilt in DuckDB —
+    * same row-salted h31 cells, same count-per-cell build, same
+    * min-over-rows probe for the same deterministic top-10. */
+  private val relCmsTopkSql: String = {
+    val cellOf = (idExpr: String) =>
+      s"(${PH.h31Sql(s"CAST(r AS VARCHAR) || '#' || $idExpr")} % 512)"
+    "WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r), " +
+      "cells AS (SELECT r, " + cellOf("CAST(user_id AS VARCHAR)") + " AS c, " +
+      "COUNT(*) AS cnt FROM events CROSS JOIN rows_ GROUP BY 1, 2), " +
+      "top AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact " +
+      "FROM events GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10), " +
+      "probe AS (SELECT user_id, n_exact, r, " +
+      cellOf("CAST(user_id AS VARCHAR)") + " AS c FROM top CROSS JOIN rows_) " +
+      "SELECT p.user_id, p.n_exact, CAST(min(s.cnt) AS BIGINT) AS n_cms " +
+      "FROM probe p JOIN cells s ON p.r = s.r AND p.c = s.c " +
+      "GROUP BY 1, 2 ORDER BY p.user_id"
+  }
+
   /** [[RelQueries.snapshotDiff]]: both engines derive snapshot B from
     * the same mutation literals, so the diff is fully determined. */
   private val relSnapshotDiffSql: String =
@@ -1811,6 +1910,35 @@ object ExtQueries {
       "AS pass FROM g ORDER BY doc_id"
   }
 
+  /** [[TextAnalysis.c4Rules]]: the line filter, the cleaned-text md5,
+    * and the page decision all restated — list_filter mirrors the HOF,
+    * nested replaces mirror translate(".!?" → "") exactly. */
+  private val txC4RulesSql: String =
+    "WITH f AS (SELECT doc_id, text, " +
+      "len(string_split(text, chr(10))) AS n_lines, " +
+      "list_filter(string_split(text, chr(10)), " +
+      "l -> regexp_matches(l, '[.!?\"]$') AND " +
+      "len(string_split(l, ' ')) >= 3) AS kept FROM documents), " +
+      "g AS (SELECT doc_id, text, n_lines, len(kept) AS n_kept, " +
+      // empty list: array_to_string -> NULL in DuckDB, '' like Spark's
+      // concat_ws only under COALESCE
+      "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned FROM f), " +
+      "h AS (SELECT doc_id, text, n_lines, n_kept, cleaned, " +
+      "length(cleaned) - length(replace(replace(replace(" +
+      "cleaned, '.', ''), '!', ''), '?', '')) AS n_sent, " +
+      "CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS lorem, " +
+      "CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS brace FROM g) " +
+      "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, " +
+      "CAST(n_kept AS BIGINT) AS n_kept, " +
+      "CAST(length(cleaned) AS BIGINT) AS clean_chars, " +
+      "CAST(n_sent AS BIGINT) AS n_sentences, " +
+      "CAST(lorem AS BIGINT) AS has_lorem, " +
+      "CAST(brace AS BIGINT) AS has_brace, " +
+      "md5(cleaned) AS clean_md5, " +
+      "CAST(CASE WHEN n_sent >= 5 AND lorem = 0 AND brace = 0 " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+      "FROM h ORDER BY doc_id"
+
   /** Ratio-to-report oracle: the share window runs over the per-part
     * aggregate, mirroring the operator's agg-then-window shape. */
   private val relWindowShareSql: String =
@@ -2099,6 +2227,13 @@ object ExtQueries {
     "dd_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "tx_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "tx_c4_rules" -> ((s, d) =>
+      TextAnalysis.c4Rules(Tables.documents(s, d))),
+    "tx_cdc_chunk" -> ((s, d) =>
+      TextAnalysis.cdcChunk(Tables.documents(s, d))),
+    "dd_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcDedup(Tables.documents(s, d))),
+    "rel_skyline" -> (RelQueries.skyline _),
     "tx_ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(Tables.documents(s, d))),
     "tx_readability" -> ((s, d) =>
       TextAnalysis.readability(Tables.documents(s, d))),
@@ -2113,6 +2248,7 @@ object ExtQueries {
     }),
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
+    "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
@@ -2141,6 +2277,7 @@ object ExtQueries {
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
     "rel_snapshot_diff" -> (RelQueries.snapshotDiff _),
     "rel_bitmap_distinct" -> (RelQueries.bitmapDistinct _),
+    "rel_cms_topk" -> (RelQueries.cmsTopk _),
     "rel_winsorize" -> (RelQueries.winsorize _),
     "dd_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(Tables.documents(s, d))),
@@ -2228,6 +2365,10 @@ object ExtQueries {
     "dd_url_dedup" -> ddUrlDedupSql,
     "dd_substring" -> ddSubstringSql,
     "tx_gopher_rules" -> txGopherRulesSql,
+    "tx_c4_rules" -> txC4RulesSql,
+    "tx_cdc_chunk" -> txCdcChunkSql,
+    "dd_cdc_dedup" -> ddCdcDedupSql,
+    "rel_skyline" -> relSkylineSql,
     "tx_ngram_lm" -> txNgramLmSql,
     "tx_readability" -> txReadabilitySql,
     "rel_grouping_sets" -> relGroupingSetsSql,
@@ -2266,6 +2407,7 @@ object ExtQueries {
     "mm_image_meta" -> mmImageMetaSql,
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,
@@ -2284,6 +2426,7 @@ object ExtQueries {
     "rel_histogram" -> relHistogramSql,
     "rel_snapshot_diff" -> relSnapshotDiffSql,
     "rel_bitmap_distinct" -> relBitmapDistinctSql,
+    "rel_cms_topk" -> relCmsTopkSql,
     "rel_winsorize" -> relWinsorizeSql,
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "tx_stem" -> txStemSql,

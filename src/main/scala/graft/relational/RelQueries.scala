@@ -574,6 +574,84 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  /** Pareto skyline / preference frontier (r6): the workload class
+    * with NO SQL builtin — "best trade-off" queries (Börzsönyi et al.
+    * ICDE'01 SKYLINE OF). Per order priority: the set of (day,
+    * price) points not DOMINATED by any other (dominator: earlier or
+    * same day AND ≥ price, strict somewhere). The naive form is the
+    * quadratic NOT EXISTS self-join; the plan here is the sort-scan
+    * algorithm that makes 2D skylines linear after sort: (1) per-day
+    * max collapses every non-max same-day point (dominated by the max
+    * via strict price), one partial-combinable agg; (2) within
+    * priority ordered by day, a point survives iff its price exceeds
+    * the RUNNING max over all earlier days (≥ would be dominated via
+    * strict day) — one window, no self-join anywhere. The frontier
+    * ascends STRICTLY in price along days by construction (a later
+    * point not exceeding every earlier price is dominated via the
+    * strict-day arm). At 100 TB the agg bounds
+    * the window input to |days × priorities| rows; for frontier
+    * groups too large to sort in one partition the standard two-phase
+    * swap (local skyline per partition → merge skylines, correct
+    * because domination is transitive and partition-local survivors
+    * are a superset) drops into the same contract. Spec brute-forces
+    * the quadratic definition on sf0.001 as the independent check. */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val microsPerDay = 86400L * 1000000L
+    val pts = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $microsPerDay")
+          .as("day"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("priority", "day").agg(max("price_c").as("price_c"))
+    val w = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("mx", max(col("price_c")).over(w))
+      .where(col("mx").isNull || col("price_c") > col("mx"))
+      .select("priority", "day", "price_c")
+      .orderBy("priority", "day")
+  }
+
+  /** Count-Min heavy-hitter estimates (r6): the THIRD portable
+    * mergeable sketch beside Misra-Gries (`tx_top_terms_sketch`) and
+    * linear counting ([[bitmapDistinct]]) — Cormode & Muthukrishnan
+    * J.Alg'05. d = 4 hash rows × w = 512 counters; every event
+    * increments counter[r][h31(r || '#' || user_id) mod w] for each
+    * row r. The sketch BUILD is explode(4) → ONE partial-combinable
+    * count per (r, c): map-side combine caps every partition's
+    * contribution at d·w = 2,048 cells no matter how many events it
+    * holds — the property that makes the sketch 16 KB/executor at
+    * 100 TB while exact per-key counts shuffle every key. Probes the
+    * 10 highest-exact-count users (deterministic order: count desc,
+    * id asc) and emits estimate = min over rows beside the exact
+    * count; CMS guarantees estimate ≥ exact (spec-asserted), with the
+    * overestimate bounded by collisions — here the exact side is the
+    * verification harness, not a production cost. The 2,048-cell
+    * sketch broadcasts to the probe join. */
+  def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val D = 4
+    val W = 512L
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    def cell(r: Column) = graft.functions.PortableHash.h31(
+      concat(r.cast("string"), lit("#"), col("user_id").cast("string"))) % W
+    val sketch = ev
+      .select(col("user_id"),
+        explode(array((0 until D).map(lit): _*)).as("r"))
+      .select(col("r"), cell(col("r")).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+      .limit(10)
+    top
+      .select(col("user_id"), col("n_exact"),
+        explode(array((0 until D).map(lit): _*)).as("r"))
+      .select(col("user_id"), col("n_exact"), col("r"), cell(col("r")).as("c"))
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("user_id"), col("n_exact"), col("n_cms"))
+      .orderBy("user_id")
+  }
+
   /** Snapshot diff / CDC extract (r6): classify every key across two
     * table snapshots as added / removed / changed / same, with
     * per-column change flags — the reconciliation pass behind every

@@ -140,4 +140,67 @@ class LayoutMergeSpec extends AnyFunSuite {
       assert(v > 0)
     }
   }
+
+  test("skyline: matches the brute-force quadratic domination " +
+    "definition; frontier ascends strictly in price along days") {
+    val rows = graft.relational.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (pri, rs) =>
+      val pts = rs.map(t => (t._2, t._3)).distinct
+      // quadratic definition: p survives iff NO q with day<=, price>=,
+      // strict somewhere
+      pts.filter { case (d, p) =>
+        !pts.exists { case (d2, p2) =>
+          d2 <= d && p2 >= p && (d2 < d || p2 > p)
+        }
+      }.map { case (d, p) => (pri, d, p) }
+    }.toSet
+    val got = RelQueries.skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expect)
+    assert(got.nonEmpty)
+    // within each priority the frontier ascends STRICTLY in price
+    // along days (a later point not exceeding an earlier price would
+    // be dominated via strict day)
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._3, s"frontier not ascending: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("cmsTopk: estimates match a driver-side sketch rebuild; " +
+    "CMS law estimate >= exact on every probe") {
+    def h31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val ids = graft.relational.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val cells = scala.collection.mutable.Map[(Int, Long), Long]()
+      .withDefaultValue(0L)
+    ids.foreach { u =>
+      (0 until 4).foreach { r => cells((r, h31(s"$r#$u") % 512L)) += 1L }
+    }
+    val exact = ids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = exact.toSeq.sortBy { case (u, n) => (-n, u) }.take(10)
+      .map { case (u, n) =>
+        (u, n, (0 until 4).map(r => cells((r, h31(s"$r#$u") % 512L))).min)
+      }.sortBy(_._1)
+    val got = RelQueries.cmsTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    got.foreach { case (u, n, est) =>
+      assert(est >= n, s"user $u: CMS must never underestimate")
+    }
+  }
 }

@@ -605,6 +605,107 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(6L)._6 == 1L) // 3 of 4 lines bulleted = 75% <= 90%
   }
 
+  test("c4 rules: line filter, sentence gate, and boilerplate flags " +
+    "each fire on a constructed violation; clean_md5 pins content") {
+    val goodLine = "this line has enough words and ends well."
+    val goodDoc = (1 to 5).map(_ => goodLine).mkString("\n")
+    val d = docs(
+      1L -> goodDoc,                                // passes: 5 kept lines
+      2L -> (goodDoc + "\nno terminal punct here"), // 1 line dropped
+      3L -> (goodDoc + "\nshort one."),             // < 3 words dropped
+      4L -> (goodLine + "\n" + goodLine),           // only 2 sentences
+      5L -> (goodDoc + "\nLorem Ipsum dolor sit."), // boilerplate flag
+      6L -> (goodDoc + "\nvar x = { 1 };"))         // code flag
+    val out = TextAnalysis.c4Rules(d).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7), r.getLong(8))).toMap
+    // (n_lines, n_kept, n_sentences, has_lorem, has_brace, md5, pass)
+    assert(out(1L) == ((5L, 5L, 5L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(goodDoc.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, 1L)))
+    assert(out(2L)._1 == 6L && out(2L)._2 == 5L && out(2L)._7 == 1L)
+    assert(out(3L)._2 == 5L, "a 2-word line must be dropped")
+    // dropped lines leave the cleaned text equal to doc 1's
+    assert(out(2L)._6 == out(1L)._6 && out(3L)._6 == out(1L)._6)
+    assert(out(4L)._3 == 2L && out(4L)._7 == 0L, "sentence gate")
+    assert(out(5L)._4 == 1L && out(5L)._7 == 0L, "lorem flag is case-blind")
+    assert(out(6L)._5 == 1L && out(6L)._7 == 0L, "brace flag")
+  }
+
+  test("bmp decode: bottom-up BGR padded file layout maps to " +
+    "canonical top-down RGB; corrupt and non-24bpp payloads reject") {
+    import graft.operators.ImageCodec
+    // 2x2, canonical sample i = i*10 (all 12 samples distinct)
+    val bytes = ImageCodec.bmpBytes(2, 2, i => i * 10)
+    // stride for w=2 is 8 (6 data bytes + 2 pad): file = 54 + 2*8
+    assert(bytes.length == 54 + 16)
+    val img = ImageCodec.parseBmp(bytes).get
+    assert(img.width == 2 && img.height == 2)
+    // decode returns canonical order exactly
+    assert(img.raster.map(_ & 0xff).toSeq == (0 until 12).map(_ * 10))
+    // and the FILE is genuinely re-ordered: its first raster byte is
+    // the BLUE channel of the canonical SECOND row's first pixel
+    // (bottom-up rows, BGR channels) = sample 8 = 80
+    assert((bytes(54) & 0xff) == 80)
+    // truncation mid-raster rejects (the DLT arm)
+    assert(ImageCodec.parseBmp(java.util.Arrays.copyOf(bytes, 60)).isEmpty)
+    // palette/compressed variants reject
+    val bad8 = bytes.clone; bad8(28) = 8
+    assert(ImageCodec.parseBmp(bad8).isEmpty)
+    val badRle = bytes.clone; badRle(30) = 1
+    assert(ImageCodec.parseBmp(badRle).isEmpty)
+  }
+
+  test("cdc chunking: boundaries are content-defined — prepending " +
+    "text never re-frames chunks after the first boundary; tokens conserved") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val shifted = "prefix alpha beta " + base
+    val d = docs(1L -> base, 2L -> shifted)
+    val out = TextAnalysis.cdcChunk(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val a = out.filter(_._1 == 1L).sortBy(_._2)
+    val b = out.filter(_._1 == 2L).sortBy(_._2)
+    // conservation: chunk sizes sum to the token count
+    assert(a.map(_._3).sum == 200L && b.map(_._3).sum == 203L)
+    assert(a.length >= 3, s"mask must cut several chunks, got ${a.length}")
+    // the CDC law (vs fixed windows, where a 3-token prepend re-frames
+    // EVERYTHING): every chunk of the base doc except its first
+    // reappears byte-identical in the shifted doc
+    val bSet = b.map(_._4).toSet
+    a.drop(1).foreach { case (_, cid, _, h) =>
+      assert(bSet.contains(h), s"base chunk $cid lost after prepend")
+    }
+    // and chunk_ids are dense 0..k-1 in emission order
+    assert(a.map(_._2).toSeq == a.indices.map(_.toLong).toSeq)
+  }
+
+  test("cdc dedup: a shifted copy of another doc's text shares its " +
+    "interior chunks; an exact copy is fully dup; unique text is clean") {
+    val base = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base,                         // exact copy: every chunk dup
+      3L -> ("unrelated preamble " + base), // shifted copy
+      4L -> (301 to 500).map(i => s"tok$i").mkString(" ")) // unique
+    val out = graft.operators.Dedup.cdcDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 owns every chunk (min doc wins): zero dup
+    assert(out(1L)._2 == 0L)
+    // doc 2 is byte-identical: every chunk is a dup of doc 1's
+    assert(out(2L)._1 == out(1L)._1 && out(2L)._2 == out(2L)._1 &&
+      out(2L)._3 == 1000000L)
+    // doc 3: all chunks after its first boundary re-align with doc 1
+    // (the CDC property) -> at most 2 of its chunks are NOT dups
+    // (the prefix-absorbing first chunk and possibly a short tail)
+    assert(out(3L)._2 >= out(3L)._1 - 2,
+      s"shifted copy should be nearly all dup: ${out(3L)}")
+    assert(out(3L)._2 > 0L)
+    // unique text: no dups
+    assert(out(4L)._2 == 0L)
+  }
+
   test("range search returns exactly the in-radius pairs, symmetric in the corpus scan") {
     val vecs = Seq(
       0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),   // query

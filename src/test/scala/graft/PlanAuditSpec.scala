@@ -191,4 +191,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
       s"mm_phash not map-only:\n$p")
   }
+
+  test("tx_cdc_chunk: ONE hash exchange on doc_id serves both the " +
+    "prefix-sum window and the chunk aggregate (r6)") {
+    val p = planNoAqe("tx_cdc_chunk")
+    // hashpartitioning appears once (the doc_id exchange); the final
+    // orderBy adds only a rangepartitioning exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"cdc chunk re-shuffles:\n$p")
+    assert(!p.contains("Join"), s"cdc chunk joins:\n$p")
+  }
+
+  test("rel_cms_topk: the d×w sketch joins BROADCAST — the probe " +
+    "side never shuffle-joins (r6)") {
+    val p = plan("rel_cms_topk")
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"cms shuffle-joins:\n$p")
+    // top-10 probe set compiles to TakeOrderedAndProject, not a
+    // global sort of all users
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorts:\n$p")
+  }
+
+  test("rel_skyline windows over the per-day AGGREGATE, not raw " +
+    "orders — one scan, no self-join (r6)") {
+    val p = planNoAqe("rel_skyline")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scan count:\n$p")
+    assert(!p.contains("Join"), s"skyline self-joins:\n$p")
+    assert(p.contains("Window"), s"no frontier window:\n$p")
+  }
+
+  test("tx_c4_rules / mm_bmp_stats stay row-local — no join, no " +
+    "shuffle beyond the deterministic output order (r6)") {
+    val c4 = planNoAqe("tx_c4_rules")
+    assert(!c4.contains("Join") && !c4.contains("HashAggregate"),
+      s"tx_c4_rules not projection-only:\n$c4")
+    val bmp = planNoAqe("mm_bmp_stats")
+    assert(!bmp.contains("Join") && !bmp.contains("HashAggregate"),
+      s"mm_bmp_stats not map-only:\n$bmp")
+  }
 }
