@@ -322,6 +322,96 @@ object ImageCodec {
   }
 
   // ---------------------------------------------------------------
+  // REAL TIFF header decode (r6): the ENDIANNESS-POLYMORPHIC header
+  // family — a TIFF file declares its own byte order ("II" little /
+  // "MM" big, TIFF 6.0 §2), so one decoder must read the same IFD
+  // structure under both orders. Magic u16 42, first-IFD offset u32,
+  // then 12-byte IFD entries (tag u16, type u16, count u32, value
+  // u32, SHORT values left-justified in the value field); tags 256 /
+  // 257 / 277 carry width / length / samples-per-pixel.
+  // ---------------------------------------------------------------
+
+  /** Header-level TIFF decode under either byte order. Returns
+    * format "tiff_le" / "tiff_be" so the oracle pins that the
+    * decoder actually detected the declared order. Truncated IFDs,
+    * bad magic, nonpositive dims → None (the DLT arm). */
+  def parseTiff(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 8) return None
+    val be =
+      if (b(0) == 'M' && b(1) == 'M') true
+      else if (b(0) == 'I' && b(1) == 'I') false
+      else return None
+    def u16at(i: Int): Int =
+      if (be) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      else ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    def u32at(i: Int): Long =
+      if (be) ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (u16at(2) != 42) return None
+    val off = u32at(4)
+    if (off < 8L || off + 2 > b.length) return None
+    val n = u16at(off.toInt)
+    var w = -1L; var h = -1L; var spp = 1L
+    var k = 0
+    while (k < n) {
+      val e = off.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      val tag = u16at(e)
+      val value: Long = u16at(e + 2) match {
+        case 3 => u16at(e + 8).toLong // SHORT: first 2 value bytes
+        case 4 => u32at(e + 8)        // LONG
+        case _ => -1L
+      }
+      tag match {
+        case 256 => w = value
+        case 257 => h = value
+        case 277 => spp = value
+        case _ =>
+      }
+      k += 1
+    }
+    if (w > 0 && h > 0 && spp > 0)
+      Some(ImageMeta(if (be) "tiff_be" else "tiff_le", w, h, spp))
+    else None
+  }
+
+  /** Deterministic minimal TIFF fixture in EITHER byte order: header,
+    * one IFD at offset 8 with ascending tags 256 (LONG w), 257
+    * (LONG h), 277 (SHORT samples), zero next-IFD pointer. */
+  def tiffBytes(w: Int, h: Int, samples: Int, bigEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](8 + 2 + 3 * 12 + 4)
+    def w16(i: Int, v: Int): Unit =
+      if (bigEndian) { out(i) = (v >> 8).toByte; out(i + 1) = v.toByte }
+      else { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Long): Unit =
+      if (bigEndian) {
+        out(i) = (v >> 24).toByte; out(i + 1) = (v >> 16).toByte
+        out(i + 2) = (v >> 8).toByte; out(i + 3) = v.toByte
+      } else {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      }
+    out(0) = if (bigEndian) 'M' else 'I'
+    out(1) = if (bigEndian) 'M' else 'I'
+    w16(2, 42)
+    w32(4, 8L) // first IFD right after the header
+    w16(8, 3)  // entry count
+    def entry(idx: Int, tag: Int, typ: Int, value: Long): Unit = {
+      val e = 10 + idx * 12
+      w16(e, tag); w16(e + 2, typ); w32(e + 4, 1L)
+      if (typ == 3) { w16(e + 8, value.toInt); w16(e + 10, 0) }
+      else w32(e + 8, value)
+    }
+    entry(0, 256, 4, w.toLong)
+    entry(1, 257, 4, h.toLong)
+    entry(2, 277, 3, samples.toLong)
+    w32(10 + 36, 0L) // no next IFD
+    out
+  }
+
+  // ---------------------------------------------------------------
   // REAL pixel-level BMP decode (r6): the third uncompressed raster
   // family beside PNM and WAV-PCM. A 24-bpp BI_RGB Windows bitmap
   // (BITMAPFILEHEADER + BITMAPINFOHEADER, the layout published since

@@ -324,6 +324,43 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Deterministic TIFF payloads, one per document: byte ORDER flips
+    * with doc parity — the decoder must handle both "II" and "MM"
+    * files in the same pass, the trap this family exists for; dims /
+    * samples from doc_id literals; every 11th payload truncated
+    * mid-IFD (the corrupt arm). */
+  def syntheticTiffs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.tiffBytes(
+          w = 10 + (id % 50).toInt,
+          h = 5 + (id % 40).toInt,
+          samples = if (id % 3 == 0) 1 else 3,
+          bigEndian = id % 2 == 0)
+        BinaryDoc(id,
+          if (id % 11 == 0) java.util.Arrays.copyOf(full, 20) else full)
+      }
+  }
+
+  /** REAL endianness-polymorphic TIFF header decode (r6 — see
+    * [[ImageCodec.parseTiff]]): the format column carries which byte
+    * order the decoder DETECTED ("tiff_be"/"tiff_le"), which the
+    * oracle pins from doc parity — a decoder that ignores the "II"/
+    * "MM" declaration and assumes one order reads garbage dims under
+    * the other and fails both columns. Same mapPartitions contract
+    * and DLT arm as the other header families. */
+  def tiffMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticTiffs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseTiff(d.payload) match {
+        case Some(m) =>
+          ImageMetaRow(d.doc_id, m.format, m.width, m.height, m.channels)
+        case None => ImageMetaRow(d.doc_id, "unknown", -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decoded-BMP pixel stats (r6): canonical-order sample stats over
     * the third REAL uncompressed raster family. wsum = Σ vᵢ·(i+1)
     * over TOP-DOWN row-major RGB samples — the file stores bottom-up

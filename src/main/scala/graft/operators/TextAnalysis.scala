@@ -720,7 +720,12 @@ object TextAnalysis {
     * cut the bigram table is the bounded artifact a production KenLM
     * is (CCNet ships ~GBs); the token stream itself never exchanges
     * on a word key. */
-  def ngramLm(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+  def ngramLm(docs: DataFrame, minCount: Long = 2L): DataFrame =
+    ngramLmRaw(docs, minCount).orderBy("doc_id")
+
+  /** [[ngramLm]] without the deterministic output sort, for
+    * composition ([[lmBuckets]] re-partitions by lang anyway). */
+  def ngramLmRaw(docs: DataFrame, minCount: Long = 2L): DataFrame = {
     val pairs = docs
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .where(size(col("w")) >= 2)
@@ -744,6 +749,37 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("sum_ppm DIV n_bigrams"), lit(0L)).as("lm_ppm"))
+  }
+
+  /** CCNet-style LM-score bucketing (r6 — Wenzek et al. 2020 §4.3:
+    * split each LANGUAGE into head / middle / tail by corpus-LM
+    * score tertiles, then train on head+middle or reweight — the
+    * perplexity-bucket curation every CommonCrawl pipeline inherits).
+    * Here the score is [[ngramLm]]'s integer bigram score (higher =
+    * more corpus-like, so head = TOP tertile; CCNet's perplexity is
+    * the inverted scale). Tertile = ⌊3·(rank−1)/n⌋ from integer
+    * row_number over (lm_ppm, doc_id) WITHIN language — nearest-rank
+    * integer math like [[qualityFilter]], portable; per-language
+    * bucketing keeps a low-resource language from being wiped out by
+    * the dominant language's score distribution (the same argument as
+    * the within-language quantile gate). One lang-partitioned window
+    * after the broadcast-model scoring; the approx-threshold swap
+    * (percentile_approx on lm_ppm, broadcast the 2 cut points) is the
+    * documented giant-language path. */
+  def lmBuckets(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val sc = ngramLmRaw(docs, minCount).select(col("doc_id"), col("lm_ppm"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy("lang")
+    val rn = row_number()
+      .over(w.orderBy(col("lm_ppm").asc, col("doc_id").asc))
+    val n = count(lit(1)).over(w)
+    sc.withColumn("rn", rn.cast("long"))
+      .withColumn("nl", n)
+      .withColumn("bucket",
+        when(expr("(rn - 1) * 3 DIV nl") === 0L, "tail")
+          .when(expr("(rn - 1) * 3 DIV nl") === 1L, "middle")
+          .otherwise("head"))
+      .select(col("doc_id"), col("lang"), col("lm_ppm"), col("bucket"))
       .orderBy("doc_id")
   }
 

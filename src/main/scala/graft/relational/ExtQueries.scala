@@ -1107,6 +1107,20 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.tiffMeta]]: dims, samples AND the detected byte
+    * order all recomputed from doc_id literals. */
+  private val mmTiffMetaSql: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'tiff_be' ELSE 'tiff_le' END AS format, " +
+      "CAST(10 + doc_id % 50 AS BIGINT) AS width, " +
+      "CAST(5 + doc_id % 40 AS BIGINT) AS height, " +
+      "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels " +
+      "FROM documents WHERE doc_id % 11 <> 0 " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels " +
+      "FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id"
+
   /** Z-order oracle (r6): the bit-interleave formula is generated
     * from the same ZorderBits loop as the Spark expression — one
     * shared formula, DuckDB `&`/`|`/`<<`/`>>` on nonnegative
@@ -1768,8 +1782,11 @@ object ExtQueries {
     * continuation counts over 1-based array indexing, the same
     * min-count-2 prune, floor-ppm conditional, and per-doc floor
     * mean; a count divergence at any bigram fails the hash. */
-  private val txNgramLmSql: String =
-    s"WITH ws AS ($wordsCte), " +
+  /** Shared CTE chain: the bigram-LM fit + per-doc score sum (ends at
+    * `s(doc_id, n_bigrams, sp)`) — used by both tx_ngram_lm and
+    * tx_lm_buckets. */
+  private val lmScoreCtes: String =
+    s"ws AS ($wordsCte), " +
       "p AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w " +
       "FROM ws WHERE len(w) >= 2), " +
       "bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM p), " +
@@ -1779,11 +1796,29 @@ object ExtQueries {
       "FROM c12 JOIN c1 USING (w1) WHERE c12 >= 2), " +
       "s AS (SELECT bg.doc_id, count(*) AS n_bigrams, " +
       "sum(coalesce(m.ppm, 0)) AS sp FROM bg " +
-      "LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2 GROUP BY 1) " +
+      "LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2 GROUP BY 1)"
+
+  private val txNgramLmSql: String =
+    s"WITH $lmScoreCtes " +
       "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) " +
       "AS n_bigrams, CAST(coalesce(s.sp // s.n_bigrams, 0) AS BIGINT) " +
       "AS lm_ppm FROM documents d LEFT JOIN s USING (doc_id) " +
       "ORDER BY doc_id"
+
+  /** [[TextAnalysis.lmBuckets]]: same score chain, same integer
+    * tertile ⌊3·(rank−1)/n⌋ within language. */
+  private val txLmBucketsSql: String =
+    s"WITH $lmScoreCtes, " +
+      "sc AS (SELECT d.doc_id, d.lang, " +
+      "CAST(coalesce(s.sp // s.n_bigrams, 0) AS BIGINT) AS lm_ppm " +
+      "FROM documents d LEFT JOIN s USING (doc_id)), " +
+      "r AS (SELECT doc_id, lang, lm_ppm, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY lm_ppm, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY lang) AS nl FROM sc) " +
+      "SELECT doc_id, lang, lm_ppm, " +
+      "CASE ((rn - 1) * 3) // nl WHEN 0 THEN 'tail' " +
+      "WHEN 1 THEN 'middle' ELSE 'head' END AS bucket " +
+      "FROM r ORDER BY doc_id"
 
   /** Flesch oracle (r6): same clamped integer feature chain; vowel
     * groups / sentence terminators via regexp_extract_all (leftmost-
@@ -2047,6 +2082,47 @@ object ExtQueries {
       "UNION ALL SELECT '3_purchase', CAST(count(t_purchase) AS BIGINT) FROM j" +
       ") ORDER BY stage"
 
+  /** [[RelQueries.funnelWindow]]: the funnel chain with each step
+    * bounded to `gap` ns of the previous (3 days). */
+  private val relFunnelWindowSql: String = {
+    val gap = 3L * 86400L * 1000000000L
+    "WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events), " +
+      "v AS (SELECT user_id, min(tsn) AS t_view FROM ev " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "c AS (SELECT e.user_id, min(e.tsn) AS t_click FROM ev e " +
+      "JOIN v USING (user_id) " +
+      "WHERE e.event_type = 'click' AND e.tsn > v.t_view " +
+      s"AND e.tsn <= v.t_view + $gap GROUP BY 1), " +
+      "p AS (SELECT e.user_id, min(e.tsn) AS t_purchase FROM ev e " +
+      "JOIN c USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.tsn > c.t_click " +
+      s"AND e.tsn <= c.t_click + $gap GROUP BY 1), " +
+      "j AS (SELECT v.user_id, c.t_click, p.t_purchase FROM v " +
+      "LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)) " +
+      "SELECT stage, n_users FROM (" +
+      "SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM j " +
+      "UNION ALL SELECT '2_click', CAST(count(t_click) AS BIGINT) FROM j " +
+      "UNION ALL SELECT '3_purchase', CAST(count(t_purchase) AS BIGINT) FROM j" +
+      ") ORDER BY stage"
+  }
+
+  /** [[RelQueries.compactionPlan]]: same next-fit exclusive prefix
+    * sum; strlen = UTF-8 byte length like Spark's octet_length. */
+  private val relCompactionPlanSql: String =
+    "WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, " +
+      "strlen(props) + 24 AS bytes FROM events), " +
+      "pf AS (SELECT event_type, event_id, tsn, bytes, " +
+      "COALESCE(SUM(bytes) OVER (PARTITION BY event_type " +
+      "ORDER BY tsn, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix " +
+      "FROM ev) " +
+      "SELECT event_type, CAST(prefix // 65536 AS BIGINT) AS file_id, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(bytes) AS BIGINT) AS n_bytes, " +
+      "CAST(min(tsn) AS BIGINT) AS ts_min, " +
+      "CAST(max(tsn) AS BIGINT) AS ts_max " +
+      "FROM pf GROUP BY 1, 2 ORDER BY event_type, file_id"
+
   /** Cohort retention: day index via exact integer nanos division
     * (`//` floors like Spark's `div` — both operands non-negative). */
   private val relRetentionSql: String =
@@ -2234,7 +2310,10 @@ object ExtQueries {
     "dd_cdc_dedup" -> ((s, d) =>
       Dedup.cdcDedup(Tables.documents(s, d))),
     "rel_skyline" -> (RelQueries.skyline _),
+    "rel_funnel_window" -> ((s, d) => RelQueries.funnelWindow(s, d)),
+    "rel_compaction_plan" -> ((s, d) => RelQueries.compactionPlan(s, d)),
     "tx_ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(Tables.documents(s, d))),
+    "tx_lm_buckets" -> ((s, d) => TextAnalysis.lmBuckets(Tables.documents(s, d))),
     "tx_readability" -> ((s, d) =>
       TextAnalysis.readability(Tables.documents(s, d))),
     "rel_grouping_sets" -> (RelQueries.groupingSetsSummary _),
@@ -2249,6 +2328,7 @@ object ExtQueries {
     "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
+    "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
@@ -2369,7 +2449,10 @@ object ExtQueries {
     "tx_cdc_chunk" -> txCdcChunkSql,
     "dd_cdc_dedup" -> ddCdcDedupSql,
     "rel_skyline" -> relSkylineSql,
+    "rel_funnel_window" -> relFunnelWindowSql,
+    "rel_compaction_plan" -> relCompactionPlanSql,
     "tx_ngram_lm" -> txNgramLmSql,
+    "tx_lm_buckets" -> txLmBucketsSql,
     "tx_readability" -> txReadabilitySql,
     "rel_grouping_sets" -> relGroupingSetsSql,
     "rel_window_share" -> relWindowShareSql,
@@ -2408,6 +2491,7 @@ object ExtQueries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_bmp_stats" -> mmBmpStatsSql,
+    "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,

@@ -315,6 +315,77 @@ object RelQueries {
       .orderBy("stage")
   }
 
+  /** Time-bounded conversion funnel (r6): [[funnelOf]] with the
+    * constraint real funnel analytics always carry — each step must
+    * land within `maxGapNs` of the previous step (a purchase a month
+    * after the click is not attributed to it). Same single-scan
+    * chained-conditional-window shape (ONE user_id exchange, stage
+    * times as windowed conditional mins); the bound simply enters
+    * each min's predicate, so the plan is IDENTICAL to the unbounded
+    * funnel — constraint tightening is free at 100 TB. Default gap
+    * 3 days (the corpus spans ~30, so the bound genuinely bites —
+    * asserted against [[funnel]] in the spec). */
+  def funnelWindow(spark: SparkSession, sfDir: String,
+      maxGapNs: Long = 3L * 86400L * 1000000000L): DataFrame =
+    funnelWindowOf(Tables.events(spark, sfDir), maxGapNs)
+
+  /** [[funnelWindow]] over any (user_id, event_type, ts) frame. */
+  def funnelWindowOf(events: DataFrame, maxGapNs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS BIGINT)").as("tsn"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tsn"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("tsn") > col("t_view") &&
+          col("tsn") <= col("t_view") + maxGapNs, col("tsn"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("tsn") > col("t_click") &&
+          col("tsn") <= col("t_click") + maxGapNs, col("tsn"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+      .where(col("t_view").isNotNull)
+      .agg(count(lit(1)).as("n1"), count("t_click").as("n2"),
+        count("t_purchase").as("n3"))
+      .selectExpr("stack(3, '1_view', n1, '2_click', n2, " +
+        "'3_purchase', n3) AS (stage, n_users)")
+      .orderBy("stage")
+  }
+
+  /** Compaction / file-layout planner (r6): the small-files primitive
+    * behind every lake OPTIMIZE — assign rows to target-sized output
+    * files by next-fit on a running byte total, and report per-file
+    * min/max event-time SPANS, because tight spans are the entire
+    * point of planned layout (they are what makes file-level stats
+    * pruning effective; [[zorderSpans]] is the 2-D version of the
+    * same argument). file_id = ⌊exclusive-prefix-sum(bytes) /
+    * target⌋ within each event type, ordered by (ts, event_id) — so
+    * files are time-clustered and a time-range scan touches
+    * contiguous files only. ONE exchange on event_type serving both
+    * the window and the per-file aggregate; at 100 TB the partition
+    * key generalizes to (table partition, shard) and the same window
+    * runs per shard. Row bytes = UTF-8 payload length + fixed row
+    * overhead — a proxy the oracle restates exactly. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 65536L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ts AS BIGINT)").as("tsn"),
+        (octet_length(col("props")) + 24L).cast("long").as("bytes"))
+    val w = Window.partitionBy("event_type").orderBy("tsn", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("file_id", expr(s"prefix div $targetBytes"))
+      .groupBy("event_type", "file_id")
+      .agg(count(lit(1)).as("n_rows"), sum("bytes").as("n_bytes"),
+        min("tsn").as("ts_min"), max("tsn").as("ts_max"))
+      .orderBy("event_type", "file_id")
+  }
+
   /** PIVOT coverage (r5): hourly event counts pivoted to one column
     * per event type — the wide-format rollup reporting tools ask for.
     * The pivot VALUES are passed explicitly (the five literal event

@@ -176,6 +176,54 @@ class LayoutMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelWindow: the gap bound is inclusive and drops " +
+    "out-of-window conversions per stage") {
+    import spark.implicits._
+    val gap = 1000L
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", gap), (1L, "purchase", 2 * gap),
+      (2L, "view", 0L), (2L, "click", gap + 1),       // misses click
+      (3L, "view", 0L), (3L, "click", 10L),
+      (3L, "purchase", 10L + gap + 1))                // misses purchase
+    val ev = rows.toDF("user_id", "event_type", "ts")
+    val got = RelQueries.funnelWindowOf(ev, gap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L))
+    // and the unbounded funnel counts all three conversions
+    val unbounded = RelQueries.funnelOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(unbounded == Map("1_view" -> 3L, "2_click" -> 3L,
+      "3_purchase" -> 2L))
+  }
+
+  test("compactionPlan: per-type byte totals conserved, files near " +
+    "target size, time spans non-overlapping across consecutive files") {
+    val target = 65536L
+    val ev = graft.relational.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (octet_length(col("props")) + lit(24L)).cast("long").as("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val maxRow = ev.map(_._2).max
+    val got = RelQueries.compactionPlan(spark, sf, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // conservation
+    got.groupBy(_._1).foreach { case (t, fs) =>
+      assert(fs.map(_._4).sum == totals(t), s"$t bytes not conserved")
+      // file ids dense from 0
+      assert(fs.map(_._2).sorted.toSeq == (0L until fs.length).toSeq)
+      // every file is bounded by target + one overhanging row
+      fs.foreach { f => assert(f._4 <= target + maxRow, s"$t file $f") }
+      // consecutive files cover non-overlapping, ordered time ranges
+      fs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._6 <= b._5,
+          s"$t files overlap in time: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("cmsTopk: estimates match a driver-side sketch rebuild; " +
     "CMS law estimate >= exact on every probe") {
     def h31(s: String): Long = {

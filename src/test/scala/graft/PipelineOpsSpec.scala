@@ -680,6 +680,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_._2).toSeq == a.indices.map(_.toLong).toSeq)
   }
 
+  test("tiff decode: the same logical header parses identically " +
+    "under II and MM byte orders; corrupt variants reject") {
+    import graft.operators.ImageCodec
+    val le = ImageCodec.tiffBytes(640, 480, 3, bigEndian = false)
+    val be = ImageCodec.tiffBytes(640, 480, 3, bigEndian = true)
+    assert(!le.sameElements(be), "byte orders must differ on disk")
+    val mle = ImageCodec.parseTiff(le).get
+    val mbe = ImageCodec.parseTiff(be).get
+    assert(mle.format == "tiff_le" && mbe.format == "tiff_be")
+    assert((mle.width, mle.height, mle.channels) == ((640L, 480L, 3L)))
+    assert((mbe.width, mbe.height, mbe.channels) == ((640L, 480L, 3L)))
+    // truncation mid-IFD rejects (the DLT arm)
+    assert(ImageCodec.parseTiff(java.util.Arrays.copyOf(le, 20)).isEmpty)
+    // bad magic rejects
+    val bad = le.clone; bad(0) = 'X'
+    assert(ImageCodec.parseTiff(bad).isEmpty)
+    // declaring MM over LE-encoded fields breaks the 42 check —
+    // proof the decoder honors the declared order, not a guess
+    val mixed = le.clone; mixed(0) = 'M'; mixed(1) = 'M'
+    assert(ImageCodec.parseTiff(mixed).isEmpty)
+  }
+
+  test("lm buckets: per-language tertiles are balanced nearest-rank " +
+    "splits ordered by score") {
+    val rows = (1L to 9L).map(i =>
+      (i, ("common words " * i.toInt).trim, "en")) ++
+      (10L to 13L).map(i => (i, s"rare$i solo$i", "de"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val en = out.filter(_._2 == "en")
+    assert(en.count(_._4 == "tail") == 3 && en.count(_._4 == "middle") == 3
+      && en.count(_._4 == "head") == 3, s"en split: ${en.toSeq}")
+    // buckets respect score order: no tail doc outscores a head doc
+    assert(en.filter(_._4 == "tail").map(_._3).max
+      <= en.filter(_._4 == "head").map(_._3).min)
+    // n=4 language: nearest-rank tertiles give 2/1/1
+    val de = out.filter(_._2 == "de")
+    assert(de.count(_._4 == "tail") == 2 && de.count(_._4 == "middle") == 1
+      && de.count(_._4 == "head") == 1, s"de split: ${de.toSeq}")
+  }
+
   test("cdc dedup: a shifted copy of another doc's text shares its " +
     "interior chunks; an exact copy is fully dup; unique text is clean") {
     val base = (1 to 300).map(i => s"tok$i").mkString(" ")

@@ -213,6 +213,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorts:\n$p")
   }
 
+  test("rel_funnel_window keeps the single-scan funnel shape — the " +
+    "attribution bound costs zero extra passes (r6)") {
+    val p = planNoAqe("rel_funnel_window")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scan count:\n$p")
+    assert(!p.contains("Join"), s"bounded funnel joins:\n$p")
+  }
+
+  test("rel_compaction_plan: ONE hash exchange serves both the " +
+    "prefix-sum window and the per-file aggregate (r6)") {
+    val p = planNoAqe("rel_compaction_plan")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"compaction re-shuffles:\n$p")
+    assert(!p.contains("Join"), s"compaction joins:\n$p")
+  }
+
   test("rel_skyline windows over the per-day AGGREGATE, not raw " +
     "orders — one scan, no self-join (r6)") {
     val p = planNoAqe("rel_skyline")
