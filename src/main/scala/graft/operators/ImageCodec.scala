@@ -322,6 +322,56 @@ object ImageCodec {
   }
 
   // ---------------------------------------------------------------
+  // REAL GIF header decode (r6): GIF87a/GIF89a signature + the
+  // Logical Screen Descriptor (width u16LE, height u16LE, packed
+  // byte: bit 7 = global-color-table flag, bits 2-0 = table size
+  // exponent, palette = 2^(n+1) entries). The version byte and the
+  // packed-bit unpacking are the format knowledge being pinned.
+  // ---------------------------------------------------------------
+
+  /** GIF header fields: format "gif87"/"gif89", dims, and the global
+    * palette size (0 when the GCT flag is clear). */
+  final case class GifMeta(format: String, width: Long, height: Long,
+      palette: Long)
+
+  def parseGif(b: Array[Byte]): Option[GifMeta] = {
+    if (b.length < 13) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8') return None
+    val fmt = b(4) match {
+      case '7' => "gif87"
+      case '9' => "gif89"
+      case _ => return None
+    }
+    if (b(5) != 'a') return None
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    val palette =
+      if ((packed & 0x80) != 0) 1L << ((packed & 0x07) + 1) else 0L
+    if (w <= 0 || h <= 0) None
+    else Some(GifMeta(fmt, w.toLong, h.toLong, palette))
+  }
+
+  /** Deterministic GIF fixture: signature + LSD (+ trailer byte). */
+  def gifBytes(w: Int, h: Int, version89: Boolean,
+      paletteExp: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    s"GIF8${if (version89) '9' else '7'}a".foreach(c => out.write(c))
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    // packed: GCT present iff paletteExp >= 0, size bits = paletteExp
+    out.write(if (paletteExp >= 0) 0x80 | (paletteExp & 0x07) else 0x00)
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    if (paletteExp >= 0) {
+      val entries = 1 << (paletteExp + 1)
+      (0 until entries * 3).foreach(i => out.write(i & 0xff))
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // REAL TIFF header decode (r6): the ENDIANNESS-POLYMORPHIC header
   // family — a TIFF file declares its own byte order ("II" little /
   // "MM" big, TIFF 6.0 §2), so one decoder must read the same IFD

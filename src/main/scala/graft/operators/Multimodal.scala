@@ -324,6 +324,43 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** GIF header row (r6). */
+  final case class GifMetaRow(doc_id: Long, format: String,
+      width: Long, height: Long, palette: Long)
+
+  /** Deterministic GIF payloads: version / dims / palette exponent
+    * from doc_id literals (every 5th has NO global color table — the
+    * palette-absent arm); every 19th truncated mid-LSD. */
+  def syntheticGifs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.gifBytes(
+          w = 20 + (id % 80).toInt,
+          h = 10 + (id % 60).toInt,
+          version89 = id % 2 == 1,
+          paletteExp = if (id % 5 == 0) -1 else (id % 8).toInt)
+        BinaryDoc(id,
+          if (id % 19 == 0) java.util.Arrays.copyOf(full, 9) else full)
+      }
+  }
+
+  /** REAL GIF header decode (r6 — [[ImageCodec.parseGif]]): version,
+    * dims and the 2^(n+1) global-palette size unpacked from the LSD
+    * packed byte; the oracle recomputes all four from doc_id
+    * literals, so a packed-bit mistake (flag bit, size exponent)
+    * fails the hash. Same mapPartitions contract and DLT arm. */
+  def gifMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGifs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseGif(d.payload) match {
+        case Some(m) =>
+          GifMetaRow(d.doc_id, m.format, m.width, m.height, m.palette)
+        case None => GifMetaRow(d.doc_id, "unknown", -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Deterministic TIFF payloads, one per document: byte ORDER flips
     * with doc parity — the decoder must handle both "II" and "MM"
     * files in the same pass, the trap this family exists for; dims /

@@ -1107,6 +1107,35 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.gifMeta]]: version, dims and the packed-byte
+    * palette size recomputed from doc_id literals. */
+  private val mmGifMetaSql: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 1 THEN 'gif89' ELSE 'gif87' END AS format, " +
+      "CAST(20 + doc_id % 80 AS BIGINT) AS width, " +
+      "CAST(10 + doc_id % 60 AS BIGINT) AS height, " +
+      "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE " +
+      "(CAST(1 AS BIGINT) << CAST(doc_id % 8 + 1 AS INTEGER)) END " +
+      "AS BIGINT) AS palette " +
+      "FROM documents WHERE doc_id % 19 <> 0 " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS palette " +
+      "FROM documents WHERE doc_id % 19 = 0 ORDER BY doc_id"
+
+  /** [[RelQueries.markovTransitions]]: same lag-bigram counts and
+    * per-prev ppm normalization. */
+  private val relMarkovSql: String =
+    "WITH ev AS (SELECT user_id, event_id, event_type, " +
+      "epoch_ns(ts) AS tsn FROM events), " +
+      "lg AS (SELECT user_id, event_type AS next, lag(event_type) OVER (" +
+      "PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM ev), " +
+      "c AS (SELECT prev, next, count(*) AS n FROM lg " +
+      "WHERE prev IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT prev, next, CAST(n AS BIGINT) AS n, " +
+      "CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev) AS BIGINT) " +
+      "AS p_ppm FROM c ORDER BY prev, next"
+
   /** [[Multimodal.tiffMeta]]: dims, samples AND the detected byte
     * order all recomputed from doc_id literals. */
   private val mmTiffMetaSql: String =
@@ -2329,6 +2358,8 @@ object ExtQueries {
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
+    "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
+    "rel_markov" -> (RelQueries.markovTransitions _),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
@@ -2492,6 +2523,8 @@ object ExtQueries {
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
+    "mm_gif_meta" -> mmGifMetaSql,
+    "rel_markov" -> relMarkovSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,

@@ -645,6 +645,31 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  /** Markov transition matrix (r6): per-user event-type bigrams via
+    * ONE lag window on the user_id exchange → global (prev, next)
+    * counts → row-normalized transition probability in ppm (integer
+    * div against the per-prev row total, a |types|²-bounded window).
+    * The first-order behavior model behind session simulation,
+    * anomaly scoring ("this transition never happens") and
+    * next-event prediction baselines. The transition table is
+    * |types|² rows at ANY corpus size — the fact stream shuffles
+    * once for the lag, the model itself is driver-representable, the
+    * same bounded-artifact argument as the bigram text LM. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    val counts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(ts AS BIGINT)").as("tsn"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p_ppm", expr(
+        "n * 1000000 DIV sum(n) OVER (PARTITION BY prev)"))
+      .orderBy("prev", "next")
+  }
+
   /** Pareto skyline / preference frontier (r6): the workload class
     * with NO SQL builtin — "best trade-off" queries (Börzsönyi et al.
     * ICDE'01 SKYLINE OF). Per order priority: the set of (day,

@@ -702,6 +702,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ImageCodec.parseTiff(mixed).isEmpty)
   }
 
+  test("gif decode: version, dims and packed-byte palette round-trip; " +
+    "palette-absent and corrupt arms handled") {
+    import graft.operators.ImageCodec
+    val g89 = ImageCodec.parseGif(
+      ImageCodec.gifBytes(320, 200, version89 = true, paletteExp = 7)).get
+    assert(g89 == ImageCodec.GifMeta("gif89", 320L, 200L, 256L))
+    val g87 = ImageCodec.parseGif(
+      ImageCodec.gifBytes(64, 32, version89 = false, paletteExp = 0)).get
+    assert(g87 == ImageCodec.GifMeta("gif87", 64L, 32L, 2L))
+    // GCT flag clear -> palette 0
+    val noPal = ImageCodec.parseGif(
+      ImageCodec.gifBytes(10, 10, version89 = true, paletteExp = -1)).get
+    assert(noPal.palette == 0L)
+    // truncation mid-LSD and bad signature reject
+    val full = ImageCodec.gifBytes(10, 10, version89 = true, paletteExp = 2)
+    assert(ImageCodec.parseGif(java.util.Arrays.copyOf(full, 9)).isEmpty)
+    val bad = full.clone; bad(4) = '8'
+    assert(ImageCodec.parseGif(bad).isEmpty)
+  }
+
+  test("markov transitions: counts and ppm match a driver-side " +
+    "rebuild from per-user ordered event sequences") {
+    val ev = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(t => (t._4, t._2)).map(_._3)
+      ordered.sliding(2).collect { case Array(a, b) => (a, b) }
+    }
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prevTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = counts.map { case ((p, nx), n) =>
+      (p, nx, n, n * 1000000L / prevTotals(p))
+    }.toSet
+    val got = graft.relational.RelQueries
+      .markovTransitions(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("lm buckets: per-language tertiles are balanced nearest-rank " +
     "splits ordered by score") {
     val rows = (1L to 9L).map(i =>
