@@ -1123,6 +1123,26 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS palette " +
       "FROM documents WHERE doc_id % 19 = 0 ORDER BY doc_id"
 
+  /** [[RelQueries.changepoint]]: same cross-multiplied CUSUM argmax
+    * over the hourly aggregate. */
+  private val relChangepointSql: String =
+    "WITH h AS (SELECT event_type, " +
+      "(epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch_s, " +
+      "count(*) AS n FROM events GROUP BY 1, 2), " +
+      "s AS (SELECT event_type, hour_epoch_s, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY hour_epoch_s) AS k, " +
+      "SUM(n) OVER (PARTITION BY event_type ORDER BY hour_epoch_s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k, " +
+      "COUNT(*) OVER (PARTITION BY event_type) AS t_hours, " +
+      "SUM(n) OVER (PARTITION BY event_type) AS s_tot FROM h), " +
+      "d AS (SELECT event_type, hour_epoch_s, " +
+      "abs(s_k * t_hours - k * s_tot) AS dev, " +
+      "row_number() OVER (PARTITION BY event_type " +
+      "ORDER BY abs(s_k * t_hours - k * s_tot) DESC, hour_epoch_s) AS rk " +
+      "FROM s) " +
+      "SELECT event_type, CAST(hour_epoch_s AS BIGINT) AS hour_epoch_s, " +
+      "CAST(dev AS BIGINT) AS dev FROM d WHERE rk = 1 ORDER BY event_type"
+
   /** [[RelQueries.markovTransitions]]: same lag-bigram counts and
     * per-prev ppm normalization. */
   private val relMarkovSql: String =
@@ -2360,6 +2380,7 @@ object ExtQueries {
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
     "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
     "rel_markov" -> (RelQueries.markovTransitions _),
+    "rel_changepoint" -> (RelQueries.changepoint _),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
@@ -2525,6 +2546,7 @@ object ExtQueries {
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_gif_meta" -> mmGifMetaSql,
     "rel_markov" -> relMarkovSql,
+    "rel_changepoint" -> relChangepointSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,

@@ -645,6 +645,50 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  /** Changepoint detection on hourly volumes (r6): for each event
+    * type, the hour where the cumulative count deviates most from
+    * the constant-rate line — argmax_k |S_k·T − k·S| where S_k is
+    * the inclusive prefix count at hour index k, T the number of
+    * hours and S the total. This is the CUSUM statistic against the
+    * global mean with every division CROSS-MULTIPLIED away (the
+    * [[hourlyAnomaly]] trick): S_k·T − k·S = T·(S_k − k·(S/T)) in
+    * exact BIGINTs, so the oracle matches bit-for-bit where a
+    * float CUSUM would drift. Magnitudes: S·T at 100 TB scale
+    * (10¹²·10⁵) stays < 2⁶³. Shape: one (type, hour) agg, one
+    * per-type prefix window over the |types|·|hours|-bounded
+    * aggregate, one argmax window — the fact stream shuffles once.
+    * Tie-break: earliest hour at the max deviation. */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointOf(Tables.events(spark, sfDir))
+
+  /** [[changepoint]] over any (event_type, ts) frame. */
+  def changepointOf(events: DataFrame): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    val hourly = events
+      .select(col("event_type"),
+        (expr(s"CAST(ts AS BIGINT) div $nanosPerHour") * 3600L)
+          .as("hour_epoch_s"))
+      .groupBy("event_type", "hour_epoch_s")
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type").orderBy("hour_epoch_s")
+    val scored = hourly
+      .withColumn("k", row_number().over(wt).cast("long"))
+      .withColumn("s_k", sum(col("n")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t_hours",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("s_tot",
+        sum(col("n")).over(Window.partitionBy("event_type")))
+      .withColumn("dev",
+        abs(col("s_k") * col("t_hours") - col("k") * col("s_tot")))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("dev").desc, col("hour_epoch_s").asc)))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("hour_epoch_s"), col("dev"))
+      .orderBy("event_type")
+  }
+
   /** Markov transition matrix (r6): per-user event-type bigrams via
     * ONE lag window on the user_id exchange → global (prev, next)
     * counts → row-normalized transition probability in ppm (integer

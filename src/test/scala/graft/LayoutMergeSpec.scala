@@ -176,6 +176,21 @@ class LayoutMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint: a planted rate shift is located at the step " +
+    "boundary; deviation is the exact cross-multiplied CUSUM") {
+    import spark.implicits._
+    val nph = 3600L * 1000000000L
+    // type "a": 10 quiet hours (1 event) then 10 busy (5 events)
+    val rows = (0 until 10).flatMap(h => Seq(("a", h.toLong * nph))) ++
+      (10 until 20).flatMap(h => (1 to 5).map(_ => ("a", h.toLong * nph)))
+    val ev = rows.toDF("event_type", "ts")
+    val got = RelQueries.changepointOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // S=60, T=20; max |S_k*T - k*S| is at k=10 (last quiet hour):
+    // |10*20 - 10*60| = 400
+    assert(got.toSeq == Seq(("a", 9L * 3600L, 400L)))
+  }
+
   test("funnelWindow: the gap bound is inclusive and drops " +
     "out-of-window conversions per stage") {
     import spark.implicits._
