@@ -1170,6 +1170,37 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS channels " +
       "FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id"
 
+  /** [[RelQueries.hilbertSpans]]: the identical xy→d walk restated
+    * as a recursive CTE — 8 iterations of (quadrant digit, reflect,
+    * transpose) per order row, final d at s = 0. */
+  private val relHilbertSql: String =
+    "WITH RECURSIVE pts AS (SELECT o_orderkey AS k, " +
+      "o_custkey % 256 AS x, " +
+      s"${centsSql("o_totalprice")} % 256 AS y FROM orders), " +
+      "it AS (" +
+      "SELECT k, x, y, CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s " +
+      "FROM pts " +
+      "UNION ALL " +
+      "SELECT k, " +
+      "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) " +
+      "ELSE x END AS x, " +
+      "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) " +
+      "ELSE y END AS y, " +
+      "d + s * s * xor(3 * rx, ry) AS d, s // 2 AS s " +
+      "FROM (SELECT k, x, y, d, s, " +
+      "CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx, " +
+      "CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry " +
+      "FROM it WHERE s > 0) q), " +
+      "fin AS (SELECT k, d FROM it WHERE s = 0) " +
+      "SELECT CAST(fin.d // 1024 AS BIGINT) AS h_bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(min(pts.x) AS BIGINT) AS min_cust, " +
+      "CAST(max(pts.x) AS BIGINT) AS max_cust, " +
+      "CAST(min(pts.y) AS BIGINT) AS min_val, " +
+      "CAST(max(pts.y) AS BIGINT) AS max_val " +
+      "FROM fin JOIN pts ON fin.k = pts.k " +
+      "GROUP BY 1 ORDER BY h_bucket"
+
   /** Z-order oracle (r6): the bit-interleave formula is generated
     * from the same ZorderBits loop as the Spark expression — one
     * shared formula, DuckDB `&`/`|`/`<<`/`>>` on nonnegative
@@ -2381,6 +2412,7 @@ object ExtQueries {
     "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
     "rel_markov" -> (RelQueries.markovTransitions _),
     "rel_changepoint" -> (RelQueries.changepoint _),
+    "rel_hilbert" -> (RelQueries.hilbertSpans _),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(Tables.documents(s, d))(s)),
     "mm_audio_stats" -> ((s, d) => Multimodal.audioStats(Tables.documents(s, d))(s)),
     "mm_audio_resample" -> ((s, d) =>
@@ -2547,6 +2579,7 @@ object ExtQueries {
     "mm_gif_meta" -> mmGifMetaSql,
     "rel_markov" -> relMarkovSql,
     "rel_changepoint" -> relChangepointSql,
+    "rel_hilbert" -> relHilbertSql,
     "mm_audio_resample" -> mmAudioResampleSql,
     "mm_audio_zcr" -> mmAudioZcrSql,
     "tx_mojibake" -> txMojibakeSql,

@@ -562,6 +562,33 @@ object RelQueries {
       .orderBy("z_bucket")
   }
 
+  /** Hilbert-curve layout demo (r6): [[zorderSpans]]'s exact query
+    * shape over the Hilbert index instead of the Z index — the curve
+    * whose consecutive keys are ALWAYS unit-step adjacent cells
+    * (spec-verified exhaustively; the Z curve jumps up to half the
+    * grid at quadrant seams), which is why Hilbert ranges have the
+    * tighter worst-case bounding boxes on UNALIGNED key ranges. On
+    * the 1024-aligned buckets reported here both curves tile 32×32
+    * (4⁵ cells = one order-5 subquadrant), so the span table is
+    * directly comparable to [[zorderSpans]]'s. The index is a native
+    * codegen'd expression ([[graft.functions.HilbertIndex]]) — the
+    * data-dependent per-level reflections don't unroll into a static
+    * formula like zvalue, and an expression fold would double the
+    * tree per bit level. Same scale path: the key feeds
+    * repartitionByRange + sortWithinPartitions at write time. */
+  def hilbertSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val a = col("o_custkey") % 256
+    val b = cents(col("o_totalprice")) % 256
+    o.select(graft.functions.layoutNative.hilbert_index(a, b).as("h"),
+        a.as("a"), b.as("b"))
+      .groupBy(expr("h div 1024").as("h_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("a").as("min_cust"), max("a").as("max_cust"),
+        min("b").as("min_val"), max("b").as("max_val"))
+      .orderBy("h_bucket")
+  }
+
   /** SCD2 dimension merge (r6) — the warehouse MERGE INTO shape the
     * surface lacked: reconcile the current dimension against a new
     * snapshot, closing changed/churned versions and opening new

@@ -176,6 +176,40 @@ class LayoutMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert_index: bijection on the 16-bit square; consecutive " +
+    "indices are UNIT-STEP adjacent everywhere — the property the " +
+    "z curve lacks at quadrant seams") {
+    import spark.implicits._
+    val pairs = (for (a <- 0 until 256; b <- 0 until 256)
+      yield (a.toLong, b.toLong)).toSeq
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), graft.functions.layoutNative
+        .hilbert_index(col("a"), col("b")).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    assert(got.map(_._1).distinct.length == 65536, "not a bijection")
+    val byD = got.toMap
+    (0L until 65535L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step at d=$d")
+    }
+    // expression output == the Scala reference (pins codegen path)
+    got.foreach { case (d, (x, y)) =>
+      assert(d == graft.functions.HilbertOps.xy2d(x, y))
+    }
+    // contrast: the Z curve's worst consecutive-key step is a seam
+    // jump across half the grid
+    def z(a: Long, b: Long): Long = (0 until 8).map(i =>
+      (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)))
+      .reduce(_ | _)
+    val zByD = pairs.map { case (a, b) => z(a, b) -> (a, b) }.toMap
+    val maxZStep = (0L until 65535L).map { d =>
+      val (x1, y1) = zByD(d); val (x2, y2) = zByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(maxZStep >= 128, s"expected z seam jumps, max step $maxZStep")
+  }
+
   test("changepoint: a planted rate shift is located at the step " +
     "boundary; deviation is the exact cross-multiplied CUSUM") {
     import spark.implicits._
