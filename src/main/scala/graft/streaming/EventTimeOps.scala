@@ -52,6 +52,34 @@ object EventTimeOps {
         floor(lit(1000000.0) * col("n_dead") / col("n"))
           .cast("long").as("dead_ppm"))
 
+  /** Windowed count-min sketch (r6) — the streaming twin of
+    * RelQueries.cmsTopk and the shape CMS was invented for
+    * (continuous heavy hitters over an unbounded stream): per
+    * event-time window, the d = 4 × w = 512 counter cells as rows,
+    * built by the SAME salted-hash explode + one watermark-bounded
+    * windowed count. State is ≤ d·w cells per open window REGARDLESS
+    * of key cardinality — the property that lets the monitor run
+    * forever where an exact per-key windowed count's state grows with
+    * distinct keys. Downstream probes any key with min over its d
+    * cells (estimate ≥ true count, the CMS law — spec-pinned against
+    * the batch twin). Runs unchanged in batch mode, which is how the
+    * spec pins exact values. */
+  def cmsRollup(events: DataFrame, windowLen: String = "1 hour",
+                watermark: String = "2 hours"): DataFrame = {
+    def cell(r: Column, id: Column): Column =
+      graft.functions.PortableHash.h31(concat(r.cast("string"),
+        lit("#"), id.cast("string"))) % 512L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        explode(array((0 until 4).map(lit): _*)).as("r"))
+      .select(col("ts"), col("r"), cell(col("r"), col("user_id")).as("c"))
+      .groupBy(window(col("ts"), windowLen), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch_s"),
+        col("r").cast("long").as("r"), col("c"), col("cnt"))
+  }
+
   /** Windowed data-quality expectations (r5) — the streaming twin of
     * Profile.expectations: per event-time window, total rows plus a
     * violation counter per named (check, violated-when) predicate —

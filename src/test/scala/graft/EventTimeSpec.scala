@@ -136,6 +136,51 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cmsRollup: cell table equals the batch run; state " +
+    "bounded by d*w per window; probe law estimate >= exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    // batch twin (window() is an ordinary grouping expr in batch)
+    val batch = EventTimeOps.cmsRollup(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rows = ev.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventTimeOps.cmsRollup(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("cms_parity")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(2000).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("cms_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.nonEmpty && got == batch)
+      // state bound: never more than d*w = 2048 cells per window
+      got.groupBy(_._1).values.foreach(w => assert(w.size <= 2048))
+      // CMS probe law in the busiest window: estimate >= exact for
+      // the window's true top user
+      val (topWin, topUser, exact) = rows
+        .map(t => (t._1.toInstant.getEpochSecond / 3600 * 3600, t._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .maxBy(_._2) match { case ((w, u), n) => (w, u, n) }
+      def h31(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.map("%02x".format(_)).mkString.take(12), 16) % 2147483647L
+      }
+      val cells = got.filter(_._1 == topWin)
+        .map(t => (t._2, t._3) -> t._4).toMap
+      val est = (0 until 4).map(r =>
+        cells.getOrElse((r.toLong, h31(s"$r#$topUser") % 512L), 0L)).min
+      assert(est >= exact, s"CMS underestimated: $est < $exact")
+    } finally q.stop()
+  }
+
   test("trendingTerms: MG sketch as streaming window state, exact within capacity") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
