@@ -113,6 +113,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-rule ablation report (r6): per rule, how many documents
+    * fail it at all (n_fail) and how many it UNIQUELY kills
+    * (n_fail_only — documents failing no other rule). The unique-kill
+    * column is the ablation signal rule batteries are tuned by: a
+    * rule with high n_fail but zero n_fail_only is redundant with
+    * the rest of the battery and can be dropped without changing the
+    * kept set. ONE conditional-sum aggregate over [[gopherRules]]'s
+    * row-local flags (14 counters in one pass — the
+    * [[graft.operators.Profile.expectations]] shape), stacked to one
+    * row per rule. */
+  def gopherAblation(docs: DataFrame): DataFrame = {
+    val rules = Seq("ok_word_count", "ok_word_len", "ok_symbol",
+      "ok_bullet", "ok_ellipsis", "ok_alpha", "ok_stop")
+    val flags = gopherRules(docs)
+    val nFails = rules.map(r => (lit(1L) - col(r)))
+      .reduce(_ + _)
+    val aggs = rules.flatMap { r =>
+      Seq(sum(lit(1L) - col(r)).as(s"f_$r"),
+        sum(when(col(r) === 0L && nFails === 1L, 1L).otherwise(0L))
+          .as(s"o_$r"))
+    }
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map(r => s"'$r', f_$r, o_$r").mkString(", ")
+    one.selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_fail, n_fail_only)")
+      .orderBy("rule")
+  }
+
   /** C4-style LINE-level cleaning battery (r6 — Raffel et al. 2020,
     * arXiv:1910.10683 §2.2, the other canonical web-cleanup rule set
     * beside [[gopherRules]]'s doc-level battery): C4 cleans INSIDE the

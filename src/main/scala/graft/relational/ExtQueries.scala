@@ -2054,6 +2054,41 @@ object ExtQueries {
       "THEN 1 ELSE 0 END AS BIGINT) AS pass " +
       "FROM h ORDER BY doc_id"
 
+  /** [[TextAnalysis.gopherAblation]]: the full rule battery as a CTE,
+    * then per-rule fail / unique-kill sums. */
+  private val txGopherAblationSql: String = {
+    val rules = Seq("ok_word_count", "ok_word_len", "ok_symbol",
+      "ok_bullet", "ok_ellipsis", "ok_alpha", "ok_stop")
+    val nf = rules.map(r => s"(1 - $r)").mkString(" + ")
+    val arms = rules.map { r =>
+      s"SELECT '$r' AS rule, CAST(sum(1 - $r) AS BIGINT) AS n_fail, " +
+        s"CAST(sum(CASE WHEN $r = 0 AND nf = 1 THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS n_fail_only FROM f"
+    }.mkString(" UNION ALL ")
+    s"WITH g AS ($txGopherRulesSql), " +
+      s"f AS (SELECT *, $nf AS nf FROM g) " +
+      s"SELECT rule, n_fail, n_fail_only FROM ($arms) ORDER BY rule"
+  }
+
+  /** [[RelQueries.backfillGaps]]: absence manufactured the same way —
+    * per-type extent, generated calendar, anti-join. */
+  private val relBackfillGapsSql: String =
+    "WITH obs AS (SELECT DISTINCT event_type, " +
+      "epoch_ns(ts) // 3600000000000 AS hr FROM events), " +
+      "ext AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 " +
+      "FROM obs GROUP BY 1), " +
+      "exp_ AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM ext), " +
+      "mis AS (SELECT e.event_type, e.hr FROM exp_ e " +
+      "LEFT JOIN obs o ON e.event_type = o.event_type AND e.hr = o.hr " +
+      "WHERE o.hr IS NULL), " +
+      "m AS (SELECT event_type, count(*) AS n, min(hr) AS mn, " +
+      "max(hr) AS mx FROM mis GROUP BY 1) " +
+      "SELECT ext.event_type, CAST(h1 - h0 + 1 AS BIGINT) AS n_hours_span, " +
+      "CAST(COALESCE(m.n, 0) AS BIGINT) AS n_missing, " +
+      "CAST(COALESCE(m.mn, -1) AS BIGINT) AS first_missing, " +
+      "CAST(COALESCE(m.mx, -1) AS BIGINT) AS last_missing " +
+      "FROM ext LEFT JOIN m USING (event_type) ORDER BY event_type"
+
   /** Ratio-to-report oracle: the share window runs over the per-part
     * aggregate, mirroring the operator's agg-then-window shape. */
   private val relWindowShareSql: String =
@@ -2385,6 +2420,9 @@ object ExtQueries {
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "tx_c4_rules" -> ((s, d) =>
       TextAnalysis.c4Rules(Tables.documents(s, d))),
+    "tx_gopher_ablation" -> ((s, d) =>
+      TextAnalysis.gopherAblation(Tables.documents(s, d))),
+    "rel_backfill_gaps" -> (RelQueries.backfillGaps _),
     "tx_cdc_chunk" -> ((s, d) =>
       TextAnalysis.cdcChunk(Tables.documents(s, d))),
     "dd_cdc_dedup" -> ((s, d) =>
@@ -2530,6 +2568,8 @@ object ExtQueries {
     "dd_substring" -> ddSubstringSql,
     "tx_gopher_rules" -> txGopherRulesSql,
     "tx_c4_rules" -> txC4RulesSql,
+    "tx_gopher_ablation" -> txGopherAblationSql,
+    "rel_backfill_gaps" -> relBackfillGapsSql,
     "tx_cdc_chunk" -> txCdcChunkSql,
     "dd_cdc_dedup" -> ddCdcDedupSql,
     "rel_skyline" -> relSkylineSql,

@@ -672,6 +672,44 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  /** Calendar densification / completeness monitor (r6): which hours
+    * are MISSING per event type — the data-completeness check behind
+    * every backfill decision, and the operator class (anti-join
+    * against a GENERATED calendar) the surface lacked: aggregates see
+    * only rows that exist, so absence must be manufactured. Shape:
+    * distinct (type, hour) → per-type [min, max] extent → explode
+    * sequence(h0, h1) into the expected calendar (|types|·|span|
+    * rows, agg-bounded, NOT fact-bounded) → left-anti join back
+    * against the observed set. At 100 TB the expected side stays
+    * calendar-sized while the fact stream is touched once for the
+    * distinct; the anti-join keys on (type, hour) — both bounded. */
+  def backfillGaps(spark: SparkSession, sfDir: String): DataFrame =
+    backfillGapsOf(Tables.events(spark, sfDir))
+
+  /** [[backfillGaps]] over any (event_type, ts) frame. */
+  def backfillGapsOf(events: DataFrame): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    val obs = events
+      .select(col("event_type"),
+        expr(s"CAST(ts AS BIGINT) div $nanosPerHour").as("hr"))
+      .distinct()
+    val ext = obs.groupBy("event_type")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+    val expected = ext.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val missing = expected.join(obs, Seq("event_type", "hr"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_missing"),
+        min("hr").as("first_missing"), max("hr").as("last_missing"))
+    ext.join(missing, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("h1") - col("h0") + 1L).as("n_hours_span"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("first_missing"), lit(-1L)).as("first_missing"),
+        coalesce(col("last_missing"), lit(-1L)).as("last_missing"))
+      .orderBy("event_type")
+  }
+
   /** Changepoint detection on hourly volumes (r6): for each event
     * type, the hour where the cumulative count deviates most from
     * the constant-rate line — argmax_k |S_k·T − k·S| where S_k is

@@ -225,6 +225,20 @@ class LayoutMergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 9L * 3600L, 400L)))
   }
 
+  test("backfillGaps: planted missing hours are located exactly; " +
+    "a gap-free type reports zero with -1 sentinels") {
+    import spark.implicits._
+    val nph = 3600L * 1000000000L
+    // type "a": hours 0..9 present except 3 and 7; type "b": 0..4 full
+    val rows = (0 until 10).filterNot(h => h == 3 || h == 7)
+      .map(h => ("a", h.toLong * nph)) ++
+      (0 until 5).map(h => ("b", h.toLong * nph))
+    val got = RelQueries.backfillGapsOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 10L, 2L, 3L, 7L), ("b", 5L, 0L, -1L, -1L)))
+  }
+
   test("funnelWindow: the gap bound is inclusive and drops " +
     "out-of-window conversions per stage") {
     import spark.implicits._

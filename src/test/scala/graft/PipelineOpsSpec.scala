@@ -702,6 +702,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ImageCodec.parseTiff(mixed).isEmpty)
   }
 
+  test("gopher ablation: unique kills separate from shared kills " +
+    "on constructed violations") {
+    val okWords = (1 to 60).map(i => s"word$i").mkString(" ") + " the the"
+    val d = docs(
+      1L -> okWords,                        // passes all
+      2L -> "too short the the",            // fails ONLY word-count
+      3L -> ((1 to 60).map(_ => "9").mkString(" ") + " 0 0"))
+    // doc 3 fails word-len (mean 1), alpha and stop together
+    val out = TextAnalysis.gopherAblation(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("ok_word_count") == ((1L, 1L)), "doc 2 is a unique kill")
+    assert(out("ok_word_len")._1 == 1L && out("ok_word_len")._2 == 0L,
+      "doc 3's word-len fail is shared, not unique")
+    assert(out("ok_alpha")._1 == 1L && out("ok_alpha")._2 == 0L)
+    assert(out("ok_symbol") == ((0L, 0L)))
+  }
+
   test("gif decode: version, dims and packed-byte palette round-trip; " +
     "palette-absent and corrupt arms handled") {
     import graft.operators.ImageCodec
