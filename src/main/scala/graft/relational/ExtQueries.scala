@@ -2070,6 +2070,37 @@ object ExtQueries {
       s"SELECT rule, n_fail, n_fail_only FROM ($arms) ORDER BY rule"
   }
 
+  /** [[RelQueries.fkOrphans]]: the same four anti-join edges. */
+  private val relFkOrphansSql: String = {
+    def arm(name: String, child: String, fk: String, parent: String,
+        pk: String): String =
+      s"SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS n_orphans " +
+        s"FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)"
+    arm("orders.custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey") +
+      " UNION ALL " + arm("lineitem.orderkey->orders", "lineitem",
+      "l_orderkey", "orders", "o_orderkey") +
+      " UNION ALL " + arm("lineitem.partkey->part", "lineitem",
+      "l_partkey", "part", "p_partkey") +
+      " UNION ALL " + arm("lineitem.suppkey->supplier", "lineitem",
+      "l_suppkey", "supplier", "s_suppkey") +
+      " UNION ALL " + arm("events.user_id->supplier", "events",
+      "user_id", "supplier", "s_suppkey") +
+      " ORDER BY edge"
+  }
+
+  /** [[RelQueries.keyDiscovery]]: one pass, same column set. */
+  private val relKeyDiscoverySql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val arms = cols.map { k =>
+      s"SELECT '$k' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count(DISTINCT $k) AS BIGINT) AS n_distinct FROM customer"
+    }.mkString(" UNION ALL ")
+    s"SELECT column_name, n_rows, n_distinct, " +
+      "CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT) " +
+      s"AS is_key FROM ($arms) ORDER BY column_name"
+  }
+
   /** [[RelQueries.backfillGaps]]: absence manufactured the same way —
     * per-type extent, generated calendar, anti-join. */
   private val relBackfillGapsSql: String =
@@ -2423,6 +2454,8 @@ object ExtQueries {
     "tx_gopher_ablation" -> ((s, d) =>
       TextAnalysis.gopherAblation(Tables.documents(s, d))),
     "rel_backfill_gaps" -> (RelQueries.backfillGaps _),
+    "rel_fk_orphans" -> (RelQueries.fkOrphans _),
+    "rel_key_discovery" -> (RelQueries.keyDiscovery _),
     "tx_cdc_chunk" -> ((s, d) =>
       TextAnalysis.cdcChunk(Tables.documents(s, d))),
     "dd_cdc_dedup" -> ((s, d) =>
@@ -2570,6 +2603,8 @@ object ExtQueries {
     "tx_c4_rules" -> txC4RulesSql,
     "tx_gopher_ablation" -> txGopherAblationSql,
     "rel_backfill_gaps" -> relBackfillGapsSql,
+    "rel_fk_orphans" -> relFkOrphansSql,
+    "rel_key_discovery" -> relKeyDiscoverySql,
     "tx_cdc_chunk" -> txCdcChunkSql,
     "dd_cdc_dedup" -> ddCdcDedupSql,
     "rel_skyline" -> relSkylineSql,

@@ -672,6 +672,66 @@ object RelQueries {
       .orderBy("event_type")
   }
 
+  /** Referential-integrity audit (r6): orphan counts per foreign-key
+    * edge of the star schema — rows whose FK has no parent (the check
+    * MERGE/backfill pipelines run before trusting a join, where an
+    * orphan silently disappears from inner-join results). Each edge
+    * is ONE left-anti join keyed on the FK with the parent side
+    * reduced to its distinct key column (dimension-sized → broadcast
+    * for customer/part/supplier; orders-sized for lineitem→orders,
+    * still a key-only shuffle). Edges are unioned into one report —
+    * each arm's shuffle stays internal, the union adds none. */
+  def fkOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"),
+          "left_anti")
+      orphans.agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_orphans"))
+    }
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    edge("orders.custkey->customer", o, "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey")
+      .unionByName(edge("lineitem.orderkey->orders", l, "l_orderkey",
+        o, "o_orderkey"))
+      .unionByName(edge("lineitem.partkey->part", l, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .unionByName(edge("lineitem.suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      // the edge that BITES: events.user_id overruns the supplier key
+      // space — the audit reports the mismatch a naive "users are
+      // suppliers" join assumption would silently eat (those rows
+      // just vanish from an inner join)
+      .unionByName(edge("events.user_id->supplier",
+        Tables.events(spark, sfDir), "user_id",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .orderBy("edge")
+  }
+
+  /** Candidate-key discovery (r6): per column of the customer table,
+    * distinct count vs row count and the implied is-key flag — the
+    * metadata-profiling pass schema-inference and dedup-key selection
+    * start from. ALL columns profile in ONE pass: Spark plans the
+    * multi-column count-distinct through a single Expand (rows ×
+    * |columns|) feeding one aggregate — |columns| passes collapse to
+    * one scan, the only shape that survives a wide fact table. */
+  def keyDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val c = Tables.customer(spark, sfDir)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.map(k => countDistinct(col(k)).as(s"d_$k"))
+    val one = c.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(k => s"'$k', d_$k").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        when(col("n_distinct") === col("n_rows"), 1L).otherwise(0L)
+          .as("is_key"))
+      .orderBy("column_name")
+  }
+
   /** Calendar densification / completeness monitor (r6): which hours
     * are MISSING per event type — the data-completeness check behind
     * every backfill decision, and the operator class (anti-join

@@ -225,6 +225,39 @@ class LayoutMergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 9L * 3600L, 400L)))
   }
 
+  test("fkOrphans: generator-consistent edges report zero; the " +
+    "cross-domain edge matches a driver-side orphan count and bites") {
+    val users = graft.relational.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val sup = graft.relational.Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val expectOrphans = users.count(u => !sup.contains(u)).toLong
+    val got = RelQueries.fkOrphans(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("orders.custkey->customer") == 0L)
+    assert(got("lineitem.orderkey->orders") == 0L)
+    assert(got("lineitem.partkey->part") == 0L)
+    assert(got("lineitem.suppkey->supplier") == 0L)
+    assert(got("events.user_id->supplier") == expectOrphans)
+    assert(expectOrphans > 0L, "the audit edge must actually bite")
+  }
+
+  test("keyDiscovery: the primary key is flagged, low-cardinality " +
+    "columns are not; distinct counts match driver-side truth") {
+    val rows = graft.relational.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .collect()
+    val n = rows.length.toLong
+    val got = RelQueries.keyDiscovery(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("c_custkey") == ((n, n, 1L)))
+    assert(got("c_nationkey")._2 ==
+      rows.map(_.getAs[Number](2).longValue).distinct.length.toLong)
+    assert(got("c_nationkey")._3 == 0L)
+    assert(got("c_mktsegment")._3 == 0L)
+  }
+
   test("backfillGaps: planted missing hours are located exactly; " +
     "a gap-free type reports zero with -1 sentinels") {
     import spark.implicits._
