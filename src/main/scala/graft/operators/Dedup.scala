@@ -742,13 +742,20 @@ object Dedup {
     * ~16 tokens — the classic storage-dedup trade, LBFS §3). Same
     * min-wins contract as the other families: the canonical copy of
     * a chunk is the smallest (doc_id, chunk_id) carrying it, packed
-    * as doc_id·2²⁰ + chunk_id (chunk ids are token-bounded ≪ 2²⁰) so
+    * as doc_id·2²⁴ + chunk_id (chunk ids are token-bounded; 2²⁴ covers
+    * a ~268M-token document at the ~16-token expected chunk size, and
+    * doc_id headroom < 2⁴³ leaves the product well inside Long) so
     * the argmin is ONE partial-combinable min — skew-safe under
-    * boilerplate chunks where a per-group sort would hotspot. Chunk
-    * stream localCheckpoint'd once for its two consumers; joins key
-    * on fixed-width md5, never text. */
+    * boilerplate chunks where a per-group sort would hotspot. The
+    * bound is ENFORCED, not assumed: a chunk_id ≥ 2²⁴ raises instead
+    * of silently corrupting the min-wins choice (which the oracle,
+    * sharing the formula, could never catch). Chunk stream
+    * localCheckpoint'd once for its two consumers; joins key on
+    * fixed-width md5, never text. */
   def cdcDedup(docs: DataFrame): DataFrame = {
-    val packed = col("doc_id") * 1048576L + col("chunk_id")
+    val packed = when(col("chunk_id") >= 16777216L,
+        raise_error(lit("cdcDedup: chunk_id exceeds 2^24 pack bound")))
+      .otherwise(col("doc_id") * 16777216L + col("chunk_id"))
     val chunks = graft.operators.TextAnalysis.cdcChunksRaw(docs)
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
       .localCheckpoint(true)

@@ -505,7 +505,9 @@ object ImageCodec {
     val h = math.abs(hRaw)
     if (u16le(b, 26) != 1 || u16le(b, 28) != 24) return None
     if (u32le(b, 30) != 0L) return None // BI_RGB only
-    if (w <= 0 || h == 0 || w > (1 << 15) || h > (1 << 15)) return None
+    // h <= 0 (not h == 0): math.abs(Int.MinValue) is still negative, so a
+    // crafted 0x80000000 height field must take the DLT arm, not allocate.
+    if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return None
     val stride = ((3 * w + 3) / 4) * 4
     if (offset < 54L || offset + stride.toLong * h > b.length) return None
     val out = new Array[Byte](w * h * 3)
@@ -587,5 +589,207 @@ object ImageCodec {
       i += 1
     }
     out
+  }
+
+  // ---------------------------------------------------------------
+  // REAL pixel-level PNG decode (r7 — the first COMPRESSED raster
+  // family): a PNG's pixel data is zlib-deflated scanlines, and the
+  // JDK ships the inflater (`java.util.zip.Inflater`), so full decode
+  // needs no external codec library — only the published format
+  // knowledge (PNG 2nd ed., ISO/IEC 15948): chunk walk concatenating
+  // IDAT payloads (one logical zlib stream MAY span many IDAT
+  // chunks, §5.6), inflate to h·(1 + w·c) filtered scanline bytes,
+  // then invert the per-row filter (§9: 0 None, 1 Sub, 2 Up,
+  // 3 Average with FLOOR mean, 4 Paeth predictor) where each
+  // reconstructed byte depends on already-reconstructed left/up/
+  // up-left neighbors. Supported: 8-bit depth, color type 0 (gray,
+  // 1 channel) or 2 (truecolor RGB, 3); palette/alpha/16-bit and
+  // interlaced files → None (the DLT arm), like every other codec
+  // here. Row-local, zero shuffle.
+  // ---------------------------------------------------------------
+
+  /** Fully-decoded PNG: dims/channels + the reconstructed raster in
+    * canonical top-down row-major channel-interleaved order — the
+    * same order PNM/BMP decode normalizes to, so every downstream
+    * kernel (box-filter resize, aHash, stats) is container-agnostic. */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+      raster: Array[Byte])
+
+  /** Pixel-level PNG decode: signature + IHDR as [[parsePng]], chunk
+    * walk to IEND concatenating IDAT, `Inflater` to the exact
+    * scanline byte count, then the five unfilters. Truncated stream /
+    * bad filter byte / wrong inflated size / unsupported color mode
+    * → None (the DLT arm). */
+  def parsePngRaster(b: Array[Byte]): Option[PngImage] = {
+    if (b.length < 45) return None // sig(8) + IHDR(25) + IEND(12)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != PngSig(i)) return None; i += 1 }
+    if (u32(b, 8) != 13L) return None
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val w = u32(b, 16)
+    val h = u32(b, 20)
+    if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return None
+    if ((b(24) & 0xff) != 8) return None // bit depth 8 only
+    val c = (b(25) & 0xff) match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case _ => return None // palette / alpha: unsupported → DLT
+    }
+    // compression 0, filter method 0, non-interlaced only
+    if (b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    val rowBytes = w.toInt * c
+    val expectedL = h * (1L + rowBytes)
+    if (expectedL > (1L << 28)) return None // raster allocation guard
+    val expected = expectedL.toInt
+    // chunk walk: concatenate every IDAT payload until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8 + 25 // past the IHDR chunk (len + type + 13 data + crc)
+    var sawEnd = false
+    while (!sawEnd) {
+      if (p + 8 > b.length) return None
+      val len = u32(b, p)
+      if (len > b.length || p + 8 + len + 4 > b.length) return None
+      val t = new String(b, p + 4, 4, "US-ASCII")
+      if (t == "IDAT") idat.write(b, p + 8, len.toInt)
+      else if (t == "IEND") sawEnd = true
+      p += 8 + len.toInt + 4
+    }
+    val scan = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(scan, off, expected - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        off += n
+      }
+      if (off != expected || !inf.finished()) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // per-row unfilter; at 8-bit depth the filter unit (bpp) == c
+    val out = new Array[Byte](h.toInt * rowBytes)
+    var y = 0
+    while (y < h.toInt) {
+      val f = scan(y * (1 + rowBytes)) & 0xff
+      if (f > 4) return None
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val raw = scan(src + x) & 0xff
+        val left = if (x >= c) out(dst + x - c) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= c) out(dst - rowBytes + x - c) & 0xff else 0
+        val v = f match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2 // floor mean per spec §9.3
+          case _ => // Paeth §9.4: nearest of left/up/ul to p = l+u-ul
+            val pp = left + up - ul
+            val pa = math.abs(pp - left)
+            val pb = math.abs(pp - up)
+            val pc = math.abs(pp - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up
+                   else ul)
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngImage(w.toInt, h.toInt, c, out))
+  }
+
+  /** Deterministic REAL-compression PNG fixture: canonical raster
+    * byte i = pixel(i), forward-filtered per row with
+    * `filterFor(y) mod 5` (the writer's rotation covers all five
+    * filter types, so every unfilter path is exercised), deflated
+    * into a genuine zlib stream SPLIT ACROSS TWO IDAT CHUNKS (the
+    * multi-IDAT concatenation trap, §5.6), with correct CRC32 on
+    * every chunk. The oracle recomputes pixel(i) from doc_id
+    * literals, so decode must actually invert deflate + filtering
+    * to agree. */
+  def pngRasterBytes(w: Int, h: Int, grayscale: Boolean,
+      pixel: Int => Int, filterFor: Int => Int): Array[Byte] = {
+    val c = if (grayscale) 1 else 3
+    val rowBytes = w * c
+    val raster = new Array[Byte](h * rowBytes)
+    var i = 0
+    while (i < raster.length) { raster(i) = (pixel(i) & 0xff).toByte; i += 1 }
+    // forward filter: filtered = (orig - predictor) mod 256, where the
+    // predictor reads ORIGINAL neighbor bytes (decode reconstructs them)
+    val scan = new Array[Byte](h * (1 + rowBytes))
+    var y = 0
+    while (y < h) {
+      val f = ((filterFor(y) % 5) + 5) % 5
+      scan(y * (1 + rowBytes)) = f.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val orig = raster(y * rowBytes + x) & 0xff
+        val left = if (x >= c) raster(y * rowBytes + x - c) & 0xff else 0
+        val up = if (y > 0) raster((y - 1) * rowBytes + x) & 0xff else 0
+        val ul =
+          if (y > 0 && x >= c) raster((y - 1) * rowBytes + x - c) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val pp = left + up - ul
+            val pa = math.abs(pp - left)
+            val pb = math.abs(pp - up)
+            val pc = math.abs(pp - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        scan(y * (1 + rowBytes) + 1 + x) = ((orig - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val compressed = try {
+      defl.setInput(scan)
+      defl.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](1024)
+      while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+      buf.toByteArray
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (grayscale) 0 else 2).toByte
+    // ihdr(10..12): compression / filter / interlace = 0
+    chunk("IHDR", ihdr)
+    // split the one zlib stream across two IDAT chunks (§5.6 trap)
+    val cut = math.max(1, compressed.length / 2)
+    chunk("IDAT", java.util.Arrays.copyOfRange(compressed, 0, cut))
+    chunk("IDAT", java.util.Arrays.copyOfRange(compressed, cut, compressed.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 }

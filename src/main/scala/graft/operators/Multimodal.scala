@@ -162,25 +162,48 @@ object Multimodal {
       width: Long, height: Long, out_w: Long, out_h: Long,
       out_bytes: Long, checksum: Long)
 
-  /** Deterministic full-raster PNM payloads (r6): small dims so both
-    * engines can enumerate every pixel; P5 (gray) / P6 (RGB)
-    * alternate by parity; raster byte i = (doc_id·7 + i·13) mod 256.
-    * The SAME doc_id literals drive the oracle's pixel recomputation.
-    * In production this column is the media blob off parquet. */
+  /** Deterministic full-raster payloads (r6, widened r7): small dims
+    * so both engines can enumerate every pixel; raster byte
+    * i = (doc_id·7 + i·13) mod 256 in CANONICAL order regardless of
+    * container. Every third doc ships the raster inside a REAL
+    * zlib-compressed PNG (per-row filter rotating with (id + y) mod 5
+    * so all five unfilters run); the rest are P5/P6 PNM. Gray/RGB
+    * alternates by parity in both containers. The SAME doc_id
+    * literals drive the oracle's pixel recomputation — which never
+    * sees the container, so decode must invert deflate + filtering
+    * to agree. In production this column is the media blob off
+    * parquet. */
   def syntheticRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
     import spark.implicits._
     graft.functions.Partitioning.spread(docs)
       .select(col("doc_id")).as[Long].map { id =>
         val w = 8 + (id % 9).toInt
         val h = 4 + (id % 7).toInt
-        BinaryDoc(id, ImageCodec.pnmRasterBytes(w, h,
-          grayscale = id % 2 == 0,
-          pixel = i => ((id * 7 + i.toLong * 13) % 256).toInt))
+        val pixel = (i: Int) => ((id * 7 + i.toLong * 13) % 256).toInt
+        BinaryDoc(id,
+          if (id % 3 == 2)
+            ImageCodec.pngRasterBytes(w, h, grayscale = id % 2 == 0,
+              pixel = pixel, filterFor = y => ((id + y) % 5).toInt)
+          else
+            ImageCodec.pnmRasterBytes(w, h, grayscale = id % 2 == 0,
+              pixel = pixel))
       }
   }
 
-  /** REAL pixel-level decode + resize (r6 — the formerly-stubbed
-    * kernel): parse the P5/P6 raster ([[ImageCodec.parsePnmRaster]]),
+  /** Container-agnostic raster decode: magic-byte dispatch between
+    * the P5/P6 path and the REAL inflate+unfilter PNG path (r7); both
+    * normalize to canonical top-down row-major interleaved order, so
+    * every downstream kernel is container-independent. */
+  private def decodeRaster(
+      b: Array[Byte]): Option[(String, Int, Int, Int, Array[Byte])] =
+    ImageCodec.parsePnmRaster(b)
+      .map(p => (p.format, p.width, p.height, p.channels, p.raster))
+      .orElse(ImageCodec.parsePngRaster(b)
+        .map(p => ("png", p.width, p.height, p.channels, p.raster)))
+
+  /** REAL pixel-level decode + resize (r6; r7 adds the COMPRESSED
+    * container): dispatch PNM / PNG raster decode ([[decodeRaster]] —
+    * the PNG arm runs actual `Inflater` + five-filter reconstruction),
     * 2×2 integer box-filter halve ([[ImageCodec.boxHalve]]), emit
     * dims + the position-weighted checksum of the actual resized
     * raster. Same mapPartitions batch contract — decode parallelism
@@ -189,15 +212,14 @@ object Multimodal {
   def resizeImages(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     syntheticRasters(docs).mapPartitions(_.map { d =>
-      ImageCodec.parsePnmRaster(d.payload) match {
-        case Some(img) =>
-          val (out, ow, oh) =
-            ImageCodec.boxHalve(img.raster, img.width, img.height, img.channels)
+      decodeRaster(d.payload) match {
+        case Some((fmt, w, h, c, raster)) =>
+          val (out, ow, oh) = ImageCodec.boxHalve(raster, w, h, c)
           var cs = 0L
           var i = 0
           while (i < out.length) { cs += (out(i) & 0xffL) * (i + 1); i += 1 }
-          ResizedImage(d.doc_id, img.format, img.width.toLong,
-            img.height.toLong, ow.toLong, oh.toLong, out.length.toLong, cs)
+          ResizedImage(d.doc_id, fmt, w.toLong, h.toLong,
+            ow.toLong, oh.toLong, out.length.toLong, cs)
         case None =>
           ResizedImage(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L, -1L)
       }
@@ -227,10 +249,19 @@ object Multimodal {
         val w = 8 + (g % 5).toInt
         val h = 8 + (g % 3).toInt
         val k = 3 + (g % 97)
-        BinaryDoc(id, ImageCodec.pnmRasterBytes(w, h,
-          grayscale = g % 2 == 0,
-          pixel = i => ((i.toLong * k + g * 11 +
-            (if (i % 37 == 0) m * 24 else 0)) % 256).toInt))
+        // r7: member m = 3 of every group ships the SAME pixels inside
+        // a real zlib-compressed PNG — hashes and near-dup pairs are
+        // container-independent, exactly the property a perceptual
+        // hash exists to provide, so the oracle needs no change.
+        val pixel = (i: Int) => ((i.toLong * k + g * 11 +
+          (if (i % 37 == 0) m * 24 else 0)) % 256).toInt
+        BinaryDoc(id,
+          if (m == 3)
+            ImageCodec.pngRasterBytes(w, h, grayscale = g % 2 == 0,
+              pixel = pixel, filterFor = y => ((id + y) % 5).toInt)
+          else
+            ImageCodec.pnmRasterBytes(w, h, grayscale = g % 2 == 0,
+              pixel = pixel))
       }
   }
 
@@ -243,13 +274,77 @@ object Multimodal {
   def imagePhash(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     syntheticGroupRasters(docs).mapPartitions(_.map { d =>
-      ImageCodec.parsePnmRaster(d.payload) match {
-        case Some(img) if img.width >= 8 && img.height >= 8 =>
-          val (hi, lo) = ImageCodec.averageHash(
-            img.raster, img.width, img.height, img.channels)
-          PhashRow(d.doc_id, img.width.toLong, img.height.toLong,
-            img.channels.toLong, hi, lo)
+      decodeRaster(d.payload) match {
+        case Some((_, w, h, c, raster)) if w >= 8 && h >= 8 =>
+          val (hi, lo) = ImageCodec.averageHash(raster, w, h, c)
+          PhashRow(d.doc_id, w.toLong, h.toLong, c.toLong, hi, lo)
         case _ => PhashRow(d.doc_id, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Decoded-PNG pixel stats (r7): canonical-order sample stats over
+    * the first COMPRESSED raster family — the value the whole family
+    * exists to pin is that the decoder actually inverted zlib deflate
+    * AND the five per-row filters: wsum = Σ vᵢ·(i+1) over the
+    * reconstructed canonical samples fails if any filter arm or the
+    * inflate bookkeeping is wrong (a plain sum would forgive
+    * re-ordering). */
+  final case class PngStatsRow(doc_id: Long, format: String,
+      width: Long, height: Long, channels: Long, n_vals: Long,
+      peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Deterministic real-zlib PNG payloads, one per document: dims /
+    * gray-vs-RGB from doc_id, canonical sample i =
+    * (id·3 + i·7 + (i mod 11)·31) mod 256 — the SAME literals the
+    * oracle recomputes; per-row filter type rotates with
+    * (id + y) mod 5 so all five unfilter paths execute; every 13th
+    * payload is truncated mid-IDAT (the corrupt-file DLT case: a
+    * clipped zlib stream must fail closed, not return partial
+    * pixels). */
+  def syntheticPngs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 6 + (id % 11).toInt
+        val h = 4 + (id % 9).toInt
+        val full = ImageCodec.pngRasterBytes(w, h,
+          grayscale = id % 2 == 0,
+          pixel = i => ((id * 3 + i.toLong * 7 + (i % 11) * 31) % 256).toInt,
+          filterFor = y => ((id + y) % 5).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 41) else full)
+      }
+  }
+
+  /** REAL compressed-pixel PNG decode → stats (r7 — closes the last
+    * substantive "no codec libs" stub excuse: PNG needs only the
+    * JDK's `Inflater` plus published filter math): parse the chunk
+    * stream, inflate the split IDAT, reconstruct through the five
+    * filters ([[ImageCodec.parsePngRaster]]), emit integer stats the
+    * oracle recomputes sample-by-sample from the fixture formula.
+    * Same mapPartitions batch contract and DLT arm as the PNM/BMP/
+    * WAV kernels. */
+  def pngStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticPngs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parsePngRaster(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          PngStatsRow(d.doc_id, "png", img.width.toLong,
+            img.height.toLong, img.channels.toLong, r.length.toLong,
+            peak, sum / r.length, wsum)
+        case None =>
+          PngStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
       }
     }).toDF().orderBy("doc_id")
   }

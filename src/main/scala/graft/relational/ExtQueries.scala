@@ -929,10 +929,10 @@ object ExtQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM fl), " +
       "c AS (SELECT doc_id, cid, md5(string_agg(tk, ' ' ORDER BY pos)) AS mh " +
       "FROM ch GROUP BY doc_id, cid), " +
-      "fk AS (SELECT mh, min(doc_id * 1048576 + cid) AS first_key " +
+      "fk AS (SELECT mh, min(doc_id * 16777216 + cid) AS first_key " +
       "FROM c GROUP BY 1), " +
       "s AS (SELECT c.doc_id, count(*) AS n_chunks, " +
-      "sum(CASE WHEN c.doc_id * 1048576 + c.cid <> fk.first_key " +
+      "sum(CASE WHEN c.doc_id * 16777216 + c.cid <> fk.first_key " +
       "THEN 1 ELSE 0 END) AS n_dup " +
       "FROM c JOIN fk ON c.mh = fk.mh GROUP BY 1) " +
       "SELECT d.doc_id, CAST(COALESCE(s.n_chunks, 0) AS BIGINT) AS n_chunks, " +
@@ -1103,6 +1103,34 @@ object ExtQueries {
       "CAST(ws AS BIGINT) AS wsum FROM s " +
       "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS width, " +
       "CAST(-1 AS BIGINT) AS height, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
+  /** [[Multimodal.pngStats]] (r7): expected samples recomputed in
+    * canonical order from the doc_id literals — the oracle never sees
+    * the zlib stream or the filter bytes, so the decoder must
+    * actually invert deflate + all five per-row filters for the
+    * position-weighted sum to agree; truncated-IDAT docs must take
+    * the DLT arm (a partial inflate that "mostly worked" fails the
+    * hash). */
+  private val mmPngStatsSql: String =
+    "WITH d AS (SELECT doc_id, 6 + doc_id % 11 AS w, 4 + doc_id % 9 AS h, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, c, unnest(range(0, w * h * c)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, c, i, " +
+      "(doc_id * 3 + i * 7 + (i % 11) * 31) % 256 AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, c, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3, 4) " +
+      "SELECT doc_id, 'png' AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(c AS BIGINT) AS channels, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels, CAST(-1 AS BIGINT) AS n_vals, " +
       "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
@@ -1374,7 +1402,11 @@ object ExtQueries {
       "SUM(pv) // COUNT(*) AS ov FROM v " +
       "GROUP BY doc_id, c, w, h, oy, ox, ch) " +
       "SELECT doc_id, " +
-      "CASE WHEN c = 1 THEN 'pgm' ELSE 'ppm' END AS format, " +
+      // r7: every third doc ships the same pixels in a zlib PNG
+      // container; the pixels (and so the checksum) are unchanged —
+      // only the detected-format label differs.
+      "CASE WHEN doc_id % 3 = 2 THEN 'png' " +
+      "WHEN c = 1 THEN 'pgm' ELSE 'ppm' END AS format, " +
       "CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
       "CAST((w + 1) // 2 AS BIGINT) AS out_w, " +
       "CAST((h + 1) // 2 AS BIGINT) AS out_h, " +
@@ -2070,12 +2102,17 @@ object ExtQueries {
       s"SELECT rule, n_fail, n_fail_only FROM ($arms) ORDER BY rule"
   }
 
-  /** [[RelQueries.fkOrphans]]: the same four anti-join edges. */
+  /** [[RelQueries.fkOrphans]]: the same four anti-join edges. Stated as
+    * an explicit LEFT JOIN … IS NULL anti join (not NOT IN) so the oracle
+    * matches Spark's left_anti semantics under NULL keys too: NOT IN goes
+    * UNKNOWN for a NULL fk or any NULL parent key and would report 0
+    * orphans where left_anti counts the NULL-fk rows. */
   private val relFkOrphansSql: String = {
     def arm(name: String, child: String, fk: String, parent: String,
         pk: String): String =
       s"SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS n_orphans " +
-        s"FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)"
+        s"FROM $child c LEFT JOIN $parent p ON c.$fk = p.$pk " +
+        s"WHERE p.$pk IS NULL"
     arm("orders.custkey->customer", "orders", "o_custkey",
       "customer", "c_custkey") +
       " UNION ALL " + arm("lineitem.orderkey->orders", "lineitem",
@@ -2503,6 +2540,8 @@ object ExtQueries {
     "mm_resize" -> ((s, d) => Multimodal.resizeImages(Tables.documents(s, d))(s)),
     "mm_resize_bytes" -> ((s, d) => Multimodal.resizePayloads(Tables.documents(s, d))(s)),
     "mm_phash" -> ((s, d) => Multimodal.imagePhash(Tables.documents(s, d))(s)),
+    // r7: compressed-raster decode — real Inflater + five unfilters
+    "mm_png_stats" -> ((s, d) => Multimodal.pngStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
@@ -2666,6 +2705,7 @@ object ExtQueries {
     "mm_resize" -> mmResizeSql,
     "mm_resize_bytes" -> mmResizeBytesSql,
     "mm_phash" -> mmPhashSql,
+    "mm_png_stats" -> mmPngStatsSql,
     "dd_image_neardup" -> ddImageNearDupSql,
     "rel_kanon" -> relKanonSql,
     "rel_anomaly" -> relAnomalySql,

@@ -32,6 +32,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => raw
       case _ =>
+        // The NTZ→epoch conversion below is a wall-clock identity ONLY
+        // under a UTC session; enforce the invariant where it is relied
+        // on rather than trusting every caller's builder to pin it.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC " +
+            s"(got $tz): the timestamp[us] vintage is naive-UTC and any " +
+            s"other zone would silently shift all event times")
         raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
     }
   }
