@@ -967,17 +967,48 @@ object ExtQueries {
   // multimodal (stub decode over binary payloads — see Multimodal)
   // ---------------------------------------------------------------
 
+  /** [[Multimodal.mediaMeta]] (r7 — the dispatched flagship): every
+    * family's features recomputed from the doc_id/q literals the
+    * mixed generator used; the Spark side must recover them by
+    * PARSING whichever container the magic bytes declare, so a
+    * dispatch-order bug or any parser regression fails the hash.
+    * The `bin` arm restates the stub formula over the raw text —
+    * the only place the stub survives. */
   private val mmMetaSql: String = {
     val stride = Multimodal.FrameStride
-    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
-      s"CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT) AS n_frames, " +
-      "CAST(COALESCE(list_sum(list_transform(" +
-      s"range(0, CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT)), " +
-      s"i -> ascii(substr(text, CAST(i * $stride + 1 AS INTEGER), 1)))), 0) AS BIGINT) " +
-      "AS frame_checksum, " +
-      "16 + CAST(length(text) AS BIGINT) % 64 AS fake_width, " +
-      "16 + (CAST(length(text) AS BIGINT) // 64) % 64 AS fake_height " +
-      "FROM documents ORDER BY doc_id"
+    def arm(fam: Int, format: String, d1: String, d2: String,
+        d3: String): String =
+      s"SELECT doc_id, $format AS format, CAST($d1 AS BIGINT) AS d1, " +
+        s"CAST($d2 AS BIGINT) AS d2, CAST($d3 AS BIGINT) AS d3 " +
+        s"FROM d WHERE fam = $fam"
+    "WITH d AS (SELECT doc_id, text, doc_id % 8 AS fam, " +
+      "doc_id // 8 AS q FROM documents) " +
+      Seq(
+        arm(0, "'png'", "8 + doc_id % 9", "4 + doc_id % 7",
+          "CASE WHEN q % 2 = 0 THEN 1 ELSE 3 END"),
+        arm(1, "'jpeg'", "16 + doc_id % 101", "8 + (doc_id // 3) % 97",
+          "CASE WHEN q % 2 = 0 THEN 3 ELSE 1 END"),
+        arm(2, "CASE WHEN q % 2 = 0 THEN 'pgm' ELSE 'ppm' END",
+          "8 + doc_id % 9", "4 + doc_id % 7",
+          "CASE WHEN q % 2 = 0 THEN 1 ELSE 3 END"),
+        arm(3, "CASE WHEN q % 2 = 1 THEN 'gif89' ELSE 'gif87' END",
+          "20 + doc_id % 80", "10 + doc_id % 60",
+          "CASE WHEN q % 5 = 0 THEN 0 ELSE " +
+            "(CAST(1 AS BIGINT) << CAST(q % 8 + 1 AS INTEGER)) END"),
+        arm(4, "CASE WHEN q % 2 = 0 THEN 'tiff_be' ELSE 'tiff_le' END",
+          "10 + doc_id % 50", "5 + doc_id % 40",
+          "CASE WHEN q % 3 = 0 THEN 1 ELSE 3 END"),
+        arm(5, "'wav'", "8000 + (doc_id % 5) * 4000", "1 + q % 2",
+          "CASE WHEN q % 3 = 0 THEN 8 ELSE 16 END"),
+        arm(6, "'avi'", "160 + (q % 8) * 80", "120 + (q % 6) * 60",
+          "10 + doc_id % 240"),
+        arm(7, "'bin'", "length(text)",
+          s"FLOOR((length(text) + ${stride - 1}) / $stride)",
+          "COALESCE(list_sum(list_transform(" +
+            s"range(0, CAST(FLOOR((length(text) + ${stride - 1}) / $stride) AS BIGINT)), " +
+            s"i -> ascii(substr(text, CAST(i * $stride + 1 AS INTEGER), 1)))), 0)")
+      ).mkString(" UNION ALL ") +
+      " ORDER BY doc_id"
   }
 
   /** The oracle recomputes format/dims/channels from the doc_id
@@ -2306,6 +2337,25 @@ object ExtQueries {
       "CAST(max(tsn) AS BIGINT) AS ts_max " +
       "FROM pf GROUP BY 1, 2 ORDER BY event_type, file_id"
 
+  /** [[RelQueries.compactionPlanParts]] (r7): the same next-fit
+    * prefix-sum restated with the day bucket in the window key. */
+  private val relCompactionPlanPartsSql: String =
+    "WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, " +
+      "epoch_ns(ts) // 86400000000000 AS day_bucket, " +
+      "strlen(props) + 24 AS bytes FROM events), " +
+      "pf AS (SELECT event_type, day_bucket, event_id, tsn, bytes, " +
+      "COALESCE(SUM(bytes) OVER (PARTITION BY event_type, day_bucket " +
+      "ORDER BY tsn, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix " +
+      "FROM ev) " +
+      "SELECT event_type, CAST(day_bucket AS BIGINT) AS day_bucket, " +
+      "CAST(prefix // 65536 AS BIGINT) AS file_id, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(bytes) AS BIGINT) AS n_bytes, " +
+      "CAST(min(tsn) AS BIGINT) AS ts_min, " +
+      "CAST(max(tsn) AS BIGINT) AS ts_max " +
+      "FROM pf GROUP BY 1, 2, 3 ORDER BY event_type, day_bucket, file_id"
+
   /** Cohort retention: day index via exact integer nanos division
     * (`//` floors like Spark's `div` — both operands non-negative). */
   private val relRetentionSql: String =
@@ -2500,6 +2550,11 @@ object ExtQueries {
     "rel_skyline" -> (RelQueries.skyline _),
     "rel_funnel_window" -> ((s, d) => RelQueries.funnelWindow(s, d)),
     "rel_compaction_plan" -> ((s, d) => RelQueries.compactionPlan(s, d)),
+    // r7: the production twin — window key includes the day bucket,
+    // so sort parallelism grows with data instead of collapsing to
+    // the 5-value event_type domain
+    "rel_compaction_plan_parts" -> ((s, d) =>
+      RelQueries.compactionPlanParts(s, d)),
     "tx_ngram_lm" -> ((s, d) => TextAnalysis.ngramLm(Tables.documents(s, d))),
     "tx_lm_buckets" -> ((s, d) => TextAnalysis.lmBuckets(Tables.documents(s, d))),
     "tx_readability" -> ((s, d) =>
@@ -2513,7 +2568,10 @@ object ExtQueries {
       Dedup.incremental(docs.where(F.col("doc_id") % 10 === 0),
         docs.where(F.col("doc_id") % 10 =!= 0))
     }),
-    "mm_meta" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))(s)),
+    // r7: mm_meta is the magic-byte DISPATCHED flagship — real
+    // parsers claim their signatures, stubDecode only absorbs the
+    // unknown-format arm (the raw-text family)
+    "mm_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
@@ -2568,6 +2626,9 @@ object ExtQueries {
     "rel_median_value" -> (RelQueries.medianValueByType _),
     // approx-percentile sketch: engine-specific -> rows-only check
     "x_median_approx" -> (RelQueries.medianValueApproxByType _),
+    // r7: the approx-bounds winsorize scale path, exercised as a
+    // declared query (rows-only, same sketch caveat)
+    "x_winsorize_approx" -> (RelQueries.winsorizeApprox _),
     // DEFLATE bytes are engine-specific -> rows-only check
     "x_compress_ratio" -> ((s, d) =>
       TextAnalysis.compressRatio(Tables.documents(s, d))),
@@ -2649,6 +2710,7 @@ object ExtQueries {
     "rel_skyline" -> relSkylineSql,
     "rel_funnel_window" -> relFunnelWindowSql,
     "rel_compaction_plan" -> relCompactionPlanSql,
+    "rel_compaction_plan_parts" -> relCompactionPlanPartsSql,
     "tx_ngram_lm" -> txNgramLmSql,
     "tx_lm_buckets" -> txLmBucketsSql,
     "tx_readability" -> txReadabilitySql,

@@ -386,6 +386,36 @@ object RelQueries {
       .orderBy("event_type", "file_id")
   }
 
+  /** Partitioned compaction planner (r7 — the production twin of
+    * [[compactionPlan]], which is hereby demoted to oracle anchor):
+    * the same next-fit file assignment, but windowed by (event_type,
+    * DAY BUCKET) — the per-table-partition scope a real lake OPTIMIZE
+    * job actually runs at, since compaction rewrites files inside one
+    * partition and never across partition boundaries. The window key
+    * now contains the time bucket, so sort parallelism is
+    * #types × #days and GROWS with the data instead of collapsing to
+    * the 5-value event_type domain (the parallelism-collapse class
+    * VERDICT r6 flagged; same fix shape as tx_pack → tx_pack_bylang).
+    * Still ONE exchange, now on the composite key, serving both the
+    * window and the per-file aggregate. */
+  def compactionPlanParts(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 65536L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ts AS BIGINT)").as("tsn"),
+        (octet_length(col("props")) + 24L).cast("long").as("bytes"))
+      .withColumn("day_bucket", expr("tsn div 86400000000000"))
+    val w = Window.partitionBy("event_type", "day_bucket")
+      .orderBy("tsn", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("file_id", expr(s"prefix div $targetBytes"))
+      .groupBy("event_type", "day_bucket", "file_id")
+      .agg(count(lit(1)).as("n_rows"), sum("bytes").as("n_bytes"),
+        min("tsn").as("ts_min"), max("tsn").as("ts_max"))
+      .orderBy("event_type", "day_bucket", "file_id")
+  }
+
   /** PIVOT coverage (r5): hourly event counts pivoted to one column
     * per event type — the wide-format rollup reporting tools ask for.
     * The pivot VALUES are passed explicitly (the five literal event
@@ -1041,6 +1071,33 @@ object RelQueries {
       .groupBy("event_type")
       .agg(min(when(col("rn") === loIdx, col("v_c"))).as("lo_c"),
         min(when(col("rn") === hiIdx, col("v_c"))).as("hi_c"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v_c") < col("lo_c"), 1L).otherwise(0L))
+          .as("n_lo_clipped"),
+        sum(when(col("v_c") > col("hi_c"), 1L).otherwise(0L))
+          .as("n_hi_clipped"),
+        sum(least(greatest(col("v_c"), col("lo_c")), col("hi_c")))
+          .as("sum_winsor_c"))
+      .orderBy("event_type")
+  }
+
+  /** The SCALE path for [[winsorize]] (r7): clip bounds from
+    * approx_percentile (Greenwald–Khanna sketch) at p5/p95 instead of
+    * the nearest-rank per-type window sort — the sketch is
+    * partial-aggregable, so per-type cost is one bounded sketch merged
+    * map-side and the fact stream is never sorted at all; the bounds
+    * frame stays |types|-sized and broadcasts back exactly like the
+    * anchor's. Sketches are engine-specific (no DuckDB hash oracle —
+    * declared with the x_ rows-only check, like [[medianValueApproxByType]]);
+    * the exact nearest-rank variant stays the correctness anchor. */
+  def winsorizeApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+    val bounds = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(v_c, 0.05D, 10000)").as("lo_c"),
+        expr("approx_percentile(v_c, 0.95D, 10000)").as("hi_c"))
     ev.join(broadcast(bounds), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

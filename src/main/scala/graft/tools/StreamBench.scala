@@ -34,10 +34,21 @@ object StreamBench {
     val nText = sys.env.getOrElse("STREAMBENCH_TEXT_ROWS", "200000").toInt
     val nVec = sys.env.getOrElse("STREAMBENCH_VEC_ROWS", "50000").toInt
     val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "20").toInt
+    // r7: state-store provider switch — "rocksdb" measures the
+    // production provider (bundled rocksdbjni; state off-heap,
+    // incremental snapshots), default "hdfs" is the in-memory map
+    // provider the earlier rows used
+    val provider = sys.env.getOrElse("STREAMBENCH_PROVIDER", "hdfs")
+    val providerClass =
+      if (provider == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -54,7 +65,19 @@ object StreamBench {
       else p.stateOperators.map(_.numRowsTotal).sum
     }
 
-    println("pipeline,rows_in,batches,wall_s,rows_per_s,state_rows,rows_out")
+    // cumulative state-store cost over ALL batches (recentProgress
+    // keeps the last 100 — covers every configuration here): commit
+    // is the per-batch store checkpoint, updates the put/merge path.
+    // These are the two numbers that attribute a streaming ceiling to
+    // state persistence vs everything else (shuffle, planning, source).
+    def stateTimes(q: StreamingQuery): (Long, Long) = {
+      val ps = q.recentProgress
+      (ps.flatMap(_.stateOperators.map(_.commitTimeMs)).sum,
+        ps.flatMap(_.stateOperators.map(_.allUpdatesTimeMs)).sum)
+    }
+
+    println("pipeline,provider,rows_in,batches,wall_s,rows_per_s," +
+      "state_rows,commit_ms,update_ms,rows_out")
 
     // ---- text path ----
     {
@@ -87,8 +110,9 @@ object StreamBench {
         val wall = (System.nanoTime() - t0) / 1e9
         val outRows = spark.table("sb_text").count()
         val in = perBatch.toLong * batches
-        println(f"text_dedup_quality_admit,$in,$batches,$wall%.1f," +
-          f"${in / wall}%.0f,${stateRows(q)},$outRows")
+        val (commitMs, updateMs) = stateTimes(q)
+        println(f"text_dedup_quality_admit,$provider,$in,$batches,$wall%.1f," +
+          f"${in / wall}%.0f,${stateRows(q)},$commitMs,$updateMs,$outRows")
       } finally q.stop()
     }
 
@@ -118,8 +142,9 @@ object StreamBench {
         val wall = (System.nanoTime() - t0) / 1e9
         val outRows = spark.table("sb_vec").count()
         val in = perBatch.toLong * batches
-        println(f"vector_admit,$in,$batches,$wall%.1f," +
-          f"${in / wall}%.0f,${stateRows(q)},$outRows")
+        val (commitMs, updateMs) = stateTimes(q)
+        println(f"vector_admit,$provider,$in,$batches,$wall%.1f," +
+          f"${in / wall}%.0f,${stateRows(q)},$commitMs,$updateMs,$outRows")
       } finally q.stop()
     }
 

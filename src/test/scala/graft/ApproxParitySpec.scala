@@ -41,6 +41,40 @@ class ApproxParitySpec extends AnyFunSuite {
     }
   }
 
+  test("x_winsorize_approx: counts match the exact anchor and the " +
+    "approx bounds sit inside GK rank-error envelopes (r7)") {
+    val exact = RelQueries.winsorize(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = RelQueries.winsorizeApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    // rank-error envelope: GK at accuracy 10000 is within n/10000
+    // ranks, so the approx p5/p95 bound lies inside the exact
+    // [p4, p6] / [p94, p96] value envelope per type
+    val env = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("event_type")
+      .agg(expr(
+        "percentile(v_c, array(0.04D, 0.06D, 0.94D, 0.96D))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.foreach { case (tpe, a) =>
+      assert(a.getLong(1) == exact(tpe).getLong(1), s"$tpe: n differs")
+      val Seq(p4, p6, p94, p96) = env(tpe).toSeq
+      // clip counts bounded by the envelope's implied rank windows:
+      // approx clip fractions must stay near 5% (within [4%, 6%] + 1)
+      val n = a.getLong(1).toDouble
+      assert(a.getLong(2) / n <= 0.061 && a.getLong(3) / n <= 0.061,
+        s"$tpe: clip fractions ${a.getLong(2) / n} / ${a.getLong(3) / n}")
+      // winsorized sum within the worst-case bound-shift envelope
+      val exS = exact(tpe).getLong(4).toDouble
+      val gotS = a.getLong(4).toDouble
+      val slack = n * (math.abs(p6 - p4) + math.abs(p96 - p94) + 2)
+      assert(math.abs(gotS - exS) <= slack,
+        s"$tpe: winsorized sum $gotS vs $exS beyond $slack")
+    }
+  }
+
   test("x_approx_users within 3x the advertised HLL rsd of the exact count") {
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type")

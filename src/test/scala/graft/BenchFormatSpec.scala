@@ -70,6 +70,31 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"" + rs.maxBy(_._2)._1 + "\":"))
   }
 
+  test("200 real-named queries: the ladder folds the FASTEST into " +
+    "_rest and every one of the slowest 50 stays listed (r7)") {
+    // the property the driver needs as the surface grows past 150:
+    // _rest absorbs fast queries only, never the slow tail that
+    // baseline comparison reads. Names are the real surface plus
+    // realistic _v2 twins (not synthetic padding) so average name
+    // length matches production.
+    val real = SparkEntry.queries.keys.toSeq.sorted
+    val names = (real ++ real.map(_ + "_v2")).take(200)
+    assert(names.length == 200, s"need 200, surface gives ${real.size}")
+    val timed = names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.013) }
+    val line = Bench.formatLine(timed, "/root/testdata/sf0.1")
+    parseable(line)
+    survivesTailWindow(line)
+    val slowest = timed.sortBy(-_._2).take(50)
+    slowest.foreach { case (n, _) =>
+      assert(line.contains("\"" + n + "\":"), s"slow query $n folded away")
+    }
+    assert(line.contains("\"_rest\":"), "200 queries must fold a tail")
+    // _rest equals the sum of exactly the folded (fastest) queries:
+    // total - listed = rest within print rounding
+    val total = timed.map(_._2).sum
+    assert(line.contains(f"""\"value\":$total%.3f"""))
+  }
+
   test("line is locale-stable JSON with the declared fields") {
     val line = Bench.formatLine(Seq("q1" -> 1.5, "q2" -> 0.25), "sfX")
     assert(line == """{"metric":"total","value":1.750,"unit":"sec","queries":{"q1":1.50,"q2":0.25},"sf":"sfX"}""")

@@ -76,6 +76,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == nodes, "no rank mass lost: closed graph")
   }
 
+  test("pagerankEdges: dangling-mass redistribution on a sink-bearing " +
+    "fixture graph matches the reference recurrence; no mass vanishes (r7)") {
+    import spark.implicits._
+    // 1->2, 1->3, 2->3, 4->1: node 3 is a pure SINK (only ever a dst)
+    // and node 4 has in-degree 0 — both classes the closed derived
+    // graph never exercises.
+    val fixture = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val df = fixture.toDF("src", "dst")
+    // reference: pr' (v) = 150000 + floor(850*(sum contrib + D div N)/1000)
+    val ns = (fixture.map(_._1) ++ fixture.map(_._2)).distinct
+    val outdeg = fixture.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var pr: Map[Long, Long] = ns.map(_ -> 1000000L).toMap
+    (1 to Graph.PrRounds).foreach { _ =>
+      val dmass = ns.filterNot(outdeg.contains).map(pr).sum
+      val share = dmass / ns.size
+      val contrib = fixture.map { case (s, d) =>
+        d -> Math.floorDiv(pr(s), outdeg(s).toLong)
+      }.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      pr = ns.map { v =>
+        v -> (150000L + math.floor(
+          (contrib.getOrElse(v, 0L) + share).toDouble * 850 / 1000).toLong)
+      }.toMap
+    }
+    val got = Graph.pagerankEdges(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    assert(got.keySet == ns.toSet,
+      "sinks and in-degree-0 nodes keep rank rows")
+    // the sink actually accumulated rank (it would hold the max here)
+    assert(got(3L) == got.values.max)
+    // and the closed-graph path is the D = 0 special case: the
+    // customer-graph query through pagerankEdges must still match the
+    // oracle recurrence without any dangling term (covered by the
+    // pagerank test above running through the same core).
+  }
+
   test("coOrderTriangles: degree-ordered count matches a driver-side " +
     "adjacency-set reference; every triangle counted exactly once") {
     val li = graft.relational.Tables.lineitem(spark, sf)

@@ -228,6 +228,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"compaction joins:\n$p")
   }
 
+  test("rel_compaction_plan_parts: the window key CONTAINS the day " +
+    "bucket — sort parallelism grows with data, no 5-way collapse (r7)") {
+    val p = planNoAqe("rel_compaction_plan_parts")
+    // same one-exchange shape as the anchor...
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"partitioned compaction re-shuffles:\n$p")
+    assert(!p.contains("Join"), s"partitioned compaction joins:\n$p")
+    // ...and the hash key is the COMPOSITE (event_type, day_bucket):
+    // the production property this twin exists for
+    val exch = p.linesIterator
+      .find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exch.contains("event_type") && exch.contains("day_bucket"),
+      s"window partition key lost the time bucket: $exch")
+  }
+
   test("rel_skyline windows over the per-day AGGREGATE, not raw " +
     "orders — one scan, no self-join (r6)") {
     val p = planNoAqe("rel_skyline")

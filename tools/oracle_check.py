@@ -21,7 +21,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # Spark-written tables (e.g. the probe corpus) are DIRECTORIES
+        # of part files; driver-generated ones are single files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name, sql in sorted(oracles.items()):
