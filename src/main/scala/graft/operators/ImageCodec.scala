@@ -705,6 +705,299 @@ object ImageCodec {
     Some(PngImage(w.toInt, h.toInt, c, out))
   }
 
+  // ---------------------------------------------------------------
+  // REAL pixel-level GIF decode (r7 — the SECOND compressed raster
+  // family): GIF pixel data is LZW-compressed palette indices
+  // (GIF89a spec appendix F), and LZW is a pure algorithm — no codec
+  // library involved at all. The decoder walks the block structure
+  // (extensions are length-prefixed sub-block chains; the image
+  // descriptor carries its own dims + optional local color table),
+  // concatenates the image's data sub-blocks, and runs the variable-
+  // width LSB-first LZW: clear/EOI codes, code width min+1..12
+  // growing as the table fills (decoder bumps at nextFree == 2^width;
+  // the encoder's matching bump is one entry later — GIF is a
+  // late-change format, unlike TIFF), and the KwKwK case where a
+  // code references the entry being defined. Indices map through the
+  // color table to a canonical top-down RGB raster — the same
+  // normalized order every other decoder here emits.
+  // ---------------------------------------------------------------
+
+  /** Fully-decoded GIF frame: dims + RGB raster (palette applied). */
+  final case class GifImage(width: Int, height: Int, raster: Array[Byte])
+
+  /** Pixel-level GIF decode: LSD via the [[parseGif]] fields, global
+    * color table, block walk to the first image descriptor (full-frame,
+    * non-interlaced only — sub-frames/interlace → None, the DLT arm),
+    * LZW decompress, palette map. Truncated streams, out-of-range
+    * codes or indices, wrong pixel counts → None. */
+  def parseGifRaster(b: Array[Byte]): Option[GifImage] = {
+    val meta = parseGif(b) match {
+      case Some(m) => m
+      case None => return None
+    }
+    val w = meta.width.toInt
+    val h = meta.height.toInt
+    if (w > (1 << 12) || h > (1 << 12)) return None
+    var paletteAt = -1
+    var paletteSize = 0
+    var p = 13
+    if (meta.palette > 0) {
+      paletteAt = 13
+      paletteSize = meta.palette.toInt
+      p += 3 * paletteSize
+    }
+    // block walk to the first image descriptor
+    while (true) {
+      if (p >= b.length) return None
+      (b(p) & 0xff) match {
+        case 0x21 => // extension: label + sub-block chain
+          p += 2
+          var len = if (p < b.length) b(p) & 0xff else return None
+          while (len != 0) {
+            p += 1 + len
+            if (p >= b.length) return None
+            len = b(p) & 0xff
+          }
+          p += 1
+        case 0x2c => // image descriptor
+          if (p + 10 > b.length) return None
+          val left = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8)
+          val top = (b(p + 3) & 0xff) | ((b(p + 4) & 0xff) << 8)
+          val iw = (b(p + 5) & 0xff) | ((b(p + 6) & 0xff) << 8)
+          val ih = (b(p + 7) & 0xff) | ((b(p + 8) & 0xff) << 8)
+          val packed = b(p + 9) & 0xff
+          if ((packed & 0x40) != 0) return None // interlaced: DLT arm
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          p += 10
+          if ((packed & 0x80) != 0) { // local color table overrides
+            paletteAt = p
+            paletteSize = 1 << ((packed & 0x07) + 1)
+            p += 3 * paletteSize
+          }
+          if (paletteAt < 0 || paletteAt + 3 * paletteSize > b.length)
+            return None
+          // LZW minimum code size + data sub-blocks
+          if (p >= b.length) return None
+          val minCode = b(p) & 0xff
+          if (minCode < 2 || minCode > 11) return None
+          p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var len = if (p < b.length) b(p) & 0xff else return None
+          while (len != 0) {
+            if (p + 1 + len > b.length) return None
+            data.write(b, p + 1, len)
+            p += 1 + len
+            if (p >= b.length) return None
+            len = b(p) & 0xff
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(v) => v
+            case None => return None
+          }
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val ix = idx(i) & 0xff
+            if (ix >= paletteSize) return None
+            out(i * 3) = b(paletteAt + ix * 3)
+            out(i * 3 + 1) = b(paletteAt + ix * 3 + 1)
+            out(i * 3 + 2) = b(paletteAt + ix * 3 + 2)
+            i += 1
+          }
+          return Some(GifImage(w, h, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW decompress to EXACTLY `nPixels` palette indices:
+    * LSB-first bit stream, clear = 2^min, EOI = clear+1, code width
+    * min+1 growing at nextFree == 2^width (cap 12), KwKwK handled,
+    * anything out of protocol (code > nextFree, first code not a
+    * root, wrong output count, stream exhausted early) → None. */
+  def lzwDecode(data: Array[Byte], minCode: Int,
+      nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // table as (prefix code, appended byte); roots are prefix -1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    var nOut = 0
+    var width = minCode + 1
+    var nextFree = clear + 2
+    var prev = -1
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    // expand a code's string (walk the prefix chain, emit reversed)
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Boolean = {
+      var c = code
+      var sp = 0
+      while (c >= clear) { // composite entry
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+        if (sp > 4095) return false
+      }
+      stack(sp) = c.toByte; sp += 1 // the root
+      while (sp > 0) {
+        sp -= 1
+        if (nOut >= nPixels) return false
+        out(nOut) = stack(sp); nOut += 1
+      }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (true) {
+      while (nBits < width) {
+        if (pos >= data.length)
+          return if (nOut == nPixels) Some(out) else None
+        acc |= (data(pos) & 0xffL) << nBits
+        nBits += 8
+        pos += 1
+      }
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nBits -= width
+      if (code == clear) {
+        width = minCode + 1
+        nextFree = clear + 2
+        prev = -1
+      } else if (code == eoi) {
+        return if (nOut == nPixels) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > nextFree || code == clear || code == eoi) return None
+        val cur =
+          if (code == nextFree) { // KwKwK: entry being defined
+            if (nextFree >= 4096) return None
+            prefix(nextFree) = prev
+            suffix(nextFree) = firstByte(prev)
+            nextFree += 1
+            code
+          } else {
+            if (nextFree < 4096) {
+              prefix(nextFree) = prev
+              suffix(nextFree) = firstByte(code)
+              nextFree += 1
+            }
+            code
+          }
+        if (!emit(cur)) return None
+        prev = cur
+        if (nextFree == (1 << width) && width < 12) width += 1
+      }
+      if (nOut == nPixels) {
+        // consume a trailing EOI if present; either way we are done
+        return Some(out)
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW compress (the fixture encoder): a REAL
+    * dictionary encoder (hash map over (prefix, byte)), emitting
+    * clear first, growing code width ONE ENTRY LATER than the
+    * decoder's bump (the GIF late-change convention — the decoder's
+    * table add lags the encoder's by one code in the stream), and
+    * clearing if the table ever approaches full. */
+  def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val outBits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) {
+        outBits.write((acc & 0xff).toInt)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    var dict = Map.empty[(Int, Int), Int]
+    var nextFree = clear + 2
+    put(clear)
+    if (indices.nonEmpty) {
+      var current = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        dict.get((current, k)) match {
+          case Some(c) => current = c
+          case None =>
+            put(current)
+            if (nextFree < 4094) {
+              dict += ((current, k) -> nextFree)
+              nextFree += 1
+              // late change: bump one entry after the decoder would
+              if (nextFree == (1 << width) + 1 && width < 12) width += 1
+            } else {
+              put(clear)
+              dict = Map.empty
+              nextFree = clear + 2
+              width = minCode + 1
+            }
+            current = k
+        }
+        i += 1
+      }
+      put(current)
+    }
+    put(eoi)
+    if (nBits > 0) outBits.write((acc & 0xff).toInt)
+    outBits.toByteArray
+  }
+
+  /** Deterministic REAL-LZW GIF fixture: palette entry (j, ch) and
+    * pixel index i both come from caller formulas the oracle
+    * restates; the encoder is the real dictionary LZW above, data
+    * split into ≤255-byte sub-blocks, so decode must run the actual
+    * variable-width algorithm (table growth and KwKwK arise naturally
+    * from the periodic index patterns). */
+  def gifRasterBytes(w: Int, h: Int, paletteExp: Int, version89: Boolean,
+      palette: (Int, Int) => Int, index: Int => Int): Array[Byte] = {
+    val size = 1 << (paletteExp + 1)
+    val minCode = math.max(2, paletteExp + 1)
+    val out = new java.io.ByteArrayOutputStream()
+    s"GIF8${if (version89) '9' else '7'}a".foreach(c => out.write(c))
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(0x80 | (paletteExp & 0x07)) // GCT present
+    out.write(0); out.write(0) // background, aspect
+    for (j <- 0 until size; ch <- 0 until 3) out.write(palette(j, ch) & 0xff)
+    out.write(0x2c) // image descriptor, full frame
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(0) // no LCT, not interlaced
+    out.write(minCode)
+    val idx = Array.tabulate[Byte](w * h)(i => (index(i) % size).toByte)
+    val data = lzwEncode(idx, minCode)
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n)
+      out.write(data, off, n)
+      off += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Deterministic REAL-compression PNG fixture: canonical raster
     * byte i = pixel(i), forward-filtered per row with
     * `filterFor(y) mod 5` (the writer's rotation covers all five

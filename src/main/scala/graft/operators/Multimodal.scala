@@ -458,6 +458,63 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Decoded-GIF pixel stats (r7): the SECOND compressed raster
+    * family — LZW is a pure algorithm, so GIF pixels need no codec
+    * library either. Same position-weighted-sum contract as the
+    * PNG/BMP kernels: wsum fails if the variable-width LZW, the
+    * palette map, or the sub-block walk is wrong anywhere. */
+  final case class GifStatsRow(doc_id: Long, format: String,
+      width: Long, height: Long, palette: Long, n_vals: Long,
+      peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Deterministic real-LZW GIF payloads, one per document: palette
+    * size 2..256 (exp = id mod 8 — every code width 3..9 with growth
+    * exercised), palette entry (j, ch) and pixel index i from doc_id
+    * literals the oracle restates; every 13th payload truncated (the
+    * corrupt arm — a clipped LZW stream must fail closed). */
+  def syntheticGifRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.gifRasterBytes(
+          w = 6 + (id % 10).toInt, h = 4 + (id % 8).toInt,
+          paletteExp = (id % 8).toInt, version89 = id % 2 == 1,
+          palette = (j, ch) => ((id * 13 + j * 41L + ch * 17) % 256).toInt,
+          index = i => ((id * 3 + i.toLong * 7) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 30) else full)
+      }
+  }
+
+  /** REAL LZW GIF decode → stats (r7): block walk, variable-width
+    * LZW decompress, palette map ([[ImageCodec.parseGifRaster]]),
+    * canonical-order integer stats the oracle recomputes
+    * sample-by-sample from the shared formulas. Same mapPartitions
+    * batch contract and DLT arm as every other codec kernel. */
+  def gifStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGifRasters(docs).mapPartitions(_.map { d =>
+      (ImageCodec.parseGif(d.payload), ImageCodec.parseGifRaster(d.payload)) match {
+        case (Some(m), Some(img)) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          GifStatsRow(d.doc_id, m.format, img.width.toLong,
+            img.height.toLong, m.palette, r.length.toLong, peak,
+            sum / r.length, wsum)
+        case _ =>
+          GifStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Parsed audio metadata per payload (r6). */
   final case class AudioMetaRow(doc_id: Long, format: String,
       channels: Long, sample_rate: Long, bits: Long, n_samples: Long,

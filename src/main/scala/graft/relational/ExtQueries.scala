@@ -1166,6 +1166,38 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.gifStats]] (r7): every RGB sample recomputed from
+    * the shared palette/index formulas — the oracle never sees the
+    * LZW stream, so the decoder must actually run the variable-width
+    * algorithm (table growth, KwKwK, sub-block reassembly) for the
+    * position-weighted sum to agree. Palette sizes are powers of two
+    * ≤ 256, so (x mod 256) mod size == x mod size and the index
+    * double-mod is stated verbatim. */
+  private val mmGifStatsSql: String =
+    "WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 4 + doc_id % 8 AS h, " +
+      "CAST(1 AS BIGINT) << CAST(doc_id % 8 + 1 AS INTEGER) AS psize, " +
+      "CASE WHEN doc_id % 2 = 1 THEN 'gif89' ELSE 'gif87' END AS fmt " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, psize, fmt, " +
+      "unnest(range(0, w * h * 3)) AS s FROM d), " +
+      "v AS (SELECT doc_id, w, h, psize, fmt, s, " +
+      "(doc_id * 13 + (((doc_id * 3 + (s // 3) * 7) % 256) % psize) * 41 " +
+      "+ (s % 3) * 17) % 256 AS v FROM j), " +
+      "st AS (SELECT doc_id, w, h, psize, fmt, count(*) AS n, " +
+      "max(v) AS peak, sum(v) AS sv, sum(v * (s + 1)) AS ws " +
+      "FROM v GROUP BY 1, 2, 3, 4, 5) " +
+      "SELECT doc_id, fmt AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(psize AS BIGINT) AS palette, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM st " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS palette, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.gifMeta]]: version, dims and the packed-byte
     * palette size recomputed from doc_id literals. */
   private val mmGifMetaSql: String =
@@ -1548,14 +1580,23 @@ object ExtQueries {
       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk FROM orders) " +
       "WHERE rk <= 3 ORDER BY o_custkey, rk"
 
+  /** [[RelQueries.purchaseLastClick]]: restated as an explicit argmax
+    * (r7) rather than DuckDB's native ASOF JOIN — native ASOF leaves
+    * the pick among EQUAL-timestamp clicks to engine whim, and the
+    * probe corpus's duplicated rows exposed the two engines choosing
+    * differently; the (ts DESC, event_id DESC) rank pins the same
+    * max-event_id tiebreak the Spark operator now declares. */
   private val relAsofSql: String =
     "WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
-      "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') " +
-      "SELECT p.event_id AS purchase_id, p.user_id AS user_id, " +
+      "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), " +
+      "j AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, " +
       "epoch_us(p.ts) AS purchase_us, c.event_id AS click_id, " +
-      "epoch_us(c.ts) AS click_us " +
-      "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
-      "ORDER BY purchase_id"
+      "epoch_us(c.ts) AS click_us, " +
+      "row_number() OVER (PARTITION BY p.event_id " +
+      "ORDER BY c.ts DESC, c.event_id DESC) AS rk " +
+      "FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) " +
+      "SELECT purchase_id, user_id, purchase_us, click_id, click_us " +
+      "FROM j WHERE rk = 1 ORDER BY purchase_id"
 
   private val relRangeClicksSql: String =
     "WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events), " +
@@ -1626,13 +1667,22 @@ object ExtQueries {
       "FROM events JOIN bands ON value >= lo AND value < hi " +
       "GROUP BY 1 ORDER BY 1"
 
+  /** Session emulation windows order by (us, event_id) — a TOTAL
+    * order (r7): with duplicate timestamps, `ORDER BY us` alone lets
+    * the lag window and the running-sum window sequence the tied rows
+    * DIFFERENTLY (independent arbitrary tie orders), which can land
+    * the break flag mid-tie-group and split a session 12/8 where the
+    * set-based session_window correctly splits 10/10 — exactly what
+    * the probe corpus's duplicated (user, ts) rows produced. Gaps
+    * within a tie group are 0 either way; the total order just makes
+    * the flag and the sum walk the SAME sequence. */
   private val relSessionsSql: String = {
     val gapUs = 6L * 3600 * 1000000
-    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
-      "flag AS (SELECT user_id, us, CASE WHEN us - lag(us) OVER " +
-      s"(PARTITION BY user_id ORDER BY us) >= $gapUs THEN 1 ELSE 0 END AS brk FROM e), " +
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "flag AS (SELECT user_id, event_id, us, CASE WHEN us - lag(us) OVER " +
+      s"(PARTITION BY user_id ORDER BY us, event_id) >= $gapUs THEN 1 ELSE 0 END AS brk FROM e), " +
       "ses AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id " +
-      "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM flag), " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flag), " +
       "agg AS (SELECT user_id, sid, min(us) AS session_start_us, " +
       s"max(us) + $gapUs AS session_end_us, count(*) AS n_events " +
       "FROM ses GROUP BY 1, 2) " +
@@ -2600,6 +2650,8 @@ object ExtQueries {
     "mm_phash" -> ((s, d) => Multimodal.imagePhash(Tables.documents(s, d))(s)),
     // r7: compressed-raster decode — real Inflater + five unfilters
     "mm_png_stats" -> ((s, d) => Multimodal.pngStats(Tables.documents(s, d))(s)),
+    // r7: second compressed family — real variable-width LZW
+    "mm_gif_stats" -> ((s, d) => Multimodal.gifStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
@@ -2666,7 +2718,11 @@ object ExtQueries {
           F.when(F.col("doc_id") % 3 === 0,
             F.lit(" cafe\u0301 touche\u0301")).otherwise(F.lit("")))
           .as("raw"))
-      TextAnalysis.nfcNormalize(inp, "raw")
+      // orderBy (r7): the one query that lacked the deterministic
+      // output order — passed at driver SFs only because the
+      // single-file read happened to preserve doc_id order; the
+      // 32-way-written probe corpus exposed it
+      TextAnalysis.nfcNormalize(inp, "raw").orderBy("doc_id")
     }),
     "rel_profile" -> ((s, d) =>
       graft.operators.Profile.profile(Tables.lineitem(s, d), relProfileCols)),
@@ -2768,6 +2824,7 @@ object ExtQueries {
     "mm_resize_bytes" -> mmResizeBytesSql,
     "mm_phash" -> mmPhashSql,
     "mm_png_stats" -> mmPngStatsSql,
+    "mm_gif_stats" -> mmGifStatsSql,
     "dd_image_neardup" -> ddImageNearDupSql,
     "rel_kanon" -> relKanonSql,
     "rel_anomaly" -> relAnomalySql,

@@ -102,8 +102,11 @@ object RelQueries {
       .select("user_id", "ts_us", "event_id")
     val clicks = e.where(col("event_type") === "click")
       .select("user_id", "ts_us", "event_id")
+    // event_id tiebreak (r7): equal-timestamp clicks otherwise make
+    // "the" last click underdetermined — probe-sf1's duplicated rows
+    // exposed the ambiguity in both engines
     graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
-        Seq("event_id"), Seq("event_id", "ts_us"))
+        Seq("event_id"), Seq("event_id", "ts_us"), tieBreak = Some("event_id"))
       .select(col("l_event_id").as("purchase_id"), col("user_id"),
         col("l_ts_us").as("purchase_us"), col("r_event_id").as("click_id"),
         col("r_ts_us").as("click_us"))

@@ -42,6 +42,36 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asOf with tieBreak is deterministic on DUPLICATE right " +
+    "timestamps — max tiebreak id wins (r7)") {
+    val rnd = new Random(17)
+    val left = (1 to 150).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(60).toLong, i.toLong))
+    // dense duplicate right timestamps: several rows per (k, t)
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(60).toLong, (1000 + i).toLong))
+    val expected = left.flatMap { case (k, t, id) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      if (cands.isEmpty) None
+      else Some((k, t, id, cands.maxBy(r => (r._2, r._3))._3))
+    }.sorted
+    val got = AsOfJoin.asOf(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+        "k", "t", Seq("lid"), Seq("rid"), tieBreak = Some("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == expected)
+    // and the result is stable under input shuffling (no residual
+    // order sensitivity)
+    val shuffled = AsOfJoin.asOf(
+        rnd.shuffle(left).toDF("k", "t", "lid"),
+        rnd.shuffle(right).toDF("k", "t", "rid"),
+        "k", "t", Seq("lid"), Seq("rid"), tieBreak = Some("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(shuffled == expected)
+  }
+
   test("nearDupClusters equals union-find components on the LSH pair graph") {
     // random corpus with planted duplicate groups
     val rnd = new Random(7)
