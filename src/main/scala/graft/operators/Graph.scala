@@ -137,25 +137,36 @@ object Graph {
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    // one-time closure probe (model-sized scalar, like n): when every
+    // node has an out-edge, D = 0 in every round by construction, so
+    // the per-round dangling aggregate + scalar join can be elided
+    // entirely and the plan is byte-identical to the closed-graph
+    // recurrence — the derived ring graph takes this path
+    val hasSinks = deg.count() < n
     val degByNode = deg.select(col("src").as("node"), col("outdeg"))
     var pr = nodes.withColumn("pr", lit(1000000L))
     var round = 0
     while (round < rounds) {
-      val dangling = pr.join(degByNode, Seq("node"), "left")
-        .where(col("outdeg").isNull)
-        .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
       val sums = e2.join(pr, e2("src") === pr("node"))
         .select(col("dst"),
           floor(col("pr").cast("double") / col("outdeg"))
             .cast("long").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg(sum("contrib").as("s"))
-      pr = nodes.join(sums, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
+      val joined = nodes.join(sums, Seq("node"), "left")
+      val withShare =
+        if (!hasSinks) joined.withColumn("share", lit(0L))
+        else {
+          val dangling = pr.join(degByNode, Seq("node"), "left")
+            .where(col("outdeg").isNull)
+            .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
+          joined.crossJoin(broadcast(dangling))
+            .withColumn("share", expr(s"dmass div ${math.max(n, 1L)}"))
+        }
+      pr = withShare
         .select(col("node"),
           (lit(150000L) + floor(
-            (coalesce(col("s"), lit(0L)) +
-              expr(s"dmass div ${math.max(n, 1L)}")).cast("double")
+            (coalesce(col("s"), lit(0L)) + col("share")).cast("double")
               * 850 / 1000).cast("long")).as("pr"))
         .localCheckpoint(true) // rank table is node-sized; truncating
       // per round keeps the job DAG one-join deep regardless of rounds

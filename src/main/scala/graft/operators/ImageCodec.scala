@@ -462,6 +462,209 @@ object ImageCodec {
   }
 
   // ---------------------------------------------------------------
+  // REAL pixel-level TIFF decode (r7): uncompressed (Compression=1)
+  // strip-organized rasters under EITHER byte order. Beyond the
+  // header walk this pins the two IFD traps the meta parse never
+  // touches: a field whose values exceed 4 bytes stores an OFFSET in
+  // the value slot instead of the values (TIFF 6.0 §2 "Value
+  // Offset") — so BitsPerSample for RGB (3 SHORTs = 6 B) and any
+  // multi-strip StripOffsets/StripByteCounts array must be chased —
+  // and the raster itself is split across strips of RowsPerStrip
+  // rows that must be reassembled in order.
+  // ---------------------------------------------------------------
+
+  /** Decoded baseline TIFF: dims/channels + the raster (top-down
+    * row-major, channel-interleaved — TIFF's native order, already
+    * canonical). format carries the detected byte order. */
+  final case class TiffImage(format: String, width: Int, height: Int,
+      channels: Int, raster: Array[Byte])
+
+  /** Pixel-level TIFF decode: 8-bit gray (photometric 1) or RGB
+    * (photometric 2), Compression = 1 only; strip walk validated
+    * row-exactly (each strip must carry rows·w·spp bytes). Anything
+    * else — palette, planar config ≠ chunky, 16-bit, compressed,
+    * truncated arrays or strips → None (the DLT arm). */
+  def parseTiffRaster(b: Array[Byte]): Option[TiffImage] = {
+    if (b.length < 8) return None
+    val be =
+      if (b(0) == 'M' && b(1) == 'M') true
+      else if (b(0) == 'I' && b(1) == 'I') false
+      else return None
+    def u16at(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (be) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      else ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    def u32at(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (be) ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (u16at(2) != 42) return None
+    val ifd = u32at(4)
+    if (ifd < 8L || ifd + 2 > b.length) return None
+    val n = u16at(ifd.toInt)
+    if (n <= 0) return None
+    // a field's values live inline in the 4-byte slot when they fit,
+    // else the slot holds an offset — the §2 Value Offset rule
+    def fieldValues(e: Int): Option[Array[Long]] = {
+      val typ = u16at(e + 2)
+      val count = u32at(e + 4)
+      val unit = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case _ => return None
+      }
+      if (count <= 0 || count > 65536) return None
+      val total = unit * count
+      val at = if (total <= 4) e + 8 else u32at(e + 8).toInt
+      if (at < 0 || at + total > b.length) return None
+      Some(Array.tabulate(count.toInt) { k =>
+        if (typ == 3) u16at(at + 2 * k).toLong else u32at(at + 4 * k)
+      })
+    }
+    var w = -1L; var h = -1L; var spp = 1L; var comp = 1L
+    var photo = -1L; var rps = 0xffffffffL
+    var bits: Array[Long] = Array(1L)
+    var stripOffs: Array[Long] = null
+    var stripLens: Array[Long] = null
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      u16at(e) match {
+        case 256 => w = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 257 => h = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 258 => bits = fieldValues(e).getOrElse(return None)
+        case 259 => comp = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 262 => photo = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 273 => stripOffs = fieldValues(e).getOrElse(return None)
+        case 277 => spp = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 278 => rps = fieldValues(e).flatMap(_.headOption).getOrElse(-1L)
+        case 279 => stripLens = fieldValues(e).getOrElse(return None)
+        case _ =>
+      }
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return None
+    if (comp != 1L) return None // uncompressed only
+    if (spp != 1L && spp != 3L) return None
+    if (photo != (if (spp == 1L) 1L else 2L)) return None
+    if (bits.length != spp.toInt || bits.exists(_ != 8L)) return None
+    if (stripOffs == null || stripLens == null) return None
+    if (rps <= 0) return None
+    val nStrips = ((h + rps - 1) / rps).toInt
+    if (stripOffs.length != nStrips || stripLens.length != nStrips)
+      return None
+    val c = spp.toInt
+    val rowBytes = w.toInt * c
+    val out = new Array[Byte](h.toInt * rowBytes)
+    var done = 0L
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(rps, h - done)
+      val expect = rows * rowBytes
+      if (stripLens(s) != expect) return None
+      val at = stripOffs(s)
+      if (at < 0 || at + expect > b.length) return None
+      System.arraycopy(b, at.toInt, out, (done * rowBytes).toInt,
+        expect.toInt)
+      done += rows
+      s += 1
+    }
+    Some(TiffImage(if (be) "tiff_be" else "tiff_le", w.toInt, h.toInt,
+      c, out))
+  }
+
+  /** Deterministic strip-organized TIFF fixture in EITHER byte order:
+    * canonical sample i = pixel(i); the raster is cut into
+    * `rowsPerStrip`-row strips with real offset/length arrays, and
+    * every >4-byte field (RGB BitsPerSample, multi-strip arrays) is
+    * stored via a genuine value-offset — the traps the decoder must
+    * chase. */
+  def tiffRasterBytes(w: Int, h: Int, rgb: Boolean, bigEndian: Boolean,
+      rowsPerStrip: Int, pixel: Int => Int): Array[Byte] = {
+    val spp = if (rgb) 3 else 1
+    val rowBytes = w * spp
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val nEntries = 9
+    val ifdAt = 8
+    val dataAt = ifdAt + 2 + nEntries * 12 + 4
+    // data area layout: [bits array if rgb][strip offsets if >1]
+    // [strip lens if >1][strip data]
+    val bitsAt = dataAt
+    val bitsLen = if (rgb) 6 else 0
+    val offsAt = bitsAt + bitsLen
+    val offsLen = if (nStrips > 1) 4 * nStrips else 0
+    val lensAt = offsAt + offsLen
+    val lensLen = if (nStrips > 1) 4 * nStrips else 0
+    val stripsAt = lensAt + lensLen
+    val out = new Array[Byte](stripsAt + h * rowBytes)
+    def w16(i: Int, v: Int): Unit =
+      if (bigEndian) { out(i) = (v >> 8).toByte; out(i + 1) = v.toByte }
+      else { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Long): Unit =
+      if (bigEndian) {
+        out(i) = (v >> 24).toByte; out(i + 1) = (v >> 16).toByte
+        out(i + 2) = (v >> 8).toByte; out(i + 3) = v.toByte
+      } else {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      }
+    out(0) = if (bigEndian) 'M' else 'I'
+    out(1) = if (bigEndian) 'M' else 'I'
+    w16(2, 42)
+    w32(4, ifdAt.toLong)
+    w16(ifdAt, nEntries)
+    def entry(idx: Int, tag: Int, typ: Int, count: Long,
+        inline: Long, offset: Long): Unit = {
+      val e = ifdAt + 2 + idx * 12
+      w16(e, tag); w16(e + 2, typ); w32(e + 4, count)
+      val unit = if (typ == 3) 2 else 4
+      if (unit * count <= 4) {
+        if (typ == 3) { w16(e + 8, inline.toInt); w16(e + 10, 0) }
+        else w32(e + 8, inline)
+      } else w32(e + 8, offset)
+    }
+    entry(0, 256, 4, 1, w.toLong, 0)
+    entry(1, 257, 4, 1, h.toLong, 0)
+    if (rgb) { // 3 SHORTs = 6 B > 4 -> genuine value offset
+      entry(2, 258, 3, 3, 0, bitsAt.toLong)
+      w16(bitsAt, 8); w16(bitsAt + 2, 8); w16(bitsAt + 4, 8)
+    } else entry(2, 258, 3, 1, 8, 0)
+    entry(3, 259, 3, 1, 1, 0) // uncompressed
+    entry(4, 262, 3, 1, if (rgb) 2 else 1, 0)
+    val firstStrip = stripsAt.toLong
+    if (nStrips > 1) {
+      entry(5, 273, 4, nStrips.toLong, 0, offsAt.toLong)
+      entry(8, 279, 4, nStrips.toLong, 0, lensAt.toLong)
+      var s = 0
+      var at = firstStrip
+      var done = 0
+      while (s < nStrips) {
+        val rows = math.min(rowsPerStrip, h - done)
+        w32(offsAt + 4 * s, at)
+        w32(lensAt + 4 * s, rows.toLong * rowBytes)
+        at += rows.toLong * rowBytes
+        done += rows
+        s += 1
+      }
+    } else {
+      entry(5, 273, 4, 1, firstStrip, 0)
+      entry(8, 279, 4, 1, h.toLong * rowBytes, 0)
+    }
+    entry(6, 277, 3, 1, spp.toLong, 0)
+    entry(7, 278, 4, 1, rowsPerStrip.toLong, 0)
+    w32(ifdAt + 2 + nEntries * 12, 0L) // no next IFD
+    var i = 0
+    while (i < h * rowBytes) {
+      out(stripsAt + i) = (pixel(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
   // REAL pixel-level BMP decode (r6): the third uncompressed raster
   // family beside PNM and WAV-PCM. A 24-bpp BI_RGB Windows bitmap
   // (BITMAPFILEHEADER + BITMAPINFOHEADER, the layout published since

@@ -515,6 +515,66 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Decoded-TIFF pixel stats (r7): the FOURTH real image pixel
+    * family. What this one uniquely pins beyond the header-level
+    * [[tiffMeta]]: the §2 Value Offset rule (RGB BitsPerSample and
+    * multi-strip arrays are stored behind real offsets the decoder
+    * must chase, under either byte order) and strip reassembly
+    * (RowsPerStrip cuts the raster into separately-addressed
+    * segments that must re-concatenate row-exactly). */
+  final case class TiffStatsRow(doc_id: Long, format: String,
+      width: Long, height: Long, channels: Long, n_vals: Long,
+      peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Deterministic strip-organized TIFF payloads: byte order flips
+    * with doc parity (one pass must handle both), gray/RGB and the
+    * strip height from doc_id/q literals (rowsPerStrip 1..5 ⇒ many
+    * strips ⇒ the offset arrays are genuinely indirect); sample
+    * i = (id·9 + i·5 + (i mod 7)·23) mod 256; every 13th payload
+    * truncated mid-raster (the corrupt arm). */
+  def syntheticTiffRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.tiffRasterBytes(
+          w = 5 + (id % 11).toInt, h = 4 + (id % 9).toInt,
+          rgb = id % 2 == 1, bigEndian = id % 3 == 0,
+          rowsPerStrip = 1 + (id % 5).toInt,
+          pixel = i => ((id * 9 + i.toLong * 5 + (i % 7) * 23) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 80) else full)
+      }
+  }
+
+  /** REAL strip-TIFF decode → stats (r7): chase the value offsets,
+    * reassemble the strips ([[ImageCodec.parseTiffRaster]]), emit the
+    * canonical-order integer stats the oracle recomputes
+    * sample-by-sample. Same mapPartitions batch contract and DLT arm
+    * as the other codec kernels. */
+  def tiffStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticTiffRasters(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseTiffRaster(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          TiffStatsRow(d.doc_id, img.format, img.width.toLong,
+            img.height.toLong, img.channels.toLong, r.length.toLong,
+            peak, sum / r.length, wsum)
+        case None =>
+          TiffStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Parsed audio metadata per payload (r6). */
   final case class AudioMetaRow(doc_id: Long, format: String,
       channels: Long, sample_rate: Long, bits: Long, n_samples: Long,

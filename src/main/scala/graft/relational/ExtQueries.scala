@@ -1198,6 +1198,34 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.tiffStats]] (r7): expected samples recomputed in
+    * canonical order from doc_id literals — the oracle never sees the
+    * strip layout or the value offsets, so a mis-chased offset, a
+    * strip mis-ordered or a byte-order mistake fails the
+    * position-weighted sum. */
+  private val mmTiffStatsSql: String =
+    "WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 9 AS h, " +
+      "CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS c, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'tiff_be' ELSE 'tiff_le' END AS fmt " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, c, fmt, " +
+      "unnest(range(0, w * h * c)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, c, fmt, i, " +
+      "(doc_id * 9 + i * 5 + (i % 7) * 23) % 256 AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, c, fmt, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3, 4, 5) " +
+      "SELECT doc_id, fmt AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(c AS BIGINT) AS channels, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.gifMeta]]: version, dims and the packed-byte
     * palette size recomputed from doc_id literals. */
   private val mmGifMetaSql: String =
@@ -2652,6 +2680,9 @@ object ExtQueries {
     "mm_png_stats" -> ((s, d) => Multimodal.pngStats(Tables.documents(s, d))(s)),
     // r7: second compressed family — real variable-width LZW
     "mm_gif_stats" -> ((s, d) => Multimodal.gifStats(Tables.documents(s, d))(s)),
+    // r7: strip-organized TIFF pixels — value-offset chase + strip
+    // reassembly under either byte order
+    "mm_tiff_stats" -> ((s, d) => Multimodal.tiffStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
@@ -2825,6 +2856,7 @@ object ExtQueries {
     "mm_phash" -> mmPhashSql,
     "mm_png_stats" -> mmPngStatsSql,
     "mm_gif_stats" -> mmGifStatsSql,
+    "mm_tiff_stats" -> mmTiffStatsSql,
     "dd_image_neardup" -> ddImageNearDupSql,
     "rel_kanon" -> relKanonSql,
     "rel_anomaly" -> relAnomalySql,

@@ -38,6 +38,43 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream semantics are state-store-provider independent: " +
+    "RocksDB == default provider output (r7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    def runWith(provider: Option[String], name: String): Set[Long] = {
+      provider match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val q = StreamingCuration.dedupStream(
+          mem.toDF().toDF("ts", "doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma delta"))
+        q.processAllAvailable()
+        mem.addData((ts(2), 3L, "alpha beta"), (ts(3), 4L, "epsilon"),
+          (ts(4), 5L, "gamma delta"))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    try {
+      val rocks = runWith(Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"), "dedup_rocks")
+      val default = runWith(None, "dedup_default")
+      assert(rocks == Set(1L, 2L, 4L))
+      assert(rocks == default,
+        "state semantics must not depend on the store provider")
+    } finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("qualityGate matches the batch quality formula (stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
