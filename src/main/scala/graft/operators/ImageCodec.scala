@@ -838,11 +838,23 @@ object ImageCodec {
       case 2 => 3 // truecolor
       case _ => return None // palette / alpha: unsupported → DLT
     }
-    // compression 0, filter method 0, non-interlaced only
-    if (b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    // compression 0, filter method 0; interlace 0 (none) or 1 (Adam7)
+    if (b(26) != 0 || b(27) != 0) return None
+    val interlaced = (b(28) & 0xff) match {
+      case 0 => false
+      case 1 => true
+      case _ => return None
+    }
     val rowBytes = w.toInt * c
-    val expectedL = h * (1L + rowBytes)
-    if (expectedL > (1L << 28)) return None // raster allocation guard
+    // Adam7 (r7): the stream is the concatenation of SEVEN
+    // independently-filtered sub-images (PNG §8.2); empty passes
+    // contribute no scanlines at all
+    val passes =
+      if (interlaced) adam7Passes(w.toInt, h.toInt)
+      else Array((0, 0, 1, 1, w.toInt, h.toInt))
+    val expectedL = passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1L + pw.toLong * c) }.sum
+    if (expectedL <= 0 || expectedL > (1L << 28)) return None
     val expected = expectedL.toInt
     // chunk walk: concatenate every IDAT payload until IEND
     val idat = new java.io.ByteArrayOutputStream()
@@ -872,13 +884,66 @@ object ImageCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // per-row unfilter; at 8-bit depth the filter unit (bpp) == c
+    // per-pass, per-row unfilter; at 8-bit depth the filter unit
+    // (bpp) == c. For the non-interlaced case this is one full-frame
+    // pass; for Adam7 each sub-image unfilters against its OWN
+    // left/up neighbors, then scatters to the frame grid.
     val out = new Array[Byte](h.toInt * rowBytes)
+    var scanOff = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val prb = pw * c
+      val sub = unfilterSub(scan, scanOff, pw, ph, c) match {
+        case Some(s) => s
+        case None => return None
+      }
+      scanOff += ph * (1 + prb)
+      if (interlaced) {
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val fy = y0 + py * dy
+            val fx = x0 + px * dx
+            var ch = 0
+            while (ch < c) {
+              out((fy * w.toInt + fx) * c + ch) = sub((py * pw + px) * c + ch)
+              ch += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+      } else System.arraycopy(sub, 0, out, 0, sub.length)
+    }
+    Some(PngImage(w.toInt, h.toInt, c, out))
+  }
+
+  /** The 7 Adam7 passes for a w×h frame as (x0, y0, dx, dy, passW,
+    * passH), EMPTY PASSES DROPPED (they contribute no scanlines —
+    * PNG §8.2). */
+  def adam7Passes(w: Int, h: Int): Array[(Int, Int, Int, Int, Int, Int)] = {
+    val grid = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    grid.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }.filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+  }
+
+  /** Unfilter one (sub-)image's scanlines starting at `off` in the
+    * inflated stream: ph rows of (filter byte + pw·c bytes), the five
+    * PNG §9 filters with reconstructed-neighbor math. */
+  private def unfilterSub(scan: Array[Byte], off: Int, pw: Int, ph: Int,
+      c: Int): Option[Array[Byte]] = {
+    val rowBytes = pw * c
+    val out = new Array[Byte](ph * rowBytes)
     var y = 0
-    while (y < h.toInt) {
-      val f = scan(y * (1 + rowBytes)) & 0xff
+    while (y < ph) {
+      val f = scan(off + y * (1 + rowBytes)) & 0xff
       if (f > 4) return None
-      val src = y * (1 + rowBytes) + 1
+      val src = off + y * (1 + rowBytes) + 1
       val dst = y * rowBytes
       var x = 0
       while (x < rowBytes) {
@@ -905,7 +970,7 @@ object ImageCodec {
       }
       y += 1
     }
-    Some(PngImage(w.toInt, h.toInt, c, out))
+    Some(out)
   }
 
   // ---------------------------------------------------------------
@@ -1211,42 +1276,73 @@ object ImageCodec {
     * literals, so decode must actually invert deflate + filtering
     * to agree. */
   def pngRasterBytes(w: Int, h: Int, grayscale: Boolean,
-      pixel: Int => Int, filterFor: Int => Int): Array[Byte] = {
+      pixel: Int => Int, filterFor: Int => Int,
+      interlaced: Boolean = false): Array[Byte] = {
     val c = if (grayscale) 1 else 3
     val rowBytes = w * c
     val raster = new Array[Byte](h * rowBytes)
     var i = 0
     while (i < raster.length) { raster(i) = (pixel(i) & 0xff).toByte; i += 1 }
     // forward filter: filtered = (orig - predictor) mod 256, where the
-    // predictor reads ORIGINAL neighbor bytes (decode reconstructs them)
-    val scan = new Array[Byte](h * (1 + rowBytes))
-    var y = 0
-    while (y < h) {
-      val f = ((filterFor(y) % 5) + 5) % 5
-      scan(y * (1 + rowBytes)) = f.toByte
-      var x = 0
-      while (x < rowBytes) {
-        val orig = raster(y * rowBytes + x) & 0xff
-        val left = if (x >= c) raster(y * rowBytes + x - c) & 0xff else 0
-        val up = if (y > 0) raster((y - 1) * rowBytes + x) & 0xff else 0
-        val ul =
-          if (y > 0 && x >= c) raster((y - 1) * rowBytes + x - c) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case _ =>
-            val pp = left + up - ul
-            val pa = math.abs(pp - left)
-            val pb = math.abs(pp - up)
-            val pc = math.abs(pp - ul)
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    // predictor reads ORIGINAL neighbor bytes (decode reconstructs
+    // them). Interlaced mode (r7): each Adam7 pass is extracted as its
+    // own sub-image and filtered INDEPENDENTLY (PNG §8.2) — neighbors
+    // are pass neighbors, not frame neighbors; filterFor rotates over
+    // a global scanline counter so every pass sees every filter type.
+    val passes =
+      if (interlaced) adam7Passes(w, h) else Array((0, 0, 1, 1, w, h))
+    val scanLen = passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + pw * c) }.sum
+    val scan = new Array[Byte](scanLen)
+    var off = 0
+    var rowCounter = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val prb = pw * c
+      val sub = new Array[Byte](ph * prb)
+      var py = 0
+      while (py < ph) {
+        var px = 0
+        while (px < pw) {
+          var ch = 0
+          while (ch < c) {
+            sub((py * pw + px) * c + ch) =
+              raster(((y0 + py * dy) * w + (x0 + px * dx)) * c + ch)
+            ch += 1
+          }
+          px += 1
         }
-        scan(y * (1 + rowBytes) + 1 + x) = ((orig - pred) & 0xff).toByte
-        x += 1
+        py += 1
       }
-      y += 1
+      py = 0
+      while (py < ph) {
+        val f = ((filterFor(rowCounter) % 5) + 5) % 5
+        rowCounter += 1
+        scan(off + py * (1 + prb)) = f.toByte
+        var x = 0
+        while (x < prb) {
+          val orig = sub(py * prb + x) & 0xff
+          val left = if (x >= c) sub(py * prb + x - c) & 0xff else 0
+          val up = if (py > 0) sub((py - 1) * prb + x) & 0xff else 0
+          val ul =
+            if (py > 0 && x >= c) sub((py - 1) * prb + x - c) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ =>
+              val pp = left + up - ul
+              val pa = math.abs(pp - left)
+              val pb = math.abs(pp - up)
+              val pc = math.abs(pp - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          scan(off + py * (1 + prb) + 1 + x) = ((orig - pred) & 0xff).toByte
+          x += 1
+        }
+        py += 1
+      }
+      off += ph * (1 + prb)
     }
     val defl = new java.util.zip.Deflater()
     val compressed = try {
@@ -1279,7 +1375,8 @@ object ImageCodec {
     ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
     ihdr(8) = 8 // bit depth
     ihdr(9) = (if (grayscale) 0 else 2).toByte
-    // ihdr(10..12): compression / filter / interlace = 0
+    // ihdr(10..11): compression / filter = 0
+    ihdr(12) = (if (interlaced) 1 else 0).toByte
     chunk("IHDR", ihdr)
     // split the one zlib stream across two IDAT chunks (§5.6 trap)
     val cut = math.max(1, compressed.length / 2)

@@ -407,10 +407,12 @@ object Multimodal {
     * gray-vs-RGB from doc_id, canonical sample i =
     * (id·3 + i·7 + (i mod 11)·31) mod 256 — the SAME literals the
     * oracle recomputes; per-row filter type rotates with
-    * (id + y) mod 5 so all five unfilter paths execute; every 13th
-    * payload is truncated mid-IDAT (the corrupt-file DLT case: a
-    * clipped zlib stream must fail closed, not return partial
-    * pixels). */
+    * (id + y) mod 5 so all five unfilter paths execute; every 7th
+    * payload is ADAM7-INTERLACED (r7 — the oracle needs no change:
+    * interlacing permutes the encoding, not the canonical pixels, so
+    * a wrong pass walk fails the same hash); every 13th payload is
+    * truncated mid-IDAT (the corrupt-file DLT case: a clipped zlib
+    * stream must fail closed, not return partial pixels). */
   def syntheticPngs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
     import spark.implicits._
     graft.functions.Partitioning.spread(docs)
@@ -420,7 +422,8 @@ object Multimodal {
         val full = ImageCodec.pngRasterBytes(w, h,
           grayscale = id % 2 == 0,
           pixel = i => ((id * 3 + i.toLong * 7 + (i % 11) * 31) % 256).toInt,
-          filterFor = y => ((id + y) % 5).toInt)
+          filterFor = y => ((id + y) % 5).toInt,
+          interlaced = id % 7 == 3)
         BinaryDoc(id,
           if (id % 13 == 0) java.util.Arrays.copyOf(full, 41) else full)
       }

@@ -101,6 +101,40 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace reconstructs the same canonical raster (r7)") {
+    // dims straddling the 8x8 pass grid: odd, sub-8, and aligned
+    for ((w, h) <- Seq((6, 4), (8, 8), (13, 11), (16, 9), (7, 3), (1, 1));
+         gray <- Seq(true, false)) {
+      val pixel = (i: Int) => (i * 37 + 11) % 256
+      val plain = ImageCodec.pngRasterBytes(w, h, gray, pixel, _ % 5)
+      val inter = ImageCodec.pngRasterBytes(w, h, gray, pixel, _ % 5,
+        interlaced = true)
+      // different byte streams, same reconstructed pixels
+      assert(!inter.sameElements(plain), s"$w x $h gray=$gray")
+      val a = ImageCodec.parsePngRaster(plain).get
+      val b = ImageCodec.parsePngRaster(inter)
+        .getOrElse(fail(s"interlaced $w x $h gray=$gray did not decode"))
+      assert(a.raster.toSeq == b.raster.toSeq, s"$w x $h gray=$gray")
+    }
+    // fixture-arm dims (id % 7 == 3 docs) round-trip too
+    for (id <- Seq(3L, 10L, 17L, 24L) if id % 13 != 0) {
+      val w = 6 + (id % 11).toInt
+      val h = 4 + (id % 9).toInt
+      val pixel =
+        (i: Int) => ((id * 3 + i.toLong * 7 + (i % 11) * 31) % 256).toInt
+      val png = ImageCodec.pngRasterBytes(w, h, grayscale = id % 2 == 0,
+        pixel, y => ((id + y) % 5).toInt, interlaced = true)
+      val img = ImageCodec.parsePngRaster(png).getOrElse(fail(s"doc $id"))
+      assert(img.raster.map(_ & 0xff).toSeq ==
+        (0 until w * h * img.channels).map(pixel), s"doc $id")
+    }
+    // truncated interlaced stream still fails closed
+    val full = ImageCodec.pngRasterBytes(9, 7, grayscale = false,
+      _ % 256, _ % 5, interlaced = true)
+    assert(ImageCodec.parsePngRaster(
+      java.util.Arrays.copyOf(full, full.length / 2)).isEmpty)
+  }
+
   test("truncated IDAT fails closed — no partial pixels") {
     val full = ImageCodec.pngRasterBytes(9, 7, grayscale = false,
       _ % 256, _ % 5)
