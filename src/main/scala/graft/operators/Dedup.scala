@@ -926,6 +926,35 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection (r7): per near-dup cluster,
+    * keep the HIGHEST-quality member instead of the smallest id.
+    * min-id canonicalization keeps whichever copy happened to crawl
+    * first; a curation pipeline wants the CLEANEST copy — so the
+    * canonical is argmax(quality_ppm) per cluster, doc_id ASC
+    * breaking ties so the choice is total. Composes
+    * [[nearDupClusters]]'s labels with
+    * [[TextAnalysis.qualityScore]]'s row-local score by doc_id only
+    * (never text); the argmax is ONE window over the |docs|-row
+    * label frame on the cluster key — the same exchange the
+    * per-cluster output grouping needs anyway, nothing quadratic.
+    * Output: one row per doc with its cluster, the cluster's
+    * canonical doc, its own quality and the keep flag. */
+  def canonicalByQuality(docs: DataFrame): DataFrame = {
+    val labels = nearDupClusters(docs)
+    val quality = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_ppm"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("cluster_id")
+      .orderBy(col("quality_ppm").desc, col("doc_id").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    labels.join(quality, "doc_id")
+      .withColumn("canonical_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("quality_ppm"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup-aware train/validation split — the leakage guard every
     * training pipeline needs: a per-DOCUMENT hash split leaks when two
     * near-duplicates land on opposite sides (the val copy "memorizes"

@@ -217,6 +217,28 @@ object ExtQueries {
       "SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
       "GROUP BY node ORDER BY doc_id"
 
+  /** [[Dedup.canonicalByQuality]] (r7): the same recursive closure
+    * composed with the quality oracle; canonical = argmax quality per
+    * cluster (doc_id ASC tiebreak — stated explicitly after the r7
+    * probe lesson that underdetermined orders are bugs in waiting). */
+  // lazy: txQualitySql is declared later in this object — an eager
+  // val here would concatenate null at initialization order
+  private lazy val ddCanonicalQualitySql: String =
+    s"WITH RECURSIVE $ddClustersCtes, " +
+      "cl AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
+      "GROUP BY node), " +
+      "q AS (SELECT doc_id, quality_ppm FROM (" + txQualitySql + ")), " +
+      "r AS (SELECT cl.doc_id, cl.cluster_id, q.quality_ppm, " +
+      "row_number() OVER (PARTITION BY cl.cluster_id " +
+      "ORDER BY q.quality_ppm DESC, cl.doc_id ASC) AS rk " +
+      "FROM cl JOIN q ON q.doc_id = cl.doc_id), " +
+      "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM r " +
+      "WHERE rk = 1) " +
+      "SELECT r.doc_id, r.cluster_id, canon.canonical_id, " +
+      "r.quality_ppm, r.doc_id = canon.canonical_id AS is_canonical " +
+      "FROM r JOIN canon ON canon.cluster_id = r.cluster_id " +
+      "ORDER BY r.doc_id"
+
   /** Leakage-guarded split oracle: cluster labels (same recursive
     * closure as dd_clusters), split decided by the portable h31 of the
     * CLUSTER id — the invariant under test is that near-dup cluster
@@ -2505,6 +2527,9 @@ object ExtQueries {
     "dd_simhash_pairs_wide" -> ((s, d) =>
       Dedup.simhashPairsWide(Tables.documents(s, d))),
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    // r7: quality-argmax canonical selection per near-dup cluster
+    "dd_canonical_quality" -> ((s, d) =>
+      Dedup.canonicalByQuality(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dd_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
@@ -2767,6 +2792,7 @@ object ExtQueries {
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_simhash_pairs_wide" -> ddSimhashPairsWideSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_canonical_quality" -> ddCanonicalQualitySql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,

@@ -260,4 +260,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!bmp.contains("Join") && !bmp.contains("HashAggregate"),
       s"mm_bmp_stats not map-only:\n$bmp")
   }
+
+  test("r7 codec kernels (png/gif/tiff stats, dispatched mm_meta) " +
+    "stay map-only — decode parallelism is the input partitioning") {
+    for (q <- Seq("mm_png_stats", "mm_gif_stats", "mm_tiff_stats",
+        "mm_meta")) {
+      val p = planNoAqe(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q not map-only:\n$p")
+    }
+  }
 }
