@@ -64,6 +64,12 @@ object PortableHash {
 
   val MinhashK: Int = MinhashA.length
 
+  /** Rotation-densification offset for the one-permutation-hashing
+    * signature family (Dedup.ophSignatures); shared verbatim with
+    * the DuckDB oracle. Any value < 2^31 works (slot sums stay
+    * < 2^32, far inside 63-bit arithmetic). */
+  val OphC: Long = 814309L
+
   /** j-th affine permutation of an h31 value (Column form). */
   def affine(j: Int)(h: Column): Column =
     (h * MinhashA(j) + MinhashB(j)) % P31

@@ -136,10 +136,101 @@ case class MisraGriesTopK(
   override def prettyName: String = "mg_topk"
 }
 
+/** K-minimum-values distinct sketch (Bar-Yossef et al., RANDOM'02;
+  * Beyer et al., SIGMOD'07) as a native Catalyst aggregate: keep the
+  * `k` smallest DISTINCT hash values seen. The fourth portable
+  * mergeable sketch (after Misra–Gries, linear-counting bitmap and
+  * count-min): partials are ≤ k sorted longs, merge is
+  * sorted-union-truncate (associative + commutative), so map-side
+  * partial aggregation sends k·8 bytes per group per partition
+  * instead of a user-keyed shuffle — the count-distinct shape that
+  * holds at 100 TB where exact per-group distinct would shuffle
+  * every key.
+  *
+  * Crucially DETERMINISTIC given a deterministic hash input (unlike
+  * HLL register interactions): eval() returns the kept values sorted
+  * ascending, and the estimator floor((k−1)·2^48 / kth_min) — or the
+  * exact kept count when fewer than k distinct hashes exist — is
+  * plain integer arithmetic, so a DuckDB oracle reproduces the
+  * sketch bit-for-bit (rel_kmv_distinct) where the HLL twin
+  * (x_approx_users) is rows-only. */
+case class KmvKMin(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k > 0 && k <= 65536)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_kmin requires a BIGINT argument, got ${child.dataType.sql}")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(buf: mutable.TreeSet[Long],
+      input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: mutable.TreeSet[Long],
+      b2: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b2.foreach(add(b1, _))
+    b1
+  }
+
+  private def add(buf: mutable.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) buf += v
+    else if (v < buf.last && !buf.contains(v)) { buf += v; buf -= buf.last }
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.TreeSet.empty[Long]
+    (0 until n).foreach(_ => buf += in.readLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvKMin =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvKMin =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvKMin =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_kmin"
+}
+
 object sketchNative {
   /** Heavy-hitters aggregate Column: `mg_topk(term, capacity, k)`. */
   def mg_topk(term: Column, capacity: Int, k: Int): Column =
     ColumnBridge.column(
       MisraGriesTopK(ColumnBridge.expression(term), capacity, k)
         .toAggregateExpression())
+
+  /** KMV distinct-sketch aggregate Column: the k smallest distinct
+    * values of a BIGINT hash column, sorted ascending. */
+  def kmv_kmin(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvKMin(ColumnBridge.expression(hash), k).toAggregateExpression())
 }

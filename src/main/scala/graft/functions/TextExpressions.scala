@@ -176,6 +176,53 @@ object TextNative {
     new GenericArrayData(mins.map(v => v: Any))
   }
 
+  /** One-permutation-hashing MinHash signature in ONE row-local pass
+    * (Li–Owen–Zhang NIPS'12; rotation densification per
+    * Shrivastava–Li ICML'14): same distinct-shingle enumeration as
+    * [[minhashSig]], but each shingle is hashed ONCE — h31 into bin
+    * h mod K, min per bin — instead of through K affine transforms;
+    * empty bin j borrows from the first non-empty bin (j+t) mod K
+    * with offset t·OphC. ~K× less hash arithmetic per shingle at the
+    * same projection shape (Dedup.ophSignaturesAgg is the
+    * declarative executable spec; tools/OphBench quantifies the
+    * win). NULL for shingle-less docs, like [[minhashSig]]. */
+  def ophSig(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return null
+    val k = PortableHash.MinhashK
+    val p = PortableHash.P31
+    val c = PortableHash.OphC
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new mutable.HashSet[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val h = h48(sh) % p
+        val bin = (h % k).toInt
+        if (h < mins(bin)) mins(bin) = h
+      }
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var t = 0
+      while (mins((j + t) % k) == Long.MaxValue) t += 1
+      out(j) = (mins((j + t) % k) + t * c) % p
+      j += 1
+    }
+    new GenericArrayData(out.map(v => v: Any))
+  }
+
   /** DEFLATE-compressed size of the UTF-8 text at a fixed level —
     * the compression-ratio quality heuristic (repetitive/boilerplate
     * text compresses far below natural text). Engine-specific output
@@ -344,6 +391,25 @@ case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class OphSig(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null on null input AND on shingle-less (short) docs
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.ophSig(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextNative.ophSig($c, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Simhash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -428,4 +494,8 @@ object textNative {
     ColumnBridge.column(FixMojibake(ColumnBridge.expression(text)))
   def minhash_sig(text: Column, n: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(text), n))
+
+  /** One-permutation-hashing signature (see [[TextNative.ophSig]]). */
+  def oph_sig(text: Column, n: Int): Column =
+    ColumnBridge.column(OphSig(ColumnBridge.expression(text), n))
 }

@@ -168,9 +168,15 @@ object Dedup {
     * skew guard (None = declared-oracle semantics, no cap). */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3,
                  bands: Int = 8, rowsPerBand: Int = 2,
-                 maxBucketSize: Option[Int] = None): DataFrame = {
-    val banded =
-      capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand), maxBucketSize)
+                 maxBucketSize: Option[Int] = None): DataFrame =
+    lshPairsFrom(
+      capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand),
+        maxBucketSize))
+
+  /** Banded-signature self-join → (doc_a, doc_b, n_matching,
+    * est_jaccard_ppm) — shared by the K-affine ([[minhashLsh]]) and
+    * one-permutation ([[ophLsh]]) signature families. */
+  private def lshPairsFrom(banded: DataFrame): DataFrame = {
     // distinct carries the signatures through (SortAggregate — arrays
     // are not hash-aggregatable) rather than re-joining them after:
     // measured faster, and at scale it is one wide shuffle instead of
@@ -192,6 +198,68 @@ object Dedup {
         floor(lit(1000000.0) * col("n_matching") / PH.MinhashK).cast("long"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Rotation-densification offset constant for [[ophSignatures]];
+    * shared verbatim with the DuckDB oracle. */
+  val OphC: Long = graft.functions.PortableHash.OphC
+
+  /** One-permutation-hashing MinHash signatures (Li–Owen–Zhang,
+    * NIPS'12) with rotation densification (Shrivastava–Li, ICML'14):
+    * hash every shingle ONCE, partition the hash range into K bins
+    * by h mod K, take the min within each bin, and fill an empty bin
+    * j from the first non-empty bin (j+t) mod K clockwise, offset by
+    * t·[[OphC]] so borrowed values stay distinguishable.
+    *
+    * This is the 100 TB signature path twice over: like
+    * [[minhashSignatures]]' native form it is a row-local codegen'd
+    * PROJECTION (no explode, no shuffle — the signature rides the
+    * scan), and inside the kernel each shingle costs ONE md5 + one
+    * bin update instead of K affine transforms
+    * (functions.textNative.oph_sig; [[ophSignaturesAgg]] is the
+    * declarative executable spec, tools/OphBench the measurement).
+    * Estimator quality is equivalent for docs with ≥ K shingles
+    * (the common case at corpus scale); short docs lean on
+    * densified slots, which still collide iff the underlying bin
+    * contents collide. */
+  def ophSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    Partitioning.spread(docs)
+      .where(length(col("text")) - length(replace(col("text"), lit(" ")))
+        >= shingleN - 1)
+      .select(col("doc_id"),
+        graft.functions.textNative.oph_sig(col("text"), shingleN).as("sig"))
+
+  /** Executable specification of [[ophSignatures]]: explode +
+    * conditional per-bin mins + a K-way COALESCE densification —
+    * the declarative restatement the spec asserts equal to the
+    * native kernel (and the shape the DuckDB oracle mirrors). */
+  private[graft] def ophSignaturesAgg(docs: DataFrame,
+                                      shingleN: Int = 3): DataFrame = {
+    val k = PH.MinhashK
+    val hashes = shingles(docs, shingleN)
+      .select(col("doc_id"), PH.h31(col("sh")).as("h"))
+    val mins = (0 until k).map(j =>
+      min(when(col("h") % k === j, col("h"))).as(s"mb$j"))
+    val binned = hashes.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val slots = (0 until k).map { j =>
+      coalesce((0 until k).map { t =>
+        (col(s"mb${(j + t) % k}") + lit(t * OphC)) % PH.P31
+      }: _*).as(s"s$j")
+    }
+    binned.select(col("doc_id") +: slots: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"s$j")): _*).as("sig"))
+  }
+
+  /** OPH-signature LSH candidate pairs: identical banding, bucket
+    * cap, join and estimator as [[minhashLsh]] — only the signature
+    * construction differs (see [[ophSignatures]] for why that is the
+    * scale win). */
+  def ophLsh(docs: DataFrame, shingleN: Int = 3,
+             bands: Int = 8, rowsPerBand: Int = 2,
+             maxBucketSize: Option[Int] = None): DataFrame =
+    lshPairsFrom(
+      capBuckets(bandsFrom(ophSignatures(docs, shingleN), bands,
+        rowsPerBand), maxBucketSize))
 
   /** SimHash fingerprint (48-bit, from the portable h48 word hash):
     * bit b of the fingerprint is set iff the sum over word

@@ -129,6 +129,42 @@ object ExtQueries {
       "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
   }
 
+  /** [[graft.operators.Dedup.ophLsh]]: the one-permutation-hashing
+    * signature restated — per-bin list minima (empty bin → NULL),
+    * then rotation densification as a 16-way COALESCE with the
+    * shared t·OphC offset, then the SAME banding/pair/estimator SQL
+    * as the K-affine oracle. A densification desync (wrong rotation
+    * direction, missing offset, truncating mod) changes bucket
+    * strings and fails the pair set. */
+  private val ddOphSql: String = {
+    val k = PH.MinhashK
+    val binCols = (0 until k).map { b =>
+      s"list_min(list_filter(hl, h -> h % $k = $b)) AS mb$b"
+    }.mkString(", ")
+    val slotCols = (0 until k).map { j =>
+      val arms = (0 until k).map { t =>
+        s"((mb${(j + t) % k} + ${t * graft.operators.Dedup.OphC}) % $P)"
+      }.mkString(", ")
+      s"COALESCE($arms) AS m$j"
+    }.mkString(", ")
+    val matches = minhashMatches
+    s"WITH ws AS ($wordsCte), " +
+      s"hs AS (SELECT doc_id, list_transform(${shingleList(3)}, " +
+      s"g -> ${PH.h31Sql("g")}) AS hl FROM ws), " +
+      s"bins AS (SELECT doc_id, $binCols FROM hs), " +
+      s"minh AS (SELECT doc_id, $slotCols FROM bins), " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.doc_id < b.doc_id), " +
+      s"m AS (SELECT p.doc_a, p.doc_b, ($matches) AS n_matching " +
+      "FROM pairs p JOIN minh x ON x.doc_id = p.doc_a " +
+      "JOIN minh y ON y.doc_id = p.doc_b) " +
+      "SELECT doc_a, doc_b, n_matching, " +
+      s"CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) " +
+      "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
+  }
+
   private val ddSimhashSql: String = {
     val bits = 48
     val sums = (0 until bits).map { b =>
@@ -1855,6 +1891,50 @@ object ExtQueries {
   /** [[RelQueries.bitmapDistinct]]: the whole sketch recomputed in
     * DuckDB — h31 bit positions, 63-bit word packing, bit_or words,
     * popcount sum. */
+  /** [[RelQueries.kmvDistinct]]: the k-smallest-distinct-hash set
+    * recomputed directly (row_number over distinct hashes per group),
+    * same integer estimator — both sides floor-divide BIGINTs, no
+    * float in the path. */
+  private val relKmvDistinctSql: String = {
+    val h = PH.h48Sql("CAST(user_id AS VARCHAR)")
+    "WITH hset AS (SELECT DISTINCT event_type, " + h + " AS hv FROM events), " +
+      "r AS (SELECT event_type, hv, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY hv) AS rn FROM hset), " +
+      "kk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "max(hv) AS kth_min FROM r WHERE rn <= 64 GROUP BY 1) " +
+      "SELECT event_type, n_kept, kth_min, " +
+      "CAST(CASE WHEN n_kept < 64 THEN n_kept " +
+      "ELSE (63 * 281474976710656) // kth_min END AS BIGINT) " +
+      "AS est_distinct FROM kk ORDER BY event_type"
+  }
+
+  /** [[RelQueries.kmvOverlap]]: sketches rebuilt per type, then the
+    * same sketch-only union/intersection algebra in list functions —
+    * both engines compute identical integer estimates from identical
+    * deterministic k-min sets. */
+  private val relKmvOverlapSql: String = {
+    val h = PH.h48Sql("CAST(user_id AS VARCHAR)")
+    "WITH hset AS (SELECT DISTINCT event_type, " + h + " AS hv FROM events), " +
+      "r AS (SELECT event_type, hv, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY hv) AS rn FROM hset), " +
+      "sk AS (SELECT event_type, list(hv ORDER BY hv) AS mins " +
+      "FROM r WHERE rn <= 64 GROUP BY 1), " +
+      "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+      "a.mins AS ma, b.mins AS mb FROM sk a JOIN sk b " +
+      "ON a.event_type < b.event_type), " +
+      "u AS (SELECT type_a, type_b, ma, mb, " +
+      "list_slice(list_sort(list_distinct(list_concat(ma, mb))), 1, 64) " +
+      "AS uk FROM p), " +
+      "c AS (SELECT type_a, type_b, CAST(len(uk) AS BIGINT) AS n_union_kept, " +
+      "CAST(CASE WHEN len(uk) < 64 THEN len(uk) " +
+      "ELSE (63 * 281474976710656) // uk[-1] END AS BIGINT) AS est_union, " +
+      "CAST(len(list_filter(uk, x -> list_contains(ma, x) AND " +
+      "list_contains(mb, x))) AS BIGINT) AS n_common FROM u) " +
+      "SELECT type_a, type_b, n_union_kept, est_union, n_common, " +
+      "CAST((n_common * est_union) // n_union_kept AS BIGINT) " +
+      "AS est_intersection FROM c ORDER BY type_a, type_b"
+  }
+
   private val relBitmapDistinctSql: String = {
     val pos = s"(${PH.h31Sql("CAST(user_id AS VARCHAR)")} % 1008)"
     "WITH e AS (SELECT event_type, user_id, " + pos + " AS pos FROM events), " +
@@ -2593,6 +2673,8 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // one-permutation-hashing signature family: 1 hash/shingle vs 16
+    "dd_oph" -> ((s, d) => Dedup.ophLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dd_simhash_pairs_wide" -> ((s, d) =>
@@ -2795,6 +2877,10 @@ object ExtQueries {
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
     "rel_snapshot_diff" -> (RelQueries.snapshotDiff _),
     "rel_bitmap_distinct" -> (RelQueries.bitmapDistinct _),
+    // KMV: deterministic mergeable count-distinct, native aggregate
+    "rel_kmv_distinct" -> (RelQueries.kmvDistinct _),
+    // sketch set algebra: overlap estimates from sketches alone
+    "rel_kmv_overlap" -> (RelQueries.kmvOverlap _),
     "rel_cms_topk" -> (RelQueries.cmsTopk _),
     "rel_winsorize" -> (RelQueries.winsorize _),
     "dd_sorted_neighborhood" -> ((s, d) =>
@@ -2866,6 +2952,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_oph" -> ddOphSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_simhash_pairs_wide" -> ddSimhashPairsWideSql,
@@ -2970,6 +3057,8 @@ object ExtQueries {
     "rel_histogram" -> relHistogramSql,
     "rel_snapshot_diff" -> relSnapshotDiffSql,
     "rel_bitmap_distinct" -> relBitmapDistinctSql,
+    "rel_kmv_distinct" -> relKmvDistinctSql,
+    "rel_kmv_overlap" -> relKmvOverlapSql,
     "rel_cms_topk" -> relCmsTopkSql,
     "rel_winsorize" -> relWinsorizeSql,
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,

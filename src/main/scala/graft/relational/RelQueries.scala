@@ -684,6 +684,92 @@ object RelQueries {
     * float formula for the caller (ln is not bit-portable — V is the
     * mergeable state, 128 bytes/group at ANY cardinality, which is
     * what makes the sketch map-side combinable at 100 TB). */
+  /** KMV (k-minimum-values) count-distinct sketch per event type
+    * (r7 continuation): the k = 64 smallest distinct h48(user_id)
+    * values via the native [[graft.functions.sketchNative.kmv_kmin]]
+    * TypedImperativeAggregate — map-side partial aggregation sends
+    * ≤ 64 longs per (group, partition), merge is
+    * sorted-union-truncate, so there is never a user-keyed shuffle
+    * (the 100 TB count-distinct shape; the exact
+    * [[distinctUsers]] stays as the small-SF anchor). Unlike HLL
+    * (x_approx_users, rows-only) the sketch is DETERMINISTIC given
+    * the portable hash, so the estimator
+    * floor((k−1)·2^48 / kth_min) — exact kept count when the group
+    * has < k distinct hashes — is hash-pinned by the DuckDB oracle
+    * recomputing the same k-smallest set. */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val sketch = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        graft.functions.PortableHash.h48(col("user_id").cast("string"))
+          .as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.sketchNative.kmv_kmin(col("h"), k).as("mins"))
+    sketch.select(col("event_type"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), -1).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          // integer `div`, not float `/`+floor: 63·2^48 exceeds 2^53,
+          // so a double quotient could round across the floor where
+          // DuckDB's integer `//` does not
+          .otherwise(expr(s"${(k - 1) * 281474976710656L}L div kth_min")))
+      .orderBy("event_type")
+  }
+
+  /** KMV sketch SET ALGEBRA (r7 continuation): union and
+    * intersection cardinality estimates between every pair of
+    * event-type user sets, computed ONLY from the per-type KMV
+    * sketches — never from the raw sets. This is the sketch's whole
+    * point at 100 TB: once the one bounded-state pass of
+    * [[kmvDistinct]] runs, any of the 2^|types| set-overlap
+    * questions costs sketch-sized work (k longs per operand).
+    *
+    * Math (Beyer et al., SIGMOD'07): U_k = k smallest of A ∪ B
+    * (merge the two sketches, truncate); est_union from U_k exactly
+    * as in [[kmvDistinct]]; Jaccard ĵ = |A ∩ B ∩ U_k| / k; and
+    * est_intersection = (|A ∩ B ∩ U_k| · est_union) div k. Every
+    * step is integer arithmetic over deterministic hashes — the
+    * oracle rebuilds the same sketches and must agree bit-for-bit.
+    *
+    * Shape: the sketch table is |types| rows of k longs — the
+    * pair self-join is broadcast-trivial and the array algebra
+    * (sort ∘ distinct ∘ concat, slice, filter/contains) is
+    * row-local built-ins, no UDF. */
+  def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val sketches = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        graft.functions.PortableHash.h48(col("user_id").cast("string"))
+          .as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.sketchNative.kmv_kmin(col("h"), k).as("mins"))
+    val a = sketches.select(col("event_type").as("type_a"),
+      col("mins").as("ma"))
+    val b = sketches.select(col("event_type").as("type_b"),
+      col("mins").as("mb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("uk",
+        slice(array_sort(array_distinct(concat(col("ma"), col("mb")))),
+          1, k))
+      .withColumn("n_union_kept", size(col("uk")).cast("long"))
+      .withColumn("est_union",
+        when(col("n_union_kept") < k, col("n_union_kept"))
+          .otherwise(expr(
+            s"${(k - 1) * 281474976710656L}L div element_at(uk, -1)")))
+      .withColumn("n_common", size(filter(col("uk"),
+        x => array_contains(col("ma"), x) &&
+          array_contains(col("mb"), x))).cast("long"))
+      // divisor = EFFECTIVE kept size, not k: when the union fits the
+      // sketch (n_union_kept < k) est_union is exact and the common
+      // count is the true intersection, so the quotient is exact too
+      .withColumn("est_intersection",
+        expr("(n_common * est_union) div n_union_kept"))
+      .select("type_a", "type_b", "n_union_kept", "est_union",
+        "n_common", "est_intersection")
+      .orderBy("type_a", "type_b")
+  }
+
   def bitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"),

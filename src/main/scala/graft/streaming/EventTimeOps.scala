@@ -80,6 +80,35 @@ object EventTimeOps {
         col("r").cast("long").as("r"), col("c"), col("cnt"))
   }
 
+  /** Windowed KMV distinct sketch (r7 continuation) — the streaming
+    * twin of RelQueries.kmvDistinct: per event-time window, the
+    * k = 64 smallest distinct user hashes via the same native
+    * [[graft.functions.sketchNative.kmv_kmin]] aggregate, projected
+    * to (n_kept, kth_min, est_distinct). The continuous
+    * unique-users monitor: state is ≤ k longs per open window
+    * REGARDLESS of user cardinality (an exact streaming
+    * countDistinct's state grows with distinct keys and can never be
+    * evicted safely); the watermark bounds open windows as usual.
+    * TypedImperativeAggregate partials merge associatively, which is
+    * exactly what incremental micro-batch aggregation needs. Runs
+    * unchanged in batch mode — the spec pins batch/stream equality
+    * and the estimator against exact distincts. */
+  def kmvRollup(events: DataFrame, windowLen: String = "1 hour",
+                watermark: String = "2 hours", k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.functions.PortableHash.h48(col("user_id").cast("string"))
+          .as("h"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.sketchNative.kmv_kmin(col("h"), k).as("mins"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch_s"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), -1).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${(k - 1) * 281474976710656L}L div kth_min")))
+
   /** Windowed data-quality expectations (r5) — the streaming twin of
     * Profile.expectations: per event-time window, total rows plus a
     * violation counter per named (check, violated-when) predicate —

@@ -181,6 +181,46 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kmvRollup: window rows equal the batch run across " +
+    "micro-batches; estimator exact below k (r7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val batch = EventTimeOps.kmvRollup(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rows = ev.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = EventTimeOps.kmvRollup(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("kmv_parity")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // unsorted multi-batch arrival: the sorted-union-truncate merge
+      // across micro-batch partials must converge to the batch sketch
+      rows.grouped(900).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("kmv_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.nonEmpty && got == batch)
+      // estimator law per window: EXACT below the sketch size, a
+      // bounded-error estimate at or above it
+      val exact = rows.map(t =>
+          (t._1.toInstant.getEpochSecond / 3600 * 3600, t._2))
+        .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      got.foreach { case (w, nKept, _, est) =>
+        if (nKept < 64)
+          assert(exact(w) == est && nKept == est,
+            s"window $w: est $est vs exact ${exact(w)}")
+        else
+          assert(est > exact(w) * 6 / 10 && est < exact(w) * 14 / 10,
+            s"window $w: est $est far from exact ${exact(w)}")
+      }
+    } finally q.stop()
+  }
+
   test("trendingTerms: MG sketch as streaming window state, exact within capacity") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

@@ -48,6 +48,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("OPH: identical docs share signatures; densification fills " +
+    "every slot of a one-shingle doc (r7)") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "q r s t u v w", 4L -> "x y z")
+    val sigs = Dedup.ophSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    // doc 4 has exactly one 3-gram shingle -> one occupied bin; the
+    // other 15 slots must all be densified (non-null, in [0, P31))
+    assert(sigs(4L).length == 16)
+    assert(sigs(4L).forall(v => v >= 0L &&
+      v < graft.functions.PortableHash.P31))
+    // rotation offsets keep borrowed slots distinct from the source
+    assert(sigs(4L).distinct.length > 1)
+    // identical pair still surfaces through the shared banding/join
+    val pairs = Dedup.ophLsh(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.contains((1L, 2L, 16L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("OPH signature is partitioning-invariant (bin mins + " +
+    "densification commute with the shuffle)") {
+    val many = docs((1L to 30L).map(i =>
+      i -> s"tok${i % 7} alpha beta gamma delta tok${i % 5} end$i"): _*)
+    val a = Dedup.ophSignatures(many).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Dedup.ophSignatures(many.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
+  test("native OPH signature equals the aggregate specification") {
+    val many = docs((1L to 40L).map(i =>
+      i -> s"tok${i % 9} alpha beta gamma delta tok${i % 4} tail$i"): _*)
+    val native = Dedup.ophSignatures(many).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.ophSignaturesAgg(many).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == agg)
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val d = docs(1L -> "spark flink beam", 2L -> "spark flink beam",
       3L -> "totally different words here")

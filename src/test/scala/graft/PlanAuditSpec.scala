@@ -270,4 +270,43 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q not map-only:\n$p")
     }
   }
+
+  test("jpeg kernels stay map-only like the other codec families " +
+    "(r7 continuation)") {
+    for (q <- Seq("mm_jpeg_stats", "mm_jpeg_rgb_stats")) {
+      val p = planNoAqe(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q not map-only:\n$p")
+    }
+  }
+
+  test("oph signature is a pure projection like dd_simhash — the " +
+    "native kernel must never reintroduce the explode/groupBy") {
+    val p = graft.operators.Dedup.ophSignatures(
+      graft.relational.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("Generate") &&
+      !p.contains("SortAggregate"),
+      s"ophSignatures is no longer projection-only:\n$p")
+  }
+
+  test("rel_kmv_distinct aggregates PARTIALLY before its one " +
+    "exchange — sketch partials cross the wire, never raw user keys") {
+    val p = planNoAqe("rel_kmv_distinct")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_kmv_kmin phase below the exchange
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_kmv_kmin"), s"no partial sketch phase:\n$p")
+    // exactly one exchange beyond spread: the group-key shuffle
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"user-keyed exchange found:\n$p")
+  }
+
+  test("rel_kmv_overlap joins its |types|-row sketch table " +
+    "BROADCAST — sketch algebra is never a shuffled join") {
+    val p = planNoAqe("rel_kmv_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"overlap join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge overlap join:\n$p")
+  }
 }

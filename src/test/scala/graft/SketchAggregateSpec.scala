@@ -47,6 +47,59 @@ class SketchAggregateSpec extends AnyFunSuite {
     got.foreach { case (_, est) => assert(est <= n) }
   }
 
+  test("kmv_kmin keeps the k smallest DISTINCT values through real " +
+    "partial/merge aggregation (r7)") {
+    val vals = Seq(50L, 10L, 30L, 10L, 20L, 40L, 30L, 5L, 60L, 20L)
+    val got = vals.toDF("h").repartition(5)
+      .agg(sketchNative.kmv_kmin(col("h"), 4).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(5L, 10L, 20L, 30L)) // sorted, deduped, k=4
+  }
+
+  test("kmv_kmin returns everything when distinct < k, and is " +
+    "partitioning-invariant") {
+    val vals = Seq(9L, 3L, 7L, 3L, 9L)
+    val r1 = vals.toDF("h").repartition(1)
+      .agg(sketchNative.kmv_kmin(col("h"), 64).as("m"))
+      .collect()(0).getSeq[Long](0)
+    val r7 = vals.toDF("h").repartition(7)
+      .agg(sketchNative.kmv_kmin(col("h"), 64).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(r1 == Seq(3L, 7L, 9L) && r7 == r1)
+  }
+
+  test("kmv estimator lands near the true cardinality on hashed ids") {
+    // 5000 distinct ids hashed through the portable h48; k=64 gives
+    // ~1/sqrt(62) ≈ 13% rse — assert a generous 3-sigma envelope
+    val n = 5000
+    val df = (1 to n).map(_.toString).toDF("s")
+      .select(graft.functions.PortableHash.h48(col("s")).as("h"))
+      .repartition(9)
+    val mins = df.agg(sketchNative.kmv_kmin(col("h"), 64).as("m"))
+      .collect()(0).getSeq[Long](0)
+    assert(mins.length == 64)
+    val est = 63L * 281474976710656L / mins.last
+    assert(est > n * 0.6 && est < n * 1.4, s"est $est vs true $n")
+  }
+
+  test("kmv overlap: sketch-only set algebra is EXACT when the " +
+    "sketches hold the complete sets (sf0.001: 15 users/type)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.kmvOverlap(spark, sf).collect()
+    assert(got.length == 10) // C(5,2) type pairs
+    val sets = graft.relational.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    got.foreach { r =>
+      val sa = sets(r.getString(0)); val sb = sets(r.getString(1))
+      assert(r.getLong(3) == (sa | sb).size.toLong,
+        s"est_union ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(5) == (sa & sb).size.toLong,
+        s"est_intersection ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   test("mg_topk is usable from spark.sql via the extensions hook") {
     graft.plans.GraftExtensions.register(spark)
     Seq("a", "a", "b", "a", "c").toDF("w").createOrReplaceTempView("mg_in")
