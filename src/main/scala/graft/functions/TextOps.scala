@@ -67,4 +67,30 @@ object TextOps {
     val grams = transform(idx, i => text.substr(i, lit(3)))
     array_distinct(filter(grams, g => length(g) === 3))
   }
+
+  /** Soundex phonetic key (r7 continuation) as an EXPLICIT
+    * translate + regexp chain rather than Spark's built-in
+    * `soundex()` — deliberately: the built-in's H/W-transparency and
+    * first-letter edge semantics are not restatable in DuckDB, and a
+    * blocking key is only useful if BOTH engines derive the
+    * identical code. The chain (classic SQL-soundex formulation,
+    * H/W removed before run-collapse — the Knuth H/W-transparency
+    * rule falls out for free):
+    *   1. uppercase; 2. translate consonant classes to digits
+    *   1–6, vowels+Y to 0, H/W deleted (both engines delete
+    *   unmatched translate chars); 3. collapse same-digit runs;
+    *   4. drop the first digit (the first letter's own code);
+    *   5. strip zeros; 6. first letter + first 3 digits, 0-padded.
+    * Verified landmarks: Robert→R163, Pfister→P236, Tymczak→T522,
+    * Ashcraft→A261. Pure codegen'd built-ins — the key is a
+    * projection, and blocking on it is an ordinary groupBy. */
+  def soundex6(word: Column): Column = {
+    val u = upper(word)
+    val d = translate(u, "BFPVCGJKQSXZDTLMNRAEIOUYHW",
+      "111122222222334556000000")
+    val collapsed = (0 to 6).foldLeft(d)((c, i) =>
+      regexp_replace(c, s"$i$i+", s"$i"))
+    val digits = regexp_replace(substring(collapsed, 2, 64), "0", "")
+    concat(substring(u, 1, 1), substring(concat(digits, lit("000")), 1, 3))
+  }
 }

@@ -60,7 +60,38 @@ object AudioCodec {
       (m, out)
     }
 
-  private def parseWavFull(b: Array[Byte]): Option[(AudioMeta, Int)] = {
+  /** G.711 μ-law expansion (ITU-T G.711, Table 2a — r7 continuation:
+    * the first COMPRESSED audio family, mirroring the image side's
+    * PNG/GIF/JPEG story): the encoded byte is the ones' complement
+    * of sign|exponent|mantissa; decode is the closed-form integer
+    *   u = ~b & 0xFF; t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    *   sample = sign(u) ? 0x84 − t : t − 0x84
+    * No state, no table — each byte expands independently, which is
+    * what lets the DuckDB oracle restate it verbatim per sample. */
+  def ulawExpand(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Sample-level decode of a μ-law WAV (RIFF fmt tag 7, 8-bit):
+    * the same chunk walk as [[parseWavSamples]], then per-byte G.711
+    * expansion to 14-bit signed linear. PCM containers (tag 1) and
+    * corrupt layouts → None (the DLT arm). */
+  def parseWavUlawSamples(b: Array[Byte]): Option[(AudioMeta, Array[Int])] =
+    parseWavFullFmt(b, wantFormat = 7).map { case (m, off) =>
+      val n = (m.n_samples * m.channels).toInt
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) { out(j) = ulawExpand(b(off + j) & 0xff); j += 1 }
+      (m, out)
+    }
+
+  private def parseWavFull(b: Array[Byte]): Option[(AudioMeta, Int)] =
+    parseWavFullFmt(b, wantFormat = 1)
+
+  private def parseWavFullFmt(b: Array[Byte],
+      wantFormat: Int): Option[(AudioMeta, Int)] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     // the walk cursor is a LONG: a crafted u32 chunk size near 2³²
     // in Int arithmetic would either wrap the advance negative
@@ -78,7 +109,7 @@ object AudioCodec {
       if (tag(b, p, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return None
         val audioFormat = u16le(b, p + 8)
-        if (audioFormat != 1) return None // PCM only
+        if (audioFormat != wantFormat) return None // PCM or μ-law only
         channels = u16le(b, p + 10).toLong
         rate = u32le(b, p + 12)
         blockAlign = u16le(b, p + 20).toLong
@@ -97,8 +128,39 @@ object AudioCodec {
       dataSize < 0) return None
     if (blockAlign != channels * (bits / 8)) return None
     if (bits != 8 && bits != 16) return None
-    Some((AudioMeta("wav", channels, rate, bits, dataSize / blockAlign,
+    Some((AudioMeta(if (wantFormat == 7) "wav_ulaw" else "wav",
+      channels, rate, bits, dataSize / blockAlign,
       dataSize / blockAlign * 1000L / rate), dataOff))
+  }
+
+  /** Deterministic μ-law WAV fixture: a complete RIFF/WAVE container
+    * with fmt tag 7, 8-bit blocks, whose encoded bytes come from the
+    * caller's formula — decode must walk the real chunk layout AND
+    * expand every byte for the oracle's sample math to agree. */
+  def ulawWavBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      byteAt: Int => Int): Array[Byte] = {
+    val blockAlign = channels
+    val dataSize = nSamples * blockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def str(s: String): Unit = s.foreach(c => out.write(c))
+    str("RIFF"); le32(36L + dataSize); str("WAVE")
+    str("fmt "); le32(16L)
+    le16(7) // G.711 μ-law
+    le16(channels)
+    le32(sampleRate.toLong)
+    le32(sampleRate.toLong * blockAlign)
+    le16(blockAlign)
+    le16(8)
+    str("data"); le32(dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { out.write(byteAt(i) & 0xff); i += 1 }
+    if ((dataSize & 1) == 1) out.write(0)
+    out.toByteArray
   }
 
   /** Deterministic PCM WAV fixture: a real, complete RIFF/WAVE file

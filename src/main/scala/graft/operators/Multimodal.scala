@@ -944,6 +944,58 @@ object Multimodal {
     }).toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** One decoded μ-law audio row per doc (r7 continuation). */
+  final case class UlawStatsRow(doc_id: Long, format: String,
+      sample_rate: Long, n_samples: Long, min_s: Long, max_s: Long,
+      sum_s: Long, wsum: Long)
+
+  /** Deterministic μ-law WAV payloads: G.711's native 8 kHz mono,
+    * encoded byte i = (id·17 + i·13) mod 256 — every exponent band
+    * and both signs occur; every 13th doc truncated mid-data (the
+    * size-vs-payload check must route it to the DLT arm). */
+  def syntheticUlawWavs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val n = 40 + (id % 50).toInt
+        val full = AudioCodec.ulawWavBytes(8000, 1, n,
+          i => ((id * 17 + i.toLong * 13) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 50) else full)
+      }
+  }
+
+  /** REAL G.711 μ-law decode → signed-sample stats (r7 continuation
+    * — the first COMPRESSED audio family, the audio twin of the
+    * PNG/GIF/JPEG story): RIFF chunk walk accepting fmt tag 7, then
+    * the closed-form integer expansion per byte
+    * ([[AudioCodec.ulawExpand]]); the oracle restates the expansion
+    * verbatim from the byte formula, so a complement slip, a wrong
+    * exponent shift or a sign error fails the position-weighted sum.
+    * Row-local, zero shuffle, DLT arm for corrupt containers. */
+  def audioUlawStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticUlawWavs(docs).mapPartitions(_.map { d =>
+      AudioCodec.parseWavUlawSamples(d.payload) match {
+        case Some((m, s)) =>
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          UlawStatsRow(d.doc_id, m.format, m.sample_rate,
+            s.length.toLong, mn, mx, sum, wsum)
+        case None =>
+          UlawStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Deterministic baseline-JPEG grayscale payloads (r7 continuation
     * — the THIRD compressed family, and the one the r6 verdict
     * called "genuinely blocked": it is not — baseline JPEG is

@@ -82,6 +82,16 @@ object GraftExtensions {
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "Unicode NFC canonical composition of a string"),
       (es: Seq[Expression]) => NfcNormalize(es.head)),
+    (FunctionIdentifier("oph_sig"),
+      info("oph_sig", "one-permutation-hashing MinHash signature over " +
+        "word n-gram shingles (n literal)"),
+      (es: Seq[Expression]) => OphSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("kmv_kmin"),
+      info("kmv_kmin", "KMV distinct sketch: k smallest distinct BIGINTs, " +
+        "sorted ascending (k literal)"),
+      (es: Seq[Expression]) => KmvKMin(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
     // the codebook arguments are evaluated ONCE at resolution time
     // into the single reference object the expression ships to
     // executors — the SQL route to the same O(1)-plan-size argmin the

@@ -1355,6 +1355,35 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.audioUlawStats]] (r7 continuation): the G.711
+    * μ-law expansion restated verbatim per sample — u = 255−b,
+    * t = ((u mod 16)·8 + 132) · 2^((u÷16) mod 8), sign via u ≥ 128 —
+    * so a complement slip, wrong exponent shift or sign error in the
+    * decoder fails the position-weighted sum; the oracle never sees
+    * the RIFF container. */
+  private val mmAudioUlawSql: String =
+    "WITH d AS (SELECT doc_id, 40 + doc_id % 50 AS n FROM documents " +
+      "WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d), " +
+      "u AS (SELECT doc_id, n, i, " +
+      "255 - ((doc_id * 17 + i * 13) % 256) AS uv FROM j), " +
+      "t AS (SELECT doc_id, n, i, uv, " +
+      "(((uv % 16) * 8) + 132) * (CAST(1 AS BIGINT) << " +
+      "CAST((uv // 16) % 8 AS INTEGER)) AS tv FROM u), " +
+      "v AS (SELECT doc_id, n, i, " +
+      "CASE WHEN uv >= 128 THEN 132 - tv ELSE tv - 132 END AS s FROM t), " +
+      "st AS (SELECT doc_id, n, min(s) AS mn, max(s) AS mx, " +
+      "sum(s) AS sv, sum(s * (i + 1)) AS ws FROM v GROUP BY 1, 2) " +
+      "SELECT doc_id, 'wav_ulaw' AS format, " +
+      "CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, " +
+      "CAST(mn AS BIGINT) AS min_s, CAST(mx AS BIGINT) AS max_s, " +
+      "CAST(sv AS BIGINT) AS sum_s, CAST(ws AS BIGINT) AS wsum FROM st " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS sample_rate, CAST(-1 AS BIGINT) AS n_samples, " +
+      "CAST(-1 AS BIGINT) AS min_s, CAST(-1 AS BIGINT) AS max_s, " +
+      "CAST(-1 AS BIGINT) AS sum_s, CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.gifMeta]]: version, dims and the packed-byte
     * palette size recomputed from doc_id literals. */
   private val mmGifMetaSql: String =
@@ -1865,6 +1894,49 @@ object ExtQueries {
     * integer-division negative semantics differ between the engines
     * (Spark div truncates, DuckDB // floors) and acctbal goes
     * negative; FLOOR(x/1000.0) floors identically in both. */
+  /** [[RelQueries.lDiversity]]: same band formula as the k-anon
+    * oracle, diversity = distinct bands per QI class. */
+  private val relLdiversitySql: String =
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, " +
+      "c_mktsegment AS mktsegment, " +
+      "COUNT(*) AS n_members, " +
+      "CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) " +
+      "AS BIGINT) AS n_sensitive, " +
+      "CAST(CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) " +
+      "AS BIGINT)) < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+      "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** [[RelQueries.skewJoinRevenue]]: the PLAIN inner join — the salt
+    * must be semantically invisible, so the oracle never sees it. */
+  private val relSkewJoinSql: String =
+    "SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey, " +
+      "COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) " +
+      "AS sum_value_c " +
+      "FROM events e JOIN supplier s ON e.user_id = s.s_suppkey " +
+      "GROUP BY 1 ORDER BY 1"
+
+  /** [[RelQueries.phoneticKey]]: the identical translate + regexp
+    * chain — the blocking key must derive bit-identically in both
+    * engines (DuckDB regexp_replace needs the explicit 'g' flag;
+    * Spark's is global by default). */
+  private val relPhoneticKeySql: String = {
+    val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
+      s"regexp_replace($c, '$i$i+', '$i', 'g')"
+    }
+    "WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part), " +
+      "u AS (SELECT w, upper(w) AS uw FROM w), " +
+      "d AS (SELECT w, uw, translate(uw, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', " +
+      "'111122222222334556000000') AS dd FROM u), " +
+      s"c AS (SELECT w, uw, $collapsed AS cc FROM d), " +
+      "k AS (SELECT w, substr(uw, 1, 1) || " +
+      "substr(replace(substr(cc, 2, 64), '0', '') || '000', 1, 3) " +
+      "AS code FROM c) " +
+      "SELECT code, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+      "CAST(count(DISTINCT w) AS BIGINT) AS n_words, " +
+      "min(w) AS sample_word FROM k GROUP BY 1 ORDER BY 1"
+  }
+
   private val relKanonSql: String =
     "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, " +
       "c_mktsegment AS mktsegment, " +
@@ -2868,9 +2940,17 @@ object ExtQueries {
     // 3-component YCbCr, 4:4:4 and 4:2:0 MCU interleave + replication
     // upsample + the fixed-point color transform the oracle restates
     "mm_jpeg_rgb_stats" -> ((s, d) => Multimodal.jpegRgbStats(Tables.documents(s, d))(s)),
+    // first compressed AUDIO family: closed-form G.711 expansion
+    "mm_audio_ulaw" -> ((s, d) => Multimodal.audioUlawStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
+    // l-diversity: the leak k-anonymity can't see (uniform sensitive)
+    "rel_ldiversity" -> ((s, d) => RelQueries.lDiversity(s, d)),
+    // salted skew join pinned against the PLAIN-join oracle
+    "rel_skew_join" -> (RelQueries.skewJoinRevenue _),
+    // phonetic blocking key, identical translate+regexp chain both sides
+    "rel_phonetic_key" -> (RelQueries.phoneticKey _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
@@ -3050,8 +3130,12 @@ object ExtQueries {
     "mm_tiff_stats" -> mmTiffStatsSql,
     "mm_jpeg_stats" -> mmJpegStatsSql,
     "mm_jpeg_rgb_stats" -> mmJpegRgbStatsSql,
+    "mm_audio_ulaw" -> mmAudioUlawSql,
     "dd_image_neardup" -> ddImageNearDupSql,
     "rel_kanon" -> relKanonSql,
+    "rel_ldiversity" -> relLdiversitySql,
+    "rel_skew_join" -> relSkewJoinSql,
+    "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_anomaly" -> relAnomalySql,
     "rel_triangles" -> relTrianglesSql,
     "rel_histogram" -> relHistogramSql,

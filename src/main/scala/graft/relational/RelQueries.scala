@@ -1104,6 +1104,71 @@ object RelQueries {
         when(col("n_members") < k, 1L).otherwise(0L))
       .orderBy("nationkey", "mktsegment", "bal_band")
 
+  /** l-diversity audit (r7 continuation) — the companion privacy
+    * check [[kAnonymity]] cannot express: a QI class can be large
+    * (k-anonymous) yet still leak if every member shares ONE
+    * sensitive value (Machanavajjhala et al., ICDE'06). Per
+    * quasi-identifier class (nation, segment): member count,
+    * DISTINCT sensitive values (the account-balance band), and the
+    * at-risk flag when diversity < l. Same single hash-aggregate
+    * shape as the k-anonymity scan — countDistinct adds a
+    * partial-distinct expand, still one exchange on the QI key. */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("bal_band")).as("n_sensitive"))
+      .withColumn("at_risk",
+        when(col("n_sensitive") < l, 1L).otherwise(0L))
+      .orderBy("nationkey", "mktsegment")
+
+  /** Salted skew join as a DECLARED query (r7 continuation): the
+    * events fact side scattered by a deterministic whole-row salt,
+    * the supplier build side replicated saltFactor times, joined on
+    * (key, salt) — then aggregated per supplier nation. The oracle
+    * is the PLAIN inner join: salting must be semantically
+    * invisible, and hash-pinning the aggregate against the unsalted
+    * SQL proves it on real data (StreamJoinSkewSpec asserts row-level
+    * equality on adversarially skewed data; this pins it in the
+    * driver gate). The technique is the manual remedy for the one
+    * skew shape AQE cannot fix: a broadcast-ineligible build side
+    * under one giant hot probe key. */
+  def skewJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").as("supp_key"), cents(col("value")).as("v_c"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("supp_key"),
+        col("s_nationkey").cast("long").as("nationkey"))
+    graft.operators.SkewJoin.saltedInner(ev, supp, "supp_key")
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_events"), sum("v_c").as("sum_value_c"))
+      .orderBy("nationkey")
+  }
+
+  /** Phonetic blocking keys over the part vocabulary (r7
+    * continuation): Soundex code per name token — the classic
+    * record-linkage blocking key (match candidates share a code, so
+    * the pair join is code-keyed instead of all-pairs, the same
+    * blocking discipline as [[graft.operators.Dedup.sortedNeighborhood]]).
+    * The code is [[graft.functions.TextOps.soundex6]]'s explicit
+    * translate+regexp chain — pure codegen'd built-ins, restated
+    * verbatim by the oracle (Spark's own soundex() is NOT used: its
+    * edge semantics can't be mirrored in DuckDB, and a blocking key
+    * both engines can't derive identically is useless). One explode
+    * + one hash-aggregate on the code. */
+  def phoneticKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .select(col("w"), graft.functions.TextOps.soundex6(col("w")).as("code"))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("w")).as("n_words"),
+        min(col("w")).as("sample_word"))
+      .orderBy("code")
+
   /** Equi-width value histogram per event type (r6): the profiling
     * primitive behind every data-quality dashboard. Two passes, both
     * partial-combinable: a |types|-sized min/max extent aggregate

@@ -53,6 +53,42 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(m16.n_samples == 3L && v16.toSeq == expect)
   }
 
+  test("ulaw expansion: G.711 landmark values, sign anti-symmetry, " +
+    "monotone decode within a segment (r7)") {
+    // 0xFF encodes +0, 0x7F encodes -0 (ones'-complement convention)
+    assert(AudioCodec.ulawExpand(0xff) == 0)
+    assert(AudioCodec.ulawExpand(0x7f) == 0)
+    // largest magnitude: byte 0x00 -> u=0xFF? no: u = ~0x00 = 0xFF ->
+    // sign set, exponent 7, mantissa 15 -> t = (15*8+132)<<7 = 32256,
+    // sample = 132 - 32256 = -32124 (the G.711 max magnitude)
+    assert(AudioCodec.ulawExpand(0x00) == -32124)
+    assert(AudioCodec.ulawExpand(0x80) == 32124)
+    // flipping the sign bit of the ENCODED byte negates the sample
+    for (b <- 0 until 128)
+      assert(AudioCodec.ulawExpand(b) == -AudioCodec.ulawExpand(b | 0x80))
+    // within one exponent segment, smaller encoded byte = larger
+    // magnitude (complement coding) — strictly monotone
+    val seg = (0x80 until 0x90).map(AudioCodec.ulawExpand)
+    assert(seg == seg.sorted.reverse && seg.distinct.size == seg.size)
+  }
+
+  test("ulaw WAV: container round-trip, PCM/ulaw tags don't cross, " +
+    "truncation rejects (r7)") {
+    val f = AudioCodec.ulawWavBytes(8000, 1, 25, i => (i * 7 + 3) % 256)
+    val (m, s) = AudioCodec.parseWavUlawSamples(f).get
+    assert(m.format == "wav_ulaw" && m.sample_rate == 8000 &&
+      m.n_samples == 25 && m.bits == 8)
+    assert(s.toSeq == (0 until 25).map(i =>
+      AudioCodec.ulawExpand((i * 7 + 3) % 256)))
+    // a PCM container must NOT decode through the ulaw arm & vice versa
+    assert(AudioCodec.parseWavUlawSamples(
+      AudioCodec.wavBytes(8000, 1, 8, 25)).isEmpty)
+    assert(AudioCodec.parseWavSamples(f).isEmpty)
+    // truncated data payload fails closed
+    assert(AudioCodec.parseWavUlawSamples(
+      java.util.Arrays.copyOf(f, f.length - 5)).isEmpty)
+  }
+
   test("corrupt / truncated / alien payloads reject, never throw") {
     assert(AudioCodec.parseWav(Array.emptyByteArray).isEmpty)
     assert(AudioCodec.parseWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)

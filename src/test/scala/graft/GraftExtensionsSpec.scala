@@ -12,7 +12,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions hook injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
-    assert(GraftExtensions.functions.size == 13)
+    assert(GraftExtensions.functions.size == 15)
+  }
+
+  test("oph_sig and kmv_kmin are usable from spark.sql (r7)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(oph_sig('a b c d', 3)) AS slots, " +
+        "oph_sig('a b', 3) AS nullsig").head
+    assert(r.getInt(0) == graft.functions.PortableHash.MinhashK)
+    assert(r.isNullAt(1))
+    import spark.implicits._
+    Seq(9L, 3L, 7L, 3L).toDF("h").createOrReplaceTempView("kmv_in")
+    val m = spark.sql("SELECT kmv_kmin(h, 2) AS m FROM kmv_in").head
+      .getSeq[Long](0)
+    assert(m == Seq(3L, 7L))
   }
 
   test("centroid_argmin is usable from spark.sql with a literal codebook") {

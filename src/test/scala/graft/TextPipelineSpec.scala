@@ -221,4 +221,22 @@ class TextPipelineSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
     assert(got == expected)
   }
+
+  test("soundex6: classic landmark codes, padding, run collapse, " +
+    "H/W transparency (r7)") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", // classic pair
+      "Pfister" -> "P236",                    // leading same-code run
+      "Tymczak" -> "T522",                    // Y-as-vowel run break
+      "Ashcraft" -> "A261",                   // H-transparency: SC one code
+      "Lee" -> "L000",                        // zero padding
+      "Gauss" -> "G200", "Ghosh" -> "G200")   // H deletion
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), graft.functions.TextOps.soundex6(col("w")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"$w: got ${got(w)}, want $want")
+    }
+  }
 }
