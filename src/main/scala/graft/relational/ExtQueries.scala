@@ -1960,6 +1960,28 @@ object ExtQueries {
       "FROM h JOIN s ON h.event_type = s.event_type " +
       "ORDER BY h.event_type, h.hour_epoch_s"
 
+  /** [[RelQueries.basketPairs]]: the same a-priori shape restated —
+    * distinct baskets, item supports ≥ 20, pruned self-join with
+    * p1 < p2, pair support ≥ 2, integer-ppm lift ((p1, p2) is unique
+    * so the desc-support/asc-pair order is total and the LIMIT is
+    * deterministic on both engines). */
+  private val relBasketSql: String =
+    "WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey " +
+      "FROM lineitem), " +
+      "ic AS (SELECT pkey, COUNT(*) AS n_item FROM b GROUP BY 1 " +
+      "HAVING COUNT(*) >= 20), " +
+      "pb AS (SELECT b.okey, b.pkey, ic.n_item FROM b " +
+      "JOIN ic ON b.pkey = ic.pkey), " +
+      "tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM b), " +
+      "pr AS (SELECT a.pkey AS p1, c.pkey AS p2, a.n_item AS c1, " +
+      "c.n_item AS c2, COUNT(*) AS n_pair FROM pb a " +
+      "JOIN pb c ON a.okey = c.okey AND a.pkey < c.pkey " +
+      "GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2) " +
+      "SELECT p1, p2, n_pair, " +
+      "CAST((n_pair * 1000000 * tot.n_orders) // (c1 * c2) AS BIGINT) " +
+      "AS lift_ppm FROM pr, tot " +
+      "ORDER BY n_pair DESC, p1, p2 LIMIT 100"
+
   /** [[RelQueries.bitmapDistinct]]: the whole sketch recomputed in
     * DuckDB — h31 bit positions, 63-bit word packing, bit_or words,
     * popcount sum. */
@@ -2952,6 +2974,9 @@ object ExtQueries {
     // phonetic blocking key, identical translate+regexp chain both sides
     "rel_phonetic_key" -> (RelQueries.phoneticKey _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
+    // a-priori-pruned co-purchase pairs: broadcast item-support prune
+    // before the orderkey self-join (downward closure)
+    "rel_basket" -> (RelQueries.basketPairs(_, _)),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
@@ -3137,6 +3162,7 @@ object ExtQueries {
     "rel_skew_join" -> relSkewJoinSql,
     "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_anomaly" -> relAnomalySql,
+    "rel_basket" -> relBasketSql,
     "rel_triangles" -> relTrianglesSql,
     "rel_histogram" -> relHistogramSql,
     "rel_snapshot_diff" -> relSnapshotDiffSql,

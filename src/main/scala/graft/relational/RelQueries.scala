@@ -1295,4 +1295,48 @@ object RelQueries {
           col("s1") * col("s1")), 1L).otherwise(0L).as("is_anomaly"))
       .orderBy("event_type", "hour_epoch_s")
   }
+
+  /** Frequent co-purchase pairs with a-priori support pruning (r7
+    * continuation): market-basket mining as a SCALE-SHAPED pair join.
+    * The naive shape — self-join every basket against itself — has
+    * quadratic fan-out in basket width and touches every item. The
+    * a-priori downward-closure property (Agrawal–Srikant VLDB'94: a
+    * pair cannot reach support s unless BOTH members do) prunes the
+    * join INPUT first: item supports are a |parts|-row aggregate that
+    * BROADCASTS back onto the basket table, so infrequent items never
+    * enter the pair join at all. The surviving self-join keys on
+    * l_orderkey with p1 < p2 — both sides are the SAME pruned dataset
+    * on the same key, so Spark reuses one exchange — and per-order
+    * fan-out is bounded by basket width (≤ 13 here; bounded by order
+    * size generally, never by |parts|). Lift is emitted in exact
+    * integer ppm, (n_pair · 10⁶ · n_orders) div (c1 · c2) — no
+    * division by observed doubles, both engines agree bitwise (fits
+    * 2⁶³ while n_pair·n_orders < 9·10¹², i.e. far past sf100 at this
+    * pair density). Top-100 by (support desc, pair) compiles to
+    * TakeOrderedAndProject — no global sort materializes. */
+  def basketPairs(spark: SparkSession, sfDir: String,
+      minItemSupport: Int = 20, minPairSupport: Int = 2): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val itemCnt = baskets.groupBy("pkey")
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val totals = baskets.agg(
+      countDistinct(col("okey")).as("n_orders"))
+    val pruned = baskets.join(broadcast(itemCnt), "pkey")
+      .select(col("okey"), col("pkey"), col("n_item"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("p1"), col("b.pkey").as("p2"),
+        col("a.n_item").as("c1"), col("b.n_item").as("c2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairSupport)
+    pairs.crossJoin(broadcast(totals))
+      .select(col("p1"), col("p2"), col("n_pair"),
+        expr("(n_pair * 1000000 * n_orders) div (c1 * c2)")
+          .as("lift_ppm"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
 }

@@ -1132,6 +1132,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("basketPairs matches a driver-side a-priori recomputation " +
+    "at sf0.001 — pruning thresholds, pair counts, integer lift, " +
+    "top-100 order") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.basketPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    // driver-side reference over the same parquet
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length)
+      .filter(_._2 >= 20).toMap
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val ref = baskets.filter(b => itemCnt.contains(b._2))
+      .groupBy(_._1).values.flatMap { items =>
+        val ps = items.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2)
+      .map { case ((p1, p2), n) =>
+        (p1, p2, n, n * 1000000L * nOrders / (itemCnt(p1) * itemCnt(p2)))
+      }.toSeq
+      .sortBy { case (p1, p2, n, _) => (-n, p1, p2) }.take(100)
+    assert(got == ref)
+    got.foreach { case (p1, p2, n, _) =>
+      assert(p1 < p2); assert(n >= 2)
+    }
+  }
+
   test("sortedNeighborhood matches a driver-side window walk; " +
     "identical docs are always adjacent and found") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")

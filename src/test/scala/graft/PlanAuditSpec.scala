@@ -169,6 +169,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rel_anomaly shuffle-joins:\n$p")
   }
 
+  test("rel_basket broadcasts the item-support prune and compiles " +
+    "top-100 to TakeOrderedAndProject — no global sort, no cartesian " +
+    "(r7)") {
+    val p = plan("rel_basket")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"item prune / totals not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("rel_kanon is ONE hash-aggregate over one scan — the QI class " +
     "audit never joins or re-passes (r6)") {
     val p = planNoAqe("rel_kanon")
