@@ -913,4 +913,48 @@ object TextAnalysis {
         array_min(col("st")).as("min_stem"),
         array_max(col("st")).as("max_stem"))
       .orderBy("doc_id")
+
+  /** Corpus-level collocation mining (r7 continuation): top-k bigrams
+    * by pointwise mutual information — the phrase-discovery pass that
+    * decides which adjacent tokens a tokenizer or phrase-merger should
+    * treat as one unit (Church–Hanks CL'90). PMI's log is not
+    * bit-portable across engines, so the ranking uses the exact
+    * integer MONOTONE transform of exp(PMI):
+    *   score_ppm = (c_xy · 10⁶ · N) div (c_x · c_y)
+    * — identical BIGINTs in both engines, exact while c_xy·N < 9·10¹²
+    * (at 100 TB pre-scale counts, the [[graft.relational.RelQueries.hourlyAnomaly]]
+    * discipline). The min-count filter (c_xy ≥ minPair) is the
+    * standard guard against PMI's low-frequency pathology.
+    *
+    * Scale shape: bigram occurrences partial-agg to a vocab²-bounded
+    * pair table; N derives from THAT table (one tiny agg, no second
+    * corpus scan); unigram counts are a vocab-bounded aggregate that
+    * BROADCASTS onto the pair table twice (w1, w2); top-k compiles to
+    * TakeOrderedAndProject. The corpus is scanned once per aggregate
+    * family — the pair and unigram scans are independent branches, and
+    * the expensive one (pairs) shuffles only gram-keyed partials. */
+  def collocations(docs: DataFrame, minPair: Int = 5,
+                   k: Int = 50): DataFrame = {
+    val spreadDocs = Partitioning.spread(docs)
+    val uni = spreadDocs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairCounts = spreadDocs
+      .select(explode(TextOps.wordShinglesAll(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_pair"))
+    val totals = pairCounts.agg(sum("n_pair").as("n_total"))
+    pairCounts.filter(col("n_pair") >= minPair)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("n_pair"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+        "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("(n_pair * 1000000 * n_total) div (c1 * c2)")
+          .as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

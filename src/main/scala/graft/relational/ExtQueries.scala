@@ -855,6 +855,26 @@ object ExtQueries {
       s"'$phoneRe', '<PHONE>', 'g') AS scrubbed " +
       "FROM inp ORDER BY doc_id"
 
+  /** [[TextAnalysis.collocations]]: the identical integer PMI-rank
+    * algebra — pair counts from the positional gram list, N from the
+    * pair table itself, unigram counts joined twice, floor-div score.
+    * (w1, w2) is unique so the order is total and the LIMIT
+    * deterministic. */
+  private val txCollocationsSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      s"bi AS (SELECT unnest(${shingleListAll(2)}) AS g FROM ws), " +
+      "pc AS (SELECT g, count(*) AS n_pair FROM bi GROUP BY 1), " +
+      "tot AS (SELECT SUM(n_pair) AS n_total FROM pc), " +
+      "uni AS (SELECT unnest(w) AS w0 FROM ws), " +
+      "uc AS (SELECT w0, count(*) AS c FROM uni GROUP BY 1), " +
+      "f AS (SELECT string_split(g, ' ')[1] AS w1, " +
+      "string_split(g, ' ')[2] AS w2, n_pair FROM pc WHERE n_pair >= 5) " +
+      "SELECT f.w1, f.w2, f.n_pair, " +
+      "CAST((f.n_pair * 1000000 * tot.n_total) // (u1.c * u2.c) " +
+      "AS BIGINT) AS pmi_ppm " +
+      "FROM f JOIN uc u1 ON f.w1 = u1.w0 JOIN uc u2 ON f.w2 = u2.w0, tot " +
+      "ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50"
+
   private val txTopTermsSql: String =
     s"WITH ws AS ($wordsCte), " +
       "t AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM ws), " +
@@ -2991,6 +3011,9 @@ object ExtQueries {
     "dd_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(Tables.documents(s, d))),
     "tx_stem" -> ((s, d) => TextAnalysis.sStem(Tables.documents(s, d))),
+    // PMI collocations: integer monotone transform of exp(PMI), no logs
+    "tx_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -3173,6 +3196,7 @@ object ExtQueries {
     "rel_winsorize" -> relWinsorizeSql,
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "tx_stem" -> txStemSql,
+    "tx_collocations" -> txCollocationsSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

@@ -180,6 +180,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("tx_collocations joins vocab-bounded unigram counts BROADCAST " +
+    "onto the pair table and compiles top-k to TakeOrderedAndProject " +
+    "(r7)") {
+    val p = plan("tx_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram joins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join:\n$p")
+  }
+
   test("rel_kanon is ONE hash-aggregate over one scan — the QI class " +
     "audit never joins or re-passes (r6)") {
     val p = planNoAqe("rel_kanon")

@@ -222,6 +222,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("collocations matches the brute-force integer-PMI reference " +
+    "on a random corpus (r7)") {
+    val rnd = new Random(23)
+    val vocab = (1 to 12).map(i => s"w$i")
+    // plant a real collocation: w1 is always followed by w2
+    val texts = (0 until 50).map { _ =>
+      (1 to 30).flatMap { _ =>
+        val w = vocab(rnd.nextInt(vocab.size))
+        if (w == "w1") Seq("w1", "w2") else Seq(w)
+      }.mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val uni = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, os) => w -> os.length.toLong }
+    val pairs = texts.flatMap(_.split(" ").sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+      .groupBy(identity).map { case (p, os) => p -> os.length.toLong }
+    val nTotal = pairs.values.sum
+    val expected = pairs.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c, c * 1000000L * nTotal / (uni(a) * uni(b)))
+    }.toSeq.sortBy { case (a, b, _, s) => (-s, a, b) }.take(50)
+    val got = TextAnalysis.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // the planted pair must rank first: P(w2 | w1) = 1
+    assert(got.head._1 == "w1" && got.head._2 == "w2")
+  }
+
   test("soundex6: classic landmark codes, padding, run collapse, " +
     "H/W transparency (r7)") {
     import org.apache.spark.sql.functions.col
