@@ -1980,6 +1980,25 @@ object ExtQueries {
       "FROM h JOIN s ON h.event_type = s.event_type " +
       "ORDER BY h.event_type, h.hour_epoch_s"
 
+  /** [[RelQueries.benfordDigits]]: same digit extraction (cents
+    * string substr), same integer ppm shares, same nine literal
+    * Benford constants. */
+  private val relBenfordSql: String =
+    "WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v " +
+      "FROM orders WHERE FLOOR(o_totalprice * 100) > 0), " +
+      "d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) " +
+      "AS digit, COUNT(*) AS n FROM c GROUP BY 1), " +
+      "tot AS (SELECT SUM(n) AS n_total FROM d), " +
+      "b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091), " +
+      "(3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), " +
+      "(8, 51153), (9, 45757)) " +
+      "SELECT d.digit, d.n, " +
+      "CAST((d.n * 1000000) // tot.n_total AS BIGINT) AS obs_ppm, " +
+      "CAST(b.benford_ppm AS BIGINT) AS benford_ppm, " +
+      "CAST(abs((d.n * 1000000) // tot.n_total - b.benford_ppm) " +
+      "AS BIGINT) AS dev_ppm " +
+      "FROM d JOIN b ON d.digit = b.digit, tot ORDER BY d.digit"
+
   /** [[RelQueries.basketPairs]]: the same a-priori shape restated —
     * distinct baskets, item supports ≥ 20, pruned self-join with
     * p1 < p2, pair support ≥ 2, integer-ppm lift ((p1, p2) is unique
@@ -2997,6 +3016,8 @@ object ExtQueries {
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
     "rel_basket" -> (RelQueries.basketPairs(_, _)),
+    // Benford leading-digit audit: literal milli-log reference table
+    "rel_benford" -> (RelQueries.benfordDigits _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
@@ -3186,6 +3207,7 @@ object ExtQueries {
     "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
+    "rel_benford" -> relBenfordSql,
     "rel_triangles" -> relTrianglesSql,
     "rel_histogram" -> relHistogramSql,
     "rel_snapshot_diff" -> relSnapshotDiffSql,

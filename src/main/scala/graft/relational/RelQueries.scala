@@ -1296,6 +1296,43 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Benford first-significant-digit audit (r7 continuation): the
+    * classic forensic-accounting / synthetic-data screen (Benford'38;
+    * Nigrini'96) — naturally-occurring multiplicative amounts put
+    * ~30.1% of leading digits at 1, while fabricated or uniformly
+    * synthesized columns flatten toward 11.1%. Observed shares are
+    * exact integer ppm; the Benford reference distribution enters as
+    * the nine LITERAL milli-log constants (summing to exactly 10⁶) —
+    * the only way a log-law lands bit-identically in both engines.
+    * Shape: one 9-group hash-aggregate over the scan (map-side
+    * partial); the total and the reference table both broadcast.
+    * Leading digit comes from the cents string — cents are positive
+    * longs here, so substr(1,1) is the first significant digit with
+    * no float/log in the path. */
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+      .map { case (d, p) => (d.toLong, p) }
+      .toDF("digit", "benford_ppm")
+    val digits = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val totals = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(broadcast(totals))
+      .join(broadcast(benford), "digit")
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div n_total").as("obs_ppm"),
+        col("benford_ppm"),
+        abs(expr("(n * 1000000) div n_total") - col("benford_ppm"))
+          .as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   /** Frequent co-purchase pairs with a-priori support pruning (r7
     * continuation): market-basket mining as a SCALE-SHAPED pair join.
     * The naive shape — self-join every basket against itself — has

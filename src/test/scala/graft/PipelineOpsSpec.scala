@@ -1132,6 +1132,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("benfordDigits: reference constants sum to exactly 10^6 and " +
+    "the digit histogram matches a driver-side recomputation (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.benfordDigits(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._4).sum == 1000000L, "Benford ppm must total 10^6")
+    val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+      .collect().map(r => math.floor(r.getAs[Double]("o_totalprice") * 100).toLong)
+      .filter(_ > 0)
+    val hist = cents.groupBy(_.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val total = hist.values.sum
+    got.foreach { case (d, n, obs, bf, dev) =>
+      assert(hist(d) == n, s"digit $d count")
+      assert(obs == n * 1000000L / total)
+      assert(dev == math.abs(obs - bf))
+    }
+    assert(got.map(_._2).sum == total)
+  }
+
   test("basketPairs matches a driver-side a-priori recomputation " +
     "at sf0.001 — pruning thresholds, pair counts, integer lift, " +
     "top-100 order") {
