@@ -1385,4 +1385,192 @@ object ImageCodec {
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  // -----------------------------------------------------------------
+  // EXIF: APP1-embedded TIFF metadata inside a JPEG wrapper
+  // (Exif 2.x over TIFF 6.0 — tags 0x010F/0x0110/0x0112, the 0x8769
+  //  Exif sub-IFD pointer, and 0x829A/0x8827/0xA002/0xA003 inside it)
+  // -----------------------------------------------------------------
+
+  final case class ExifMeta(byteOrder: String, make: String,
+      model: String, orientation: Long, iso: Long, pxW: Long,
+      pxH: Long, expNum: Long, expDen: Long)
+
+  /** Parse EXIF out of a JPEG: walk the marker stream to APP1, check
+    * the "Exif  " identifier, then walk the EMBEDDED TIFF —
+    * all TIFF offsets are relative to the TIFF header start, not the
+    * file (the classic EXIF implementation bug). Handles both byte
+    * orders, inline (≤ 4 byte) and offset-stored ASCII values, SHORT/
+    * LONG numeric entries, RATIONAL (two u32 at offset), and the
+    * 0x8769 sub-IFD indirection. Returns None on any structural
+    * violation — corrupt files take the DLT arm, never throw. */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte)
+      return None
+    // JPEG marker walk to APP1
+    var p = 2
+    var tiff0 = -1
+    var tiffEnd = -1
+    while (tiff0 < 0) {
+      if (p + 4 > b.length) return None
+      if (b(p) != 0xff.toByte) return None
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no APP1
+      val segLen = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (segLen < 2 || p + 2 + segLen > b.length) return None
+      if (marker == 0xe1 && segLen >= 8 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+        tiff0 = p + 10
+        tiffEnd = p + 2 + segLen
+      } else p += 2 + segLen
+    }
+    val n = tiffEnd - tiff0
+    if (n < 8) return None
+    val be =
+      if (b(tiff0) == 'M' && b(tiff0 + 1) == 'M') true
+      else if (b(tiff0) == 'I' && b(tiff0 + 1) == 'I') false
+      else return None
+    def u16(off: Int): Int = {
+      val i = tiff0 + off
+      if (be) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      else ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    }
+    def u32(off: Int): Long = {
+      val i = tiff0 + off
+      if (be) ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    }
+    if (u16(2) != 42) return None
+    var make = ""; var model = ""
+    var orientation = -1L; var iso = -1L
+    var pxW = -1L; var pxH = -1L; var expNum = -1L; var expDen = -1L
+    var exifIfd = -1L
+    def ascii(count: Long, e: Int): Option[String] = {
+      if (count <= 0 || count > 256) return None
+      val off = if (count <= 4) e + 8 else {
+        val o = u32(e + 8)
+        if (o + count > n) return None
+        o.toInt
+      }
+      if (off + count > n) return None
+      // count includes the NUL terminator
+      Some(new String(b, tiff0 + off, count.toInt - 1, "US-ASCII"))
+    }
+    def walkIfd(at: Long, isExifIfd: Boolean): Boolean = {
+      if (at < 8 || at + 2 > n) return false
+      val cnt = u16(at.toInt)
+      var k = 0
+      while (k < cnt) {
+        val e = at.toInt + 2 + 12 * k
+        if (e + 12 > n) return false
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        def num: Long = typ match {
+          case 3 => u16(e + 8).toLong
+          case 4 => u32(e + 8)
+          case _ => -1L
+        }
+        tag match {
+          case 0x010f if typ == 2 && !isExifIfd =>
+            make = ascii(count, e).getOrElse(return false)
+          case 0x0110 if typ == 2 && !isExifIfd =>
+            model = ascii(count, e).getOrElse(return false)
+          case 0x0112 if !isExifIfd => orientation = num
+          case 0x8769 if typ == 4 && !isExifIfd => exifIfd = u32(e + 8)
+          case 0x829a if typ == 5 && isExifIfd =>
+            val o = u32(e + 8)
+            if (o + 8 > n) return false
+            expNum = u32(o.toInt); expDen = u32(o.toInt + 4)
+          case 0x8827 if isExifIfd => iso = num
+          case 0xa002 if isExifIfd => pxW = num
+          case 0xa003 if isExifIfd => pxH = num
+          case _ =>
+        }
+        k += 1
+      }
+      true
+    }
+    if (!walkIfd(u32(4), isExifIfd = false)) return None
+    if (exifIfd >= 0 && !walkIfd(exifIfd, isExifIfd = true)) return None
+    if (orientation < 0 || iso < 0 || pxW < 0 || pxH < 0 ||
+      expDen <= 0 || make.isEmpty || model.isEmpty) return None
+    Some(ExifMeta(if (be) "MM" else "II", make, model, orientation,
+      iso, pxW, pxH, expNum, expDen))
+  }
+
+  /** Deterministic EXIF-bearing JPEG fixture: SOI, an optional COM
+    * segment BEFORE APP1 (odd ids — the marker walk must SKIP it, a
+    * parser that assumes APP1-first fails those docs), APP1 with
+    * "Exif  " + embedded TIFF in either byte order, EOI.
+    * The TIFF stores make at a DATA OFFSET (5 bytes > the 4-byte
+    * inline window), model INLINE (≤ 4 bytes incl. NUL), exposure as
+    * an offset RATIONAL — so all three TIFF value-storage modes are
+    * exercised; all offsets are TIFF-header-relative. */
+  def exifJpegBytes(bigEndian: Boolean, make: String, model: String,
+      orientation: Int, iso: Int, pxW: Int, pxH: Int,
+      expNum: Int, expDen: Int, leadingComment: Boolean): Array[Byte] = {
+    require(make.length == 4 && model.length <= 3)
+    // TIFF layout (offsets from TIFF start):
+    //  0 header, 8 IFD0 (4 entries, 54 B), 62 ExifIFD (4 entries,
+    //  54 B), 116 make (5 B + pad), 122 rational (8 B) -> 130 total
+    val t = new Array[Byte](130)
+    def w16(i: Int, v: Int): Unit =
+      if (bigEndian) { t(i) = (v >> 8).toByte; t(i + 1) = v.toByte }
+      else { t(i) = v.toByte; t(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Long): Unit =
+      if (bigEndian) {
+        t(i) = (v >> 24).toByte; t(i + 1) = (v >> 16).toByte
+        t(i + 2) = (v >> 8).toByte; t(i + 3) = v.toByte
+      } else {
+        t(i) = v.toByte; t(i + 1) = (v >> 8).toByte
+        t(i + 2) = (v >> 16).toByte; t(i + 3) = (v >> 24).toByte
+      }
+    t(0) = (if (bigEndian) 'M' else 'I').toByte
+    t(1) = t(0)
+    w16(2, 42); w32(4, 8L)
+    def entry(at: Int, tag: Int, typ: Int, count: Long)(value: Int => Unit): Unit = {
+      w16(at, tag); w16(at + 2, typ); w32(at + 4, count); value(at + 8)
+    }
+    // IFD0
+    w16(8, 4)
+    entry(10, 0x010f, 2, 5L)(w32(_, 116L))            // make at offset
+    entry(22, 0x0110, 2, model.length + 1L) { v =>    // model inline
+      var i = 0
+      while (i < model.length) { t(v + i) = model(i).toByte; i += 1 }
+    }
+    entry(34, 0x0112, 3, 1L)(w16(_, orientation))
+    entry(46, 0x8769, 4, 1L)(w32(_, 62L))
+    w32(58, 0L) // next-IFD pointer
+    // Exif sub-IFD
+    w16(62, 4)
+    entry(64, 0x829a, 5, 1L)(w32(_, 122L))
+    entry(76, 0x8827, 3, 1L)(w16(_, iso))
+    entry(88, 0xa002, 4, 1L)(w32(_, pxW.toLong))
+    entry(100, 0xa003, 4, 1L)(w32(_, pxH.toLong))
+    w32(112, 0L)
+    var i = 0
+    while (i < 4) { t(116 + i) = make(i).toByte; i += 1 }
+    w32(122, expNum.toLong); w32(126, expDen.toLong)
+    // JPEG wrapper
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    if (leadingComment) {
+      val c = "graft".getBytes("US-ASCII")
+      out.write(0xff); out.write(0xfe)
+      out.write(0); out.write(c.length + 2)
+      out.write(c, 0, c.length)
+    }
+    val segLen = 2 + 6 + t.length
+    out.write(0xff); out.write(0xe1)
+    out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+    out.write("Exif".getBytes("US-ASCII"), 0, 4)
+    out.write(0); out.write(0)
+    out.write(t, 0, t.length)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
 }

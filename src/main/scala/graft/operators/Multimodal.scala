@@ -722,6 +722,54 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  final case class ExifRow(doc_id: Long, byte_order: String,
+      make: String, model: String, orientation: Long, iso: Long,
+      px_w: Long, px_h: Long, exp_num: Long, exp_den: Long)
+
+  /** Deterministic EXIF-bearing JPEGs, one per document: every field
+    * derives from doc_id literals the oracle restates; odd ids carry
+    * a COM segment BEFORE APP1 (the marker walk must skip it); every
+    * 13th payload truncates mid-APP1 (DLT arm). */
+  def syntheticExifJpegs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.exifJpegBytes(
+          bigEndian = id % 2 == 0,
+          make = "cam" + (id % 7),
+          model = "m" + (id % 29),
+          orientation = (1 + id % 8).toInt,
+          iso = (100 * (1 + id % 16)).toInt,
+          pxW = (640 + id % 97).toInt,
+          pxH = (480 + id % 53).toInt,
+          expNum = 1, expDen = (30 + id % 200).toInt,
+          leadingComment = id % 2 == 1)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 20) else full)
+      }
+  }
+
+  /** REAL EXIF extraction (r7 continuation): JPEG marker walk →
+    * APP1 "Exif" identifier → embedded-TIFF IFD walk with
+    * header-relative offsets, both byte orders, inline AND
+    * offset-stored ASCII, RATIONAL indirection, and the 0x8769
+    * sub-IFD hop ([[ImageCodec.parseExif]]). The camera-metadata
+    * extraction pass an image-curation pipeline runs before
+    * orientation-normalize / resolution-filter steps. Same
+    * mapPartitions batch contract and DLT arm as every codec family:
+    * corrupt payloads become "unknown" rows, never task failures. */
+  def exifMeta(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticExifJpegs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseExif(d.payload) match {
+        case Some(m) => ExifRow(d.doc_id, m.byteOrder, m.make, m.model,
+          m.orientation, m.iso, m.pxW, m.pxH, m.expNum, m.expDen)
+        case None =>
+          ExifRow(d.doc_id, "unknown", "", "", -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decoded-BMP pixel stats (r6): canonical-order sample stats over
     * the third REAL uncompressed raster family. wsum = Σ vᵢ·(i+1)
     * over TOP-DOWN row-major RGB samples — the file stores bottom-up

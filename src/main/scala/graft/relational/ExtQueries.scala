@@ -1467,6 +1467,30 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS channels " +
       "FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.exifMeta]]: every EXIF field restated from the
+    * doc_id literals the fixture encodes — the decoder must recover
+    * them through the real APP1/TIFF binary path (wrong byte order,
+    * missed COM skip, file-relative offsets, or a broken sub-IFD hop
+    * all fail columns). */
+  private val mmExifSql: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order, " +
+      "'cam' || CAST(doc_id % 7 AS VARCHAR) AS make, " +
+      "'m' || CAST(doc_id % 29 AS VARCHAR) AS model, " +
+      "CAST(1 + doc_id % 8 AS BIGINT) AS orientation, " +
+      "CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso, " +
+      "CAST(640 + doc_id % 97 AS BIGINT) AS px_w, " +
+      "CAST(480 + doc_id % 53 AS BIGINT) AS px_h, " +
+      "CAST(1 AS BIGINT) AS exp_num, " +
+      "CAST(30 + doc_id % 200 AS BIGINT) AS exp_den " +
+      "FROM documents WHERE doc_id % 13 <> 0 " +
+      "UNION ALL SELECT doc_id, 'unknown' AS byte_order, " +
+      "'' AS make, '' AS model, CAST(-1 AS BIGINT) AS orientation, " +
+      "CAST(-1 AS BIGINT) AS iso, CAST(-1 AS BIGINT) AS px_w, " +
+      "CAST(-1 AS BIGINT) AS px_h, CAST(-1 AS BIGINT) AS exp_num, " +
+      "CAST(-1 AS BIGINT) AS exp_den " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[RelQueries.hilbertSpans]]: the identical xy→d walk restated
     * as a recursive CTE — 8 iterations of (quadrant digit, reflect,
     * transpose) per order row, final d at s = 0. */
@@ -2964,6 +2988,9 @@ object ExtQueries {
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
+    // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
+    // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
+    "mm_exif" -> ((s, d) => Multimodal.exifMeta(Tables.documents(s, d))(s)),
     "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
     "rel_markov" -> (RelQueries.markovTransitions _),
     "rel_changepoint" -> (RelQueries.changepoint _),
@@ -3179,6 +3206,7 @@ object ExtQueries {
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
+    "mm_exif" -> mmExifSql,
     "mm_gif_meta" -> mmGifMetaSql,
     "rel_markov" -> relMarkovSql,
     "rel_changepoint" -> relChangepointSql,
