@@ -1920,6 +1920,41 @@ object ExtQueries {
       "FROM agg ORDER BY user_id, session_start_us"
   }
 
+  /** [[RelQueries.sessionConcurrency]]: sessions rebuilt via the
+    * [[relSessionsSql]] island CTEs, then the identical two-level
+    * prefix-sum algebra — per-hour net deltas, hour-table carry-in,
+    * within-hour running peaks (ends before starts at equal t via
+    * delta asc; equal-delta tie order cannot change the max). */
+  private val relConcurrencySql: String = {
+    val gapUs = 6L * 3600 * 1000000
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "flag AS (SELECT user_id, event_id, us, CASE WHEN us - lag(us) OVER " +
+      s"(PARTITION BY user_id ORDER BY us, event_id) >= $gapUs THEN 1 ELSE 0 END AS brk FROM e), " +
+      "ses AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flag), " +
+      "agg AS (SELECT user_id, sid, min(us) AS s_us, " +
+      s"max(us) + $gapUs AS e_us FROM ses GROUP BY 1, 2), " +
+      "b AS (SELECT s_us AS t, 1 AS delta FROM agg " +
+      "UNION ALL SELECT e_us AS t, -1 AS delta FROM agg), " +
+      "hb AS (SELECT (t // 3600000000) * 3600 AS hour_epoch_s, t, delta " +
+      "FROM b), " +
+      "ha AS (SELECT hour_epoch_s, " +
+      "SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts, " +
+      "SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends, " +
+      "SUM(delta) AS net FROM hb GROUP BY 1), " +
+      "ca AS (SELECT hour_epoch_s, n_starts, n_ends, " +
+      "COALESCE(SUM(net) OVER (ORDER BY hour_epoch_s ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in FROM ha), " +
+      "pk AS (SELECT hour_epoch_s, MAX(run) AS peak_rel FROM " +
+      "(SELECT hour_epoch_s, SUM(delta) OVER (PARTITION BY hour_epoch_s " +
+      "ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS run FROM hb) " +
+      "GROUP BY 1) " +
+      "SELECT ca.hour_epoch_s, CAST(n_starts AS BIGINT) AS n_starts, " +
+      "CAST(n_ends AS BIGINT) AS n_ends, " +
+      "CAST(carry_in + peak_rel AS BIGINT) AS peak_concurrent " +
+      "FROM ca JOIN pk ON ca.hour_epoch_s = pk.hour_epoch_s ORDER BY 1"
+  }
+
   private val relDlqHourlySql: String =
     "SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s, " +
       "count(*) AS n, " +
@@ -3045,6 +3080,8 @@ object ExtQueries {
     "rel_basket" -> (RelQueries.basketPairs(_, _)),
     // Benford leading-digit audit: literal milli-log reference table
     "rel_benford" -> (RelQueries.benfordDigits _),
+    // sweep-line session concurrency via two-level distributed prefix sum
+    "rel_concurrency" -> (RelQueries.sessionConcurrency _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
@@ -3254,6 +3291,7 @@ object ExtQueries {
     "rel_hourly_events" -> relHourlyEventsSql,
     "rel_dlq_hourly" -> relDlqHourlySql,
     "rel_sessions" -> relSessionsSql,
+    "rel_concurrency" -> relConcurrencySql,
     "rel_value_bands" -> relValueBandsSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_median_value" -> relMedianSql,

@@ -1296,6 +1296,55 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Peak concurrent sessions per hour (r7 continuation): the
+    * sweep-line concurrency profile — sessions become ±1 boundary
+    * events, concurrency is their running sum, the per-hour peak is
+    * the capacity-planning number ("how many users were on at once").
+    *
+    * The naive sweep is ONE GLOBAL ordered running sum — a
+    * single-partition window, the tx_pack scale-killer. This is the
+    * DISTRIBUTED decomposition (the classic two-level prefix sum):
+    * (1) per-hour net deltas hash-aggregate (partial-combinable,
+    * |hours|-bounded); (2) carry-in = cumulative net over the TINY
+    * hour table (the only ordered window runs over |hours| rows,
+    * never the fact stream); (3) within-hour running peaks window
+    * PARTITIONED BY hour — parallel across hours; (4) peak(hour) =
+    * carry_in + max(within-hour running sum). Tie order inside an
+    * (t, delta) group cannot change the max (equal deltas commute);
+    * ends sort before starts at equal t (delta asc), so back-to-back
+    * sessions never double-count. */
+  def sessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000
+    val usPerHour = 3600L * 1000000L
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("timestamp_micros(CAST(ts AS BIGINT) div 1000)").as("tsu"))
+      .groupBy(session_window(col("tsu"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"))
+    val bounds = sessions.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("e_us").as("t"), lit(-1L).as("delta")))
+      .withColumn("hour_epoch_s",
+        expr(s"(t div $usPerHour) * 3600"))
+    val hourAgg = bounds.groupBy("hour_epoch_s")
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        sum("delta").as("net"))
+      .withColumn("carry_in",
+        coalesce(sum("net").over(Window.orderBy("hour_epoch_s")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val peaks = bounds
+      .withColumn("run", sum("delta").over(
+        Window.partitionBy("hour_epoch_s").orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("hour_epoch_s").agg(max("run").as("peak_rel"))
+    hourAgg.join(peaks, "hour_epoch_s")
+      .select(col("hour_epoch_s"), col("n_starts"), col("n_ends"),
+        (col("carry_in") + col("peak_rel")).as("peak_concurrent"))
+      .orderBy("hour_epoch_s")
+  }
+
   /** Benford first-significant-digit audit (r7 continuation): the
     * classic forensic-accounting / synthetic-data screen (Benford'38;
     * Nigrini'96) — naturally-occurring multiplicative amounts put

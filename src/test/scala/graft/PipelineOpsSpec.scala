@@ -1132,6 +1132,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("sessionConcurrency matches a driver-side GLOBAL sweep line " +
+    "at sf0.001 — the distributed two-level prefix sum is exact (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.sessionConcurrency(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sum == got.map(_._3).sum, "starts == ends")
+    // reference: rebuild sessions by 6h-gap islands, run ONE global
+    // ordered sweep, take per-hour running-max
+    val gapUs = 6L * 3600 * 1000000
+    val ev = graft.relational.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(ts AS BIGINT) div 1000 AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bounds = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.map(_._2).sorted
+      val islands = scala.collection.mutable.ArrayBuffer((ts.head, ts.head))
+      ts.tail.foreach { t =>
+        val (s, e) = islands.last
+        if (t - e >= gapUs) islands += ((t, t))
+        else islands(islands.length - 1) = (s, t)
+      }
+      islands.flatMap { case (s, e) => Seq((s, 1L), (e + gapUs, -1L)) }
+    }.toSeq.sortBy(b => (b._1, b._2))
+    var run = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    bounds.foreach { case (t, d) =>
+      run += d
+      val h = t / 3600000000L * 3600L
+      peaks(h) = math.max(peaks.getOrElse(h, Long.MinValue), run)
+    }
+    got.foreach { case (h, _, _, peak) =>
+      assert(peaks(h) == peak, s"hour $h: got $peak want ${peaks(h)}")
+    }
+    assert(got.map(_._1).toSet == peaks.keySet)
+  }
+
   test("benfordDigits: reference constants sum to exactly 10^6 and " +
     "the digit histogram matches a driver-side recomputation (r7)") {
     val sfDir = "/root/testdata/sf0.001"
