@@ -1920,6 +1920,29 @@ object ExtQueries {
       "FROM agg ORDER BY user_id, session_start_us"
   }
 
+  /** [[RelQueries.abTest]]: identical cross-multiplied z² inequality
+    * in HUGEINT (DuckDB's 128-bit integer twin of Spark's
+    * DECIMAL(38,0)). */
+  private val relAbtestSql: String =
+    "WITH arms AS (SELECT event_type, COUNT(*) AS n, " +
+      "SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS s " +
+      "FROM events GROUP BY 1) " +
+      "SELECT a.event_type AS t1, b.event_type AS t2, " +
+      "CAST(a.n AS BIGINT) AS n1, CAST(a.s AS BIGINT) AS s1, " +
+      "CAST(b.n AS BIGINT) AS n2, CAST(b.s AS BIGINT) AS s2, " +
+      "CAST((a.s * 1000000) // a.n AS BIGINT) AS conv1_ppm, " +
+      "CAST((b.s * 1000000) // b.n AS BIGINT) AS conv2_ppm, " +
+      "CAST(CASE WHEN " +
+      "CAST(a.s*b.n - b.s*a.n AS HUGEINT) * " +
+      "CAST(a.s*b.n - b.s*a.n AS HUGEINT) * " +
+      "CAST((a.n+b.n) * 10000 AS HUGEINT) > " +
+      "CAST(38416 AS HUGEINT) * CAST(a.n AS HUGEINT) * " +
+      "CAST(b.n AS HUGEINT) * CAST(a.s+b.s AS HUGEINT) * " +
+      "CAST((a.n+b.n)-(a.s+b.s) AS HUGEINT) " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS significant " +
+      "FROM arms a JOIN arms b ON a.event_type < b.event_type " +
+      "ORDER BY t1, t2"
+
   /** [[RelQueries.sessionConcurrency]]: sessions rebuilt via the
     * [[relSessionsSql]] island CTEs, then the identical two-level
     * prefix-sum algebra — per-hour net deltas, hour-table carry-in,
@@ -3082,6 +3105,8 @@ object ExtQueries {
     "rel_benford" -> (RelQueries.benfordDigits _),
     // sweep-line session concurrency via two-level distributed prefix sum
     "rel_concurrency" -> (RelQueries.sessionConcurrency _),
+    // two-proportion z-test, cross-multiplied to DECIMAL(38,0)/HUGEINT
+    "rel_abtest" -> (RelQueries.abTest _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
@@ -3292,6 +3317,7 @@ object ExtQueries {
     "rel_dlq_hourly" -> relDlqHourlySql,
     "rel_sessions" -> relSessionsSql,
     "rel_concurrency" -> relConcurrencySql,
+    "rel_abtest" -> relAbtestSql,
     "rel_value_bands" -> relValueBandsSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_median_value" -> relMedianSql,

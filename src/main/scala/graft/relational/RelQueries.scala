@@ -1296,6 +1296,47 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Two-proportion A/B significance over event-type pairs (r7
+    * continuation): the experiment-readout query every product
+    * pipeline runs — is variant t1's conversion rate (value ≥ 100,
+    * the topology's ok-branch predicate) different from t2's at 95%?
+    * The z-test's sqrt and float division are not bit-portable, so
+    * the inequality z² > 3.8416 is CROSS-MULTIPLIED to exact integer
+    * form (the [[hourlyAnomaly]] discipline, pushed through decimals):
+    *   z² = d²·n / (n1·n2·s·(n−s)),  d = s1·n2 − s2·n1,
+    *   s = s1+s2, n = n1+n2
+    *   significant ⇔ 10000·d²·n > 38416·n1·n2·s·(n−s)
+    * evaluated in DECIMAL(38,0)/HUGEINT — exact while the right side
+    * stays under 10³⁸ (arms up to ~10⁸ rows; beyond, pre-scale counts
+    * — at 100 TB an experiment readout aggregates first anyway).
+    * Shape: one |types|-sized hash-aggregate (map-side partial over
+    * the full scan), then a trivially-broadcast pair self-join of the
+    * tiny arm table. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("s"))
+    val a = arms.select(col("event_type").as("t1"),
+      col("n").as("n1"), col("s").as("s1"))
+    val b = arms.select(col("event_type").as("t2"),
+      col("n").as("n2"), col("s").as("s2"))
+    a.join(broadcast(b), col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("s1"),
+        col("n2"), col("s2"),
+        expr("(s1 * 1000000) div n1").as("conv1_ppm"),
+        expr("(s2 * 1000000) div n2").as("conv2_ppm"),
+        expr("CAST(CASE WHEN " +
+          "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
+          "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
+          "CAST((n1+n2) * 10000 AS DECIMAL(38,0)) > " +
+          "CAST(38416 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)) * " +
+          "CAST(n2 AS DECIMAL(38,0)) * CAST(s1+s2 AS DECIMAL(38,0)) * " +
+          "CAST((n1+n2)-(s1+s2) AS DECIMAL(38,0)) " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("significant"))
+      .orderBy("t1", "t2")
+  }
+
   /** Peak concurrent sessions per hour (r7 continuation): the
     * sweep-line concurrency profile — sessions become ±1 boundary
     * events, concurrency is their running sum, the per-hour peak is

@@ -1132,6 +1132,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("abTest: significance flags match an exact BigInt " +
+    "recomputation AND the float z-test away from the boundary (r7)") {
+    val got = graft.relational.RelQueries
+      .abTest(spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == 10, "5 types -> 10 unordered pairs")
+    got.foreach { r =>
+      val (n1, s1, n2, s2) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      val d = BigInt(s1) * n2 - BigInt(s2) * n1
+      val n = BigInt(n1 + n2); val s = BigInt(s1 + s2)
+      val lhs = d * d * n * 10000
+      val rhs = BigInt(38416) * n1 * n2 * s * (n - s)
+      assert(r.getLong(8) == (if (lhs > rhs) 1L else 0L))
+      // cross-check the algebra against the classical float z-test
+      val p1 = s1.toDouble / n1; val p2 = s2.toDouble / n2
+      val pp = (s1 + s2).toDouble / (n1 + n2)
+      val z2 = (p1 - p2) * (p1 - p2) /
+        (pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+      if (math.abs(z2 - 3.8416) > 1e-6)
+        assert((z2 > 3.8416) == (r.getLong(8) == 1L),
+          s"float z2=$z2 disagrees for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   test("sessionConcurrency matches a driver-side GLOBAL sweep line " +
     "at sf0.001 — the distributed two-level prefix sum is exact (r7)") {
     val sfDir = "/root/testdata/sf0.001"
