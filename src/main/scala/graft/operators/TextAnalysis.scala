@@ -284,7 +284,13 @@ object TextAnalysis {
     * distinct trigrams ∩ profile|; prediction = argmax score (ties
     * broken by language code). The profile table is tiny (|langs| ×
     * profileN) → broadcast join back to the corpus. */
-  def langId(docs: DataFrame, profileN: Int = 20): DataFrame = {
+  def langId(docs: DataFrame, profileN: Int = 20): DataFrame =
+    langIdCore(docs, profileN).orderBy("doc_id")
+
+  /** [[langId]] without the presentation sort — consumers that join
+    * or re-aggregate (e.g. [[langIdConfusion]]) skip the wasted
+    * corpus-wide ordering. */
+  private def langIdCore(docs: DataFrame, profileN: Int): DataFrame = {
     // FIT: per-language top-N trigram profiles by document frequency.
     // The model is tiny (|langs| × profileN strings) so it is
     // collected and re-broadcast as literals — at 100 TB this pass is
@@ -323,7 +329,29 @@ object TextAnalysis {
       .select(col("doc_id"), best.getField("plang").as("pred_lang"),
         best.getField("score").as("score"))
       .where(col("score") > 0)
-      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix (r7 continuation): the eval
+    * harness for [[langId]] — per (true label, prediction): count,
+    * row share in integer ppm of the true-language total, and the
+    * diagonal flag. The quality-eval query a curation pipeline runs
+    * whenever the classifier (or the corpus mix) changes; off-diagonal
+    * hot cells name WHICH confusion is eating accuracy.
+    * Shape: prediction is [[langIdCore]]'s row-local scoring (no
+    * presentation sort), the label join is doc-keyed (co-partitioned
+    * with the corpus), the matrix is |langs|²-bounded so the row-total
+    * window is trivial. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val pred = langIdCore(docs, 20).select("doc_id", "pred_lang")
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pred, "doc_id")
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("tn", sum("n").over(Window.partitionBy("true_lang")))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("(n * 1000000) div tn").as("row_ppm"),
+        when(col("true_lang") === col("pred_lang"), 1L)
+          .otherwise(0L).as("is_correct"))
+      .orderBy("true_lang", "pred_lang")
   }
 
   /** Deterministic train/val/test assignment: bucket = h31 of the

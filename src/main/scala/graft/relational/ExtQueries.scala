@@ -782,7 +782,11 @@ object ExtQueries {
       "CAST(tfidf AS BIGINT) AS tfidf FROM sc WHERE rk <= 3 " +
       "ORDER BY doc_id, rk"
 
-  private val txLangIdSql: String = {
+  /** Shared CTE chain: fit the per-language trigram profiles and
+    * pick each doc's best-scoring language ([[txLangIdSql]] emits it
+    * directly; [[txLangidConfusionSql]] aggregates it against the
+    * stored label). */
+  private val langIdCtes: String = {
     val trigrams = "list_distinct(list_filter(list_transform(" +
       "range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3)), " +
       "g -> length(g) = 3))"
@@ -794,9 +798,29 @@ object ExtQueries {
       "sc AS (SELECT d.doc_id, p.plang, count(*) AS score " +
       "FROM (SELECT doc_id, tg FROM tg) d JOIN prof p ON p.tg = d.tg GROUP BY 1, 2), " +
       "best AS (SELECT doc_id, plang, score, row_number() OVER " +
-      "(PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS r FROM sc) " +
-      "SELECT doc_id, plang AS pred_lang, score FROM best WHERE r = 1 ORDER BY doc_id"
+      "(PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS r FROM sc)"
   }
+
+  private val txLangIdSql: String =
+    s"$langIdCtes " +
+      "SELECT doc_id, plang AS pred_lang, score FROM best WHERE r = 1 " +
+      "ORDER BY doc_id"
+
+  /** [[TextAnalysis.langIdConfusion]]: the same fit+argmax chain,
+    * aggregated against the stored label; row shares as integer ppm
+    * of each true-language row total. */
+  private val txLangidConfusionSql: String =
+    s"$langIdCtes, " +
+      "pred AS (SELECT doc_id, plang AS pred_lang FROM best WHERE r = 1), " +
+      "cm AS (SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n " +
+      "FROM documents d JOIN pred p ON d.doc_id = p.doc_id GROUP BY 1, 2), " +
+      "tot AS (SELECT true_lang, SUM(n) AS tn FROM cm GROUP BY 1) " +
+      "SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n, " +
+      "CAST((cm.n * 1000000) // tot.tn AS BIGINT) AS row_ppm, " +
+      "CAST(CASE WHEN cm.true_lang = cm.pred_lang THEN 1 ELSE 0 END " +
+      "AS BIGINT) AS is_correct " +
+      "FROM cm JOIN tot ON cm.true_lang = tot.true_lang " +
+      "ORDER BY cm.true_lang, cm.pred_lang"
 
   private val txSplitSql: String = {
     val b = PH.h31Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
@@ -2943,6 +2967,9 @@ object ExtQueries {
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // langid eval harness: confusion matrix vs the stored label
+    "tx_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "tx_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "tx_pack" -> ((s, d) => TextAnalysis.tokenPack(Tables.documents(s, d))),
@@ -3244,6 +3271,7 @@ object ExtQueries {
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,
+    "tx_langid_confusion" -> txLangidConfusionSql,
     "tx_fingerprint" -> txFingerprintSql,
     "tx_split" -> txSplitSql,
     "tx_pack" -> txPackSql,

@@ -222,6 +222,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("langIdConfusion: cells reconcile with langId's per-doc " +
+    "predictions; row shares floor-sum below 10^6 (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.relational.Tables.documents(spark, sfDir)
+    val preds = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labels = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = preds.toSeq.map { case (id, p) => (labels(id), p) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.langIdConfusion(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(ref(cell) == r.getLong(2), s"cell $cell")
+      assert(r.getLong(4) == (if (cell._1 == cell._2) 1L else 0L))
+    }
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == ref.keySet)
+    got.groupBy(_.getString(0)).values.foreach { rows =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"row ppm sum $s out of floor range")
+    }
+  }
+
   test("collocations matches the brute-force integer-PMI reference " +
     "on a random corpus (r7)") {
     val rnd = new Random(23)
