@@ -833,10 +833,12 @@ object ImageCodec {
     val h = u32(b, 20)
     if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return None
     if ((b(24) & 0xff) != 8) return None // bit depth 8 only
+    val palMode = (b(25) & 0xff) == 3
     val c = (b(25) & 0xff) match {
       case 0 => 1 // grayscale
       case 2 => 3 // truecolor
-      case _ => return None // palette / alpha: unsupported → DLT
+      case 3 => 1 // indexed (r7): ONE index byte per pixel in the stream
+      case _ => return None // alpha modes: unsupported → DLT
     }
     // compression 0, filter method 0; interlace 0 (none) or 1 (Adam7)
     if (b(26) != 0 || b(27) != 0) return None
@@ -856,8 +858,10 @@ object ImageCodec {
       ph * (1L + pw.toLong * c) }.sum
     if (expectedL <= 0 || expectedL > (1L << 28)) return None
     val expected = expectedL.toInt
-    // chunk walk: concatenate every IDAT payload until IEND
+    // chunk walk: concatenate every IDAT payload until IEND; capture
+    // PLTE for indexed mode (r7)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var p = 8 + 25 // past the IHDR chunk (len + type + 13 data + crc)
     var sawEnd = false
     while (!sawEnd) {
@@ -866,9 +870,13 @@ object ImageCodec {
       if (len > b.length || p + 8 + len + 4 > b.length) return None
       val t = new String(b, p + 4, 4, "US-ASCII")
       if (t == "IDAT") idat.write(b, p + 8, len.toInt)
-      else if (t == "IEND") sawEnd = true
+      else if (t == "PLTE") {
+        if (len % 3 != 0 || len == 0 || len > 768) return None
+        palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len.toInt)
+      } else if (t == "IEND") sawEnd = true
       p += 8 + len.toInt + 4
     }
+    if (palMode && palette == null) return None
     val scan = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -915,7 +923,23 @@ object ImageCodec {
         }
       } else System.arraycopy(sub, 0, out, 0, sub.length)
     }
-    Some(PngImage(w.toInt, h.toInt, c, out))
+    if (!palMode) Some(PngImage(w.toInt, h.toInt, c, out))
+    else {
+      // indexed → RGB through PLTE; an index past the palette is
+      // corrupt (DLT), not clamped
+      val nPal = palette.length / 3
+      val rgb = new Array[Byte](out.length * 3)
+      var k = 0
+      while (k < out.length) {
+        val idx = out(k) & 0xff
+        if (idx >= nPal) return None
+        rgb(k * 3) = palette(idx * 3)
+        rgb(k * 3 + 1) = palette(idx * 3 + 1)
+        rgb(k * 3 + 2) = palette(idx * 3 + 2)
+        k += 1
+      }
+      Some(PngImage(w.toInt, h.toInt, 3, rgb))
+    }
   }
 
   /** The 7 Adam7 passes for a w×h frame as (x0, y0, dx, dy, passW,
@@ -1383,6 +1407,46 @@ object ImageCodec {
     chunk("IDAT", java.util.Arrays.copyOfRange(compressed, 0, cut))
     chunk("IDAT", java.util.Arrays.copyOfRange(compressed, cut, compressed.length))
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic indexed-color PNG fixture (r7): reuse the full
+    * grayscale filter+deflate+chunk pipeline for the INDEX PLANE,
+    * then patch IHDR colorType 0→3 (recomputing its CRC) and splice a
+    * PLTE chunk after IHDR — byte-identical to writing colorType 3
+    * natively, with zero duplicated filter logic. Indices are taken
+    * mod nPal so every fixture is in-range; the corrupt arm comes
+    * from truncation, not bad indices. */
+  def pngPaletteBytes(w: Int, h: Int, nPal: Int, index: Int => Int,
+      palByte: Int => Int, filterFor: Int => Int): Array[Byte] = {
+    require(nPal >= 1 && nPal <= 256)
+    val base = pngRasterBytes(w, h, grayscale = true,
+      pixel = i => ((index(i) % nPal) + nPal) % nPal, filterFor)
+    base(25) = 3 // IHDR data byte 9: color type
+    val crc = new java.util.zip.CRC32()
+    crc.update(base, 12, 4 + 13) // chunk type + data
+    val cv = crc.getValue
+    base(29) = ((cv >> 24) & 0xff).toByte
+    base(30) = ((cv >> 16) & 0xff).toByte
+    base(31) = ((cv >> 8) & 0xff).toByte
+    base(32) = (cv & 0xff).toByte
+    val plte = new Array[Byte](3 * nPal)
+    var j = 0
+    while (j < plte.length) { plte(j) = (palByte(j) & 0xff).toByte; j += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 33) // sig + IHDR chunk
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    be32(plte.length.toLong)
+    val tb = "PLTE".getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(plte, 0, plte.length)
+    val pcrc = new java.util.zip.CRC32()
+    pcrc.update(tb); pcrc.update(plte)
+    be32(pcrc.getValue)
+    out.write(base, 33, base.length - 33)
     out.toByteArray
   }
 

@@ -461,6 +461,58 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Deterministic indexed-color PNG payloads (r7 continuation):
+    * index plane i = (id·3 + i·5) mod nPal with nPal = 2 + id mod 15,
+    * palette byte j = (id·7 + j·13) mod 256 — both restated by the
+    * oracle; filters rotate per row; every 13th payload truncated
+    * (DLT). */
+  def syntheticPalettePngs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 4 + (id % 9).toInt
+        val h = 3 + (id % 7).toInt
+        val nPal = 2 + (id % 15).toInt
+        val full = ImageCodec.pngPaletteBytes(w, h, nPal,
+          index = i => ((id * 3 + i.toLong * 5) % nPal).toInt,
+          palByte = j => ((id * 7 + j.toLong * 13) % 256).toInt,
+          filterFor = y => ((id + y) % 5).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 41) else full)
+      }
+  }
+
+  /** REAL indexed-color PNG decode → stats over the EXPANDED RGB
+    * raster (r7 continuation): the decoder must read PLTE, unfilter
+    * at one byte per pixel (bpp = 1, not 3), and map every index
+    * through the palette — the position-weighted sum over RGB samples
+    * fails if any of the three is wrong. Completes the PNG family:
+    * grayscale, truecolor, Adam7, and now indexed — the web's
+    * dominant small-image mode. */
+  def pngPaletteStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticPalettePngs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parsePngRaster(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          PngStatsRow(d.doc_id, "png_indexed", img.width.toLong,
+            img.height.toLong, img.channels.toLong, r.length.toLong,
+            peak, sum / r.length, wsum)
+        case None =>
+          PngStatsRow(d.doc_id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decoded-GIF pixel stats (r7): the SECOND compressed raster
     * family — LZW is a pure algorithm, so GIF pixels need no codec
     * library either. Same position-weighted-sum contract as the

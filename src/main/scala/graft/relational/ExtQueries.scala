@@ -1240,6 +1240,32 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.pngPaletteStats]]: expected RGB samples recomputed
+    * from the index formula THROUGH the palette formula — the oracle
+    * never sees PLTE bytes or the index plane, so a decoder that
+    * unfilters at bpp=3, skips the palette map, or misreads PLTE
+    * fails the position-weighted sum. */
+  private val mmPngPaletteSql: String =
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h, " +
+      "2 + doc_id % 15 AS np FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, np, unnest(range(0, w * h * 3)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, np, i, " +
+      "(doc_id * 7 + (3 * ((doc_id * 3 + (i // 3) * 5) % np) + i % 3) * 13) " +
+      "% 256 AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, 'png_indexed' AS format, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, " +
+      "CAST(n AS BIGINT) AS n_vals, CAST(peak AS BIGINT) AS peak, " +
+      "CAST(sv // n AS BIGINT) AS mean_floor, CAST(ws AS BIGINT) AS wsum " +
+      "FROM s " +
+      "UNION ALL SELECT doc_id, 'unknown' AS format, " +
+      "CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, " +
+      "CAST(-1 AS BIGINT) AS channels, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.pngStats]] (r7): expected samples recomputed in
     * canonical order from the doc_id literals — the oracle never sees
     * the zlib stream or the filter bytes, so the decoder must
@@ -3076,6 +3102,9 @@ object ExtQueries {
     // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
     // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
     "mm_exif" -> ((s, d) => Multimodal.exifMeta(Tables.documents(s, d))(s)),
+    // indexed-color PNG: PLTE capture + bpp=1 unfilter + palette expand
+    "mm_png_palette" -> ((s, d) =>
+      Multimodal.pngPaletteStats(Tables.documents(s, d))(s)),
     "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
     "rel_markov" -> (RelQueries.markovTransitions _),
     "rel_changepoint" -> (RelQueries.changepoint _),
@@ -3297,6 +3326,7 @@ object ExtQueries {
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
+    "mm_png_palette" -> mmPngPaletteSql,
     "mm_gif_meta" -> mmGifMetaSql,
     "rel_markov" -> relMarkovSql,
     "rel_changepoint" -> relChangepointSql,

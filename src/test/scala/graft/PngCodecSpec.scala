@@ -156,7 +156,7 @@ class PngCodecSpec extends AnyFunSuite {
     // ... and to more
     assert(ImageCodec.parsePngRaster(
       handPng(2, 2, 0, storedZlib(new Array[Byte](9)))).isEmpty)
-    // palette (3) and RGBA (6) color types are the DLT arm here
+    // palette (3) WITHOUT a PLTE chunk, and RGBA (6), are DLT arms
     val scan = Array[Byte](0, 1, 2, 0, 3, 4)
     assert(ImageCodec.parsePngRaster(
       handPng(2, 2, 3, storedZlib(scan))).isEmpty)
@@ -164,6 +164,50 @@ class PngCodecSpec extends AnyFunSuite {
       handPng(2, 2, 6, storedZlib(scan))).isEmpty)
     // header-only fixture (no IDAT chunks): inflates to zero bytes
     assert(ImageCodec.parsePngRaster(ImageCodec.pngBytes(4, 4, 2)).isEmpty)
+  }
+
+  test("indexed-color PNG: palette expansion matches a direct " +
+    "index->palette computation across filters and palette sizes (r7)") {
+    for (nPal <- Seq(1, 2, 7, 16, 256); seed <- Seq(0, 5)) {
+      val (w, h) = (5 + seed, 4)
+      val idx = (i: Int) => (seed * 3 + i * 5) % nPal
+      val pal = (j: Int) => (seed * 7 + j * 13) % 256
+      val bytes = ImageCodec.pngPaletteBytes(w, h, nPal, idx, pal,
+        filterFor = y => y % 5)
+      val img = ImageCodec.parsePngRaster(bytes).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      val want = (0 until w * h).flatMap { p =>
+        val e = idx(p); Seq(pal(3 * e), pal(3 * e + 1), pal(3 * e + 2))
+      }
+      assert(img.raster.map(_ & 0xff).toSeq == want)
+    }
+  }
+
+  test("indexed-color PNG corrupt arms: out-of-range index, bad PLTE " +
+    "length, truncation all fail closed (r7)") {
+    val ok = ImageCodec.pngPaletteBytes(3, 3, 2, i => i % 2, _ % 256,
+      _ => 0)
+    assert(ImageCodec.parsePngRaster(ok).isDefined)
+    // shrink the PLTE to ONE entry: the index plane still holds 1s
+    // -> out-of-range index must reject, not clamp. PLTE sits at 33
+    // (sig 8 + IHDR 25), spans 12 + 6 bytes for 2 entries.
+    def splicePlte(src: Array[Byte], entries: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(src, 0, 33)
+      out.write(Array[Byte](0, 0, 0, (3 * entries).toByte), 0, 4)
+      out.write("PLTE".getBytes("US-ASCII"), 0, 4)
+      out.write(new Array[Byte](3 * entries), 0, 3 * entries)
+      out.write(new Array[Byte](4), 0, 4) // crc (unchecked)
+      out.write(src, 33 + 12 + 6, src.length - (33 + 12 + 6))
+      out.toByteArray
+    }
+    assert(ImageCodec.parsePngRaster(splicePlte(ok, 1)).isEmpty)
+    // PLTE length not divisible by 3
+    val badLen = ok.clone()
+    badLen(36) = 7 // chunk length 6 -> 7 (still < remaining bytes)
+    assert(ImageCodec.parsePngRaster(badLen).isEmpty)
+    assert(ImageCodec.parsePngRaster(
+      java.util.Arrays.copyOf(ok, 40)).isEmpty)
   }
 
   test("container dispatch is orthogonal: PNM is not PNG and vice versa") {
