@@ -942,6 +942,50 @@ object TextAnalysis {
         array_max(col("st")).as("max_stem"))
       .orderBy("doc_id")
 
+  /** Winnowing document fingerprints (r7 continuation): the MOSS
+    * local fingerprinting algorithm (Schleimer–Wilkerson–Aiken
+    * SIGMOD'03) — over the word k-gram hash sequence, slide a window
+    * of `w` consecutive hashes and select the RIGHTMOST minimal hash
+    * per window ("robust winnowing"); the distinct (position, hash)
+    * pairs are the fingerprint set. Guarantees: any shared run of
+    * w + k − 1 tokens between two documents shares a fingerprint
+    * (unlike [[fingerprint]]'s global rolling hash or 0-mod-p
+    * sampling, which have no detection floor), and selected positions
+    * are never more than w apart (density bound 2/(w+1)).
+    * Shorter-than-w docs select the rightmost min of what exists; the
+    * checksum Σ fp·pos pins SELECTION (a leftmost-tie or off-by-one
+    * window slip fails it, not just the set size). Entirely row-local
+    * HOFs over codegen'd built-ins — zero shuffles, the h31 hash is
+    * bit-portable so the oracle restates the whole selection. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val hv = transform(TextOps.wordShinglesAll(col("text"), k),
+      g => graft.functions.PortableHash.h31(g))
+    Partitioning.spread(docs)
+      .select(col("doc_id"), hv.as("hv"))
+      // (pos, fp) packs into ONE BIGINT (pos·2³¹ + fp, fp < P31 < 2³¹)
+      // because DuckDB's list_distinct can't dedup STRUCT elements —
+      // the packed form distincts identically in both engines.
+      // try_element_at: out-of-window index -> NULL (= DuckDB's
+      // hv[j]), never an ANSI error on the clamped tail window.
+      .withColumn("sel", expr(
+        s"filter(array_distinct(transform(sequence(1, greatest(size(hv) - ${w - 1}, 1)), i -> " +
+          s"array_max(filter(sequence(i, i + ${w - 1}), " +
+          s"j -> try_element_at(hv, j) = array_min(slice(hv, i, $w)))) " +
+          s"* 2147483648 + array_min(slice(hv, i, $w)))), " +
+          "p -> p IS NOT NULL)"))
+      .select(col("doc_id"),
+        size(col("hv")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_fp"),
+        expr("aggregate(sel, CAST(0 AS BIGINT), " +
+          "(a, p) -> a + (p % 2147483648) * (p div 2147483648))")
+          .as("checksum"),
+        expr("coalesce(array_min(transform(sel, p -> p % 2147483648)), -1)")
+          .as("min_fp"),
+        expr("coalesce(array_max(transform(sel, p -> p % 2147483648)), -1)")
+          .as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level collocation mining (r7 continuation): top-k bigrams
     * by pointwise mutual information — the phrase-discovery pass that
     * decides which adjacent tokens a tokenizer or phrase-merger should

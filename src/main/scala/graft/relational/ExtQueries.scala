@@ -879,6 +879,33 @@ object ExtQueries {
       s"'$phoneRe', '<PHONE>', 'g') AS scrubbed " +
       "FROM inp ORDER BY doc_id"
 
+  /** [[TextAnalysis.winnow]]: the identical window walk — positional
+    * gram hashes, rightmost-min selection (list_max over the argmin
+    * positions), distinct pairs, Σ fp·pos checksum. Spark's
+    * sequence(a, b) is INCLUSIVE, DuckDB's range(a, b) EXCLUSIVE —
+    * hence the +1/+4 asymmetry; both slices clamp at list end. */
+  private val txWinnowSql: String =
+    s"WITH ws AS ($wordsCte), " +
+      s"gl AS (SELECT doc_id, ${shingleListAll(3)} AS gs FROM ws), " +
+      s"hl AS (SELECT doc_id, list_transform(gs, g -> ${PH.h31Sql("g")}) " +
+      "AS hv FROM gl), " +
+      "sel AS (SELECT doc_id, hv, list_filter(list_distinct(" +
+      "list_transform(range(1, greatest(len(hv) - 3, 1) + 1), i -> " +
+      "list_max(list_filter(range(i, i + 4), " +
+      "j -> hv[j] = list_min(hv[i:i+3]))) " +
+      "* 2147483648 + list_min(hv[i:i+3]))), " +
+      "p -> p IS NOT NULL) AS sel FROM hl) " +
+      "SELECT doc_id, CAST(len(hv) AS BIGINT) AS n_grams, " +
+      "CAST(len(sel) AS BIGINT) AS n_fp, " +
+      "CAST(COALESCE(list_sum(list_transform(sel, " +
+      "p -> (p % 2147483648) * (p // 2147483648))), 0) " +
+      "AS BIGINT) AS checksum, " +
+      "CAST(COALESCE(list_min(list_transform(sel, " +
+      "p -> p % 2147483648)), -1) AS BIGINT) AS min_fp, " +
+      "CAST(COALESCE(list_max(list_transform(sel, " +
+      "p -> p % 2147483648)), -1) AS BIGINT) AS max_fp " +
+      "FROM sel ORDER BY doc_id"
+
   /** [[TextAnalysis.collocations]]: the identical integer PMI-rank
     * algebra — pair counts from the positional gram list, N from the
     * pair table itself, unigram counts joined twice, floor-div score.
@@ -3180,6 +3207,9 @@ object ExtQueries {
     // PMI collocations: integer monotone transform of exp(PMI), no logs
     "tx_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d))),
+    // MOSS winnowing: rightmost-min-per-window fingerprint selection
+    "tx_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d))),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -3367,6 +3397,7 @@ object ExtQueries {
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "tx_stem" -> txStemSql,
     "tx_collocations" -> txCollocationsSql,
+    "tx_winnow" -> txWinnowSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

@@ -222,6 +222,66 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("winnow matches a brute-force rightmost-min reference and " +
+    "honors the w-density guarantee (r7)") {
+    val rnd = new Random(7)
+    val vocab = (1 to 9).map(i => s"t$i")
+    val texts = (0 until 25).map { i =>
+      // include degenerate lengths: 0, 1, 2 grams
+      val n = if (i < 3) i + 2 else 5 + rnd.nextInt(40)
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ ""
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def h31(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2147483647L
+    }
+    val expected = texts.zipWithIndex.map { case (t, id) =>
+      val wsArr = if (t.isEmpty) Array.empty[String] else t.split(" ")
+      val grams = wsArr.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toIndexedSeq
+      val hv = grams.map(h31)
+      val nWin = math.max(hv.length - 3, 1)
+      val sel = (1 to nWin).flatMap { i =>
+        val win = hv.slice(i - 1, i + 3)
+        if (win.isEmpty) None
+        else {
+          val m = win.min
+          val pos = (i to math.min(i + 3, hv.length))
+            .filter(j => hv(j - 1) == m).max
+          Some((pos.toLong, m))
+        }
+      }.distinct
+      (id.toLong, hv.length.toLong, sel.length.toLong,
+        sel.map { case (p, f) => f * p }.sum,
+        if (sel.isEmpty) -1L else sel.map(_._2).min,
+        if (sel.isEmpty) -1L else sel.map(_._2).max)
+    }.sortBy(_._1)
+    val got = TextAnalysis.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // density guarantee: consecutive selected positions ≤ w apart
+    texts.zipWithIndex.foreach { case (t, id) =>
+      val wsArr = if (t.isEmpty) Array.empty[String] else t.split(" ")
+      val hv = wsArr.sliding(3).filter(_.length == 3)
+        .map(a => h31(a.mkString(" "))).toIndexedSeq
+      if (hv.length >= 4) {
+        val sel = (1 to hv.length - 3).map { i =>
+          val m = hv.slice(i - 1, i + 3).min
+          (i to i + 3).filter(j => hv(j - 1) == m).max
+        }.distinct.sorted
+        sel.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a <= 4, s"doc $id gap ${b - a}")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("langIdConfusion: cells reconcile with langId's per-doc " +
     "predictions; row shares floor-sum below 10^6 (r7)") {
     val sfDir = "/root/testdata/sf0.001"
