@@ -1997,6 +1997,43 @@ object ExtQueries {
       "FROM agg ORDER BY user_id, session_start_us"
   }
 
+  /** [[RelQueries.rfmSegments]]: same per-customer aggregates, same
+    * nearest-rank quintile picks ((n−1)·20k div 100, value at rank
+    * independent of tie order), same threshold-compare scoring. */
+  private val relRfmSql: String = {
+    def thCte(dim: String): String =
+      s"${dim}_t AS (SELECT " +
+        (1 to 4).map(k =>
+          s"min(CASE WHEN rn = ((n - 1) * ${20 * k}) // 100 THEN v END) " +
+            s"AS ${dim}_t$k").mkString(", ") +
+        s" FROM (SELECT $dim AS v, row_number() OVER (ORDER BY $dim) - 1 " +
+        "AS rn, g.n AS n FROM f, g))"
+    def binsUp(dim: String): String =
+      (1 to 4).map(k =>
+        s"(CASE WHEN $dim > ${dim}_t$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    "WITH pc AS (SELECT o_custkey AS custkey, " +
+      "max(epoch_ns(o_orderdate) // 86400000000000) AS last_day, " +
+      s"count(*) AS f_cnt, sum(${centsSql("o_totalprice")}) AS m_c " +
+      "FROM orders GROUP BY 1), " +
+      "g AS (SELECT max(last_day) AS corpus_last, count(*) AS n FROM pc), " +
+      "f AS (SELECT custkey, g.corpus_last - last_day AS r_days, " +
+      "f_cnt, m_c FROM pc, g), " +
+      s"${thCte("r_days")}, ${thCte("f_cnt")}, ${thCte("m_c")}, " +
+      "s AS (SELECT custkey, r_days, f_cnt, m_c, " +
+      s"5 - (${binsUp("r_days")}) AS r_score, " +
+      s"1 + (${binsUp("f_cnt")}) AS f_score, " +
+      s"1 + (${binsUp("m_c")}) AS m_score " +
+      "FROM f, r_days_t, f_cnt_t, m_c_t) " +
+      "SELECT custkey, r_days, CAST(f_cnt AS BIGINT) AS f_cnt, " +
+      "CAST(m_c AS BIGINT) AS m_c, " +
+      "CAST(r_score AS BIGINT) AS r_score, " +
+      "CAST(f_score AS BIGINT) AS f_score, " +
+      "CAST(m_score AS BIGINT) AS m_score, " +
+      "CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment " +
+      "FROM s ORDER BY custkey"
+  }
+
   /** [[RelQueries.abTest]]: identical cross-multiplied z² inequality
     * in HUGEINT (DuckDB's 128-bit integer twin of Spark's
     * DECIMAL(38,0)). */
@@ -3190,6 +3227,8 @@ object ExtQueries {
     "rel_concurrency" -> (RelQueries.sessionConcurrency _),
     // two-proportion z-test, cross-multiplied to DECIMAL(38,0)/HUGEINT
     "rel_abtest" -> (RelQueries.abTest _),
+    // RFM: threshold binning against broadcast nearest-rank quintiles
+    "rel_rfm" -> (RelQueries.rfmSegments _),
     "rel_triangles" -> ((s, d) =>
       graft.operators.Graph.coOrderTriangles(Tables.lineitem(s, d))),
     "rel_histogram" -> ((s, d) => RelQueries.valueHistogram(s, d)),
@@ -3407,6 +3446,7 @@ object ExtQueries {
     "rel_sessions" -> relSessionsSql,
     "rel_concurrency" -> relConcurrencySql,
     "rel_abtest" -> relAbtestSql,
+    "rel_rfm" -> relRfmSql,
     "rel_value_bands" -> relValueBandsSql,
     "rel_json_props" -> relJsonPropsSql,
     "rel_median_value" -> relMedianSql,

@@ -1296,6 +1296,68 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** RFM customer segmentation (r7 continuation): the classic CRM
+    * triple — Recency (days since last order, vs the corpus-latest
+    * day), Frequency (order count), Monetary (cents sum) — each
+    * scored 1–5 against exact nearest-rank quintile thresholds of the
+    * per-customer distribution, combined into the 3-digit segment
+    * code (555 = best). Threshold binning (value vs 4 broadcast
+    * constants per dimension) replaces the textbook ntile() — ntile
+    * is ONE global sort of every customer row; here only the
+    * threshold LOOKUP sorts (the [[winsorize]] nearest-rank anchor
+    * shape, three window sorts over the per-customer table, each
+    * discarded down to 4 values), and scoring is a row-local compare
+    * against 12 broadcast constants. At 100 TB the thresholds come
+    * from approx_percentile instead ([[winsorizeApprox]] documents
+    * that swap); the exact variant stays the correctness anchor.
+    * R inverts (recent = high score); quintile ties share the exact
+    * same side of the threshold in both engines — pure integer
+    * compares. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val microsPerDay = 86400L * 1000000L
+    val perCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $microsPerDay")
+          .as("day"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f_cnt"),
+        sum("price_c").as("m_c"))
+    val globals = perCust.agg(max("last_day").as("corpus_last"),
+      count(lit(1)).as("n"))
+    val feats = perCust.crossJoin(broadcast(globals))
+      .select(col("custkey"),
+        (col("corpus_last") - col("last_day")).as("r_days"),
+        col("f_cnt"), col("m_c"), col("n"))
+    def quintiles(dim: String): DataFrame = {
+      val w = Window.orderBy(dim)
+      val ranked = feats.select(col(dim), col("n"))
+        .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      val picks = (1 to 4).map(k =>
+        min(when(col("rn") === expr(s"((n - 1) * ${20 * k}) div 100"),
+          col(dim))).as(s"${dim}_t$k"))
+      ranked.where((1 to 4).map(k =>
+          col("rn") === expr(s"((n - 1) * ${20 * k}) div 100"))
+        .reduce(_ || _))
+        .agg(picks.head, picks.tail: _*)
+    }
+    def bins(dim: String): Column =
+      (1 to 4).map(k =>
+        when(col(dim) > col(s"${dim}_t$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+    feats
+      .crossJoin(broadcast(quintiles("r_days")))
+      .crossJoin(broadcast(quintiles("f_cnt")))
+      .crossJoin(broadcast(quintiles("m_c")))
+      .select(col("custkey"), col("r_days"), col("f_cnt"), col("m_c"),
+        (lit(5L) - bins("r_days")).as("r_score"),
+        (lit(1L) + bins("f_cnt")).as("f_score"),
+        (lit(1L) + bins("m_c")).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
+
   /** Two-proportion A/B significance over event-type pairs (r7
     * continuation): the experiment-readout query every product
     * pipeline runs — is variant t1's conversion rate (value ≥ 100,

@@ -1132,6 +1132,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("rfmSegments matches a driver-side quintile recomputation at " +
+    "sf0.001; scores stay in [1,5] and segment encodes them (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.rfmSegments(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.nonEmpty)
+    // driver-side reference
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000 AS day",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pc = rows.groupBy(_._1).map { case (k, rs) =>
+      (k, rs.map(_._2).max, rs.length.toLong, rs.map(_._3).sum)
+    }.toSeq
+    val corpusLast = pc.map(_._2).max
+    val n = pc.length.toLong
+    def th(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted
+      (1 to 4).map(k => s((((n - 1) * 20 * k) / 100).toInt))
+    }
+    val feats = pc.map { case (k, last, f, m) => (k, corpusLast - last, f, m) }
+    val (rt, ft, mt) = (th(feats.map(_._2)), th(feats.map(_._3)),
+      th(feats.map(_._4)))
+    def up(v: Long, t: Seq[Long]): Long = t.count(v > _).toLong
+    val ref = feats.map { case (k, r, f, m) =>
+      val (rs, fs, ms) = (5L - up(r, rt), 1L + up(f, ft), 1L + up(m, mt))
+      (k, r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)
+    }.sortBy(_._1)
+    assert(got.toSeq == ref)
+    got.foreach { case (_, _, _, _, rs, fs, ms, _) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+    }
+  }
+
   test("abTest: significance flags match an exact BigInt " +
     "recomputation AND the float z-test away from the boundary (r7)") {
     val got = graft.relational.RelQueries
