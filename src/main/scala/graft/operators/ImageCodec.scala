@@ -1451,6 +1451,131 @@ object ImageCodec {
   }
 
   // -----------------------------------------------------------------
+  // ICO: multi-image icon container (ICONDIR + per-entry DIB with
+  // doubled height: XOR color raster + 1-bpp AND transparency mask)
+  // -----------------------------------------------------------------
+
+  /** One decoded icon: canonical top-down RGB raster + per-pixel
+    * visibility (AND-mask bit 0 = visible). */
+  final case class IcoImage(width: Int, height: Int,
+      raster: Array[Byte], visible: Array[Boolean])
+
+  /** Parse an ICO container: ICONDIR header, per-entry offsets, then
+    * each embedded headerless BMP (BITMAPINFOHEADER with height
+    * DOUBLED for the XOR+AND pair, 24-bpp XOR rows bottom-up BGR with
+    * 4-byte padding, then the 1-bpp AND mask with rows padded to 32
+    * bits, MSB-first). Returns None on any structural violation. */
+  def parseIco(b: Array[Byte]): Option[Seq[IcoImage]] = {
+    def u16(i: Int): Int =
+      if (i + 2 > b.length) -1
+      else (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32l(i: Int): Long =
+      if (i + 4 > b.length) -1L
+      else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 6 || u16(0) != 0 || u16(2) != 1) return None
+    val count = u16(4)
+    if (count <= 0 || count > 64) return None
+    val images = (0 until count).map { k =>
+      val e = 6 + 16 * k
+      if (e + 16 > b.length) return None
+      val off = u32l(e + 12)
+      if (off < 0 || off + 40 > b.length) return None
+      val p = off.toInt
+      if (u32l(p) != 40L) return None // BITMAPINFOHEADER only
+      val w = u32l(p + 4).toInt
+      val h2 = u32l(p + 8).toInt
+      if (w <= 0 || w > 256 || h2 <= 0 || h2 % 2 != 0 || h2 > 512)
+        return None
+      val h = h2 / 2
+      if (u16(p + 12) != 1 || u16(p + 14) != 24) return None // 24 bpp
+      if (u32l(p + 16) != 0L) return None // BI_RGB
+      val xorStride = (w * 3 + 3) / 4 * 4
+      val andStride = (w + 31) / 32 * 4
+      val xor0 = p + 40
+      val and0 = xor0 + xorStride * h
+      if (and0 + andStride * h > b.length) return None
+      val raster = new Array[Byte](w * h * 3)
+      val visible = new Array[Boolean](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = xor0 + (h - 1 - y) * xorStride // bottom-up
+        val maskRow = and0 + (h - 1 - y) * andStride
+        var x = 0
+        while (x < w) {
+          val s = srcRow + x * 3
+          val d = (y * w + x) * 3
+          raster(d) = b(s + 2)     // BGR -> RGB
+          raster(d + 1) = b(s + 1)
+          raster(d + 2) = b(s)
+          val mb = b(maskRow + (x >> 3)) & 0xff
+          visible(y * w + x) = ((mb >> (7 - (x & 7))) & 1) == 0
+          x += 1
+        }
+        y += 1
+      }
+      IcoImage(w, h, raster, visible)
+    }
+    Some(images)
+  }
+
+  /** Deterministic ICO fixture: `dims(k)` sizes each entry; `sample`
+    * gives canonical top-down RGB sample (k, i); `transparent` gives
+    * the AND-mask bit per (k, pixel). Writes bottom-up BGR with row
+    * padding and MSB-first mask rows — everything the parser must
+    * invert. */
+  def icoBytes(dims: Seq[(Int, Int)], sample: (Int, Int) => Int,
+      transparent: (Int, Int) => Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w16(0); w16(1); w16(dims.length)
+    val bodies = dims.zipWithIndex.map { case ((w, h), k) =>
+      val xorStride = (w * 3 + 3) / 4 * 4
+      val andStride = (w + 31) / 32 * 4
+      val body = new Array[Byte](40 + (xorStride + andStride) * h)
+      def b32(i: Int, v: Long): Unit = {
+        body(i) = (v & 0xff).toByte; body(i + 1) = ((v >> 8) & 0xff).toByte
+        body(i + 2) = ((v >> 16) & 0xff).toByte
+        body(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      b32(0, 40L); b32(4, w.toLong); b32(8, 2L * h)
+      body(12) = 1; body(14) = 24 // planes / bpp (LE low bytes)
+      var y = 0
+      while (y < h) {
+        val dstRow = 40 + (h - 1 - y) * xorStride
+        val maskRow = 40 + xorStride * h + (h - 1 - y) * andStride
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          body(dstRow + x * 3) = (sample(k, i + 2) & 0xff).toByte     // B
+          body(dstRow + x * 3 + 1) = (sample(k, i + 1) & 0xff).toByte // G
+          body(dstRow + x * 3 + 2) = (sample(k, i) & 0xff).toByte     // R
+          if (transparent(k, y * w + x))
+            body(maskRow + (x >> 3)) =
+              (body(maskRow + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      body
+    }
+    var off = 6 + 16 * dims.length
+    dims.zip(bodies).foreach { case ((w, h), body) =>
+      out.write(if (w >= 256) 0 else w); out.write(if (h >= 256) 0 else h)
+      out.write(0); out.write(0)
+      w16(1); w16(24)
+      w32(body.length.toLong); w32(off.toLong)
+      off += body.length
+    }
+    bodies.foreach(body => out.write(body, 0, body.length))
+    out.toByteArray
+  }
+
+  // -----------------------------------------------------------------
   // EXIF: APP1-embedded TIFF metadata inside a JPEG wrapper
   // (Exif 2.x over TIFF 6.0 — tags 0x010F/0x0110/0x0112, the 0x8769
   //  Exif sub-IFD pointer, and 0x829A/0x8827/0xA002/0xA003 inside it)

@@ -513,6 +513,64 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  final case class IcoStatsRow(doc_id: Long, n_images: Long,
+      n_visible: Long, peak: Long, wsum: Long)
+
+  /** Deterministic multi-image ICO payloads: 1 + id mod 3 entries,
+    * per-entry dims / samples / AND-mask bits from doc_id literals
+    * the oracle restates; every 13th truncated (DLT). */
+  def syntheticIcos(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val cnt = (1 + id % 3).toInt
+        val dims = (0 until cnt).map(k =>
+          (3 + ((id + k) % 6).toInt, 2 + ((id + k) % 5).toInt))
+        val full = ImageCodec.icoBytes(dims,
+          sample = (k, i) => ((id * 11 + k * 17 + i.toLong * 7) % 256).toInt,
+          transparent = (k, p) => (id + k + p) % 5 == 0)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 30) else full)
+      }
+  }
+
+  /** REAL ICO container decode → visibility-masked stats (r7
+    * continuation): the container is MULTI-image (ICONDIR entry walk
+    * → per-entry offset → headerless DIB with DOUBLED height), and
+    * the stats only count pixels whose AND-mask bit says visible — a
+    * decoder that ignores the mask, misreads the doubled height, or
+    * walks entries wrong fails the masked position-weighted sum. The
+    * oracle recomputes everything from the (doc_id, entry, position)
+    * formulas without seeing a single container byte. */
+  def icoStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticIcos(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseIco(d.payload) match {
+        case Some(images) =>
+          var nVis = 0L; var peak = -1L; var wsum = 0L
+          images.foreach { img =>
+            var p = 0
+            while (p < img.visible.length) {
+              if (img.visible(p)) {
+                nVis += 1
+                var ch = 0
+                while (ch < 3) {
+                  val i = p * 3 + ch
+                  val v = img.raster(i) & 0xffL
+                  if (v > peak) peak = v
+                  wsum += v * (i + 1)
+                  ch += 1
+                }
+              }
+              p += 1
+            }
+          }
+          IcoStatsRow(d.doc_id, images.length.toLong, nVis, peak, wsum)
+        case None => IcoStatsRow(d.doc_id, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decoded-GIF pixel stats (r7): the SECOND compressed raster
     * family — LZW is a pure algorithm, so GIF pixels need no codec
     * library either. Same position-weighted-sum contract as the

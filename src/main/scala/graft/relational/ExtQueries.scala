@@ -1267,6 +1267,34 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.icoStats]]: per-entry dims/samples/mask recomputed
+    * from the (doc_id, entry, position) formulas — visible pixels
+    * only, so an ignored AND mask or a mis-walked entry table fails
+    * the masked weighted sum. */
+  private val mmIcoSql: String =
+    "WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS cnt FROM documents " +
+      "WHERE doc_id % 13 <> 0), " +
+      "im AS (SELECT doc_id, cnt, unnest(range(0, cnt)) AS k FROM d), " +
+      "dims AS (SELECT doc_id, cnt, k, 3 + (doc_id + k) % 6 AS w, " +
+      "2 + (doc_id + k) % 5 AS h FROM im), " +
+      "px AS (SELECT doc_id, cnt, k, unnest(range(0, w * h * 3)) AS i " +
+      "FROM dims), " +
+      "v AS (SELECT doc_id, cnt, k, i, " +
+      "(doc_id * 11 + k * 17 + i * 7) % 256 AS v, " +
+      "CASE WHEN (doc_id + k + (i // 3)) % 5 <> 0 THEN 1 ELSE 0 END AS vis " +
+      "FROM px), " +
+      "s AS (SELECT doc_id, max(cnt) AS n_images, " +
+      "SUM(CASE WHEN i % 3 = 0 THEN vis ELSE 0 END) AS n_visible, " +
+      "COALESCE(MAX(CASE WHEN vis = 1 THEN v END), -1) AS peak, " +
+      "SUM(vis * v * (i + 1)) AS wsum FROM v GROUP BY 1) " +
+      "SELECT doc_id, CAST(n_images AS BIGINT) AS n_images, " +
+      "CAST(n_visible AS BIGINT) AS n_visible, " +
+      "CAST(peak AS BIGINT) AS peak, CAST(wsum AS BIGINT) AS wsum FROM s " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS n_images, " +
+      "CAST(-1 AS BIGINT) AS n_visible, CAST(-1 AS BIGINT) AS peak, " +
+      "CAST(-1 AS BIGINT) AS wsum FROM documents WHERE doc_id % 13 = 0 " +
+      "ORDER BY doc_id"
+
   /** [[Multimodal.pngPaletteStats]]: expected RGB samples recomputed
     * from the index formula THROUGH the palette formula — the oracle
     * never sees PLTE bytes or the index plane, so a decoder that
@@ -3169,6 +3197,8 @@ object ExtQueries {
     // indexed-color PNG: PLTE capture + bpp=1 unfilter + palette expand
     "mm_png_palette" -> ((s, d) =>
       Multimodal.pngPaletteStats(Tables.documents(s, d))(s)),
+    // ICO: multi-image entry walk, doubled-height DIB, AND-mask stats
+    "mm_ico" -> ((s, d) => Multimodal.icoStats(Tables.documents(s, d))(s)),
     "mm_gif_meta" -> ((s, d) => Multimodal.gifMeta(Tables.documents(s, d))(s)),
     "rel_markov" -> (RelQueries.markovTransitions _),
     "rel_changepoint" -> (RelQueries.changepoint _),
@@ -3396,6 +3426,7 @@ object ExtQueries {
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
     "mm_png_palette" -> mmPngPaletteSql,
+    "mm_ico" -> mmIcoSql,
     "mm_gif_meta" -> mmGifMetaSql,
     "rel_markov" -> relMarkovSql,
     "rel_changepoint" -> relChangepointSql,
