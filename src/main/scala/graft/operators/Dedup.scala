@@ -1152,4 +1152,35 @@ object Dedup {
       .where(col("cos_ppm") >= minCosPpm)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Winnowing-fingerprint candidate pairs (r7 continuation): the
+    * MOSS plagiarism-detector shape — docs sharing ≥ `minShared`
+    * winnowed fingerprints ([[graft.operators.TextAnalysis.winnowSelected]])
+    * are overlap candidates. A FOURTH blocking scheme beside MinHash
+    * bands ([[minhashLsh]]), SimHash chunks ([[simhashPairs]]) and
+    * sorted-neighborhood keys: winnowing blocks on CONTENT-POSITION
+    * fingerprints, so the guarantee is syntactic (any shared
+    * w+k−1-token run produces a shared block key — exact-substring
+    * recall, not similarity-estimate recall). The bucket join is
+    * fp-keyed; boilerplate fingerprints shared by more than
+    * `maxBucket` docs are DROPPED whole (the [[minhashLsh]] cap
+    * discipline — deterministic and oracle-restatable, unlike
+    * sampling; a run in >50 docs is boilerplate, not plagiarism). */
+  def winnowPairs(docs: DataFrame, minShared: Long = 2,
+      maxBucket: Int = 50): DataFrame = {
+    val fps = TextAnalysis.winnowSelected(docs, 3, 4)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sel, p -> p % 2147483648))"))
+          .as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val capped = fps.withColumn("bsz", count(lit(1)).over(w))
+      .where(col("bsz") <= maxBucket).drop("bsz")
+    capped.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

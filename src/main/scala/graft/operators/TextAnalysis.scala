@@ -957,22 +957,8 @@ object TextAnalysis {
     * window slip fails it, not just the set size). Entirely row-local
     * HOFs over codegen'd built-ins — zero shuffles, the h31 hash is
     * bit-portable so the oracle restates the whole selection. */
-  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val hv = transform(TextOps.wordShinglesAll(col("text"), k),
-      g => graft.functions.PortableHash.h31(g))
-    Partitioning.spread(docs)
-      .select(col("doc_id"), hv.as("hv"))
-      // (pos, fp) packs into ONE BIGINT (pos·2³¹ + fp, fp < P31 < 2³¹)
-      // because DuckDB's list_distinct can't dedup STRUCT elements —
-      // the packed form distincts identically in both engines.
-      // try_element_at: out-of-window index -> NULL (= DuckDB's
-      // hv[j]), never an ANSI error on the clamped tail window.
-      .withColumn("sel", expr(
-        s"filter(array_distinct(transform(sequence(1, greatest(size(hv) - ${w - 1}, 1)), i -> " +
-          s"array_max(filter(sequence(i, i + ${w - 1}), " +
-          s"j -> try_element_at(hv, j) = array_min(slice(hv, i, $w)))) " +
-          s"* 2147483648 + array_min(slice(hv, i, $w)))), " +
-          "p -> p IS NOT NULL)"))
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowSelected(docs, k, w)
       .select(col("doc_id"),
         size(col("hv")).cast("long").as("n_grams"),
         size(col("sel")).cast("long").as("n_fp"),
@@ -984,6 +970,26 @@ object TextAnalysis {
         expr("coalesce(array_max(transform(sel, p -> p % 2147483648)), -1)")
           .as("max_fp"))
       .orderBy("doc_id")
+
+  /** The winnowing SELECTION shared by [[winnow]] and
+    * [[graft.operators.Dedup.winnowPairs]]: (doc_id, hv, sel) where
+    * sel packs each selected (pos, fp) into ONE BIGINT (pos·2³¹ + fp,
+    * fp < P31 < 2³¹) — DuckDB's list_distinct can't dedup STRUCT
+    * elements, and the packed form distincts identically in both
+    * engines. try_element_at: out-of-window index → NULL (= DuckDB's
+    * hv[j]), never an ANSI error on the clamped tail window. */
+  private[graft] def winnowSelected(docs: DataFrame, k: Int,
+      w: Int): DataFrame = {
+    val hv = transform(TextOps.wordShinglesAll(col("text"), k),
+      g => graft.functions.PortableHash.h31(g))
+    Partitioning.spread(docs)
+      .select(col("doc_id"), hv.as("hv"))
+      .withColumn("sel", expr(
+        s"filter(array_distinct(transform(sequence(1, greatest(size(hv) - ${w - 1}, 1)), i -> " +
+          s"array_max(filter(sequence(i, i + ${w - 1}), " +
+          s"j -> try_element_at(hv, j) = array_min(slice(hv, i, $w)))) " +
+          s"* 2147483648 + array_min(slice(hv, i, $w)))), " +
+          "p -> p IS NOT NULL)"))
   }
 
   /** Corpus-level collocation mining (r7 continuation): top-k bigrams

@@ -884,7 +884,10 @@ object ExtQueries {
     * positions), distinct pairs, Σ fp·pos checksum. Spark's
     * sequence(a, b) is INCLUSIVE, DuckDB's range(a, b) EXCLUSIVE —
     * hence the +1/+4 asymmetry; both slices clamp at list end. */
-  private val txWinnowSql: String =
+  /** Shared winnowing-selection CTE chain ([[txWinnowSql]] aggregates
+    * it per doc; [[ddWinnowPairsSql]] joins fingerprints across
+    * docs). */
+  private val winnowCtes: String =
     s"WITH ws AS ($wordsCte), " +
       s"gl AS (SELECT doc_id, ${shingleListAll(3)} AS gs FROM ws), " +
       s"hl AS (SELECT doc_id, list_transform(gs, g -> ${PH.h31Sql("g")}) " +
@@ -894,7 +897,10 @@ object ExtQueries {
       "list_max(list_filter(range(i, i + 4), " +
       "j -> hv[j] = list_min(hv[i:i+3]))) " +
       "* 2147483648 + list_min(hv[i:i+3]))), " +
-      "p -> p IS NOT NULL) AS sel FROM hl) " +
+      "p -> p IS NOT NULL) AS sel FROM hl)"
+
+  private val txWinnowSql: String =
+    s"$winnowCtes " +
       "SELECT doc_id, CAST(len(hv) AS BIGINT) AS n_grams, " +
       "CAST(len(sel) AS BIGINT) AS n_fp, " +
       "CAST(COALESCE(list_sum(list_transform(sel, " +
@@ -905,6 +911,20 @@ object ExtQueries {
       "CAST(COALESCE(list_max(list_transform(sel, " +
       "p -> p % 2147483648)), -1) AS BIGINT) AS max_fp " +
       "FROM sel ORDER BY doc_id"
+
+  /** [[Dedup.winnowPairs]]: the same selection CTEs, fingerprints
+    * unnested per doc, >50-doc buckets dropped whole, fp-keyed
+    * self-join, shared-count filter. */
+  private val ddWinnowPairsSql: String =
+    s"$winnowCtes, " +
+      "fps AS (SELECT doc_id, unnest(list_distinct(list_transform(sel, " +
+      "p -> p % 2147483648))) AS fp FROM sel), " +
+      "cb AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, " +
+      "count(*) OVER (PARTITION BY fp) AS bsz FROM fps) WHERE bsz <= 50) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "COUNT(*) AS n_shared FROM cb a JOIN cb b " +
+      "ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"
 
   /** [[TextAnalysis.collocations]]: the identical integer PMI-rank
     * algebra — pair counts from the positional gram list, N from the
@@ -3279,6 +3299,9 @@ object ExtQueries {
     // MOSS winnowing: rightmost-min-per-window fingerprint selection
     "tx_winnow" -> ((s, d) =>
       TextAnalysis.winnow(Tables.documents(s, d))),
+    // winnow-fingerprint candidate pairs: exact-substring-recall blocking
+    "dd_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d))),
     "rel_pricing" -> (RelQueries.pricingSummary _),
     "rel_brand_revenue" -> (RelQueries.brandRevenue _),
     "rel_region_priority" -> (RelQueries.regionPriorityRevenue _),
@@ -3468,6 +3491,7 @@ object ExtQueries {
     "tx_stem" -> txStemSql,
     "tx_collocations" -> txCollocationsSql,
     "tx_winnow" -> txWinnowSql,
+    "dd_winnow_pairs" -> ddWinnowPairsSql,
     "rel_pricing" -> relPricingSql,
     "rel_brand_revenue" -> relBrandRevenueSql,
     "rel_region_priority" -> relRegionPrioritySql,

@@ -1132,6 +1132,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("winnowPairs: identical docs share their full fingerprint " +
+    "set; disjoint-vocab docs never pair; shared runs of w+k-1 " +
+    "tokens are detected (r7)") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val run = (1 to 6).map(i => s"r$i").mkString(" ") // w+k-1 = 6 tokens
+    val d = docs(
+      1L -> base, 2L -> base,                     // identical pair
+      3L -> (s"alpha beta gamma delta $run"),     // shares only `run`...
+      4L -> (s"eps zeta eta theta iota $run"),    // ...with doc 4
+      5L -> "one two three four five six seven")  // disjoint
+    val got = Dedup.winnowPairs(d, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val asMap = got.map { case (a, b, n) => (a, b) -> n }.toMap
+    val fp1 = TextAnalysis.winnow(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(asMap.contains((1L, 2L)), "identical docs must pair")
+    assert(asMap((1L, 2L)) == fp1(1L), "identical docs share ALL fps")
+    assert(asMap.contains((3L, 4L)),
+      "a shared w+k-1 run must produce a shared fingerprint")
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(5L) },
+      "disjoint vocab must not pair")
+  }
+
   test("rfmSegments matches a driver-side quintile recomputation at " +
     "sf0.001; scores stay in [1,5] and segment encodes them (r7)") {
     val sfDir = "/root/testdata/sf0.001"
