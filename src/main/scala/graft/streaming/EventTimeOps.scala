@@ -80,6 +80,31 @@ object EventTimeOps {
         col("r").cast("long").as("r"), col("c"), col("cnt"))
   }
 
+  /** Windowed Benford leading-digit histogram (r7 continuation) —
+    * the streaming twin of RelQueries.benfordDigits: per event-time
+    * window, the first-significant-digit counts of the cents-quantized
+    * value column. The CONTINUOUS data-quality audit: a generator bug
+    * or upstream corruption flattens the digit curve within one
+    * window instead of surfacing at the next batch audit. State is 9
+    * counters per open window — nothing scales with throughput; the
+    * aggregate is partial-combinable so micro-batches merge map-side.
+    * Runs unchanged in batch mode; the spec pins batch/stream
+    * equality. Deviation scoring against the milli-log constants
+    * stays a consumer-side projection (the rollup emits counts, not
+    * verdicts — thresholds belong to the alert layer). */
+  def benfordRollup(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), floor(col("value") * 100).cast("long").as("v"))
+      .where(col("v") > 0)
+      .select(col("ts"),
+        substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(window(col("ts"), windowLen), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch_s"),
+        col("digit"), col("n"))
+
   /** Windowed KMV distinct sketch (r7 continuation) — the streaming
     * twin of RelQueries.kmvDistinct: per event-time window, the
     * k = 64 smallest distinct user hashes via the same native

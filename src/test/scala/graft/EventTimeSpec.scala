@@ -136,6 +136,35 @@ class EventTimeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming benfordRollup: digit histogram equals the batch " +
+    "run across unsorted micro-batches; 9 counters max per window (r7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+    val batch = EventTimeOps.benfordRollup(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = ev.collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = EventTimeOps.benfordRollup(mem.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("benford_parity")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(400).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("benford_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.nonEmpty && got == batch)
+      got.groupBy(_._1).values.foreach { w =>
+        assert(w.size <= 9)
+        w.foreach { case (_, d, n) =>
+          assert(d >= 1 && d <= 9 && n > 0)
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming cmsRollup: cell table equals the batch run; state " +
     "bounded by d*w per window; probe law estimate >= exact") {
     implicit val sqlCtx = spark.sqlContext
