@@ -2184,6 +2184,32 @@ object ExtQueries {
     * chain — the blocking key must derive bit-identically in both
     * engines (DuckDB regexp_replace needs the explicit 'g' flag;
     * Spark's is global by default). */
+  /** DuckDB fragment: the complete Soundex chain of [[TextOps.soundex6]]
+    * applied to an arbitrary expression (shared by
+    * [[relPhoneticKeySql]]'s CTE form and [[relErMatchSql]]). */
+  private def soundexSqlExpr(e: String): String = {
+    val u = s"upper($e)"
+    val d = s"translate($u, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', " +
+      "'111122222222334556000000')"
+    val collapsed = (0 to 6).foldLeft(d)((c, i) =>
+      s"regexp_replace($c, '$i$i+', '$i', 'g')")
+    s"substr($u, 1, 1) || " +
+      s"substr(replace(substr($collapsed, 2, 64), '0', '') || '000', 1, 3)"
+  }
+
+  /** [[RelQueries.erMatch]]: same vocabulary aggregate, same
+    * head-noun Soundex block, same Levenshtein threshold. */
+  private val relErMatchSql: String =
+    "WITH n AS (SELECT p_name AS name, COUNT(*) AS n_rows " +
+      "FROM part GROUP BY 1), " +
+      "t AS (SELECT name, n_rows, " +
+      s"${soundexSqlExpr("string_split(name, ' ')[-1]")} AS blk FROM n) " +
+      "SELECT a.name AS name_a, b.name AS name_b, a.blk AS blk, " +
+      "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist, " +
+      "CAST(a.n_rows AS BIGINT) AS n_a, CAST(b.n_rows AS BIGINT) AS n_b " +
+      "FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name " +
+      "WHERE levenshtein(a.name, b.name) <= 2 ORDER BY 1, 2"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3267,6 +3293,8 @@ object ExtQueries {
     "rel_skew_join" -> (RelQueries.skewJoinRevenue _),
     // phonetic blocking key, identical translate+regexp chain both sides
     "rel_phonetic_key" -> (RelQueries.phoneticKey _),
+    // ER matching: soundex-blocked Levenshtein over the name vocabulary
+    "rel_er_match" -> (RelQueries.erMatch(_, _)),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3476,6 +3504,7 @@ object ExtQueries {
     "rel_ldiversity" -> relLdiversitySql,
     "rel_skew_join" -> relSkewJoinSql,
     "rel_phonetic_key" -> relPhoneticKeySql,
+    "rel_er_match" -> relErMatchSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

@@ -1296,6 +1296,38 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Blocked entity-resolution matching (r7 continuation): the
+    * MATCHING stage that completes the record-linkage story whose
+    * BLOCKING stages already ship ([[phoneticKey]],
+    * [[graft.operators.Dedup.sortedNeighborhood]]) — resolve the
+    * distinct part-name vocabulary, block on the Soundex code of the
+    * head noun (last token), and match within blocks by Levenshtein
+    * distance ≤ maxDist (codegen'd built-in in Spark, same classic
+    * DP in DuckDB — bit-identical integer distances). Finds real
+    * near-dup entities ("cold bolt" / "old bolt", d = 1).
+    * Scale shape: ER at 100 TB is DISTINCT-ENTITY extraction first —
+    * the name vocabulary is Zipf-bounded and shrinks the quadratic
+    * stage from |rows|² to |vocab per block|²; the edit distance
+    * never touches the fact table, and member counts ride along from
+    * the same aggregate. */
+  def erMatch(spark: SparkSession, sfDir: String,
+      maxDist: Int = 2): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min("p_partkey").as("canon_key"))
+      .withColumn("blk", graft.functions.TextOps.soundex6(
+        element_at(split(col("name"), " "), -1)))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("dist",
+        levenshtein(col("a.name"), col("b.name")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.blk").as("blk"), col("dist"),
+        col("a.n_rows").as("n_a"), col("b.n_rows").as("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** RFM customer segmentation (r7 continuation): the classic CRM
     * triple — Recency (days since last order, vs the corpus-latest
     * day), Frequency (order count), Monetary (cents sum) — each

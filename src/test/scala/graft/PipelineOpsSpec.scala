@@ -1132,6 +1132,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("erMatch: matches a driver-side blocked-Levenshtein " +
+    "recomputation; finds the cold/old landmark pair (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.erMatch(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got.contains(("cold bolt", "old bolt", 1L)))
+    // driver-side reference: same vocabulary, same noun block, same
+    // threshold, classic DP distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val byNoun = names.groupBy(_.split(" ").last)
+    val ref = byNoun.values.flatMap { blk =>
+      for {
+        a <- blk.toSeq; b <- blk.toSeq if a < b
+        d = lev(a, b) if d <= 2
+      } yield (a, b, d.toLong)
+    }.toSeq.sorted
+    assert(got.sorted == ref)
+  }
+
   test("winnowPairs: identical docs share their full fingerprint " +
     "set; disjoint-vocab docs never pair; shared runs of w+k-1 " +
     "tokens are detected (r7)") {
