@@ -1153,6 +1153,38 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** LSH recall/precision report (r7 continuation): the EVAL harness
+    * for the dedup stack — exact ≥-threshold Jaccard pairs
+    * ([[ngramJaccard]], ground truth) vs the MinHash-LSH candidate
+    * set ([[minhashLsh]]), reduced to the four counts every LSH
+    * parameter decision needs: |truth|, |candidates|, |hits| (truth ∩
+    * candidates), and integer-ppm recall (hits/truth) and precision
+    * (hits/candidates). The banding S-curve is theory; THIS is the
+    * measured operating point on the actual corpus — the number that
+    * says whether 8×2 banding is leaving dups behind at the declared
+    * threshold. Both sides reduce to single-row aggregates before
+    * the final 1×1 joins, so the report costs its two inputs plus one
+    * co-keyed pair anti/semi join — nothing quadratic beyond what the
+    * inputs already did. */
+  def lshRecallReport(docs: DataFrame,
+      minJaccardPpm: Long = 750000L): DataFrame = {
+    val truth = ngramJaccard(docs, minJaccardPpm = minJaccardPpm)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val cand = minhashLsh(docs)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val c = cand.agg(count(lit(1)).as("n_candidates"))
+    val h = hits.agg(count(lit(1)).as("n_hits"))
+    t.crossJoin(c).crossJoin(h)
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        expr("CASE WHEN n_truth = 0 THEN 1000000 " +
+          "ELSE (n_hits * 1000000) div n_truth END").as("recall_ppm"),
+        expr("CASE WHEN n_candidates = 0 THEN 1000000 " +
+          "ELSE (n_hits * 1000000) div n_candidates END")
+          .as("precision_ppm"))
+  }
+
   /** Winnowing-fingerprint candidate pairs (r7 continuation): the
     * MOSS plagiarism-detector shape — docs sharing ≥ `minShared`
     * winnowed fingerprints ([[graft.operators.TextAnalysis.winnowSelected]])

@@ -308,6 +308,63 @@ object ExtQueries {
       "SELECT doc_a, doc_b, n_inter, n_union, jaccard_ppm FROM j " +
       "WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
 
+  /** [[Dedup.lshRecallReport]]: ground truth (exact Jaccard ≥ 750k
+    * ppm) and the banded candidate set rebuilt from the shared CTE
+    * fragments, reduced to the four counts + ppm ratios. */
+  private val ddLshRecallSql: String =
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band " +
+      "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      s"sh AS (SELECT doc_id, unnest(${shingleList(3)}) AS sh FROM ws), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS n_inter FROM sh a JOIN sh b ON a.sh = b.sh " +
+      "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "truth AS (SELECT doc_a, doc_b FROM inter " +
+      "JOIN sizes na ON na.doc_id = doc_a " +
+      "JOIN sizes nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) " +
+      "AS BIGINT) >= 750000), " +
+      "t AS (SELECT count(*) AS n_truth FROM truth), " +
+      "c AS (SELECT count(*) AS n_candidates FROM cand), " +
+      "h AS (SELECT count(*) AS n_hits FROM truth " +
+      "JOIN cand USING (doc_a, doc_b)) " +
+      "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+      "CAST(n_candidates AS BIGINT) AS n_candidates, " +
+      "CAST(n_hits AS BIGINT) AS n_hits, " +
+      "CAST(CASE WHEN n_truth = 0 THEN 1000000 " +
+      "ELSE (n_hits * 1000000) // n_truth END AS BIGINT) AS recall_ppm, " +
+      "CAST(CASE WHEN n_candidates = 0 THEN 1000000 " +
+      "ELSE (n_hits * 1000000) // n_candidates END AS BIGINT) " +
+      "AS precision_ppm FROM t, c, h"
+
+  /** [[Similarity.knnBitsig]]: the sign-bit signature rebuilt as a
+    * 64-term CASE sum with PRECOMPUTED power-of-two literals (never
+    * `1 << 63` in-dialect — shift overflow semantics differ; the
+    * 2⁶³ term is the negative literal and the partial sums provably
+    * stay in BIGINT range in any addition order), then xor +
+    * bit_count + the same (hamming, neighbor) window. */
+  private val simKnnBitsigSql: String = {
+    val sigExpr = (0 until 64).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"WITH s AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig " +
+      "FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, sig AS qsig FROM s " +
+      "WHERE vec_id < 8), " +
+      "sc AS (SELECT q.query_id, s.vec_id AS neighbor_id, " +
+      "bit_count(xor(s.sig, q.qsig)) AS hamming FROM s, q " +
+      "WHERE s.vec_id <> q.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, hamming, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk " +
+      "FROM sc) " +
+      "SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, " +
+      "CAST(hamming AS BIGINT) AS hamming FROM r WHERE rnk <= 5 " +
+      "ORDER BY query_id, rank"
+  }
+
   private val ddNgramJaccardSql: String =
     s"WITH ${shinglesCte(3)}, " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -2210,6 +2267,18 @@ object ExtQueries {
       "FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name " +
       "WHERE levenshtein(a.name, b.name) <= 2 ORDER BY 1, 2"
 
+  /** [[RelQueries.seasonality]]: same integer weekday math, same
+    * flat-week index algebra. */
+  private val relSeasonalitySql: String =
+    "WITH d AS (SELECT event_type, " +
+      "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow " +
+      "FROM events), " +
+      "b AS (SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, SUM(n) AS tot FROM b GROUP BY 1) " +
+      "SELECT b.event_type, b.dow, b.n, " +
+      "CAST((b.n * 7 * 1000000) // t.tot AS BIGINT) AS index_ppm " +
+      "FROM b JOIN t ON b.event_type = t.event_type ORDER BY 1, 2"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3076,6 +3145,12 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // LSH eval harness: recall/precision of banding vs exact truth
+    "dd_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallReport(Tables.documents(s, d))),
+    // compressed brute force: 64-bit sign signature, xor+popcount rank
+    "sim_knn_bitsig" -> ((s, d) =>
+      Similarity.knnBitsig(Tables.embeddings(s, d))),
     // one-permutation-hashing signature family: 1 hash/shingle vs 16
     "dd_oph" -> ((s, d) => Dedup.ophLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -3295,6 +3370,8 @@ object ExtQueries {
     "rel_phonetic_key" -> (RelQueries.phoneticKey _),
     // ER matching: soundex-blocked Levenshtein over the name vocabulary
     "rel_er_match" -> (RelQueries.erMatch(_, _)),
+    // weekday seasonality index in exact ppm of a flat week
+    "rel_seasonality" -> (RelQueries.seasonality _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3396,6 +3473,8 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_lsh_recall" -> ddLshRecallSql,
+    "sim_knn_bitsig" -> simKnnBitsigSql,
     "dd_oph" -> ddOphSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
@@ -3505,6 +3584,7 @@ object ExtQueries {
     "rel_skew_join" -> relSkewJoinSql,
     "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_er_match" -> relErMatchSql,
+    "rel_seasonality" -> relSeasonalitySql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

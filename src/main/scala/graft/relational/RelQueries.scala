@@ -1296,6 +1296,29 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Day-of-week seasonality profile (r7 continuation): per
+    * (event type, weekday): count and the seasonality index in exact
+    * integer ppm of a flat week — (n·7·10⁶) div type_total, so 10⁶ =
+    * "this weekday carries exactly 1/7 of the type's traffic" and
+    * 2·10⁶ = twice its flat share. Weekday from pure integer epoch
+    * math ((days + 4) mod 7, 0 = Sunday — 1970-01-01 was a Thursday),
+    * identical in both engines, no calendar/locale function in the
+    * path. One partial-combinable hash-aggregate over the scan, then
+    * a broadcast of the |types|-sized totals. */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerDay = 86400L * 1000000000L
+    val byDow = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"((CAST(ts AS BIGINT) div $nanosPerDay) + 4) % 7").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"))
+    val totals = byDow.groupBy("event_type").agg(sum("n").as("tot"))
+    byDow.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(n * 7 * 1000000) div tot").as("index_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Blocked entity-resolution matching (r7 continuation): the
     * MATCHING stage that completes the record-linkage story whose
     * BLOCKING stages already ship ([[phoneticKey]],

@@ -1132,6 +1132,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("lshRecallReport: counts reconcile with the two underlying " +
+    "pair sets; ratios are exact integer ppm (r7)") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val truth = Dedup.ngramJaccard(d, minJaccardPpm = 750000L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(d).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val Array(row) = Dedup.lshRecallReport(d).collect()
+    val (nt, nc, nh) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nt == truth.size && nc == cand.size)
+    assert(nh == (truth intersect cand).size)
+    assert(row.getLong(3) == (if (nt == 0) 1000000L else nh * 1000000L / nt))
+    assert(row.getLong(4) == (if (nc == 0) 1000000L else nh * 1000000L / nc))
+    assert(nt > 0, "fixture corpus has planted near-dups")
+  }
+
+  test("knnBitsig matches a driver-side sign-signature Hamming " +
+    "top-k at sf0.001 (r7)") {
+    val emb = graft.relational.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = emb.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val sigs = vecs.map { case (id, v) =>
+      id -> (0 until 64).map(i => if (v(i) > 0.0f) 1L << i else 0L).sum
+    }.toMap
+    val ref = sigs.keys.filter(_ < 8).toSeq.sorted.flatMap { q =>
+      sigs.toSeq.filter(_._1 != q)
+        .map { case (id, s) =>
+          (id, java.lang.Long.bitCount(sigs(q) ^ s).toLong)
+        }
+        .sortBy { case (id, h) => (h, id) }.take(5).zipWithIndex
+        .map { case ((id, h), i) => (q, (i + 1).toLong, id, h) }
+    }
+    val got = graft.operators.Similarity.knnBitsig(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == ref)
+  }
+
+  test("seasonality: per-type counts and flat-week ppm indexes " +
+    "reconcile; weekday from pure epoch math (r7)") {
+    val got = graft.relational.RelQueries
+      .seasonality(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, dow, n, _) =>
+      assert(dow >= 0 && dow <= 6 && n > 0)
+    }
+    got.groupBy(_._1).values.foreach { rows =>
+      val tot = rows.map(_._3).sum
+      rows.foreach { case (_, _, n, ppm) =>
+        assert(ppm == n * 7L * 1000000L / tot)
+      }
+      // floor ppm sums land within |rows| of exactly 7e6
+      val s = rows.map(_._4).sum
+      assert(s <= 7000000L && s > 7000000L - 7 * rows.length)
+    }
+  }
+
   test("erMatch: matches a driver-side blocked-Levenshtein " +
     "recomputation; finds the cold/old landmark pair (r7)") {
     val sfDir = "/root/testdata/sf0.001"
