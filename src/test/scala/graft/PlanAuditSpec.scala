@@ -190,6 +190,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"shuffle join:\n$p")
   }
 
+  test("rel_rfm joins its 12 quintile thresholds and the corpus-last " +
+    "scalar BROADCAST — per-customer scoring never shuffle-joins (r7)") {
+    val p = plan("rel_rfm")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rel_rfm shuffle-joins:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4,
+      s"threshold frames not broadcast:\n$p")
+  }
+
+  test("rel_concurrency windows within-hour peaks PARTITIONED BY " +
+    "hour — the only unpartitioned window runs over the hour table, " +
+    "after aggregation (r7)") {
+    val p = plan("rel_concurrency")
+    // exactly one Window without a partition clause, fed by an
+    // aggregate (the |hours|-bounded carry-in), plus the hour-keyed
+    // one over boundaries
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(p.contains("hour_epoch_s"), s"hour key missing:\n$p")
+  }
+
+  test("sim_knn_bitsig broadcasts the 8-query signature table; the " +
+    "signature build is a projection riding the scan (r7)") {
+    val p = plan("sim_knn_bitsig")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"queries not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join:\n$p")
+  }
+
+  test("rel_er_match and dd_winnow_pairs block their pair joins on " +
+    "keys — never all-pairs (r7)") {
+    val er = plan("rel_er_match")
+    assert(er.contains("blk"), s"no block key in join:\n$er")
+    val wp = plan("dd_winnow_pairs")
+    assert(wp.contains("fp"), s"no fp key in join:\n$wp")
+    assert(!er.contains("CartesianProduct") &&
+      !wp.contains("CartesianProduct"))
+  }
+
   test("rel_kanon is ONE hash-aggregate over one scan — the QI class " +
     "audit never joins or re-passes (r6)") {
     val p = planNoAqe("rel_kanon")
