@@ -2279,6 +2279,21 @@ object ExtQueries {
       "CAST((b.n * 7 * 1000000) // t.tot AS BIGINT) AS index_ppm " +
       "FROM b JOIN t ON b.event_type = t.event_type ORDER BY 1, 2"
 
+  /** [[RelQueries.skewReport]]: same histogram, profile, and
+    * integer skew algebra; (n desc, user_id) is a total order so the
+    * LIMIT is deterministic. */
+  private val relSkewReportSql: String =
+    "WITH h AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1), " +
+      "p AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, " +
+      "MAX(n) AS max_n FROM h), " +
+      "t AS (SELECT user_id, n FROM h ORDER BY n DESC, user_id LIMIT 5) " +
+      "SELECT t.user_id, t.n, " +
+      "CAST((t.n * 1000000) // p.n_rows AS BIGINT) AS share_ppm, " +
+      "CAST(p.n_keys AS BIGINT) AS n_keys, " +
+      "CAST(p.n_rows AS BIGINT) AS n_rows, " +
+      "CAST((p.max_n * p.n_keys * 1000) // p.n_rows AS BIGINT) " +
+      "AS skew_x1000 FROM t, p ORDER BY t.n DESC, t.user_id"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3372,6 +3387,8 @@ object ExtQueries {
     "rel_er_match" -> (RelQueries.erMatch(_, _)),
     // weekday seasonality index in exact ppm of a flat week
     "rel_seasonality" -> (RelQueries.seasonality _),
+    // join-key skew diagnostic: top keys + global skew factor
+    "rel_skew_report" -> (RelQueries.skewReport _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3585,6 +3602,7 @@ object ExtQueries {
     "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_er_match" -> relErMatchSql,
     "rel_seasonality" -> relSeasonalitySql,
+    "rel_skew_report" -> relSkewReportSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

@@ -1296,6 +1296,31 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Join-key skew report (r7 continuation): the diagnostic that
+    * DECIDES whether [[skewJoinRevenue]]'s salting is worth its
+    * build-side replication — per candidate join key (user_id over
+    * events): top-5 heaviest keys, each row carrying the global
+    * profile (key count, row count, max key weight, and skew_x1000 =
+    * max·n_keys·1000 div n_rows, where 1000 = perfectly flat and
+    * 50·1000 = one key holds 50 flat shares — AQE's skew-join
+    * threshold thinking made queryable). One partial-combinable
+    * key histogram, a 1-row profile broadcast back onto the
+    * TakeOrderedAndProject top-5 — the histogram never re-shuffles
+    * and nothing key-cardinality-sized reaches the driver. */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val prof = hist.agg(count(lit(1)).as("n_keys"),
+      sum("n").as("n_rows"), max("n").as("max_n"))
+    hist.orderBy(col("n").desc, col("user_id")).limit(5)
+      .crossJoin(broadcast(prof))
+      .select(col("user_id"), col("n"),
+        expr("(n * 1000000) div n_rows").as("share_ppm"),
+        col("n_keys"), col("n_rows"),
+        expr("(max_n * n_keys * 1000) div n_rows").as("skew_x1000"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** Day-of-week seasonality profile (r7 continuation): per
     * (event type, weekday): count and the seasonality index in exact
     * integer ppm of a flat week — (n·7·10⁶) div type_total, so 10⁶ =

@@ -1132,6 +1132,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("skewReport: top keys, shares, and the skew factor match a " +
+    "driver-side histogram; flat data scores near 1000 (r7)") {
+    val got = graft.relational.RelQueries
+      .skewReport(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 5)
+    val hist = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nRows = hist.values.sum; val nKeys = hist.size.toLong
+    val maxN = hist.values.max
+    val top = hist.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+    assert(got.map(r => (r._1, r._2)).toSeq == top)
+    got.foreach { case (_, n, share, ks, rows, skew) =>
+      assert(ks == nKeys && rows == nRows)
+      assert(share == n * 1000000L / nRows)
+      assert(skew == maxN * nKeys * 1000L / nRows)
+    }
+    // generated events are near-uniform per user: skew factor stays
+    // in the same decade as flat (1000)
+    assert(got.head._6 < 10000L, s"unexpectedly skewed: ${got.head._6}")
+  }
+
   test("lshRecallReport: counts reconcile with the two underlying " +
     "pair sets; ratios are exact integer ppm (r7)") {
     val d = graft.relational.Tables
