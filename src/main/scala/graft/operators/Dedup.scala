@@ -1153,6 +1153,26 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Cluster-size histogram + dedup-yield report (r7 continuation):
+    * over [[nearDupClusters]]' labels, per cluster size s: how many
+    * clusters, how many docs they cover, and how many docs
+    * deduplication REMOVES (s − 1 per cluster, keep-one policy). The
+    * one-page answer to "what does dedup buy on this corpus" and the
+    * sanity check against pathological blocking (a giant cluster
+    * shows up as one row with a huge s). Two tiny aggregates over
+    * the label table — by cluster, then by size; both
+    * partial-combinable, output bounded by |distinct sizes|. */
+  def clusterStats(docs: DataFrame): DataFrame = {
+    val sizes = nearDupClusters(docs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    sizes.groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1L) * col("n_clusters")).as("n_removable"))
+      .orderBy("size")
+  }
+
   /** LSH recall/precision report (r7 continuation): the EVAL harness
     * for the dedup stack — exact ≥-threshold Jaccard pairs
     * ([[ngramJaccard]], ground truth) vs the MinHash-LSH candidate

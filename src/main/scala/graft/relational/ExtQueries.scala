@@ -248,6 +248,18 @@ object ExtQueries {
       "UNION " +
       "SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach)"
 
+  /** [[Dedup.clusterStats]]: the same recursive closure, reduced to
+    * the size histogram and keep-one yield counts. */
+  private val ddClusterStatsSql: String =
+    s"WITH RECURSIVE $ddClustersCtes, " +
+      "cl AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
+      "GROUP BY node), " +
+      "sz AS (SELECT cluster_id, COUNT(*) AS size FROM cl GROUP BY 1) " +
+      "SELECT size, COUNT(*) AS n_clusters, " +
+      "CAST(size * COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable " +
+      "FROM sz GROUP BY size ORDER BY size"
+
   private val ddClustersSql: String =
     s"WITH RECURSIVE $ddClustersCtes " +
       "SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
@@ -3173,6 +3185,9 @@ object ExtQueries {
     "dd_simhash_pairs_wide" -> ((s, d) =>
       Dedup.simhashPairsWide(Tables.documents(s, d))),
     "dd_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    // cluster-size histogram + keep-one dedup yield
+    "dd_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(Tables.documents(s, d))),
     // r7: quality-argmax canonical selection per near-dup cluster
     "dd_canonical_quality" -> ((s, d) =>
       Dedup.canonicalByQuality(Tables.documents(s, d))),
@@ -3497,6 +3512,7 @@ object ExtQueries {
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_simhash_pairs_wide" -> ddSimhashPairsWideSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_cluster_stats" -> ddClusterStatsSql,
     "dd_canonical_quality" -> ddCanonicalQualitySql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,

@@ -1132,6 +1132,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("clusterStats: histogram reconciles with the raw cluster " +
+    "labels; docs total matches corpus; removable = docs - clusters (r7)") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val labels = Dedup.nearDupClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySize = labels.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.clusterStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r._1, r._2)).toMap ==
+      bySize.map { case (s, n) => (s.toLong, n) })
+    assert(got.map(_._3).sum == labels.length.toLong)
+    got.foreach { case (s, n, docs2, rem) =>
+      assert(docs2 == s * n && rem == (s - 1) * n)
+    }
+    assert(got.exists(_._1 > 1), "fixture corpus has non-trivial clusters")
+  }
+
   test("skewReport: top keys, shares, and the skew factor match a " +
     "driver-side histogram; flat data scores near 1000 (r7)") {
     val got = graft.relational.RelQueries
