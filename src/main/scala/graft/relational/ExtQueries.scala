@@ -2306,6 +2306,20 @@ object ExtQueries {
       "CAST((p.max_n * p.n_keys * 1000) // p.n_rows AS BIGINT) " +
       "AS skew_x1000 FROM t, p ORDER BY t.n DESC, t.user_id"
 
+  /** [[RelQueries.pathTrigrams]]: same per-user lead() pair on the
+    * identical (us, event_id) total order, same bounded aggregate and
+    * deterministic top-k. */
+  private val relPathsSql: String =
+    "WITH e AS (SELECT user_id, event_type AS s1, epoch_us(ts) AS us, " +
+      "event_id FROM events), " +
+      "l AS (SELECT s1, " +
+      "lead(s1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s2, " +
+      "lead(s1, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s3 " +
+      "FROM e) " +
+      "SELECT s1, s2, s3, COUNT(*) AS n FROM l " +
+      "WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3 " +
+      "ORDER BY n DESC, s1, s2, s3 LIMIT 20"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3404,6 +3418,8 @@ object ExtQueries {
     "rel_seasonality" -> (RelQueries.seasonality _),
     // join-key skew diagnostic: top keys + global skew factor
     "rel_skew_report" -> (RelQueries.skewReport _),
+    // top 3-step journey paths per frequency (beyond the 2-gram matrix)
+    "rel_paths" -> (RelQueries.pathTrigrams(_, _)),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3619,6 +3635,7 @@ object ExtQueries {
     "rel_er_match" -> relErMatchSql,
     "rel_seasonality" -> relSeasonalitySql,
     "rel_skew_report" -> relSkewReportSql,
+    "rel_paths" -> relPathsSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

@@ -1296,6 +1296,31 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Top journey paths (r7 continuation): the 3-step event-type
+    * sequences users actually walk, ranked by frequency — the path
+    * analysis [[markovTransitions]]'s 2-gram matrix cannot answer
+    * (a→b and b→c being common does not make a→b→c common). Per-user
+    * lead() window on the (tsn, event_id) total order — the same
+    * user-keyed shuffle every sessionization op here uses — then a
+    * ≤ |types|³-bounded hash-aggregate and a TakeOrderedAndProject
+    * top-k; ordering (n desc, path) is total so the LIMIT is
+    * deterministic. */
+  def pathTrigrams(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("tsn", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("s1"),
+        expr("CAST(ts AS BIGINT)").as("tsn"), col("event_id"))
+      .withColumn("s2", lead("s1", 1).over(w))
+      .withColumn("s3", lead("s1", 2).over(w))
+      .where(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
   /** Join-key skew report (r7 continuation): the diagnostic that
     * DECIDES whether [[skewJoinRevenue]]'s salting is worth its
     * build-side replication — per candidate join key (user_id over

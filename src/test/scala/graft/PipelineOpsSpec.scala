@@ -1132,6 +1132,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("pathTrigrams matches a driver-side per-user walk at sf0.001 " +
+    "(r7)") {
+    val got = graft.relational.RelQueries
+      .pathTrigrams(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val ev = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "event_type", "CAST(ts AS BIGINT) AS tsn",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ref = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._4)).map(_._2).sliding(3)
+        .filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    assert(got == ref)
+  }
+
   test("clusterStats: histogram reconciles with the raw cluster " +
     "labels; docs total matches corpus; removable = docs - clusters (r7)") {
     val d = graft.relational.Tables
