@@ -1583,7 +1583,9 @@ object ImageCodec {
 
   final case class ExifMeta(byteOrder: String, make: String,
       model: String, orientation: Long, iso: Long, pxW: Long,
-      pxH: Long, expNum: Long, expDen: Long)
+      pxH: Long, expNum: Long, expDen: Long,
+      latRef: String = "", lonRef: String = "",
+      latDms: Seq[(Long, Long)] = Nil, lonDms: Seq[(Long, Long)] = Nil)
 
   /** Parse EXIF out of a JPEG: walk the marker stream to APP1, check
     * the "Exif  " identifier, then walk the EMBEDDED TIFF —
@@ -1648,7 +1650,12 @@ object ImageCodec {
       // count includes the NUL terminator
       Some(new String(b, tiff0 + off, count.toInt - 1, "US-ASCII"))
     }
-    def walkIfd(at: Long, isExifIfd: Boolean): Boolean = {
+    var gpsIfd = -1L
+    var latRef = ""; var lonRef = ""
+    var latDms: Seq[(Long, Long)] = Nil
+    var lonDms: Seq[(Long, Long)] = Nil
+    // IFD modes: 0 = IFD0, 1 = Exif sub-IFD, 2 = GPS sub-IFD
+    def walkIfd(at: Long, mode: Int): Boolean = {
       if (at < 8 || at + 2 > n) return false
       val cnt = u16(at.toInt)
       var k = 0
@@ -1663,32 +1670,50 @@ object ImageCodec {
           case 4 => u32(e + 8)
           case _ => -1L
         }
-        tag match {
-          case 0x010f if typ == 2 && !isExifIfd =>
+        def rationals(cn: Long): Option[Seq[(Long, Long)]] = {
+          if (typ != 5 || count != cn) return None
+          val o = u32(e + 8)
+          if (o < 0 || o + 8 * cn > n) return None
+          Some((0 until cn.toInt).map { r =>
+            (u32(o.toInt + 8 * r), u32(o.toInt + 8 * r + 4))
+          })
+        }
+        (mode, tag) match {
+          case (0, 0x010f) if typ == 2 =>
             make = ascii(count, e).getOrElse(return false)
-          case 0x0110 if typ == 2 && !isExifIfd =>
+          case (0, 0x0110) if typ == 2 =>
             model = ascii(count, e).getOrElse(return false)
-          case 0x0112 if !isExifIfd => orientation = num
-          case 0x8769 if typ == 4 && !isExifIfd => exifIfd = u32(e + 8)
-          case 0x829a if typ == 5 && isExifIfd =>
+          case (0, 0x0112) => orientation = num
+          case (0, 0x8769) if typ == 4 => exifIfd = u32(e + 8)
+          case (0, 0x8825) if typ == 4 => gpsIfd = u32(e + 8)
+          case (1, 0x829a) =>
             val o = u32(e + 8)
-            if (o + 8 > n) return false
+            if (typ != 5 || o + 8 > n) return false
             expNum = u32(o.toInt); expDen = u32(o.toInt + 4)
-          case 0x8827 if isExifIfd => iso = num
-          case 0xa002 if isExifIfd => pxW = num
-          case 0xa003 if isExifIfd => pxH = num
+          case (1, 0x8827) => iso = num
+          case (1, 0xa002) => pxW = num
+          case (1, 0xa003) => pxH = num
+          case (2, 0x0001) if typ == 2 =>
+            latRef = ascii(count, e).getOrElse(return false)
+          case (2, 0x0002) =>
+            latDms = rationals(3L).getOrElse(return false)
+          case (2, 0x0003) if typ == 2 =>
+            lonRef = ascii(count, e).getOrElse(return false)
+          case (2, 0x0004) =>
+            lonDms = rationals(3L).getOrElse(return false)
           case _ =>
         }
         k += 1
       }
       true
     }
-    if (!walkIfd(u32(4), isExifIfd = false)) return None
-    if (exifIfd >= 0 && !walkIfd(exifIfd, isExifIfd = true)) return None
+    if (!walkIfd(u32(4), mode = 0)) return None
+    if (exifIfd >= 0 && !walkIfd(exifIfd, mode = 1)) return None
+    if (gpsIfd >= 0 && !walkIfd(gpsIfd, mode = 2)) return None
     if (orientation < 0 || iso < 0 || pxW < 0 || pxH < 0 ||
       expDen <= 0 || make.isEmpty || model.isEmpty) return None
     Some(ExifMeta(if (be) "MM" else "II", make, model, orientation,
-      iso, pxW, pxH, expNum, expDen))
+      iso, pxW, pxH, expNum, expDen, latRef, lonRef, latDms, lonDms))
   }
 
   /** Deterministic EXIF-bearing JPEG fixture: SOI, an optional COM
@@ -1701,12 +1726,17 @@ object ImageCodec {
     * exercised; all offsets are TIFF-header-relative. */
   def exifJpegBytes(bigEndian: Boolean, make: String, model: String,
       orientation: Int, iso: Int, pxW: Int, pxH: Int,
-      expNum: Int, expDen: Int, leadingComment: Boolean): Array[Byte] = {
+      expNum: Int, expDen: Int, leadingComment: Boolean,
+      latRef: Char = 'N', lonRef: Char = 'E',
+      lat: Seq[(Int, Int)] = Seq((1, 1), (2, 1), (3, 1)),
+      lon: Seq[(Int, Int)] = Seq((4, 1), (5, 1), (6, 1))): Array[Byte] = {
     require(make.length == 4 && model.length <= 3)
+    require(lat.length == 3 && lon.length == 3)
     // TIFF layout (offsets from TIFF start):
-    //  0 header, 8 IFD0 (4 entries, 54 B), 62 ExifIFD (4 entries,
-    //  54 B), 116 make (5 B + pad), 122 rational (8 B) -> 130 total
-    val t = new Array[Byte](130)
+    //  0 header, 8 IFD0 (5 entries, 66 B), 74 ExifIFD (4 entries,
+    //  54 B), 128 GPS IFD (4 entries, 54 B), 182 make (5 B + pad),
+    //  188 exposure rational, 196 lat DMS (3x8), 220 lon DMS -> 244
+    val t = new Array[Byte](244)
     def w16(i: Int, v: Int): Unit =
       if (bigEndian) { t(i) = (v >> 8).toByte; t(i + 1) = v.toByte }
       else { t(i) = v.toByte; t(i + 1) = (v >> 8).toByte }
@@ -1725,25 +1755,40 @@ object ImageCodec {
       w16(at, tag); w16(at + 2, typ); w32(at + 4, count); value(at + 8)
     }
     // IFD0
-    w16(8, 4)
-    entry(10, 0x010f, 2, 5L)(w32(_, 116L))            // make at offset
+    w16(8, 5)
+    entry(10, 0x010f, 2, 5L)(w32(_, 182L))            // make at offset
     entry(22, 0x0110, 2, model.length + 1L) { v =>    // model inline
       var i = 0
       while (i < model.length) { t(v + i) = model(i).toByte; i += 1 }
     }
     entry(34, 0x0112, 3, 1L)(w16(_, orientation))
-    entry(46, 0x8769, 4, 1L)(w32(_, 62L))
-    w32(58, 0L) // next-IFD pointer
+    entry(46, 0x8769, 4, 1L)(w32(_, 74L))
+    entry(58, 0x8825, 4, 1L)(w32(_, 128L))            // GPS sub-IFD
+    w32(70, 0L) // next-IFD pointer
     // Exif sub-IFD
-    w16(62, 4)
-    entry(64, 0x829a, 5, 1L)(w32(_, 122L))
-    entry(76, 0x8827, 3, 1L)(w16(_, iso))
-    entry(88, 0xa002, 4, 1L)(w32(_, pxW.toLong))
-    entry(100, 0xa003, 4, 1L)(w32(_, pxH.toLong))
-    w32(112, 0L)
+    w16(74, 4)
+    entry(76, 0x829a, 5, 1L)(w32(_, 188L))
+    entry(88, 0x8827, 3, 1L)(w16(_, iso))
+    entry(100, 0xa002, 4, 1L)(w32(_, pxW.toLong))
+    entry(112, 0xa003, 4, 1L)(w32(_, pxH.toLong))
+    w32(124, 0L)
+    // GPS sub-IFD (Exif 2.x §4.6.6: refs ASCII-2 inline, DMS as
+    // three RATIONALs at offset)
+    w16(128, 4)
+    entry(130, 0x0001, 2, 2L)(v => t(v) = latRef.toByte)
+    entry(142, 0x0002, 5, 3L)(w32(_, 196L))
+    entry(154, 0x0003, 2, 2L)(v => t(v) = lonRef.toByte)
+    entry(166, 0x0004, 5, 3L)(w32(_, 220L))
+    w32(178, 0L)
     var i = 0
-    while (i < 4) { t(116 + i) = make(i).toByte; i += 1 }
-    w32(122, expNum.toLong); w32(126, expDen.toLong)
+    while (i < 4) { t(182 + i) = make(i).toByte; i += 1 }
+    w32(188, expNum.toLong); w32(192, expDen.toLong)
+    lat.zipWithIndex.foreach { case ((nu, de), r) =>
+      w32(196 + 8 * r, nu.toLong); w32(200 + 8 * r, de.toLong)
+    }
+    lon.zipWithIndex.foreach { case ((nu, de), r) =>
+      w32(220 + 8 * r, nu.toLong); w32(224 + 8 * r, de.toLong)
+    }
     // JPEG wrapper
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)

@@ -853,7 +853,13 @@ object Multimodal {
           pxW = (640 + id % 97).toInt,
           pxH = (480 + id % 53).toInt,
           expNum = 1, expDen = (30 + id % 200).toInt,
-          leadingComment = id % 2 == 1)
+          leadingComment = id % 2 == 1,
+          latRef = if (id % 2 == 0) 'N' else 'S',
+          lonRef = if (id % 3 == 0) 'E' else 'W',
+          lat = Seq(((id % 90).toInt, 1), ((id % 60).toInt, 1),
+            (((id * 7) % 6000).toInt, 100)),
+          lon = Seq((((id * 2) % 180).toInt, 1), (((id * 5) % 60).toInt, 1),
+            (((id * 11) % 6000).toInt, 100)))
         BinaryDoc(id,
           if (id % 13 == 0) java.util.Arrays.copyOf(full, 20) else full)
       }
@@ -876,6 +882,35 @@ object Multimodal {
           m.orientation, m.iso, m.pxW, m.pxH, m.expNum, m.expDen)
         case None =>
           ExifRow(d.doc_id, "unknown", "", "", -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  final case class ExifGpsRow(doc_id: Long, lat_ref: String,
+      lon_ref: String, lat_deg: Long, lat_min: Long, lat_sec_milli: Long,
+      lon_deg: Long, lon_min: Long, lon_sec_milli: Long)
+
+  /** GPS position from the EXIF 0x8825 sub-IFD (r7 continuation):
+    * the SECOND sub-IFD hop — GPS refs as inline ASCII-2, latitude /
+    * longitude as COUNT-3 RATIONAL arrays (deg, min, sec), seconds
+    * reduced to exact integer milli-arcseconds ((num·1000) div den).
+    * The geo-extraction pass an image pipeline runs for location
+    * filtering/deduplication; same DLT arm as [[exifMeta]]. */
+  def exifGps(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticExifJpegs(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseExif(d.payload) match {
+        case Some(m) if m.latDms.length == 3 && m.lonDms.length == 3 &&
+            m.latDms.forall(_._2 > 0) && m.lonDms.forall(_._2 > 0) =>
+          ExifGpsRow(d.doc_id, m.latRef, m.lonRef,
+            m.latDms(0)._1 / m.latDms(0)._2,
+            m.latDms(1)._1 / m.latDms(1)._2,
+            m.latDms(2)._1 * 1000L / m.latDms(2)._2,
+            m.lonDms(0)._1 / m.lonDms(0)._2,
+            m.lonDms(1)._1 / m.lonDms(1)._2,
+            m.lonDms(2)._1 * 1000L / m.lonDms(2)._2)
+        case _ =>
+          ExifGpsRow(d.doc_id, "", "", -1L, -1L, -1L, -1L, -1L, -1L)
       }
     }).toDF().orderBy("doc_id")
   }

@@ -1685,6 +1685,26 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS exp_den " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.exifGps]]: refs and DMS restated from the doc_id
+    * literals; seconds as exact integer milli-arcseconds (den = 100
+    * -> x10). */
+  private val mmExifGpsSql: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref, " +
+      "CAST(doc_id % 90 AS BIGINT) AS lat_deg, " +
+      "CAST(doc_id % 60 AS BIGINT) AS lat_min, " +
+      "CAST(((doc_id * 7) % 6000) * 10 AS BIGINT) AS lat_sec_milli, " +
+      "CAST((doc_id * 2) % 180 AS BIGINT) AS lon_deg, " +
+      "CAST((doc_id * 5) % 60 AS BIGINT) AS lon_min, " +
+      "CAST(((doc_id * 11) % 6000) * 10 AS BIGINT) AS lon_sec_milli " +
+      "FROM documents WHERE doc_id % 13 <> 0 " +
+      "UNION ALL SELECT doc_id, '' AS lat_ref, '' AS lon_ref, " +
+      "CAST(-1 AS BIGINT) AS lat_deg, CAST(-1 AS BIGINT) AS lat_min, " +
+      "CAST(-1 AS BIGINT) AS lat_sec_milli, CAST(-1 AS BIGINT) AS lon_deg, " +
+      "CAST(-1 AS BIGINT) AS lon_min, CAST(-1 AS BIGINT) AS lon_sec_milli " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[RelQueries.hilbertSpans]]: the identical xy→d walk restated
     * as a recursive CTE — 8 iterations of (quadrant digit, reflect,
     * transpose) per order row, final d at s = 0. */
@@ -3359,6 +3379,8 @@ object ExtQueries {
     // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
     // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
     "mm_exif" -> ((s, d) => Multimodal.exifMeta(Tables.documents(s, d))(s)),
+    // GPS sub-IFD: second indirection hop, count-3 RATIONAL arrays
+    "mm_exif_gps" -> ((s, d) => Multimodal.exifGps(Tables.documents(s, d))(s)),
     // indexed-color PNG: PLTE capture + bpp=1 unfilter + palette expand
     "mm_png_palette" -> ((s, d) =>
       Multimodal.pngPaletteStats(Tables.documents(s, d))(s)),
@@ -3604,6 +3626,7 @@ object ExtQueries {
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
+    "mm_exif_gps" -> mmExifGpsSql,
     "mm_png_palette" -> mmPngPaletteSql,
     "mm_ico" -> mmIcoSql,
     "mm_gif_meta" -> mmGifMetaSql,
