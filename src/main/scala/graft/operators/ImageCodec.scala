@@ -1450,6 +1450,40 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Apply an EXIF orientation (TIFF 6.0 tag 274, values 1–8) to a
+    * single-channel raster, returning the NORMALIZED (orientation-1)
+    * raster and its dims. Mapping per the spec: 2 = mirror-H,
+    * 3 = 180°, 4 = mirror-V, 5 = transpose, 6 = 90° CW,
+    * 7 = transverse, 8 = 270° CW; 5–8 swap width and height. */
+  def applyOrientation(raster: Array[Byte], w: Int, h: Int,
+      orientation: Int): Option[(Array[Byte], Int, Int)] = {
+    if (orientation < 1 || orientation > 8 || raster.length != w * h)
+      return None
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](w * h)
+    var yp = 0
+    while (yp < oh) {
+      var xp = 0
+      while (xp < ow) {
+        val (sx, sy) = orientation match {
+          case 1 => (xp, yp)
+          case 2 => (w - 1 - xp, yp)
+          case 3 => (w - 1 - xp, h - 1 - yp)
+          case 4 => (xp, h - 1 - yp)
+          case 5 => (yp, xp)
+          case 6 => (yp, h - 1 - xp)
+          case 7 => (w - 1 - yp, h - 1 - xp)
+          case 8 => (w - 1 - yp, xp)
+        }
+        out(yp * ow + xp) = raster(sy * w + sx)
+        xp += 1
+      }
+      yp += 1
+    }
+    Some((out, ow, oh))
+  }
+
   // -----------------------------------------------------------------
   // ICO: multi-image icon container (ICONDIR + per-entry DIB with
   // doubled height: XOR color raster + 1-bpp AND transparency mask)

@@ -513,6 +513,54 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  final case class OrientRow(doc_id: Long, orientation: Long,
+      out_w: Long, out_h: Long, wsum: Long)
+
+  /** EXIF-orientation normalization over REAL decoded rasters (r7
+    * continuation): decode a grayscale PNM payload, apply the
+    * catalog's orientation value (1–8, here derived from doc_id as
+    * the metadata join would supply it) via
+    * [[ImageCodec.applyOrientation]], and emit the NORMALIZED
+    * raster's position-weighted sum — the transform every image
+    * pipeline runs between decode and featurize so downstream
+    * hashes/embeddings are rotation-canonical. The weighted sum over
+    * the TRANSFORMED index order means a wrong mapping (mirrored
+    * axis, missed dim swap, CW/CCW confusion) fails the hash even
+    * though the multiset of pixels is identical. Row-local
+    * mapPartitions like every codec kernel; truncated payloads →
+    * DLT arm. */
+  def orientNormalize(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val payloads = graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 5 + (id % 9).toInt
+        val h = 4 + (id % 7).toInt
+        val full = ImageCodec.pnmRasterBytes(w, h, grayscale = true,
+          pixel = i => ((id * 3 + i.toLong * 7) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 12) else full)
+      }
+    payloads.mapPartitions(_.map { d =>
+      val orientation = (1 + d.doc_id % 8).toInt
+      ImageCodec.parsePnmRaster(d.payload) match {
+        case Some(img) =>
+          ImageCodec.applyOrientation(img.raster, img.width, img.height,
+              orientation) match {
+            case Some((out, ow, oh)) =>
+              var wsum = 0L
+              var i = 0
+              while (i < out.length) {
+                wsum += (out(i) & 0xffL) * (i + 1); i += 1
+              }
+              OrientRow(d.doc_id, orientation.toLong, ow.toLong,
+                oh.toLong, wsum)
+            case None => OrientRow(d.doc_id, -1L, -1L, -1L, -1L)
+          }
+        case None => OrientRow(d.doc_id, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   final case class IcoStatsRow(doc_id: Long, n_images: Long,
       n_visible: Long, peak: Long, wsum: Long)
 

@@ -1705,6 +1705,38 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS lon_min, CAST(-1 AS BIGINT) AS lon_sec_milli " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.orientNormalize]]: the 8-way (sx, sy) remap
+    * restated per TRANSFORMED index — the weighted sum over the
+    * output order fails on a mirrored axis, missed dim swap, or
+    * CW/CCW confusion even though the pixel multiset is identical. */
+  private val mmOrientSql: String =
+    "WITH d AS (SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h, " +
+      "1 + doc_id % 8 AS o FROM documents WHERE doc_id % 13 <> 0), " +
+      "dims AS (SELECT doc_id, w, h, o, " +
+      "CASE WHEN o >= 5 THEN h ELSE w END AS ow, " +
+      "CASE WHEN o >= 5 THEN w ELSE h END AS oh FROM d), " +
+      "px AS (SELECT doc_id, w, h, o, ow, oh, " +
+      "unnest(range(0, ow * oh)) AS i FROM dims), " +
+      "m AS (SELECT doc_id, w, h, o, ow, oh, i, " +
+      "i % ow AS xp, i // ow AS yp FROM px), " +
+      "sm AS (SELECT doc_id, w, o, ow, oh, i, " +
+      "CASE o WHEN 1 THEN xp WHEN 2 THEN w - 1 - xp " +
+      "WHEN 3 THEN w - 1 - xp WHEN 4 THEN xp WHEN 5 THEN yp " +
+      "WHEN 6 THEN yp WHEN 7 THEN w - 1 - yp ELSE w - 1 - yp END AS sx, " +
+      "CASE o WHEN 1 THEN yp WHEN 2 THEN yp WHEN 3 THEN h - 1 - yp " +
+      "WHEN 4 THEN h - 1 - yp WHEN 5 THEN xp WHEN 6 THEN h - 1 - xp " +
+      "WHEN 7 THEN h - 1 - xp ELSE xp END AS sy FROM m), " +
+      "v AS (SELECT doc_id, o, ow, oh, i, " +
+      "(doc_id * 3 + (sy * w + sx) * 7) % 256 AS v FROM sm) " +
+      "SELECT doc_id, CAST(o AS BIGINT) AS orientation, " +
+      "CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h, " +
+      "CAST(SUM(v * (i + 1)) AS BIGINT) AS wsum " +
+      "FROM v GROUP BY doc_id, o, ow, oh " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS orientation, " +
+      "CAST(-1 AS BIGINT) AS out_w, CAST(-1 AS BIGINT) AS out_h, " +
+      "CAST(-1 AS BIGINT) AS wsum FROM documents WHERE doc_id % 13 = 0 " +
+      "ORDER BY doc_id"
+
   /** [[RelQueries.hilbertSpans]]: the identical xy→d walk restated
     * as a recursive CTE — 8 iterations of (quadrant digit, reflect,
     * transpose) per order row, final d at s = 0. */
@@ -3381,6 +3413,9 @@ object ExtQueries {
     "mm_exif" -> ((s, d) => Multimodal.exifMeta(Tables.documents(s, d))(s)),
     // GPS sub-IFD: second indirection hop, count-3 RATIONAL arrays
     "mm_exif_gps" -> ((s, d) => Multimodal.exifGps(Tables.documents(s, d))(s)),
+    // orientation normalization over real rasters: 8-way remap, dim swap
+    "mm_orient" -> ((s, d) =>
+      Multimodal.orientNormalize(Tables.documents(s, d))(s)),
     // indexed-color PNG: PLTE capture + bpp=1 unfilter + palette expand
     "mm_png_palette" -> ((s, d) =>
       Multimodal.pngPaletteStats(Tables.documents(s, d))(s)),
@@ -3627,6 +3662,7 @@ object ExtQueries {
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
     "mm_exif_gps" -> mmExifGpsSql,
+    "mm_orient" -> mmOrientSql,
     "mm_png_palette" -> mmPngPaletteSql,
     "mm_ico" -> mmIcoSql,
     "mm_gif_meta" -> mmGifMetaSql,
