@@ -992,6 +992,33 @@ object TextAnalysis {
           "p -> p IS NOT NULL)"))
   }
 
+  /** N-gram novelty profile (r7 continuation): per document, how
+    * many of its distinct word 3-grams appear in NO earlier document
+    * (first-seen attribution by min doc_id — the deterministic stand-
+    * in for crawl order). The dataset-analysis signal behind
+    * memorization / contamination studies: a corpus whose late
+    * documents contribute near-zero novel n-grams is re-crawl
+    * boilerplate; the declared query is the batch form of the
+    * incremental-ingest question "what does this batch ADD".
+    * Shape: distinct shingles exploded (the [[graft.operators.Dedup]]
+    * family's gram stream), first-seen = one gram-keyed min
+    * aggregate, attribution joins BACK on the same gram key — the
+    * join co-partitions with the aggregate so the gram stream
+    * shuffles once; the per-doc rollup is partial-combinable. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Partitioning.spread(docs).select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), n)).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level collocation mining (r7 continuation): top-k bigrams
     * by pointwise mutual information — the phrase-discovery pass that
     * decides which adjacent tokens a tokenizer or phrase-merger should

@@ -953,6 +953,19 @@ object ExtQueries {
     * positions), distinct pairs, Σ fp·pos checksum. Spark's
     * sequence(a, b) is INCLUSIVE, DuckDB's range(a, b) EXCLUSIVE —
     * hence the +1/+4 asymmetry; both slices clamp at list end. */
+  /** [[TextAnalysis.ngramNovelty]]: same first-seen attribution —
+    * gram-keyed min, join back, per-doc rollup, integer ppm. */
+  private val txNoveltySql: String =
+    s"WITH ${shinglesCte(3)}, " +
+      "f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1) " +
+      "SELECT s.doc_id, COUNT(*) AS n_grams, " +
+      "CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_novel, " +
+      "CAST((SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) " +
+      "* 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm " +
+      "FROM sh s JOIN f ON s.sh = f.sh GROUP BY s.doc_id " +
+      "ORDER BY s.doc_id"
+
   /** Shared winnowing-selection CTE chain ([[txWinnowSql]] aggregates
     * it per doc; [[ddWinnowPairsSql]] joins fingerprints across
     * docs). */
@@ -3506,6 +3519,9 @@ object ExtQueries {
     // PMI collocations: integer monotone transform of exp(PMI), no logs
     "tx_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d))),
+    // first-seen n-gram novelty: what each doc ADDS to the corpus
+    "tx_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d))),
     // MOSS winnowing: rightmost-min-per-window fingerprint selection
     "tx_winnow" -> ((s, d) =>
       TextAnalysis.winnow(Tables.documents(s, d))),
@@ -3709,6 +3725,7 @@ object ExtQueries {
     "dd_sorted_neighborhood" -> ddSortedNeighborhoodSql,
     "tx_stem" -> txStemSql,
     "tx_collocations" -> txCollocationsSql,
+    "tx_novelty" -> txNoveltySql,
     "tx_winnow" -> txWinnowSql,
     "dd_winnow_pairs" -> ddWinnowPairsSql,
     "rel_pricing" -> relPricingSql,

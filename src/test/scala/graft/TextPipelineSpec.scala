@@ -222,6 +222,25 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ngramNovelty: doc 1 is all-novel, an exact copy adds zero, " +
+    "partial overlap attributes first-seen by min doc_id (r7)") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val d = Seq(1L -> a, 2L -> a, 3L -> (a + " " + b), 4L -> b)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val aGrams = 18L // 20 tokens -> 18 distinct trigrams
+    assert(got(1L) == ((aGrams, aGrams, 1000000L)))
+    assert(got(2L) == ((aGrams, 0L, 0L)))
+    // doc 3 = a ++ b: novel grams are b's 18 plus the 2 bridge grams
+    val (n3, novel3, ppm3) = got(3L)
+    assert(n3 == 38L && novel3 == 20L)
+    assert(ppm3 == 20L * 1000000L / 38L)
+    assert(got(4L) == ((aGrams, 0L, 0L)), "doc 4's grams first seen in doc 3")
+  }
+
   test("winnow matches a brute-force rightmost-min reference and " +
     "honors the w-density guarantee (r7)") {
     val rnd = new Random(7)
