@@ -2385,6 +2385,16 @@ object ExtQueries {
       "WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3 " +
       "ORDER BY n DESC, s1, s2, s3 LIMIT 20"
 
+  /** [[RelQueries.modalBand]]: same grid, same stated tiebreak. */
+  private val relModeSql: String =
+    "WITH c AS (SELECT event_type, " +
+      "CAST(FLOOR(value / 25.0) AS BIGINT) AS band, COUNT(*) AS n " +
+      "FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, band, n, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY n DESC, band ASC) AS rk FROM c) " +
+      "SELECT event_type, band AS modal_band, n FROM r WHERE rk = 1 " +
+      "ORDER BY event_type"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3490,6 +3500,8 @@ object ExtQueries {
     "rel_skew_report" -> (RelQueries.skewReport _),
     // top 3-step journey paths per frequency (beyond the 2-gram matrix)
     "rel_paths" -> (RelQueries.pathTrigrams(_, _)),
+    // per-type mode with the tiebreak STATED (max n, smallest band)
+    "rel_mode" -> (RelQueries.modalBand _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3711,6 +3723,7 @@ object ExtQueries {
     "rel_seasonality" -> relSeasonalitySql,
     "rel_skew_report" -> relSkewReportSql,
     "rel_paths" -> relPathsSql,
+    "rel_mode" -> relModeSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

@@ -1296,6 +1296,28 @@ object RelQueries {
       .orderBy("event_type", "hour_epoch_s")
   }
 
+  /** Per-type modal value band (r7 continuation): the MODE — the
+    * aggregate the built-in family skips because it is
+    * underdetermined under ties; declared here with the tiebreak
+    * STATED (max count, then smallest band), which is exactly what
+    * makes it hash-checkable across engines. Value bands reuse
+    * [[valueBands]]' floor(v/25) grid. Shape: (type, band) counts
+    * partial-combine; the argmax is a row_number window over the
+    * tiny |types × bands| aggregate — never over the fact stream. */
+  def modalBand(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") / 25.0).cast("long").as("band"))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("band").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("band").as("modal_band"), col("n"))
+      .orderBy("event_type")
+  }
+
   /** Top journey paths (r7 continuation): the 3-step event-type
     * sequences users actually walk, ranked by frequency — the path
     * analysis [[markovTransitions]]'s 2-gram matrix cannot answer

@@ -1132,6 +1132,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.exists(_.getLong(2) < 0), "negative band present")
   }
 
+  test("modalBand matches a driver-side histogram argmax with the " +
+    "stated tiebreak at sf0.001 (r7)") {
+    val got = graft.relational.RelQueries
+      .modalBand(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = graft.relational.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_type", "CAST(FLOOR(value / 25.0) AS BIGINT) AS b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = ev.groupBy(_._1).view.mapValues { rows =>
+      rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (b, n) => (-n, b) }.head
+    }.toSeq.map { case (t, (b, n)) => (t, b, n) }.sortBy(_._1)
+    assert(got == ref)
+  }
+
   test("pathTrigrams matches a driver-side per-user walk at sf0.001 " +
     "(r7)") {
     val got = graft.relational.RelQueries
