@@ -13,6 +13,28 @@ class OperatorPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("applyOrientation: on random rasters every orientation is a " +
+    "pixel permutation with correct dims and an exact inverse (r7)") {
+    val rnd = new Random(31)
+    val inverse = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5,
+      6 -> 8, 7 -> 7, 8 -> 6)
+    (1 to 50).foreach { _ =>
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      val src = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      (1 to 8).foreach { o =>
+        val (out, ow, oh) =
+          graft.operators.ImageCodec.applyOrientation(src, w, h, o).get
+        assert(ow * oh == w * h)
+        assert((ow, oh) == (if (o >= 5) (h, w) else (w, h)))
+        assert(out.sorted.toSeq == src.sorted.toSeq, s"o=$o not a permutation")
+        val (back, bw, bh) = graft.operators.ImageCodec
+          .applyOrientation(out, ow, oh, inverse(o)).get
+        assert((bw, bh) == (w, h))
+        assert(back.toSeq == src.toSeq, s"inverse(${o}) failed")
+      }
+    }
+  }
+
   test("asOf equals the brute-force reference on random keyed series") {
     val rnd = new Random(42)
     val left = (1 to 200).map(i =>
