@@ -2395,6 +2395,43 @@ object ExtQueries {
       "SELECT event_type, band AS modal_band, n FROM r WHERE rk = 1 " +
       "ORDER BY event_type"
 
+  /** [[RelQueries.hhi]]: identical integer share/HHI algebra —
+    * cents via FLOOR·100, share in floor ppm of the nation total,
+    * HHI = Σ share² // 10⁶. */
+  private val relHhiSql: String =
+    s"WITH pc AS (SELECT o_custkey, " +
+      s"CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS cust_c " +
+      "FROM orders GROUP BY 1), " +
+      "sp AS (SELECT c.c_nationkey AS nk, p.cust_c FROM pc p " +
+      "JOIN customer c ON p.o_custkey = c.c_custkey), " +
+      "t AS (SELECT nk, CAST(SUM(cust_c) AS BIGINT) AS nation_c, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_buyers FROM sp GROUP BY 1), " +
+      "sh AS (SELECT s.nk, (s.cust_c * 1000000) // t.nation_c " +
+      "AS share_ppm FROM sp s JOIN t ON s.nk = t.nk), " +
+      "a AS (SELECT nk, CAST(SUM(share_ppm * share_ppm) AS BIGINT) " +
+      "AS sumsq, CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm " +
+      "FROM sh GROUP BY 1) " +
+      "SELECT n.n_name AS nation, t.n_buyers, t.nation_c, " +
+      "CAST(a.sumsq // 1000000 AS BIGINT) AS hhi_ppm, a.top_share_ppm " +
+      "FROM a JOIN t ON a.nk = t.nk " +
+      "JOIN nation n ON a.nk = n.n_nationkey ORDER BY nation"
+
+  /** [[RelQueries.interarrival]]: same (type, day)-partitioned lag on
+    * the (tsn, event_id) total order; cross-midnight gaps excluded in
+    * BOTH engines by construction. */
+  private val relInterarrivalSql: String =
+    "WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, " +
+      "epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+      "g AS (SELECT event_type, (tsn - lag(tsn) OVER " +
+      "(PARTITION BY event_type, day ORDER BY tsn, event_id)) // 1000 " +
+      "AS gap_us FROM ev) " +
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+      "CAST(MIN(gap_us) AS BIGINT) AS min_gap_us, " +
+      "CAST(MAX(gap_us) AS BIGINT) AS max_gap_us, " +
+      "CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us, " +
+      "CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us " +
+      "FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1"
+
   private val relPhoneticKeySql: String = {
     val collapsed = (0 to 6).foldLeft("dd") { (c, i) =>
       s"regexp_replace($c, '$i$i+', '$i', 'g')"
@@ -3502,6 +3539,10 @@ object ExtQueries {
     "rel_paths" -> (RelQueries.pathTrigrams(_, _)),
     // per-type mode with the tiebreak STATED (max n, smallest band)
     "rel_mode" -> (RelQueries.modalBand _),
+    // HHI revenue concentration per nation, exact integer ppm
+    "rel_hhi" -> (RelQueries.hhi _),
+    // inter-arrival gap profile, (type, day)-partitioned lag window
+    "rel_interarrival" -> (RelQueries.interarrival _),
     "rel_anomaly" -> (RelQueries.hourlyAnomaly _),
     // a-priori-pruned co-purchase pairs: broadcast item-support prune
     // before the orderkey self-join (downward closure)
@@ -3724,6 +3765,8 @@ object ExtQueries {
     "rel_skew_report" -> relSkewReportSql,
     "rel_paths" -> relPathsSql,
     "rel_mode" -> relModeSql,
+    "rel_hhi" -> relHhiSql,
+    "rel_interarrival" -> relInterarrivalSql,
     "rel_anomaly" -> relAnomalySql,
     "rel_basket" -> relBasketSql,
     "rel_benford" -> relBenfordSql,

@@ -1664,4 +1664,83 @@ object RelQueries {
       .orderBy(col("n_pair").desc, col("p1"), col("p2"))
       .limit(100)
   }
+
+  /** Revenue-concentration audit (r7 continuation): the
+    * Herfindahl–Hirschman index of customer spend per nation — the
+    * standard market-concentration measure, here answering the
+    * data-ops question "is this partition's revenue dominated by a
+    * handful of keys?" (the spend-side companion to [[skewReport]]'s
+    * row-count skew). Per customer: share_ppm = cust_c·10⁶ div
+    * nation_c (exact integer, floor); per nation:
+    * hhi_ppm = Σ share_ppm² div 10⁶ ∈ [0, 10⁶] (10⁶ = monopoly,
+    * 10⁶/n = perfectly even), plus the single largest share.
+    *
+    * Scale shape: ONE custkey-keyed aggregate over orders (partial-
+    * combinable) feeds both the 25-row nation totals and the share
+    * computation; totals and nation names join back by BROADCAST, so
+    * no window over a 25-value partition key ever touches the
+    * customer-level stream. Overflow-safe at ANY corpus scale:
+    * cust_c·10⁶ < 2⁶³ needs only per-CUSTOMER spend < $9.2·10¹⁰ (a
+    * per-key bound, not a per-corpus one), and Σ share_ppm² ≤
+    * max(s)·Σs ≤ 10¹² by construction. The per-customer aggregate
+    * lineage is recomputed for the totals branch rather than
+    * checkpointed — it is |customers|-sized (see [[basketPairs]]'s
+    * rescan-vs-checkpoint measurement for the tradeoff). */
+  def hhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val spend = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_custkey").agg(sum("price_c").as("cust_c"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), col("cust_c"))
+    val totals = spend.groupBy("nk")
+      .agg(sum("cust_c").as("nation_c"), count(lit(1)).as("n_buyers"))
+    spend.join(broadcast(totals), "nk")
+      .withColumn("share_ppm", expr("cust_c * 1000000 div nation_c"))
+      .groupBy("nk")
+      .agg(sum(expr("share_ppm * share_ppm")).as("sumsq"),
+        max("share_ppm").as("top_share_ppm"))
+      .join(broadcast(totals), "nk")
+      .join(broadcast(nat), col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_buyers"),
+        col("nation_c"), expr("sumsq div 1000000").as("hhi_ppm"),
+        col("top_share_ppm"))
+      .orderBy("nation")
+  }
+
+  /** Inter-arrival gap profile (r7 continuation): per event type, the
+    * distribution of gaps between consecutive events — the
+    * traffic-burstiness signal that sizes streaming micro-batches and
+    * feeds anomaly baselines ([[seasonality]] gives the weekly shape;
+    * this gives the microsecond texture). Gaps are taken WITHIN
+    * (event_type, UTC day) partitions on the deterministic
+    * (tsn, event_id) total order; avg_gap_us = Σgap div n (exact
+    * integer floor, both engines).
+    *
+    * Scale shape: the lag window is partitioned by (type, day) — the
+    * bounded-partition discipline that [[compactionPlanParts]]
+    * established (parallelism = |types|·|days|, growing with the
+    * corpus, never a |types|-way sort collapse). The cross-midnight
+    * gap per (type, day) is EXCLUDED by construction — stated, and
+    * identical in the oracle. The final per-type rollup is
+    * partial-combinable with a |types|-sized result. */
+  def interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerDay = 86400L * 1000000000L
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ts AS BIGINT)").as("tsn"),
+        expr(s"CAST(ts AS BIGINT) div $nanosPerDay").as("day"))
+      .withColumn("gap_us",
+        expr("(tsn - lag(tsn) OVER " +
+          "(PARTITION BY event_type, day ORDER BY tsn, event_id)) div 1000"))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"), sum("gap_us").as("sum_gap_us"))
+      .withColumn("avg_gap_us", expr("sum_gap_us div n_gaps"))
+      .orderBy("event_type")
+  }
 }

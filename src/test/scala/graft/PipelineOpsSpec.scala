@@ -1606,4 +1606,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got == expect)
   }
+
+  test("hhi matches a driver-side exact-integer recomputation at " +
+    "sf0.001; hhi_ppm in [10^6/n, 10^6] (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.hhi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val spend = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    val nk = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nname = spark.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val byNation = spend.toSeq.groupBy { case (ck, _) => nk(ck) }
+    val ref = byNation.map { case (n, cs) =>
+      val tot = cs.map(_._2).sum
+      val shares = cs.map { case (_, c) => c * 1000000L / tot }
+      (nname(n), cs.size.toLong, tot,
+        shares.map(s => s * s).sum / 1000000L, shares.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == ref)
+    got.foreach { case (_, n, _, hhi, top) =>
+      assert(hhi <= 1000000L && top <= 1000000L)
+      // floor-ppm shares can undershoot the even bound slightly, but
+      // never by more than n (one ulp per customer)
+      assert(hhi >= 1000000L / n - n)
+    }
+  }
+
+  test("interarrival matches a driver-side per-(type, day) gap walk " +
+    "at sf0.001; gaps are non-negative (r7)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.relational.RelQueries.interarrival(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val nd = 86400L * 1000000000L
+    val ev = graft.relational.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "event_id", "CAST(ts AS BIGINT) AS tsn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy { case (t, _, ts) => (t, ts / nd) }
+      .toSeq.flatMap { case ((t, _), rs) =>
+        val sorted = rs.map { case (_, id, ts) => (ts, id) }.sorted.toList
+        sorted.sliding(2).collect {
+          case Seq((a, _), (b, _)) => t -> ((b - a) / 1000L)
+        }
+      }
+    val ref = gaps.groupBy(_._1).map { case (t, gs) =>
+      val v = gs.map(_._2)
+      (t, v.size.toLong, v.min, v.max, v.sum, v.sum / v.size)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == ref)
+    got.foreach { case (_, n, mn, mx, sm, av) =>
+      assert(n > 0 && mn >= 0 && av >= mn && av <= mx && sm >= mx)
+    }
+  }
 }

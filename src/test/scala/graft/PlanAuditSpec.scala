@@ -368,4 +368,22 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"overlap join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"sort-merge overlap join:\n$p")
   }
+
+  test("rel_hhi joins its 25-row nation totals BROADCAST and plans " +
+    "NO window — the share stream is never sorted per nation (r7)") {
+    val p = plan("rel_hhi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"totals/name joins not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"rel_hhi plans a window over the customer stream:\n$p")
+  }
+
+  test("rel_interarrival's lag window is partitioned by (type, DAY) " +
+    "— bounded partitions, never a |types|-way sort collapse (r7)") {
+    val p = plan("rel_interarrival")
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert("windowspecdefinition\\(event_type[^)]*day".r
+      .findFirstIn(p).isDefined,
+      s"window partition key lacks the day bucket:\n$p")
+  }
 }
