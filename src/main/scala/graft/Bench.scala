@@ -97,6 +97,11 @@ object Bench {
       System.err.println(s"[bench-runs] $name " +
         samples(name).reverse.map(t => f"$t%.2f").mkString(","))
     }
+    // Per-query regression gate (r8, VERDICT r7 #3): diff against the
+    // PREVIOUS committed full record before overwriting it, and name
+    // every query moving >1.5x AND >0.3s — the dd_lsh_verified class
+    // of regression must not hide inside a green total.
+    reportRegressions(readPrevQueries(sfDir), results)
     // Full-fidelity record: the stdout ladder may fold the fastest
     // queries into "_rest" to fit the driver's 2 kB tail window, so
     // persist the complete 3-decimal per-query map to a file the
@@ -104,6 +109,57 @@ object Bench {
     writeFullRecord(results, sfDir)
     println(formatLine(results, sfDir))
     spark.stop()
+  }
+
+  /** Parse the `"queries":{...}` map out of a bench_full record.
+    * Self-authored fixed format (writeFullRecord), so a regex parse
+    * is exact — no JSON library needed on the product classpath. */
+  private[graft] def parseQueriesMap(json: String): Map[String, Double] = {
+    val body = json.indexOf("\"queries\":{") match {
+      case -1 => return Map.empty
+      case i =>
+        val start = i + "\"queries\":{".length
+        json.substring(start, json.indexOf('}', start))
+    }
+    val entry = "\"([^\"]+)\":([0-9.]+)".r
+    entry.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def readPrevQueries(sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(
+      s"bench_full_${sfDir.split('/').last}.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else try parseQueriesMap(java.nio.file.Files.readString(p))
+    catch { case _: Throwable => Map.empty }
+  }
+
+  /** Queries that regressed vs the previous record: >1.5x slower AND
+    * >0.3s absolute (both thresholds — a 2x move on a 50ms query is
+    * noise; a +0.4s move on a 10s query is <1.5x drift). Returns
+    * (name, prev, cur) sorted by absolute regression, worst first. */
+  private[graft] def regressionDiff(prev: Map[String, Double],
+      cur: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    cur.flatMap { case (name, t) =>
+      prev.get(name) match {
+        case Some(p) if t > p * 1.5 && t - p > 0.3 => Some((name, p, t))
+        case _ => None
+      }
+    }.sortBy { case (_, p, t) => p - t }
+
+  private def reportRegressions(prev: Map[String, Double],
+      cur: Seq[(String, Double)]): Unit = {
+    if (prev.isEmpty) {
+      System.err.println("[bench-regress] no previous record")
+      return
+    }
+    val regs = regressionDiff(prev, cur)
+    if (regs.isEmpty) System.err.println(
+      "[bench-regress] none (thresholds: >1.5x and >0.3s)")
+    else regs.foreach { case (name, p, t) =>
+      System.err.println(f"[bench-regress] $name prev=$p%.2fs " +
+        f"cur=$t%.2fs ratio=${t / p}%.2f")
+    }
   }
 
   private def writeFullRecord(results: Seq[(String, Double)],

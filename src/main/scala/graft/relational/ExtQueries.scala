@@ -397,6 +397,129 @@ object ExtQueries {
       "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
       "SELECT * FROM j WHERE contain_ppm >= 600000 ORDER BY doc_a, doc_b"
 
+  /** df-CAPPED shingle CTE chain (r8): the [[Dedup.dfCapShingles]]
+    * cap restated as `HAVING count(*) <= cap` on the shingle
+    * inverted index — ends in `sh(doc_id, sh)` holding only shingles
+    * whose document frequency is within the cap. */
+  private def cappedShinglesCte(n: Int, cap: Int): String =
+    s"ws AS ($wordsCte), " +
+      s"sh0 AS (SELECT doc_id, unnest(${shingleList(n)}) AS sh FROM ws), " +
+      s"dfok AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $cap), " +
+      "sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN dfok USING (sh))"
+
+  /** [[Dedup.ngramJaccardCapped]]: identical verify algebra as
+    * dd_ngram_jaccard over the df-capped shingle universe. */
+  private val ddNgramJaccardCappedSql: String =
+    s"WITH ${cappedShinglesCte(3, 50)}, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, n_inter, na.n + nb.n - n_inter AS n_union, " +
+      "CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) AS BIGINT) AS jaccard_ppm " +
+      "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
+      "SELECT * FROM j WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
+
+  /** [[Dedup.containmentCapped]]: df-capped containment twin. */
+  private val ddContainmentCappedSql: String =
+    s"WITH ${cappedShinglesCte(3, 50)}, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, n_inter, " +
+      "CAST(FLOOR(1000000.0 * n_inter / least(na.n, nb.n)) AS BIGINT) AS contain_ppm " +
+      "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
+      "SELECT * FROM j WHERE contain_ppm >= 600000 ORDER BY doc_a, doc_b"
+
+  /** Salted-hash doc-sample CTE shared by the sampled eval oracles:
+    * the IDENTICAL h31("recall:" || doc_id) % 100 predicate the Spark
+    * operators apply. */
+  private def recallSampCte(pct: Int): String =
+    "samp AS MATERIALIZED (SELECT doc_id FROM documents WHERE " +
+      s"${PH.h31Sql("'recall:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct)"
+
+  /** Sampled exact-Jaccard ground-truth CTE chain: shingle verify
+    * restricted to sampled docs only, ending in truth(doc_a, doc_b).
+    * Requires [[recallSampCte]] earlier in the WITH chain. */
+  private def sampledTruthCtes(minJaccardPpm: Long): String =
+    "wss AS (SELECT d.doc_id, string_split(d.text, ' ') AS w " +
+      "FROM documents d JOIN samp USING (doc_id)), " +
+      s"shs AS (SELECT doc_id, unnest(${shingleList(3)}) AS sh FROM wss), " +
+      "tsizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1), " +
+      "tinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS n_inter FROM shs a JOIN shs b ON a.sh = b.sh " +
+      "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "truth AS MATERIALIZED (SELECT doc_a, doc_b FROM tinter " +
+      "JOIN tsizes na ON na.doc_id = doc_a " +
+      "JOIN tsizes nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) " +
+      s"AS BIGINT) >= $minJaccardPpm)"
+
+  /** [[Dedup.lshRecallSampled]]: full-corpus MinHash banding under
+    * eval, ground truth and candidate restriction on the sampled doc
+    * set, the same four-count reduce as dd_lsh_recall. */
+  private val ddLshRecallSampledSql: String =
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band " +
+      "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      s"${recallSampCte(30)}, " +
+      s"${sampledTruthCtes(750000L)}, " +
+      "cs AS MATERIALIZED (SELECT c.doc_a, c.doc_b FROM cand c " +
+      "JOIN samp a ON a.doc_id = c.doc_a " +
+      "JOIN samp b ON b.doc_id = c.doc_b), " +
+      "t AS (SELECT count(*) AS n_truth FROM truth), " +
+      "c2 AS (SELECT count(*) AS n_candidates FROM cs), " +
+      "h AS (SELECT count(*) AS n_hits FROM truth " +
+      "JOIN cs USING (doc_a, doc_b)) " +
+      "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+      "CAST(n_candidates AS BIGINT) AS n_candidates, " +
+      "CAST(n_hits AS BIGINT) AS n_hits, " +
+      "CAST(CASE WHEN n_truth = 0 THEN 1000000 " +
+      "ELSE (n_hits * 1000000) // n_truth END AS BIGINT) AS recall_ppm, " +
+      "CAST(CASE WHEN n_candidates = 0 THEN 1000000 " +
+      "ELSE (n_hits * 1000000) // n_candidates END AS BIGINT) " +
+      "AS precision_ppm FROM t, c2, h"
+
+  /** One blocker's sampled count row for [[ddBlockerRecallSql]]:
+    * counts + ppm ratios against the shared `truth` CTE. */
+  private def blockerCountSelect(name: String, candCte: String): String =
+    s"SELECT '$name' AS blocker, CAST(t.n AS BIGINT) AS n_truth, " +
+      "CAST(c.n AS BIGINT) AS n_candidates, " +
+      "CAST(h.n AS BIGINT) AS n_hits, " +
+      "CAST(CASE WHEN t.n = 0 THEN 1000000 " +
+      "ELSE (h.n * 1000000) // t.n END AS BIGINT) AS recall_ppm, " +
+      "CAST(CASE WHEN c.n = 0 THEN 1000000 " +
+      "ELSE (h.n * 1000000) // c.n END AS BIGINT) AS precision_ppm " +
+      "FROM (SELECT count(*) AS n FROM truth) t, " +
+      s"(SELECT count(*) AS n FROM $candCte) c, " +
+      s"(SELECT count(*) AS n FROM truth JOIN $candCte " +
+      "USING (doc_a, doc_b)) h"
+
+  /** [[Dedup.blockerRecallReport]] (r8): all four blocking families
+    * rebuilt from their own oracle SQL (nested WITH subqueries, the
+    * pipelineCurateSql pattern), each restricted to sampled ends and
+    * scored against the SAME sampled exact ground truth. lazy: the
+    * SNM oracle is declared later in this object. */
+  private lazy val ddBlockerRecallSql: String = {
+    def restricted(cteName: String, sql: String): String =
+      s"$cteName AS MATERIALIZED (SELECT c.doc_a, c.doc_b FROM " +
+        s"(SELECT doc_a, doc_b FROM ($sql)) c " +
+        "JOIN samp a ON a.doc_id = c.doc_a " +
+        "JOIN samp b ON b.doc_id = c.doc_b)"
+    s"WITH ${recallSampCte(30)}, " +
+      s"${sampledTruthCtes(750000L)}, " +
+      s"${restricted("mh", ddMinhashSql)}, " +
+      s"${restricted("oph", ddOphSql)}, " +
+      s"${restricted("snm", ddSortedNeighborhoodSql)}, " +
+      s"${restricted("win", ddWinnowPairsSql)} " +
+      s"SELECT * FROM (${blockerCountSelect("minhash", "mh")} " +
+      s"UNION ALL ${blockerCountSelect("oph", "oph")} " +
+      s"UNION ALL ${blockerCountSelect("snm", "snm")} " +
+      s"UNION ALL ${blockerCountSelect("winnow", "win")}) " +
+      "ORDER BY blocker"
+  }
+
   /** lag() inter-event gaps: DuckDB's window semantics match Spark's
     * exactly for a total-ordered frame; `//` floors like `div`. */
   /** Word-familiarity: df = distinct-doc count per token, CUT to
@@ -2372,14 +2495,18 @@ object ExtQueries {
       "AS skew_x1000 FROM t, p ORDER BY t.n DESC, t.user_id"
 
   /** [[RelQueries.pathTrigrams]]: same per-user lead() pair on the
-    * identical (us, event_id) total order, same bounded aggregate and
-    * deterministic top-k. */
+    * identical (tsn, event_id) total order — NANOS, not micros
+    * (r8, ADVICE r7): the Spark side orders on Tables.events' epoch-
+    * nanos ts, so the oracle must use the same key or two events in
+    * the same microsecond (possible on the int64-nanos testdata
+    * vintage) would order differently in the two engines. Same
+    * bounded aggregate and deterministic top-k. */
   private val relPathsSql: String =
-    "WITH e AS (SELECT user_id, event_type AS s1, epoch_us(ts) AS us, " +
+    "WITH e AS (SELECT user_id, event_type AS s1, epoch_ns(ts) AS tsn, " +
       "event_id FROM events), " +
       "l AS (SELECT s1, " +
-      "lead(s1, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s2, " +
-      "lead(s1, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s3 " +
+      "lead(s1, 1) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS s2, " +
+      "lead(s1, 2) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS s3 " +
       "FROM e) " +
       "SELECT s1, s2, s3, COUNT(*) AS n FROM l " +
       "WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3 " +
@@ -3318,7 +3445,15 @@ object ExtQueries {
     "dd_canonical_quality" -> ((s, d) =>
       Dedup.canonicalByQuality(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dd_ngram_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardCapped(Tables.documents(s, d))),
     "dd_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
+    "dd_containment_capped" -> ((s, d) =>
+      Dedup.containmentCapped(Tables.documents(s, d))),
+    "dd_lsh_recall_sampled" -> ((s, d) =>
+      Dedup.lshRecallSampled(Tables.documents(s, d))),
+    "dd_blocker_recall" -> ((s, d) =>
+      Dedup.blockerRecallReport(Tables.documents(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_embed_incremental" -> ((s, d) =>
@@ -3657,7 +3792,11 @@ object ExtQueries {
     "dd_cluster_stats" -> ddClusterStatsSql,
     "dd_canonical_quality" -> ddCanonicalQualitySql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_ngram_jaccard_capped" -> ddNgramJaccardCappedSql,
     "dd_containment" -> ddContainmentSql,
+    "dd_containment_capped" -> ddContainmentCappedSql,
+    "dd_lsh_recall_sampled" -> ddLshRecallSampledSql,
+    "dd_blocker_recall" -> ddBlockerRecallSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

@@ -1495,9 +1495,20 @@ object RelQueries {
     *   z² = d²·n / (n1·n2·s·(n−s)),  d = s1·n2 − s2·n1,
     *   s = s1+s2, n = n1+n2
     *   significant ⇔ 10000·d²·n > 38416·n1·n2·s·(n−s)
-    * evaluated in DECIMAL(38,0)/HUGEINT — exact while the right side
-    * stays under 10³⁸ (arms up to ~10⁸ rows; beyond, pre-scale counts
-    * — at 100 TB an experiment readout aggregates first anyway).
+    * evaluated in DECIMAL(38,0)/HUGEINT — exact while BOTH sides stay
+    * under 10³⁸. The binding constraint is the LEFT side (r8, ADVICE
+    * r7 — the earlier note bounded only the right): d = s1·n2 − s2·n1
+    * can reach n1·n2, so d²·n·10⁴ ≤ (n1·n2)²·n·10⁴, which crosses
+    * 10³⁸ at arms of ~5·10⁶ rows worst-case (not 10⁸). Beyond that,
+    * non-ANSI Spark decimal overflow would yield NULL and silently
+    * report significant = 0, so the query GUARDS: a double-precision
+    * magnitude check (10% headroom below 10³⁸ dwarfs the ~10⁻¹⁶
+    * double error) raises instead of mis-reporting — pre-scale counts
+    * (divide both arms by a common factor; the z² inequality is
+    * scale-invariant up to the integer floor) to go bigger. At 100 TB
+    * an experiment readout aggregates first anyway, so real arm
+    * COUNTS here are event counts per type — the guard names the
+    * fix when a corpus actually trips it.
     * Shape: one |types|-sized hash-aggregate (map-side partial over
     * the full scan), then a trivially-broadcast pair self-join of the
     * tiny arm table. */
@@ -1516,6 +1527,22 @@ object RelQueries {
         expr("(s1 * 1000000) div n1").as("conv1_ppm"),
         expr("(s2 * 1000000) div n2").as("conv2_ppm"),
         expr("CAST(CASE WHEN " +
+          // fail-fast overflow guard: either side nearing the
+          // DECIMAL(38,0) ceiling means the exact compare below could
+          // NULL out (non-ANSI) and silently report 0
+          // d in pure DOUBLE (a LONG s1*n2 could itself wrap before
+          // any cast at extreme arms; cancellation error ~1e-16·terms
+          // is irrelevant against the 9e37 threshold)
+          "pow(CAST(s1 AS DOUBLE)*CAST(n2 AS DOUBLE) " +
+          "- CAST(s2 AS DOUBLE)*CAST(n1 AS DOUBLE), 2) * " +
+          "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e4 > 9e37 " +
+          "OR 38416.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+          "(CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) * " +
+          "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) " +
+          "- CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE)) > 9e37 " +
+          "THEN CAST(raise_error('abTest: arm sizes exceed the exact " +
+          "DECIMAL(38,0) z-test bound (~5e6 rows/arm worst case); " +
+          "pre-scale the counts') AS INT) WHEN " +
           "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
           "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
           "CAST((n1+n2) * 10000 AS DECIMAL(38,0)) > " +
@@ -1542,7 +1569,18 @@ object RelQueries {
     * carry_in + max(within-hour running sum). Tie order inside an
     * (t, delta) group cannot change the max (equal deltas commute);
     * ends sort before starts at equal t (delta asc), so back-to-back
-    * sessions never double-count. */
+    * sessions never double-count.
+    *
+    * OUTPUT CONTRACT (r8, ADVICE r7 — stated explicitly): rows exist
+    * only for hours containing at least one session START or END
+    * boundary. An hour fully inside long-running sessions (constant
+    * concurrency, no boundary) is ABSENT, not zero — consumers
+    * reading the profile as a dense series must carry the previous
+    * boundary hour's carry_in forward (for a boundary-free hour the
+    * concurrency is exactly the next emitted row's carry_in; an
+    * hour-spine densification is a trivial downstream join against
+    * a sequence() table and is deliberately not baked in here — the
+    * sparse form is what a 100 TB capacity scan wants to ship). */
   def sessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
     val gapUs = 6L * 3600 * 1000000
     val usPerHour = 3600L * 1000000L

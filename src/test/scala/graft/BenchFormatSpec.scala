@@ -95,6 +95,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(f"""\"value\":$total%.3f"""))
   }
 
+  test("regression gate: flags >1.5x AND >0.3s movers only, worst " +
+    "first; parse round-trips the full record format (r8)") {
+    val prevLine = Bench.formatLine(
+      Seq("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 0.05), "sf0.1")
+    val prev = Bench.parseQueriesMap(prevLine)
+    assert(prev == Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 0.05))
+    val cur = Seq(
+      "a" -> 2.5,  // 2.5x and +1.5s → flagged
+      "b" -> 0.3,  // 3x but only +0.2s → absolute threshold holds it
+      "c" -> 2.9,  // +0.9s but 1.45x → ratio threshold holds it
+      "d" -> 1.0,  // 20x and +0.95s → flagged
+      "e" -> 9.9)  // new query, no previous → never flagged
+    val regs = Bench.regressionDiff(prev, cur)
+    assert(regs == Seq(("a", 1.0, 2.5), ("d", 0.05, 1.0)))
+    assert(Bench.regressionDiff(Map.empty, cur).isEmpty)
+    assert(Bench.parseQueriesMap("not json at all").isEmpty)
+  }
+
   test("line is locale-stable JSON with the declared fields") {
     val line = Bench.formatLine(Seq("q1" -> 1.5, "q2" -> 0.25), "sfX")
     assert(line == """{"metric":"total","value":1.750,"unit":"sec","queries":{"q1":1.50,"q2":0.25},"sf":"sfX"}""")

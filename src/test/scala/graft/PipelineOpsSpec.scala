@@ -1231,6 +1231,94 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nt > 0, "fixture corpus has planted near-dups")
   }
 
+  test("df-capped exact verify: a boilerplate shingle shared by " +
+    "> maxDf docs is dropped whole; rare-run pairs survive (r8)") {
+    // Every doc ends in the same 5-word boilerplate tail (3 shingles
+    // at df = 59 > cap); docs 1 and 2 share a RARE 6-word run (4
+    // shingles at df = 2). Under the cap the boilerplate universe
+    // disappears: the 1,600+ boilerplate-only pairs vanish and the
+    // one real pair scores HIGHER (the everyone-has-it noise no
+    // longer dilutes doc 1's set size).
+    val d = docs(((3L to 60L).map(i =>
+      i -> s"u$i v$i w$i x$i y$i z$i the quick brown fox jumps") ++ Seq(
+      1L -> "zeta eta theta iota kappa lambda the quick brown fox jumps",
+      2L -> "zeta eta theta iota kappa lambda over the lazy dog today")): _*)
+    val capped = Dedup.ngramJaccardCapped(d, minJaccardPpm = 0L,
+      maxDf = 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    assert(capped.length == 1, "boilerplate-only pairs must vanish")
+    assert(capped.head._1 == (1L, 2L))
+    // doc1 keeps 6 capped shingles, doc2 all 9; 4 shared:
+    // floor(4e6 / (6 + 9 - 4)) = 363636
+    assert(capped.head._2 == 363636L)
+    val uncapped = Dedup.ngramJaccard(d, minJaccardPpm = 0L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(uncapped((1L, 2L)) == 285714L) // floor(4e6 / (9 + 9 - 4))
+    assert(uncapped.size > 1600, "uncapped joins every boilerplate pair")
+    // a cap that doesn't bite is the identity on both measures
+    val wide = Dedup.ngramJaccardCapped(d, minJaccardPpm = 0L,
+      maxDf = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(wide == uncapped)
+    val cWide = Dedup.containmentCapped(d, minContainPpm = 0L,
+      maxDf = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val cUn = Dedup.containment(d, minContainPpm = 0L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(cWide == cUn)
+  }
+
+  /** Driver-side restatement of the portable salted recall sample. */
+  private def inRecallSample(id: Long): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"recall:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16) % 2147483647L % 100 < 30
+  }
+
+  test("lshRecallSampled: counts reconcile with a driver-side " +
+    "sampled truth and both-ends-sampled candidate set (r8)") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val nDocs = d.count()
+    val sampIds = d.select("doc_id").collect().map(_.getLong(0))
+      .filter(inRecallSample).toSet
+    assert(sampIds.nonEmpty && sampIds.size * 2 < nDocs,
+      s"~30% sample expected, got ${sampIds.size} of $nDocs")
+    val truth = Dedup.ngramJaccard(
+        d.where(col("doc_id").isInCollection(sampIds)),
+        minJaccardPpm = 750000L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(d).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => sampIds(p._1) && sampIds(p._2)).toSet
+    val Array(row) = Dedup.lshRecallSampled(d).collect()
+    val (nt, nc, nh) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nt == truth.size && nc == cand.size)
+    assert(nh == (truth intersect cand).size)
+    assert(row.getLong(3) == (if (nt == 0) 1000000L else nh * 1000000L / nt))
+    assert(row.getLong(4) == (if (nc == 0) 1000000L else nh * 1000000L / nc))
+  }
+
+  test("blockerRecallReport: one row per blocker against one shared " +
+    "truth; hit counts bounded by both sides (r8)") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val rows = Dedup.blockerRecallReport(d).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("minhash", "oph", "snm", "winnow"))
+    val truths = rows.map(_.getLong(1)).distinct
+    assert(truths.length == 1 && truths.head > 0,
+      "all blockers score against the SAME sampled truth")
+    rows.foreach { r =>
+      val (nt, nc, nh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nh <= math.min(nt, nc))
+      assert(r.getLong(4) == (if (nt == 0) 1000000L else nh * 1000000L / nt))
+      assert(r.getLong(5) == (if (nc == 0) 1000000L else nh * 1000000L / nc))
+    }
+  }
+
   test("knnBitsig matches a driver-side sign-signature Hamming " +
     "top-k at sf0.001 (r7)") {
     val emb = graft.relational.Tables
