@@ -561,6 +561,74 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Inverse of each EXIF orientation in the dihedral group D4
+    * (index 0 unused): 6 (rotate 90 CW to display) inverts to 8
+    * (rotate 90 CCW) and vice versa; every other transform is an
+    * involution. Pinned by the r7 group-law property spec
+    * (applyOrientation(applyOrientation(r, inv(o)), o) == r). */
+  private val InvOrient: Array[Int] = Array(0, 1, 2, 3, 4, 5, 8, 7, 6)
+
+  /** Rotated/flipped-duplicate fixtures (r8, VERDICT r7 #6 — the
+    * EXIF-carrying crawl case): the SAME grouped upright pixel
+    * formula as [[syntheticGroupRasters]] but grayscale throughout,
+    * each doc STORED pre-transformed by the inverse of its
+    * orientation o = 1 + doc_id % 8 — i.e. the camera wrote the
+    * raster sideways and the catalog carries o, exactly what EXIF
+    * orientation means. Members of a group are visual near-dups of
+    * each other, but their STORED rasters are mutually rotated —
+    * a hash over raw stored pixels cannot pair them. Every 13th doc
+    * is truncated (the DLT arm). */
+  def syntheticOrientedRasters(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val g = id / 4
+        val m = id % 4
+        val w = 8 + (g % 5).toInt
+        val h = 8 + (g % 3).toInt
+        val k = 3 + (g % 97)
+        val upright = Array.tabulate(w * h)(i =>
+          ((i.toLong * k + g * 11 +
+            (if (i % 37 == 0) m * 24 else 0)) % 256).toByte)
+        val o = (1 + id % 8).toInt
+        val (stored, sw, sh) = ImageCodec
+          .applyOrientation(upright, w, h, InvOrient(o)).get
+        val full = ImageCodec.pnmRasterBytes(sw, sh, grayscale = true,
+          pixel = i => stored(i) & 0xff)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 12) else full)
+      }
+  }
+
+  /** Orientation-NORMALIZED perceptual hash (r8): decode the stored
+    * (rotated) raster, apply the catalog orientation via
+    * [[ImageCodec.applyOrientation]], THEN aHash — so a 90°-rotated
+    * or mirrored duplicate hashes identically to its upright twin and
+    * [[graft.operators.Dedup.imageNearDup]] pairs them. This is the
+    * composition [[imagePhash]]'s r7 caveat called for: normalization
+    * between decode and featurize, still row-local (zero shuffle
+    * added). The oracle recomputes the hash from the UPRIGHT formula
+    * without ever seeing a rotated byte — a wrong inverse mapping
+    * (mirrored axis, CW/CCW swap, missed dim swap) fails the hash.
+    * Corrupt payloads → the −1 DLT row, excluded from pairing. */
+  def imagePhashOriented(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticOrientedRasters(docs).mapPartitions(_.map { d =>
+      val o = (1 + d.doc_id % 8).toInt
+      ImageCodec.parsePnmRaster(d.payload) match {
+        case Some(img) if img.channels == 1 =>
+          ImageCodec.applyOrientation(img.raster, img.width, img.height,
+              o) match {
+            case Some((up, uw, uh)) if uw >= 8 && uh >= 8 =>
+              val (hi, lo) = ImageCodec.averageHash(up, uw, uh, 1)
+              PhashRow(d.doc_id, uw.toLong, uh.toLong, 1L, hi, lo)
+            case _ => PhashRow(d.doc_id, -1L, -1L, -1L, -1L, -1L)
+          }
+        case _ => PhashRow(d.doc_id, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   final case class IcoStatsRow(doc_id: Long, n_images: Long,
       n_visible: Long, peak: Long, wsum: Long)
 
