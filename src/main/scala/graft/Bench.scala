@@ -34,10 +34,17 @@ object Bench {
     * production query is its own cluster job with its own executors,
     * so per-query cleanup is the faithful cost model, not a cheat.
     * Safe mid-suite: every timed sample rebuilds its plan from
-    * scratch, so no later run reads an unpersisted block. */
+    * scratch, so no later run reads an unpersisted block. Blocking
+    * (r9, ADVICE r8): the call sits OUTSIDE the timed region, and an
+    * async eviction could overlap the start of the next timed sample
+    * — pay the wait here so the measurement starts clean. Invariant
+    * this enforces on query registration: no query may intentionally
+    * cache across bench samples (each sample must rebuild from
+    * scratch); a family that needs cross-run state belongs in its
+    * own harness, not SparkEntry.queries. */
   private def dropLeftoverBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
 
   /** Fixed-work calibration probe: hash-reduce a constant in-memory
     * range. Pure CPU, no IO, no shuffle — its wall time moves ONLY
@@ -138,7 +145,12 @@ object Bench {
       case -1 => return Map.empty
       case i =>
         val start = i + "\"queries\":{".length
-        json.substring(start, json.indexOf('}', start))
+        // a record truncated before the closing '}' (partial write /
+        // clipped tail) must parse as empty, not throw (r9, ADVICE r8)
+        json.indexOf('}', start) match {
+          case -1 => return Map.empty
+          case end => json.substring(start, end)
+        }
     }
     val entry = "\"([^\"]+)\":([0-9.]+)".r
     entry.findAllMatchIn(body)

@@ -2157,6 +2157,71 @@ object ExtQueries {
       "bit_count(xor(a.hash_lo, b.hash_lo)) <= 3 " +
       "ORDER BY doc_a, doc_b"
 
+  /** Oriented-fixture twin of [[mmPhashBaseSql]] (r9): the
+    * [[Multimodal.syntheticOrientedRasters]] corpus stores each
+    * raster PRE-ROTATED by the inverse of its EXIF orientation
+    * o = 1 + doc_id % 8, and [[Multimodal.imagePhashOriented]]
+    * decodes + orientation-normalizes BEFORE hashing — so the oracle
+    * recomputes the hash from the UPRIGHT pixel formula without ever
+    * seeing a rotated byte. Any wrong inverse mapping on the Spark
+    * side (mirrored axis, CW/CCW swap, missed dim swap) produces a
+    * different normalized raster and fails the hash. Grayscale
+    * (c = 1) so the gray-collapse CTE drops out; upright dims
+    * w = 8 + g%5, h = 8 + g%3, pixel i = (i·k + g·11 + [i%37=0]·m·24)
+    * mod 256 with k = 3 + g%97 — the exact fixture literals. */
+  private val mmPhashOrientedBaseSql: String =
+    "WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents), " +
+      "p AS (SELECT doc_id, g, m, 8 + g % 5 AS w, 8 + g % 3 AS h, " +
+      "3 + g % 97 AS k FROM d), " +
+      "px AS (SELECT doc_id, w, h, k, g, m, unnest(range(0, w * h)) AS i FROM p), " +
+      "v AS (SELECT doc_id, w, h, i // w AS iy, i % w AS ix, " +
+      "(i * k + g * 11 + CASE WHEN i % 37 = 0 THEN m * 24 ELSE 0 END) % 256 AS pv " +
+      "FROM px), " +
+      "cell AS (SELECT doc_id, (iy * 8) // h AS cy, (ix * 8) // w AS cx, " +
+      "SUM(pv) // COUNT(*) AS cv FROM v GROUP BY doc_id, w, h, cy, cx), " +
+      "mu AS (SELECT doc_id, SUM(cv) // 64 AS mean FROM cell GROUP BY doc_id), " +
+      "hs AS (SELECT cell.doc_id, " +
+      "CAST(SUM(CASE WHEN cv > mean AND cy * 8 + cx >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << (cy * 8 + cx - 32)) ELSE 0 END) AS BIGINT) AS hash_hi, " +
+      "CAST(SUM(CASE WHEN cv > mean AND cy * 8 + cx < 32 " +
+      "THEN (CAST(1 AS BIGINT) << (cy * 8 + cx)) ELSE 0 END) AS BIGINT) AS hash_lo " +
+      "FROM cell JOIN mu ON cell.doc_id = mu.doc_id GROUP BY cell.doc_id)"
+
+  /** Every 13th payload is truncated in the fixture (the corrupt-file
+    * DLT arm) → the all-(−1) row, restated here as the CASE guard. */
+  private val mmPhashOrientedSql: String =
+    mmPhashOrientedBaseSql +
+      " SELECT p.doc_id, " +
+      "CASE WHEN p.doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE CAST(p.w AS BIGINT) END AS width, " +
+      "CASE WHEN p.doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE CAST(p.h AS BIGINT) END AS height, " +
+      "CASE WHEN p.doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE CAST(1 AS BIGINT) END AS channels, " +
+      "CASE WHEN p.doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE hash_hi END AS hash_hi, " +
+      "CASE WHEN p.doc_id % 13 = 0 THEN CAST(-1 AS BIGINT) " +
+      "ELSE hash_lo END AS hash_lo " +
+      "FROM p JOIN hs ON p.doc_id = hs.doc_id ORDER BY p.doc_id"
+
+  /** [[ddImageNearDupSql]]'s guarantee-verification pattern over the
+    * oriented corpus: brute-force hamming over the upright-formula
+    * hashes, with the fixture's truncated (doc_id % 13 = 0) docs
+    * excluded exactly as the Spark side's hash_hi >= 0 filter drops
+    * DLT rows before banding. A pair of mutually-ROTATED duplicates
+    * appears here iff normalization made their hashes near — raw
+    * stored-pixel hashing cannot produce these pairs. */
+  private val ddImageNearDupOrientedSql: String =
+    mmPhashOrientedBaseSql +
+      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.hash_hi, b.hash_hi)) + " +
+      "bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 <> 0 " +
+      "AND bit_count(xor(a.hash_hi, b.hash_hi)) + " +
+      "bit_count(xor(a.hash_lo, b.hash_lo)) <= 3 " +
+      "ORDER BY doc_a, doc_b"
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -2351,10 +2416,25 @@ object ExtQueries {
       "CAST(b.n AS BIGINT) AS n2, CAST(b.s AS BIGINT) AS s2, " +
       "CAST((a.s * 1000000) // a.n AS BIGINT) AS conv1_ppm, " +
       "CAST((b.s * 1000000) // b.n AS BIGINT) AS conv2_ppm, " +
+      // the engine's overflow guard, restated (r9, ADVICE r8): in the
+      // (9e37, ~1.7e38] band HUGEINT would still be exact where
+      // Spark's DECIMAL(38,0) is not — without the twin guard the
+      // engines DIVERGE at the boundary (Spark raises, DuckDB rows).
+      // error() is DuckDB's raise_error; lazily evaluated like CASE.
       "CAST(CASE WHEN " +
+      "pow(CAST(a.s AS DOUBLE)*CAST(b.n AS DOUBLE) " +
+      "- CAST(b.s AS DOUBLE)*CAST(a.n AS DOUBLE), 2) * " +
+      "(CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) * 1e4 > 9e37 " +
+      "OR 38416.0 * CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE) * " +
+      "(CAST(a.s AS DOUBLE) + CAST(b.s AS DOUBLE)) * " +
+      "(CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) " +
+      "- CAST(a.s AS DOUBLE) - CAST(b.s AS DOUBLE)) > 9e37 " +
+      "THEN CAST(error('abTest: arm sizes exceed the exact " +
+      "DECIMAL(38,0) z-test bound (~5e6 rows/arm worst case); " +
+      "pre-scale the counts') AS INT) WHEN " +
       "CAST(a.s*b.n - b.s*a.n AS HUGEINT) * " +
       "CAST(a.s*b.n - b.s*a.n AS HUGEINT) * " +
-      "CAST((a.n+b.n) * 10000 AS HUGEINT) > " +
+      "(CAST(a.n+b.n AS HUGEINT) * 10000) > " +
       "CAST(38416 AS HUGEINT) * CAST(a.n AS HUGEINT) * " +
       "CAST(b.n AS HUGEINT) * CAST(a.s+b.s AS HUGEINT) * " +
       "CAST((a.n+b.n)-(a.s+b.s) AS HUGEINT) " +
@@ -3657,6 +3737,14 @@ object ExtQueries {
     "mm_audio_ulaw" -> ((s, d) => Multimodal.audioUlawStats(Tables.documents(s, d))(s)),
     "dd_image_neardup" -> ((s, d) =>
       Dedup.imageNearDup(Multimodal.imagePhash(Tables.documents(s, d))(s))),
+    // r9: EXIF-orientation-normalized visual dedup — decode the
+    // stored (rotated) raster, apply catalog orientation, THEN aHash;
+    // rotated/mirrored duplicates pair, raw-pixel hashing cannot
+    "mm_phash_oriented" -> ((s, d) =>
+      Multimodal.imagePhashOriented(Tables.documents(s, d))(s)),
+    "dd_image_neardup_oriented" -> ((s, d) =>
+      Dedup.imageNearDup(
+        Multimodal.imagePhashOriented(Tables.documents(s, d))(s))),
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
     // l-diversity: the leak k-anonymity can't see (uniform sensitive)
     "rel_ldiversity" -> ((s, d) => RelQueries.lDiversity(s, d)),
@@ -3895,6 +3983,8 @@ object ExtQueries {
     "mm_jpeg_rgb_stats" -> mmJpegRgbStatsSql,
     "mm_audio_ulaw" -> mmAudioUlawSql,
     "dd_image_neardup" -> ddImageNearDupSql,
+    "mm_phash_oriented" -> mmPhashOrientedSql,
+    "dd_image_neardup_oriented" -> ddImageNearDupOrientedSql,
     "rel_kanon" -> relKanonSql,
     "rel_ldiversity" -> relLdiversitySql,
     "rel_skew_join" -> relSkewJoinSql,

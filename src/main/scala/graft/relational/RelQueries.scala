@@ -1545,7 +1545,11 @@ object RelQueries {
           "pre-scale the counts') AS INT) WHEN " +
           "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
           "CAST(s1*n2 - s2*n1 AS DECIMAL(38,0)) * " +
-          "CAST((n1+n2) * 10000 AS DECIMAL(38,0)) > " +
+          // cast BEFORE multiplying (r9, ADVICE r8): (n1+n2)*10000 in
+          // LONG wraps for n1+n2 > ~9.2e14 — masked today only because
+          // such inputs trip the guard or have d = 0, but the exact
+          // arm must not rely on that
+          "(CAST(n1+n2 AS DECIMAL(38,0)) * 10000) > " +
           "CAST(38416 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)) * " +
           "CAST(n2 AS DECIMAL(38,0)) * CAST(s1+s2 AS DECIMAL(38,0)) * " +
           "CAST((n1+n2)-(s1+s2) AS DECIMAL(38,0)) " +

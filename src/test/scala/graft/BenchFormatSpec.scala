@@ -111,6 +111,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(regs == Seq(("a", 1.0, 2.5), ("d", 0.05, 1.0)))
     assert(Bench.regressionDiff(Map.empty, cur).isEmpty)
     assert(Bench.parseQueriesMap("not json at all").isEmpty)
+    // record truncated BEFORE the closing '}' of the queries map
+    // (partial write / clipped tail) → empty, not StringIndexOOB
+    assert(Bench.parseQueriesMap(
+      """{"metric":"total","queries":{"a":1.0,"b":2""").isEmpty)
+    assert(Bench.parseQueriesMap("""{"queries":{""").isEmpty)
   }
 
   test("line is locale-stable JSON with the declared fields") {

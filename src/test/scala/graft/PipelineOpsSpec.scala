@@ -1120,6 +1120,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       "same-group images should pair")
   }
 
+  test("imagePhashOriented normalizes stored rotation: hashes equal " +
+    "the UPRIGHT-formula aHash; truncated docs -> DLT rows; " +
+    "rotated group members pair under imageNearDup") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val ph = graft.operators.Multimodal.imagePhashOriented(d)(spark)
+    val rows = ph.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 13 == 0) {
+        // truncated payload: the corrupt-file DLT arm
+        assert((1 to 5).forall(i => r.getLong(i) == -1L),
+          s"doc $id should be the -1 DLT row")
+      } else {
+        // recompute the upright raster straight from the fixture
+        // formula — the oracle's view, which never sees a rotated byte
+        val g = id / 4; val m = id % 4
+        val w = (8 + g % 5).toInt; val h = (8 + g % 3).toInt
+        val k = 3 + (g % 97)
+        val upright = Array.tabulate(w * h)(i =>
+          ((i.toLong * k + g * 11 +
+            (if (i % 37 == 0) m * 24 else 0)) % 256).toByte)
+        val (hi, lo) = graft.operators.ImageCodec
+          .averageHash(upright, w, h, 1)
+        assert(r.getLong(1) == w && r.getLong(2) == h,
+          s"doc $id: normalized dims must be the UPRIGHT dims")
+        assert(r.getLong(4) == hi && r.getLong(5) == lo,
+          s"doc $id: normalized hash must equal the upright-formula hash")
+      }
+    }
+    // the point of the composition: mutually-ROTATED duplicates pair
+    val pairs = Dedup.imageNearDup(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists { case (a, b) =>
+      a / 4 == b / 4 && (1 + a % 8) != (1 + b % 8) },
+      "differently-oriented members of a group must pair after " +
+        "normalization")
+    assert(pairs.forall { case (a, b) => a % 13 != 0 && b % 13 != 0 })
+  }
+
   test("kAnonymity flags classes smaller than k; bands floor " +
     "negative balances downward") {
     val q = graft.relational.RelQueries
