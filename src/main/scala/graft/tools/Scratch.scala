@@ -30,7 +30,35 @@ object Scratch {
     ()
   }
 
+  /** r9 probe: blockerRecallReport wall time after the shared
+    * hashed-shingle build + row-local sample restriction (compare
+    * against the 7.5 s r8 bench record). `runMain graft.tools.Scratch
+    * blocker [sfDir]`. */
+  private def blockerMain(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(): Unit =
+      materialize(graft.operators.Dedup.blockerRecallReport(docs))
+    def clean(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    run(); clean()
+    for (i <- 1 to 3) { time(s"blockerRecallReport #$i")(run()); clean() }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("blocker")) {
+      blockerMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
