@@ -520,6 +520,37 @@ object ExtQueries {
       "ORDER BY blocker"
   }
 
+  /** [[Dedup.embedBlockerRecall]] (r9): the vector-side blocker eval
+    * — sign-LSH band candidates and same-k-means-cell (IVF partition)
+    * candidates, each restricted to sampled ends, against EXACT
+    * quantized-cosine ≥ 400000 ppm truth over all pairs of the salted
+    * vector sample. Reuses the kmeans CTE chain (a3 = final
+    * assignment, the dd_kmeans oracle), the sign-bands CTE
+    * (dd_embed_neardup) and [[blockerCountSelect]]; pair columns are
+    * aliased doc_a/doc_b so the shared count select applies
+    * unchanged. lazy: kmeansCtes helpers are declared later. */
+  private lazy val ddEmbedBlockerRecallSql: String = {
+    val pct = 50
+    def vsamp(c: String): String =
+      s"${PH.h31Sql(s"'recall:' || CAST($c AS VARCHAR)")} % 100 < $pct"
+    s"WITH ${kmeansCtes("8", 2)}, ${signBandsCte(4, 4)}, " +
+      "truth AS MATERIALIZED (SELECT x.vec_id AS doc_a, " +
+      "y.vec_id AS doc_b FROM base x JOIN base y ON x.vec_id < y.vec_id " +
+      s"WHERE ${vsamp("x.vec_id")} AND ${vsamp("y.vec_id")} " +
+      s"AND ${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} >= 400000), " +
+      "sc AS MATERIALIZED (SELECT DISTINCT a.vec_id AS doc_a, " +
+      "b.vec_id AS doc_b FROM bands a JOIN bands b " +
+      "ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id " +
+      s"WHERE ${vsamp("a.vec_id")} AND ${vsamp("b.vec_id")}), " +
+      "ic AS MATERIALIZED (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b " +
+      "FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+      s"WHERE ${vsamp("x.vec_id")} AND ${vsamp("y.vec_id")}) " +
+      s"SELECT * FROM (${blockerCountSelect("ivf", "ic")} " +
+      s"UNION ALL ${blockerCountSelect("signlsh", "sc")}) " +
+      "ORDER BY blocker"
+  }
+
   /** lag() inter-event gaps: DuckDB's window semantics match Spark's
     * exactly for a total-ordered frame; `//` floors like `div`. */
   /** Word-familiarity: df = distinct-doc count per token, CUT to
@@ -3534,6 +3565,10 @@ object ExtQueries {
       Dedup.lshRecallSampled(Tables.documents(s, d))),
     "dd_blocker_recall" -> ((s, d) =>
       Dedup.blockerRecallReport(Tables.documents(s, d))),
+    // r9: vector-side blocker eval — sign-LSH vs IVF-cell candidates
+    // against exact sampled quantized-cosine truth
+    "dd_embed_blocker_recall" -> ((s, d) =>
+      Dedup.embedBlockerRecall(Tables.embeddings(s, d))),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_embed_incremental" -> ((s, d) =>
@@ -3885,6 +3920,7 @@ object ExtQueries {
     "dd_containment_capped" -> ddContainmentCappedSql,
     "dd_lsh_recall_sampled" -> ddLshRecallSampledSql,
     "dd_blocker_recall" -> ddBlockerRecallSql,
+    "dd_embed_blocker_recall" -> ddEmbedBlockerRecallSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

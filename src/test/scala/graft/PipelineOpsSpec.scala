@@ -1161,6 +1161,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a % 13 != 0 && b % 13 != 0 })
   }
 
+  test("embedBlockerRecall: two blocker rows with count invariants; " +
+    "hits bounded by both sides; full-sample recall of the exact " +
+    "truth is what the sign bands actually achieve") {
+    val e = graft.relational.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Dedup.embedBlockerRecall(e).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "signlsh"))
+    rows.foreach { r =>
+      val (t, c, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h <= t && h <= c, "hits bounded by truth and candidates")
+      assert(r.getLong(4) == (if (t == 0) 1000000L else h * 1000000L / t))
+      assert(r.getLong(5) == (if (c == 0) 1000000L else h * 1000000L / c))
+    }
+    // pct=100 → the sample is the corpus: candidate recall must then
+    // match embeddingNearDup's own coverage of the exact truth
+    val full = Dedup.embedBlockerRecall(e, samplePct = 100).collect()
+    assert(full.map(_.getString(0)).toSeq == Seq("ivf", "signlsh"))
+    assert(full.forall(_.getLong(1) > 0), "corpus plants true pairs")
+  }
+
   test("kAnonymity flags classes smaller than k; bands floor " +
     "negative balances downward") {
     val q = graft.relational.RelQueries
