@@ -76,6 +76,71 @@ object StreamingCuration {
       .select("ts", "doc_id", "text")
   }
 
+  /** Streaming NEAR-DUP admit for text (r9, VERDICT r8 #8) — the
+    * missing middle between [[admitStream]] (exact hash only) and
+    * [[admitVectorStream]] (vectors): arriving documents are dropped
+    * when the STATIC corpus already holds a syntactic near-duplicate.
+    * Same inverted stateless layout as the vector twin:
+    *  - each arriving doc computes its one-permutation MinHash
+    *    signature as a row-local codegen'd PROJECTION
+    *    (functions.textNative.oph_sig — one md5 per shingle, no
+    *    explode, no shuffle, no state), exactly the
+    *    [[graft.operators.Dedup.ophSignatures]] scale path;
+    *  - the corpus is pre-aggregated ONCE per snapshot into a
+    *    (band, bucket) → list<sig> lookup (the
+    *    [[graft.operators.Dedup.ophLsh]] banding, bucket = ':'-joined
+    *    slots; occupancy-capped upstream if a corpus has degenerate
+    *    boilerplate buckets);
+    *  - one stream-static LEFT join per band on the bucket string,
+    *    then a row-local `exists` verify: signature agreement
+    *    (matching slots / K, the MinHash Jaccard estimate in ppm —
+    *    the same estimator ophLsh emits) ≥ `minEstJaccardPpm`.
+    * LSH recall < 1 means rare near-dups slip through (the measured
+    * operating point is dd_blocker_recall's minhash/oph rows); docs
+    * with fewer than `shingleN` words have no signature and are
+    * ADMITTED (nothing to compare — the batch family drops them from
+    * pairing for the same reason). Stream shape:
+    * (ts: timestamp, doc_id: bigint, text: string). */
+  def admitNearDupStream(docs: DataFrame, corpus: DataFrame,
+                         shingleN: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 2,
+                         minEstJaccardPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.Column
+    import graft.functions.{PortableHash => PH}
+    require(bands * rowsPerBand == PH.MinhashK)
+    def hasShingles(c: Column): Column =
+      length(c) - length(replace(c, lit(" "))) >= shingleN - 1
+    def bucketOf(sig: Column, b: Int): Column =
+      concat_ws(":", (0 until rowsPerBand).map(r =>
+        get(sig, lit(b * rowsPerBand + r)).cast("string")): _*)
+    def estPpm(a: Column, b: Column): Column =
+      floor(lit(1000000.0) * aggregate(zip_with(a, b, (x, y) =>
+        when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+        / PH.MinhashK).cast("long")
+    val corpusSigs = corpus.where(hasShingles(col("text")))
+      .select(graft.functions.textNative
+        .oph_sig(col("text"), shingleN).as("sig"))
+    val corpusBuckets = corpusSigs.select(col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          bucketOf(col("sig"), b)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("sig")).as("cands"))
+    val base = docs.withColumn("sig",
+      when(hasShingles(col("text")),
+        graft.functions.textNative.oph_sig(col("text"), shingleN)))
+    val joined = (0 until bands).foldLeft(base) { (df, b) =>
+      df.join(corpusBuckets.where(col("band") === b)
+          .select(col("bucket").as(s"bk$b"), col("cands").as(s"cands$b")),
+        bucketOf(col("sig"), b) === col(s"bk$b"), "left")
+    }
+    val matched = (0 until bands).map { b =>
+      coalesce(exists(col(s"cands$b"), c =>
+        estPpm(col("sig"), c) >= minEstJaccardPpm), lit(false))
+    }.reduce(_ || _)
+    joined.where(!matched).select("ts", "doc_id", "text")
+  }
+
   /** Streaming VECTOR admit (r5) — the streaming twin of
     * Dedup.embeddingIncremental: arriving embeddings are dropped when
     * a NEAR-duplicate (quantized cosine ≥ minCosPpm) exists in the

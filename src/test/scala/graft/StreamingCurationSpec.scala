@@ -151,6 +151,54 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admitNearDupStream drops syntactic near-dups of corpus docs, " +
+    "admits novel and short docs; verdicts agree with batch ophLsh") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusText = "the quick brown fox jumps over the lazy dog " +
+      "while the calm cat naps near the warm stove in the old kitchen"
+    val nearText = corpusText.replace("old kitchen", "new kitchen")
+    val novelText = "entirely different subject matter covering ships " +
+      "harbors tides cargo manifests and the economics of ocean freight"
+    val corpus = Seq(1L -> corpusText,
+      2L -> "another corpus document about gardening tomatoes soil")
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration.admitNearDupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("neardup_admit_out")
+      .outputMode(OutputMode.Append).start()
+    val streamAdmitted =
+      try {
+        mem.addData(
+          (ts(0), 100L, corpusText), // exact dup -> dropped (est=1e6)
+          (ts(0), 101L, nearText),   // near dup -> verdict from the estimator
+          (ts(1), 102L, novelText),  // novel -> admitted
+          (ts(1), 103L, "too short")) // no shingles -> admitted
+        q.processAllAvailable()
+        spark.table("neardup_admit_out").collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    assert(!streamAdmitted.contains(100L), "exact dup must be dropped")
+    assert(streamAdmitted.contains(102L) && streamAdmitted.contains(103L))
+    // batch twin on the union corpus: a new doc is dropped iff ophLsh
+    // pairs it with a CORPUS doc at est >= 500000 — the same banding,
+    // the same estimator, so per-doc verdicts must agree exactly
+    val union = (Seq(1L -> corpusText,
+      2L -> "another corpus document about gardening tomatoes soil",
+      100L -> corpusText, 101L -> nearText, 102L -> novelText,
+      103L -> "too short")).toDF("doc_id", "text")
+    val corpusIds = Set(1L, 2L)
+    val newIds = Set(100L, 101L, 102L, 103L)
+    val batchDropped = graft.operators.Dedup.ophLsh(union).collect()
+      .filter(_.getLong(3) >= 500000L)
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+      .collect { case (nw, cp) if newIds(nw) && corpusIds(cp) => nw }
+      .toSet
+    val batchAdmitted = newIds -- batchDropped
+    assert(streamAdmitted == batchAdmitted,
+      s"stream $streamAdmitted != batch $batchAdmitted")
+  }
+
   test("contaminationTag flags docs sharing a 5-gram with the eval set") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
