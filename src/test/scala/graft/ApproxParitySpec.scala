@@ -75,6 +75,76 @@ class ApproxParitySpec extends AnyFunSuite {
     }
   }
 
+  test("x_knn_pq_trained recall@5 vs brute force meets the measured " +
+    "floor (r9 — the sketch family's last unspec'd accuracy)") {
+    // Lloyd fit and search are fully deterministic on a fixed corpus
+    // (integer-exact assign, floor-mean update, id tiebreaks), so the
+    // recall is a CONSTANT for this fixture — the floor is a real
+    // contract, not a flaky statistical bound. tools/SimScale measures
+    // the operating curve; this pins the shipped defaults.
+    val e = graft.relational.Tables.embeddings(spark, sfDir)
+    val brute = graft.operators.Similarity.knnBrute(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = graft.operators.Similarity.knnIvfPqTrained(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(brute.nonEmpty && pq.keySet == brute.keySet)
+    val recalls = brute.keys.toSeq.sorted.map(q =>
+      (pq(q) & brute(q)).size.toDouble / brute(q).size)
+    val mean = recalls.sum / recalls.size
+    info(f"per-query recall@5: ${recalls.map(r => f"$r%.2f").mkString(",")} mean=$mean%.3f")
+    // measured operating point at the shipped defaults on this corpus:
+    // mean 0.25 (nProbe=2 of 8 cells + 16-code PQ on near-random
+    // 64-dim vectors is a coarse sketch — the rerank variant exists
+    // for exactly this reason). The floor pins determinism drift,
+    // not aspiration.
+    assert(mean >= 0.2, f"mean recall@5 $mean%.3f below the measured 0.2 floor")
+    // training on the corpus must not do WORSE than the untrained
+    // corpus-row codebooks at the same parameters — the contract that
+    // justifies the Lloyd fit's cost. Asserted at sf0.01: on the
+    // 500-vector sf0.001 fixture the comparison INVERTS (0.25 vs
+    // 0.40 — corpus-row codebooks happen to coincide with planted
+    // near-dup codes), a small-corpus artifact, not a training bug;
+    // measured trained-vs-untrained: sf0.01 0.350/0.275,
+    // sf0.1 0.250/0.175.
+    val e01 = graft.relational.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val brute01 = graft.operators.Similarity.knnBrute(e01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def mean01(m: Map[Long, Set[Long]]) = brute01.keys.toSeq.sorted.map(q =>
+      (m.getOrElse(q, Set.empty[Long]) & brute01(q)).size.toDouble /
+        brute01(q).size).sum / brute01.size
+    val tr = graft.operators.Similarity.knnIvfPqTrained(e01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val un = graft.operators.Similarity.knnIvfPq(e01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    info(f"sf0.01 trained=${mean01(tr)}%.3f untrained=${mean01(un)}%.3f")
+    assert(mean01(tr) >= mean01(un) - 1e-9,
+      f"trained ${mean01(tr)}%.3f worse than untrained ${mean01(un)}%.3f at sf0.01")
+  }
+
+  test("x_compress_ratio sits inside the DEFLATE worst-case envelope " +
+    "and ratio_ppm restates the byte counts exactly (r9)") {
+    val out = graft.operators.TextAnalysis.compressRatio(
+      graft.relational.Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (orig, defl, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // zlib worst case for incompressible input: 5 bytes per 16 KiB
+      // stored block + 6 bytes of header/adler — the envelope the
+      // rows-only check cannot see
+      val worst = orig + 6 + 5 * ((orig / 16383) + 1)
+      assert(defl >= 1 && defl <= worst,
+        s"doc ${r.getLong(0)}: deflate $defl outside [1, $worst] for $orig bytes")
+      assert(ppm == math.floor(1000000.0 * defl / math.max(orig, 1)).toLong,
+        s"doc ${r.getLong(0)}: ratio_ppm $ppm inconsistent")
+    }
+  }
+
   test("x_approx_users within 3x the advertised HLL rsd of the exact count") {
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type")
