@@ -29,7 +29,79 @@ import graft.streaming.StreamingCuration
   * micro-batch path (planning + state store + shuffle), not a source;
   * a Kafka source adds its own consumer throughput in front. */
 object StreamBench {
+
+  /** State-wall probe (r9, VERDICT r7 #3 / r8 #7): find the regime
+    * where RocksDB OVERTAKES the in-memory provider. The r7 rows
+    * showed RocksDB 8-12% behind when state fits in heap — its
+    * advantage regime is retained state ≫ heap, where the
+    * HDFSBacked provider's on-heap maps hit GC walls and finally
+    * OOM while RocksDB keeps state off-heap. Isolates the stateful
+    * stage (dedupStream only, ALL-distinct keys so every row inserts
+    * state, no corpus join) and prints ONE CSV row PER BATCH — wall,
+    * cumulative state rows, used heap after a forced GC — so the
+    * crossover is read directly from the two runs' per-batch
+    * trajectories. Run BOUNDED-HEAP via a direct `java -Xmx…` launch
+    * (the recipe is in BASELINE.md):
+    *   java -Xmx1200m -cp "SPARK_JARS_GLOB:target/scala-2.13/classes"
+    *     graft.tools.StreamBench statewall
+    * (SPARK_JARS_GLOB = the /opt/spark/jars wildcard; spelled out in
+    * BASELINE.md — a literal glob here would nest-open this comment)
+    * env: STREAMBENCH_PROVIDER, STREAMBENCH_BATCHES (default 16),
+    * STREAMBENCH_ROWS_PER_BATCH (default 250000). */
+  private def statewallMain(): Unit = {
+    val provider = sys.env.getOrElse("STREAMBENCH_PROVIDER", "hdfs")
+    val providerClass =
+      if (provider == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "16").toInt
+    val perBatch =
+      sys.env.getOrElse("STREAMBENCH_ROWS_PER_BATCH", "250000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration
+      .dedupStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("noop").outputMode(OutputMode.Append).start()
+    println("mode,provider,batch,wall_s,state_rows,used_heap_mb")
+    try {
+      (0 until batches).foreach { b =>
+        // all-distinct ~60-char texts: every row inserts a state key
+        val rows = (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          (ts(b), i, s"doc $i " + ("x" * 40) + s" tail ${i * 31}")
+        }
+        mem.addData(rows)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        val used = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+        val sr = {
+          val p = q.lastProgress
+          if (p == null || p.stateOperators.isEmpty) -1L
+          else p.stateOperators.map(_.numRowsTotal).sum
+        }
+        println(f"statewall,$provider,$b,$wall%.2f,$sr,$used")
+      }
+    } finally q.stop()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("statewall")) { statewallMain(); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nText = sys.env.getOrElse("STREAMBENCH_TEXT_ROWS", "200000").toInt
     val nVec = sys.env.getOrElse("STREAMBENCH_VEC_ROWS", "50000").toInt
