@@ -1323,6 +1323,16 @@ object Dedup {
 
   private def sampled(pct: Int) = sampledCol(col("doc_id"), pct)
 
+  /** Restrict a (doc_a, doc_b, …) pair table to pairs whose BOTH ends
+    * are in the salted eval sample — one row-local Filter, ZERO joins
+    * (private[graft] so PlanAuditSpec pins exactly that: the r8
+    * broadcast-id-set form must not come back). */
+  private[graft] def restrictSampled(d: DataFrame,
+                                     samplePct: Int): DataFrame =
+    d.where(sampledCol(col("doc_a"), samplePct) &&
+        sampledCol(col("doc_b"), samplePct))
+      .select("doc_a", "doc_b")
+
   /** Sampled-ground-truth LSH recall report — the eval protocol that
     * actually runs at 100 TB. [[lshRecallReport]]'s ground truth is
     * FULL-corpus exact Jaccard (an unblocked shingle self-join —
@@ -1341,13 +1351,9 @@ object Dedup {
       minJaccardPpm: Long = 750000L, samplePct: Int = 30): DataFrame = {
     // sample membership is a pure function of the id → restricting
     // candidate pairs is a row-local filter, zero joins (r9)
-    val bothSampled = (d: DataFrame) =>
-      d.where(sampledCol(col("doc_a"), samplePct) &&
-          sampledCol(col("doc_b"), samplePct))
-        .select("doc_a", "doc_b")
     val truth = ngramJaccard(docs.where(sampled(samplePct)),
       minJaccardPpm = minJaccardPpm).select("doc_a", "doc_b")
-    recallCounts(truth, bothSampled(minhashLsh(docs)))
+    recallCounts(truth, restrictSampled(minhashLsh(docs), samplePct))
   }
 
   /** Blocker-comparison eval (r8): ONE harness ranking all four
@@ -1364,11 +1370,7 @@ object Dedup {
       minJaccardPpm: Long = 750000L, samplePct: Int = 30): DataFrame = {
     // row-local sample restriction (r9 — was two broadcast joins
     // against a materialized id set; membership is a pure function
-    // of the id, so the set never needs to exist)
-    def bothSampled(d: DataFrame): DataFrame =
-      d.where(sampledCol(col("doc_a"), samplePct) &&
-          sampledCol(col("doc_b"), samplePct))
-        .select("doc_a", "doc_b")
+    // of the id, so the set never needs to exist): restrictSampled
     val truth = ngramJaccard(docs.where(sampled(samplePct)),
         minJaccardPpm = minJaccardPpm)
       .select("doc_a", "doc_b").localCheckpoint(true)
@@ -1389,7 +1391,7 @@ object Dedup {
       "snm" -> sortedNeighborhood(docs),
       "winnow" -> winnowPairs(docs))
     blockers.map { case (name, cand) =>
-      recallCounts(truth, bothSampled(cand))
+      recallCounts(truth, restrictSampled(cand, samplePct))
         .select(lit(name).as("blocker"), col("n_truth"),
           col("n_candidates"), col("n_hits"), col("recall_ppm"),
           col("precision_ppm"))
@@ -1435,11 +1437,8 @@ object Dedup {
       .where(V.cosPpm(V.qdot(col("qa"), col("qb")),
         col("na"), col("nb")) >= minCosPpm)
       .select("doc_a", "doc_b")
-    // row-local sample restriction, as everywhere in the eval family
-    def bothSampled(d: DataFrame): DataFrame =
-      d.where(sampledCol(col("doc_a"), samplePct) &&
-          sampledCol(col("doc_b"), samplePct))
-        .select("doc_a", "doc_b")
+    // row-local sample restriction, as everywhere in the eval
+    // family: restrictSampled
     // blocker 1: the sign-LSH bands embeddingNearDup pairs on
     val banded = embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
@@ -1461,7 +1460,7 @@ object Dedup {
     val truthCk = truth.localCheckpoint(true)
     Seq("signlsh" -> signPairs, "ivf" -> ivfPairs).map {
       case (name, cand) =>
-        recallCounts(truthCk, bothSampled(cand))
+        recallCounts(truthCk, restrictSampled(cand, samplePct))
           .select(lit(name).as("blocker"), col("n_truth"),
             col("n_candidates"), col("n_hits"), col("recall_ppm"),
             col("precision_ppm"))

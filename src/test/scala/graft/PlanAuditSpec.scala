@@ -386,4 +386,33 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined,
       s"window partition key lacks the day bucket:\n$p")
   }
+
+  test("mm_phash_oriented stays a mapPartitions projection: no join, " +
+    "no aggregate — normalization adds zero shuffle (r9)") {
+    val p = plan("mm_phash_oriented")
+    assert(!p.contains("Join"), s"join found:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate found:\n$p")
+  }
+
+  test("sampled-eval restriction is a row-local FILTER with the " +
+    "salted predicate on both ends — ZERO joins (r9: the broadcast-" +
+    "id-set form must not come back). The three eval reports " +
+    "(dd_lsh_recall_sampled, dd_blocker_recall, " +
+    "dd_embed_blocker_recall) all route through this helper; its " +
+    "plan is audited directly because their recallCounts checkpoints " +
+    "hide upstream plans from the final executedPlan") {
+    import org.apache.spark.sql.functions.col
+    // range source, not a local Seq — Catalyst constant-folds a
+    // LocalRelation through the deterministic predicate, leaving no
+    // Filter node to audit
+    val pairs = spark.range(100).select(col("id").as("doc_a"),
+      (col("id") + 1L).as("doc_b"))
+    val p = graft.operators.Dedup.restrictSampled(pairs, 30)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("recall:"),
+      s"salted sample predicate not in the plan:\n$p")
+    assert(!p.contains("Join"), s"restriction plans a join:\n$p")
+    assert(p.contains("Filter") || p.contains("LocalTableScan"),
+      s"no filter node:\n$p")
+  }
 }
