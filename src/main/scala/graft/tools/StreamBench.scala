@@ -188,6 +188,45 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // ---- text NEAR-DUP admit path (r9): the stateless OPH gate ----
+    {
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingCuration.admitNearDupStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), corpus)
+      val q = out.writeStream.format("memory").queryName("sb_neardup")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // 30% of arrivals are light edits of REAL corpus docs (one
+        // appended token — high estimated jaccard, the gate must
+        // drop them), the rest synthetic novel text
+        val corpusTexts = corpus.select("text").limit(1000).collect()
+          .map(_.getString(0))
+        def text(i: Int): String =
+          if (i % 10 < 3)
+            corpusTexts(i % corpusTexts.length) + s" tail$i"
+          else
+            (0 until 24).map(t => s"w${(i * 7919L * 31 + t * 7) % 500000}")
+              .mkString(" ") + s" d$i"
+        val perBatch = nText / batches
+        val t0 = System.nanoTime()
+        (0 until batches).foreach { b =>
+          val rows = (0 until perBatch).map { j =>
+            val i = b * perBatch + j
+            (ts(b), i.toLong, text(i))
+          }
+          mem.addData(rows)
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val outRows = spark.table("sb_neardup").count()
+        val in = perBatch.toLong * batches
+        val (commitMs, updateMs) = stateTimes(q)
+        println(f"text_neardup_admit,$provider,$in,$batches,$wall%.1f," +
+          f"${in / wall}%.0f,${stateRows(q)},$commitMs,$updateMs,$outRows")
+      } finally q.stop()
+    }
+
     // ---- vector path ----
     {
       val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
