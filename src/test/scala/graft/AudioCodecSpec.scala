@@ -110,13 +110,25 @@ class AudioCodecSpec extends AnyFunSuite {
     "JUNK".foreach(c => huge.write(c))
     huge.write(0xf8); huge.write(0xff); huge.write(0xff); huge.write(0xff)
     assert(AudioCodec.parseWav(huge.toByteArray).isEmpty)
-    // fuzz: no byte sequence throws
+    // fuzz: no byte sequence throws — the SAMPLE decoders included
+    // (r9: parseWav alone left the 16-bit-PCM and mu-law expansion
+    // paths unfuzzed)
     val rnd = new java.util.Random(7)
     (1 to 2000).foreach { _ =>
       val b = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(b)
       AudioCodec.parseWav(b)
-      AudioCodec.parseWav(("RIFF" + new String(b, "ISO-8859-1"))
-        .getBytes("ISO-8859-1"))
+      AudioCodec.parseWavSamples(b)
+      AudioCodec.parseWavUlawSamples(b)
+      val riff = ("RIFF" + new String(b, "ISO-8859-1"))
+        .getBytes("ISO-8859-1")
+      AudioCodec.parseWav(riff)
+      AudioCodec.parseWavSamples(riff)
+      AudioCodec.parseWavUlawSamples(riff)
+      // single-byte mutants of a valid PCM file
+      val mut = ok.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      AudioCodec.parseWavSamples(mut)
+      AudioCodec.parseWavUlawSamples(mut)
     }
   }
 }

@@ -192,4 +192,24 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(b == law(y.toLong * 65536 + 116130L * (c1 - 128) + 32768))
     }
   }
+
+  test("fuzz: no byte sequence makes parseJpegRaster throw — the " +
+    "entropy decoder (Huffman walk, restart markers, MCU indexing) " +
+    "must fail closed on corrupt crawls, never crash the executor") {
+    val rnd = new java.util.Random(11)
+    val valid = JpegCodec.jpegBaselineBytes(13, 9, 0, grayBlock(3L))
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(160)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      JpegCodec.parseJpegRaster(b) // must return, never throw
+      // valid prefix + random tail: mid-scan truncation/garbage
+      val cut = rnd.nextInt(valid.length)
+      JpegCodec.parseJpegRaster((valid.take(cut) ++ b).toArray)
+      // single-byte corruption inside a valid file: flips Huffman
+      // codes, quant values, marker lengths, dimensions
+      val mut = valid.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      JpegCodec.parseJpegRaster(mut)
+    }
+  }
 }
