@@ -25,6 +25,17 @@ import graft.functions.{Partitioning, PortableHash => PH, TextOps, VectorOps => 
   */
 object Dedup {
 
+  /** Production MinHash banding shape, shared by EVERY consumer of the
+    * 16-slot signature (K-affine and OPH LSH, lshVerified, the
+    * incremental/stream gates, AND the blocker-recall eval) — one
+    * place to retune so the eval can never silently rank a banding
+    * production no longer runs (r9, review finding). bands·rows must
+    * equal PortableHash.MinhashK; the DuckDB oracles pin the same
+    * literals, so a retune fails EVERY banded query's hash until the
+    * oracles are updated in lockstep — drift is loud, not silent. */
+  val DefaultBands = 8
+  val DefaultRowsPerBand = 2
+
   /** Paragraph-granular exact dedup (r5 — the C4/RefinedWeb pass that
     * document-level dedup misses: boilerplate paragraphs repeated
     * across otherwise-distinct pages): documents split into
@@ -157,7 +168,7 @@ object Dedup {
     * (tools/LshScale) so scale probes measure the EXACT banding the
     * join uses. */
   def minhashBands(docs: DataFrame, shingleN: Int = 3,
-                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+                   bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
     bandsFrom(minhashSignatures(docs, shingleN), bands, rowsPerBand)
 
   private def bandsFrom(sigs: DataFrame, bands: Int,
@@ -175,7 +186,7 @@ object Dedup {
     * bands*rowsPerBand must equal PH.MinhashK. `maxBucketSize` is the
     * skew guard (None = declared-oracle semantics, no cap). */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3,
-                 bands: Int = 8, rowsPerBand: Int = 2,
+                 bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
                  maxBucketSize: Option[Int] = None): DataFrame =
     lshPairsFrom(
       capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand),
@@ -268,7 +279,7 @@ object Dedup {
     * construction differs (see [[ophSignatures]] for why that is the
     * scale win). */
   def ophLsh(docs: DataFrame, shingleN: Int = 3,
-             bands: Int = 8, rowsPerBand: Int = 2,
+             bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
              maxBucketSize: Option[Int] = None): DataFrame =
     lshPairsFrom(
       capBuckets(bandsFrom(ophSignatures(docs, shingleN), bands,
@@ -565,7 +576,7 @@ object Dedup {
     * but with LSH recall (<1 by design) and exact precision. */
   def lshVerified(docs: DataFrame, shingleN: Int = 3,
                   minJaccardPpm: Long = 500000L,
-                  bands: Int = 8, rowsPerBand: Int = 2,
+                  bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
                   maxBucketSize: Option[Int] = None): DataFrame =
     lshVerifiedImpl(docs, shingleN, minJaccardPpm, bands, rowsPerBand,
       maxBucketSize, checkpointShingles = true)
@@ -971,7 +982,7 @@ object Dedup {
     * discrimination; the exact-text check still catches literal
     * re-ingests). None = declared-oracle semantics, no cap. */
   def incremental(newDocs: DataFrame, corpus: DataFrame, shingleN: Int = 3,
-                  bands: Int = 8, rowsPerBand: Int = 2,
+                  bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
                   minEstJaccardPpm: Long = 750000L,
                   maxBucketSize: Option[Int] = None): DataFrame = {
     val cb = capBuckets(minhashBands(corpus, shingleN, bands, rowsPerBand),
@@ -991,8 +1002,8 @@ object Dedup {
     * day's documents: the snapshot is written once per corpus
     * rebuild, read-only thereafter. */
   def writeCorpusBandSnapshot(corpus: DataFrame, table: String,
-      nBuckets: Int = 32, shingleN: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 2, maxBucketSize: Option[Int] = None): Unit =
+      nBuckets: Int = 32, shingleN: Int = 3, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand, maxBucketSize: Option[Int] = None): Unit =
     capBuckets(minhashBands(corpus, shingleN, bands, rowsPerBand),
         maxBucketSize)
       .select(col("band"), col("bucket"), col("sig").as("csig"))
@@ -1007,8 +1018,8 @@ object Dedup {
     * IncrementalSnapshotSpec) — and `corpusTexts` the corpus text
     * column for the exact-duplicate semi-join. */
   def incrementalAgainstSnapshot(newDocs: DataFrame, corpusBands: DataFrame,
-      corpusTexts: DataFrame, shingleN: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 2, minEstJaccardPpm: Long = 750000L): DataFrame = {
+      corpusTexts: DataFrame, shingleN: Int = 3, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand, minEstJaccardPpm: Long = 750000L): DataFrame = {
     val exactDup = newDocs.select(col("doc_id"), col("text"))
       .join(corpusTexts.select("text").distinct(), Seq("text"), "left_semi")
       .select(col("doc_id").as("e_id"))
@@ -1384,7 +1395,7 @@ object Dedup {
       .select(col("doc_id"), PH.h31(col("sh")).as("h"))
       .localCheckpoint(true)
     def lshFromSigs(sigs: DataFrame): DataFrame =
-      lshPairsFrom(bandsFrom(sigs, 8, 2))
+      lshPairsFrom(bandsFrom(sigs, DefaultBands, DefaultRowsPerBand))
     val blockers: Seq[(String, DataFrame)] = Seq(
       "minhash" -> lshFromSigs(sigsFromHashes(hashed)),
       "oph" -> lshFromSigs(ophSigsFromHashes(hashed)),

@@ -102,8 +102,10 @@ object StreamingCuration {
     * pairing for the same reason). Stream shape:
     * (ts: timestamp, doc_id: bigint, text: string). */
   def admitNearDupStream(docs: DataFrame, corpus: DataFrame,
-                         shingleN: Int = 3, bands: Int = 8,
-                         rowsPerBand: Int = 2,
+                         shingleN: Int = 3,
+                         bands: Int = graft.operators.Dedup.DefaultBands,
+                         rowsPerBand: Int =
+                           graft.operators.Dedup.DefaultRowsPerBand,
                          minEstJaccardPpm: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.Column
     import graft.functions.{PortableHash => PH}
@@ -120,12 +122,18 @@ object StreamingCuration {
     val corpusSigs = corpus.where(hasShingles(col("text")))
       .select(graft.functions.textNative
         .oph_sig(col("text"), shingleN).as("sig"))
+    // persist: the corpus snapshot really is built ONCE (r9 review
+    // finding — without it each of the `bands` stream-static joins
+    // re-executes the full corpus scan + md5-per-shingle signature
+    // pass EVERY micro-batch; the cache lives for the streaming
+    // query's lifetime, which is the snapshot's intended lifetime)
     val corpusBuckets = corpusSigs.select(col("sig"),
         posexplode(array((0 until bands).map(b =>
           bucketOf(col("sig"), b)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .groupBy("band", "bucket")
       .agg(collect_list(col("sig")).as("cands"))
+      .persist()
     val base = docs.withColumn("sig",
       when(hasShingles(col("text")),
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
@@ -168,6 +176,14 @@ object StreamingCuration {
       .select(col("vec_id"), V.quantize(col("embedding")).as("qb"))
       .select(col("vec_id"), col("qb"), V.qnorm2(col("qb")).as("nb"))
       .where(col("nb") > 0)
+    // NOT persisted, unlike the text gate's corpusBuckets — measured
+    // (tools/StreamBench, r9): the static side here is a cheap
+    // quantize + tiny aggregate, and caching it HALVED throughput
+    // (6.5k -> 3.2k rows/s; the cached relation flips the per-band
+    // join off its broadcast plan), while the text gate's
+    // md5-per-shingle pass gains +18% from its persist. Rebuild-per-
+    // batch is the right trade when the snapshot build is cheaper
+    // than the strategy distortion.
     val corpusBuckets = corpus.select(col("vec_id"),
         posexplode(array((0 until nBands).map(b =>
           V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
