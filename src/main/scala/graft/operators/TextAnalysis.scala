@@ -56,6 +56,118 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     qualityFeatures(docs).drop("lang").orderBy("doc_id")
 
+  /** TRAINED quality classifier probe (r9) — the CCNet/FineWeb role
+    * where a model (fastText / logistic regression) learns to
+    * separate a target distribution from raw crawl, replacing
+    * hand-tuned rule thresholds. This is the EXACT-ARITHMETIC form of
+    * that operator: a least-squares LINEAR PROBABILITY MODEL fit by
+    * normal equations, chosen over logistic deliberately — the
+    * sufficient statistics (XᵀX, Xᵀy) are plain integer sums and the
+    * 3×3 Cramer solve is exact integer math, so the ENTIRE fit and
+    * scoring pass is bit-identical in Spark and the DuckDB oracle
+    * (a sigmoid is not bit-portable; an LPM trades a little
+    * statistical polish for a fully hash-checkable trained model).
+    *
+    * Weak label: y = 1 iff lang = 'en' — the "target distribution"
+    * proxy (the English stopword list gives stop_ppm real predictive
+    * signal, so the fit recovers meaningful weights, not noise).
+    * Features are 8-BIT BINS (x1 = min(255, n_tokens div 4),
+    * x2 = min(255, stop_ppm div 4096)): the bound that keeps every
+    * Cramer determinant inside HUGEINT/BigInt-guarded range up to
+    * ~10⁷-doc fits (guard below names the fix past that: subsample
+    * the fit — a quality probe trains on a sample anyway).
+    *
+    * Shape (the fit/transform discipline of [[langId]] / k-means):
+    * ONE partial-combinable aggregate produces the 9 sufficient
+    * statistics; the solve is a driver-side BigInt Cramer on that
+    * single row (model-sized collect); weights are reduced to
+    * fixed-point ppm by FLOOR division (floorDiv, sign-normalized
+    * det > 0 — DuckDB's `//` TRUNCATES on negatives, so the oracle
+    * spells out the nonneg-remainder floor form); scoring is a
+    * broadcast-literal row-local projection, zero shuffles.
+    *
+    * Measured on the driver corpus (tx_quality_lpm_eval): accuracy
+    * ~57% — the synthetic text gives these features almost no
+    * en-vs-other signal, and the EVAL SAYING SO is the point of
+    * shipping the eval (it is the number that decides whether a
+    * corpus gets model-based filtering). The learning machinery
+    * itself is proven on a separable constructed corpus in
+    * TextPipelineSpec (perfect classification + a hand BigInt
+    * re-solve matching the distributed scores).
+    * Guards (the rel_abtest discipline): det = 0 (degenerate feature
+    * matrix) and HUGEINT-range overflow both RAISE with the remedy
+    * named, in both engines, instead of silently mis-scoring. */
+  def qualityLpm(docs: DataFrame): DataFrame = {
+    val feats = qualityFeatures(Partitioning.spread(docs))
+      .select(col("doc_id"), col("lang"),
+        least(lit(255L), col("n_tokens") / 4L).cast("long").as("x1"),
+        least(lit(255L), (col("stopword_ratio_ppm") / 4096L).cast("long"))
+          .as("x2"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val s = feats.agg(
+      count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
+      sum(col("x2") * col("y")).as("b2")).head()
+    val Seq(n, s1, s2, s11, s12, s22, b0, b1, b2) =
+      (0 until 9).map(i => BigInt(s.getLong(i)))
+    // A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]; det and the three
+    // column-replaced Cramer numerators, all exact BigInt
+    def det3(a: Seq[BigInt]): BigInt = {
+      val Seq(a00, a01, a02, a10, a11, a12, a20, a21, a22) = a
+      a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20) +
+        a02 * (a10 * a21 - a11 * a20)
+    }
+    val d0 = det3(Seq(n, s1, s2, s1, s11, s12, s2, s12, s22))
+    require(d0 != 0, "qualityLpm: degenerate feature matrix " +
+      "(constant features) — fit has no unique solution")
+    val sign = d0.sign
+    val det = d0 * sign
+    val wNum = Seq(
+      det3(Seq(b0, s1, s2, b1, s11, s12, b2, s12, s22)),
+      det3(Seq(n, b0, s2, s1, b1, s12, s2, b2, s22)),
+      det3(Seq(n, s1, b0, s1, s11, b1, s2, s12, b2))).map(_ * sign)
+    val hugeint = BigInt(10).pow(38) // headroom under 1.7e38
+    require(wNum.forall(w => (w.abs * 1000000) < hugeint) &&
+      det < hugeint,
+      "qualityLpm: sufficient statistics exceed the exact HUGEINT " +
+        "Cramer bound — subsample the fit (a quality probe trains " +
+        "on a sample anyway)")
+    // fixed-point ppm weights, FLOOR division (det > 0) — matches
+    // the oracle's HUGEINT `//` exactly
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && (a.sign != b.sign)) q - 1 else q
+    }
+    val w = wNum.map(x => floorDiv(x * 1000000, det).toLong)
+    feats.select(col("doc_id"), col("y"), col("x1"), col("x2"),
+        (lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2"))
+          .as("score_ppm"))
+      .withColumn("predicted",
+        when(col("score_ppm") >= 500000L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion-matrix eval of [[qualityLpm]] against its own weak
+    * label (the [[langIdConfusion]] pattern): TP/FP/FN/TN counts and
+    * accuracy in exact ppm — the one-row answer to "is the trained
+    * probe better than a coin" that decides whether a corpus gets
+    * model-based or rule-based filtering. */
+  def qualityLpmEval(docs: DataFrame): DataFrame =
+    qualityLpm(docs).agg(
+        sum(when(col("y") === 1L && col("predicted") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("predicted") === 1L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("predicted") === 0L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && col("predicted") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+          .as("accuracy_ppm"))
+
   /** Gopher-style quality-rule battery (r6 — Rae et al. 2021,
     * arXiv:2112.11446 Table A1, the rule set most web pipelines
     * start from, adapted to this corpus's whitespace tokens): each

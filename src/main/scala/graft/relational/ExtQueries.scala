@@ -954,6 +954,92 @@ object ExtQueries {
       "SELECT doc_id, n_tokens, mean_token_len_ppm, stopword_ratio_ppm, " +
       "quality_ppm FROM g ORDER BY doc_id"
 
+  /** 3×3 determinant, cofactor expansion along the first row — the
+    * LITERAL formula [[graft.operators.TextAnalysis.qualityLpm]]'s
+    * driver-side BigInt `det3` uses, so the two solves are
+    * structurally the same expression. */
+  private def det3Sql(a: Seq[String]): String = {
+    val Seq(a00, a01, a02, a10, a11, a12, a20, a21, a22) = a
+    s"($a00*($a11*$a22 - $a12*$a21) - $a01*($a10*$a22 - $a12*$a20) + " +
+      s"$a02*($a10*$a21 - $a11*$a20))"
+  }
+
+  /** [[TextAnalysis.qualityLpm]]: the trained linear-probability
+    * quality probe, re-fit ENTIRELY in SQL — sufficient statistics in
+    * HUGEINT, the same sign-normalized Cramer solve, the same
+    * floor-division ppm weight quantization (`//` with det > 0
+    * ≡ BigInt floorDiv), the same degenerate/overflow guards via
+    * error(). A fit bug on either side (wrong cofactor, missed sign,
+    * truncate-vs-floor on a negative weight) fails the hash. */
+  private val txQualityLpmCtes: String = {
+    val aCols = Seq("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    def rep(col: Int, b: Seq[String]): Seq[String] =
+      aCols.zipWithIndex.map { case (c, i) =>
+        if (i % 3 == col) b(i / 3) else c }
+    val bCols = Seq("b0", "b1", "b2")
+    s"$qualityGCte, " +
+      "lp AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y, " +
+      "least(CAST(255 AS BIGINT), n_tokens // 4) AS x1, " +
+      "least(CAST(255 AS BIGINT), stopword_ratio_ppm // 4096) AS x2 " +
+      "FROM g), " +
+      "st AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+      "CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2, " +
+      "CAST(sum(x1*x1) AS HUGEINT) AS s11, " +
+      "CAST(sum(x1*x2) AS HUGEINT) AS s12, " +
+      "CAST(sum(x2*x2) AS HUGEINT) AS s22, " +
+      "CAST(sum(y) AS HUGEINT) AS b0, " +
+      "CAST(sum(x1*y) AS HUGEINT) AS b1, " +
+      "CAST(sum(x2*y) AS HUGEINT) AS b2 FROM lp), " +
+      s"dets AS (SELECT ${det3Sql(aCols)} AS d0, " +
+      s"${det3Sql(rep(0, bCols))} AS wn0, " +
+      s"${det3Sql(rep(1, bCols))} AS wn1, " +
+      s"${det3Sql(rep(2, bCols))} AS wn2 FROM st), " +
+      "wt AS (SELECT CASE WHEN d0 = 0 THEN " +
+      "CAST(error('qualityLpm: degenerate feature matrix (constant " +
+      "features) - fit has no unique solution') AS HUGEINT) " +
+      "WHEN abs(CAST(wn0 AS DOUBLE)) * 1e6 >= 1e38 " +
+      "OR abs(CAST(wn1 AS DOUBLE)) * 1e6 >= 1e38 " +
+      "OR abs(CAST(wn2 AS DOUBLE)) * 1e6 >= 1e38 " +
+      "OR abs(CAST(d0 AS DOUBLE)) >= 1e38 THEN " +
+      "CAST(error('qualityLpm: sufficient statistics exceed the " +
+      "exact HUGEINT Cramer bound - subsample the fit (a quality " +
+      "probe trains on a sample anyway)') AS HUGEINT) " +
+      "ELSE d0 * CASE WHEN d0 < 0 THEN -1 ELSE 1 END END AS det, " +
+      "wn0 * CASE WHEN d0 < 0 THEN -1 ELSE 1 END AS n0, " +
+      "wn1 * CASE WHEN d0 < 0 THEN -1 ELSE 1 END AS n1, " +
+      "wn2 * CASE WHEN d0 < 0 THEN -1 ELSE 1 END AS n2 FROM dets), " +
+      // FLOOR division with det > 0: DuckDB's `//` TRUNCATES toward
+      // zero on negatives (measured: (-7)//2 = -3), so a negative
+      // weight numerator needs the nonneg-remainder form to match the
+      // driver's BigInt floorDiv exactly
+      "w AS (SELECT " +
+      Seq("n0", "n1", "n2").zipWithIndex.map { case (ni, i) =>
+        s"(($ni * 1000000) - ((($ni * 1000000) % det) + det) % det) " +
+          s"// det AS w$i"
+      }.mkString(", ") + " FROM wt), " +
+      "scored AS (SELECT lp.doc_id, lp.y, lp.x1, lp.x2, " +
+      "CAST(w.w0 + w.w1 * lp.x1 + w.w2 * lp.x2 AS BIGINT) AS score_ppm " +
+      "FROM lp CROSS JOIN w)"
+  }
+
+  private val txQualityLpmSql: String =
+    s"WITH $txQualityLpmCtes " +
+      "SELECT doc_id, y, x1, x2, score_ppm, " +
+      "CAST(CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS predicted FROM scored ORDER BY doc_id"
+
+  private val txQualityLpmEvalSql: String =
+    s"WITH $txQualityLpmCtes, " +
+      "p AS (SELECT y, CASE WHEN score_ppm >= 500000 THEN 1 ELSE 0 END " +
+      "AS predicted FROM scored) " +
+      "SELECT CAST(sum(CASE WHEN y = 1 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+      "CAST(sum(CASE WHEN y = 0 AND predicted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+      "CAST(sum(CASE WHEN y = 1 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+      "CAST(sum(CASE WHEN y = 0 AND predicted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+      "CAST((sum(CASE WHEN y = predicted THEN 1 ELSE 0 END) * 1000000) " +
+      "// count(*) AS BIGINT) AS accuracy_ppm FROM p"
+
   private val txQualityFilterSql: String =
     s"WITH $qualityGCte, " +
       "r AS (SELECT doc_id, lang, quality_ppm, " +
@@ -3611,6 +3697,13 @@ object ExtQueries {
       Similarity.knnIvfPqTrained(Tables.embeddings(s, d))),
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    // r9: TRAINED quality probe — exact least-squares linear
+    // probability model (normal equations + BigInt Cramer, fixed-point
+    // ppm weights) with its confusion-matrix eval
+    "tx_quality_lpm" -> ((s, d) =>
+      TextAnalysis.qualityLpm(Tables.documents(s, d))),
+    "tx_quality_lpm_eval" -> ((s, d) =>
+      TextAnalysis.qualityLpmEval(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     // langid eval harness: confusion matrix vs the stored label
     "tx_langid_confusion" -> ((s, d) =>
@@ -3966,6 +4059,8 @@ object ExtQueries {
     "sim_knn_ivfpq_rerank" -> simKnnIvfPqRerankSql,
     "tx_tokens" -> txTokensSql,
     "tx_quality" -> txQualitySql,
+    "tx_quality_lpm" -> txQualityLpmSql,
+    "tx_quality_lpm_eval" -> txQualityLpmEvalSql,
     "tx_langid" -> txLangIdSql,
     "tx_langid_confusion" -> txLangidConfusionSql,
     "tx_fingerprint" -> txFingerprintSql,

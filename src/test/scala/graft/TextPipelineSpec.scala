@@ -373,4 +373,67 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(got(w) == want, s"$w: got ${got(w)}, want $want")
     }
   }
+
+  test("qualityLpm learns a separable corpus perfectly and its eval " +
+    "reconciles; driver Cramer matches a hand NumPy-style solve (r9)") {
+    // constructed separation: en docs are stopword-dense and long,
+    // others stopword-free and short — the LPM must recover weights
+    // that classify this perfectly at the 0.5 cut
+    // vary lengths within each class so the feature matrix has full
+    // rank (three unknowns need three linearly independent rows)
+    val en = (0 until 10).map(i => (i.toLong,
+      (("the a " * (20 + 3 * i)) + s"body$i words here").trim, "en"))
+    val other = (10 until 20).map(i => (i.toLong,
+      (s"w$i x$i y$i z$i " * (1 + i % 5)).trim, "de"))
+    val docs = (en ++ other).toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.qualityLpm(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(1),
+        s"doc ${r.getLong(0)}: predicted ${r.getLong(5)} != y ${r.getLong(1)}")
+    }
+    val ev = graft.operators.TextAnalysis.qualityLpmEval(docs).head()
+    assert(ev.getLong(0) == 10 && ev.getLong(3) == 10)
+    assert(ev.getLong(1) == 0 && ev.getLong(2) == 0)
+    assert(ev.getLong(4) == 1000000L)
+    // hand-check the normal equations on the tiny corpus: recompute
+    // the sufficient statistics + Cramer in BigInt here and assert
+    // the distributed scores match w0 + w1 x1 + w2 x2
+    val feats = out.map(r => (r.getLong(2), r.getLong(3), r.getLong(1)))
+    val n = BigInt(feats.length)
+    val s1 = BigInt(feats.map(_._1).sum); val s2 = BigInt(feats.map(_._2).sum)
+    val s11 = BigInt(feats.map(f => f._1 * f._1).sum)
+    val s12 = BigInt(feats.map(f => f._1 * f._2).sum)
+    val s22 = BigInt(feats.map(f => f._2 * f._2).sum)
+    val b0 = BigInt(feats.map(_._3).sum)
+    val b1 = BigInt(feats.map(f => f._1 * f._3).sum)
+    val b2 = BigInt(feats.map(f => f._2 * f._3).sum)
+    def det3(a: Seq[BigInt]): BigInt = {
+      val Seq(a00, a01, a02, a10, a11, a12, a20, a21, a22) = a
+      a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20) +
+        a02 * (a10 * a21 - a11 * a20)
+    }
+    val d0 = det3(Seq(n, s1, s2, s1, s11, s12, s2, s12, s22))
+    val sg = d0.sign
+    val det = d0 * sg
+    val wn = Seq(det3(Seq(b0, s1, s2, b1, s11, s12, b2, s12, s22)),
+      det3(Seq(n, b0, s2, s1, b1, s12, s2, b2, s22)),
+      det3(Seq(n, s1, b0, s1, s11, b1, s2, s12, b2))).map(_ * sg)
+    def fd(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && a.sign != b.sign) q - 1 else q
+    }
+    val w = wn.map(x => fd(x * 1000000, det).toLong)
+    out.foreach { r =>
+      assert(r.getLong(4) == w(0) + w(1) * r.getLong(2) + w(2) * r.getLong(3))
+    }
+  }
+
+  test("qualityLpm raises on a degenerate (constant-feature) corpus") {
+    val docs = (0 until 5).map(i =>
+      (i.toLong, "same text here always", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.qualityLpm(docs).collect()
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
 }
