@@ -520,6 +520,28 @@ object ExtQueries {
       "ORDER BY blocker"
   }
 
+  /** [[graft.streaming.StreamKnn.knnStream]] in batch mode: bucket
+    * candidates (queries share a sign-LSH band bucket with corpus
+    * vectors — including themselves), exact quantized cosine, rank by
+    * the stated (cos desc, id asc) total order, top 5. The window
+    * restates the operator's row-local array_sort + slice. */
+  private val simKnnStreamSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "qb AS (SELECT * FROM bands WHERE vec_id < 8), " +
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, " +
+      "b.vec_id AS neighbor_id FROM qb q JOIN bands b " +
+      "ON q.band = b.band AND q.bucket = b.bucket), " +
+      "sc AS (SELECT c.query_id, c.neighbor_id, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM cand c JOIN base x ON x.vec_id = c.query_id " +
+      "JOIN base y ON y.vec_id = c.neighbor_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cos_ppm DESC, neighbor_id ASC) AS BIGINT) AS rank " +
+      "FROM sc) " +
+      "SELECT query_id, rank, neighbor_id, cos_ppm FROM r " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+
   /** [[Dedup.embedBlockerRecall]] (r9): the vector-side blocker eval
     * — sign-LSH band candidates and same-k-means-cell (IVF partition)
     * candidates, each restricted to sampled ends, against EXACT
@@ -3655,6 +3677,18 @@ object ExtQueries {
     // against exact sampled quantized-cosine truth
     "dd_embed_blocker_recall" -> ((s, d) =>
       Dedup.embedBlockerRecall(Tables.embeddings(s, d))),
+    // r9: the streaming ANN operator run in batch mode (pure
+    // transforms) — per-query top-k over sign-LSH bucket candidates,
+    // merged/scored/ranked entirely row-locally; queries are corpus
+    // rows here so each query's top-1 is itself at cos 1e6
+    "sim_knn_stream" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.where(F.col("vec_id") < 8)
+        .select(F.expr("timestamp '2000-01-01 00:00:00'").as("ts"),
+          F.col("vec_id"), F.col("embedding"))
+      graft.streaming.StreamKnn.knnStream(qs, e)
+        .drop("ts").orderBy("query_id", "rank")
+    }),
     "dd_lsh_verified" -> ((s, d) => Dedup.lshVerified(Tables.documents(s, d))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dd_embed_incremental" -> ((s, d) =>
@@ -4014,6 +4048,7 @@ object ExtQueries {
     "dd_lsh_recall_sampled" -> ddLshRecallSampledSql,
     "dd_blocker_recall" -> ddBlockerRecallSql,
     "dd_embed_blocker_recall" -> ddEmbedBlockerRecallSql,
+    "sim_knn_stream" -> simKnnStreamSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
