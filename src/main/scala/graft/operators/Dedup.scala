@@ -495,6 +495,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Visual VIDEO near-dup pairs (r9): Jaccard over the per-doc SET
+    * of sampled-frame content signatures
+    * ([[Multimodal.videoFrameSigs]]) — the frame-hash-set overlap
+    * measure large video corpora dedup on (sample frames, hash each,
+    * compare sets), with the frame signature standing in for a
+    * perceptual frame hash. Exactly [[ngramJaccard]]'s verify math
+    * via the shared [[jaccardPairsFrom]] (the signature IS the
+    * "shingle"); the inverted-index join is sig-keyed, so cost is
+    * bounded by signature-bucket occupancy, never |videos|². Corrupt
+    * containers contributed no signatures upstream and so never
+    * pair. At crawl scale this runs behind a df-cap
+    * ([[dfCapShingles]]' argument applies verbatim to boilerplate
+    * frames — intros/logos shared by thousands of videos). */
+  def videoNearDup(frameSigs: DataFrame,
+                   minJaccardPpm: Long = 400000L): DataFrame =
+    jaccardPairsFrom(
+      frameSigs.select(col("doc_id"), col("sig").as("sh")).distinct(),
+      minJaccardPpm)
+
   /** Shared exact-Jaccard pair builder over an exploded (doc_id, sh)
     * shingle table: inverted-index self-join → per-pair intersection
     * count → union/jaccard from per-doc sizes. Factored out so the

@@ -1253,6 +1253,68 @@ object Multimodal {
     }).toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** Near-duplicate VIDEO fixtures (r9): group g = doc_id/4 shares
+    * one frame formula (byte i of frame f = (m1·m2 mod P31) mod 256
+    * with two independent affine mixes m1, m2 of (f, i, g, pert) —
+    * a PRODUCT of mixes, because anything affine-in-i survives the
+    * mod chain as an arithmetic byte progression with a shared step
+    * (only 256 distinct frame contents corpus-wide!): the first-cut
+    * linear formula resonated with the 25-frame stride (3,950 pairs
+    * on 500 docs, 84% cross-group) and a single mix still collided
+    * whenever start bytes aligned (95 cross pairs); the product
+    * leaves only ~256⁻⁸ whole-frame collisions.
+    * nf = 120 + g mod 120 frames); member
+    * m = doc_id%4 RE-RENDERS the frames in its own residue class
+    * f ≡ m (mod 11) (pert = m·7 + 1) — the re-encode/overlay-edit
+    * case where most of a duplicated video's frames are
+    * byte-identical and a few differ. Every 13th doc truncated
+    * (DLT: corrupt containers yield NO signatures, exactly like the
+    * hash −1 exclusions on the image side). */
+  def syntheticGroupVideos(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val g = id / 4
+        val m = (id % 4).toInt
+        val nf = 120 + (g % 120).toInt
+        val full = VideoCodec.aviBytes(
+          width = 160 + (g % 8).toInt * 80,
+          height = 120 + (g % 6).toInt * 60,
+          totalFrames = nf,
+          usPerFrame = 33333,
+          frameByte = (f, i) => {
+            val P = 2147483647L
+            val pert = if (f % 11 == m) m * 7L + 1L else 0L
+            val m1 = (f * 2654435761L + i * 40503L +
+              (g % P) * 2246822519L + pert) % P
+            val m2 = (f * 40503L + i * 2654435761L +
+              (g % P) * 715827883L + pert) % P
+            ((m1 * m2 % P) % 256).toInt
+          })
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 30) else full)
+      }
+  }
+
+  /** Per-doc sampled-frame signature stream (r9): the video twin of
+    * [[imagePhash]] — one row per (doc, every-25th-frame) with the
+    * frame's packed content signature
+    * ([[VideoCodec.sampleFrameSigs]]). Row-local flatMap fan-out,
+    * zero shuffle; pairing happens downstream in
+    * [[graft.operators.Dedup.videoNearDup]] via signature-set
+    * Jaccard, never all-pairs over raw frames. Corrupt containers
+    * emit NOTHING (no partial signature sets). */
+  def videoFrameSigs(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGroupVideos(docs).mapPartitions(_.flatMap { d =>
+      VideoCodec.sampleFrameSigs(d.payload, VideoFrameStride) match {
+        case Some(fs) => fs.iterator.map { case (f, sig) =>
+          (d.doc_id, f, sig) }
+        case None => Iterator.empty
+      }
+    }).toDF("doc_id", "frame_idx", "sig").orderBy("doc_id", "frame_idx")
+  }
+
   /** One decoded μ-law audio row per doc (r7 continuation). */
   final case class UlawStatsRow(doc_id: Long, format: String,
       sample_rate: Long, n_samples: Long, min_s: Long, max_s: Long,

@@ -520,6 +520,54 @@ object ExtQueries {
       "ORDER BY blocker"
   }
 
+  /** [[Dedup.videoNearDup]] over [[Multimodal.videoFrameSigs]] (r9):
+    * the oracle re-renders every sampled frame's bytes from the
+    * group fixture formula (never seeing a container byte), packs
+    * the same byte_sum·65536 + wsum signature, and reruns the exact
+    * Jaccard CTE chain — a wrong movi walk, frame index, stride or
+    * signature pack on the Spark side fails the hash. Truncated
+    * (doc_id % 13 = 0) containers are excluded exactly as the
+    * fail-closed parser contributes no signatures. */
+  private val ddVideoNearDupSql: String =
+    "WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "p AS (SELECT doc_id, g, m, 120 + g % 120 AS nf FROM d), " +
+      "sf AS (SELECT doc_id, g, m, unnest(range(0, nf)) AS f FROM p), " +
+      "sfs AS (SELECT doc_id, g, m, f FROM sf WHERE f % 25 = 0), " +
+      "bys AS (SELECT doc_id, g, m, f, unnest(range(0, 8)) AS i FROM sfs), " +
+      // product-of-mixes byte formula (see syntheticGroupVideos —
+      // anything affine in i collapses to arithmetic byte
+      // progressions); every product stays under 2^63 in BIGINT
+      "pe AS (SELECT doc_id, f, i, " +
+      "CASE WHEN f % 11 = m THEN m*7 + 1 ELSE 0 END AS pert, g " +
+      "FROM bys), " +
+      "bv AS (SELECT doc_id, f, i, " +
+      "((((f*2654435761 + i*40503 + (g % 2147483647)*2246822519 + pert) " +
+      "% 2147483647) * " +
+      "((f*40503 + i*2654435761 + (g % 2147483647)*715827883 + pert) " +
+      "% 2147483647)) % 2147483647) % 256 AS v FROM pe), " +
+      // polynomial content hash, powers of 257 mod P31 inlined; the
+      // partial sums stay < 8·255·2^31 << 2^53, exact in BIGINT
+      "sg AS (SELECT doc_id, f, SUM(v * (CASE i " +
+      "WHEN 0 THEN 1 WHEN 1 THEN 257 WHEN 2 THEN 66049 " +
+      "WHEN 3 THEN 16974593 WHEN 4 THEN 67503107 " +
+      "WHEN 5 THEN 168429323 WHEN 6 THEN 336663071 " +
+      "ELSE 623063367 END)) % 2147483647 AS sig " +
+      "FROM bv GROUP BY doc_id, f), " +
+      "sh AS (SELECT DISTINCT doc_id, sig FROM sg), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS n_inter FROM sh a JOIN sh b " +
+      "ON a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter, " +
+      "CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union, " +
+      "CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) AS BIGINT) " +
+      "AS jaccard_ppm FROM inter " +
+      "JOIN sizes na ON na.doc_id = doc_a " +
+      "JOIN sizes nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) " +
+      "AS BIGINT) >= 400000 ORDER BY doc_a, doc_b"
+
   /** [[graft.streaming.StreamKnn.knnStream]] in batch mode: bucket
     * candidates (queries share a sign-LSH band bucket with corpus
     * vectors — including themselves), exact quantized cosine, rank by
@@ -3681,6 +3729,11 @@ object ExtQueries {
     // transforms) — per-query top-k over sign-LSH bucket candidates,
     // merged/scored/ranked entirely row-locally; queries are corpus
     // rows here so each query's top-1 is itself at cos 1e6
+    // r9: visual video near-dup — sampled-frame signature sets,
+    // exact Jaccard via the shared pair builder
+    "dd_video_neardup" -> ((s, d) =>
+      Dedup.videoNearDup(
+        Multimodal.videoFrameSigs(Tables.documents(s, d))(s))),
     "sim_knn_stream" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val qs = e.where(F.col("vec_id") < 8)
@@ -4049,6 +4102,7 @@ object ExtQueries {
     "dd_blocker_recall" -> ddBlockerRecallSql,
     "dd_embed_blocker_recall" -> ddEmbedBlockerRecallSql,
     "sim_knn_stream" -> simKnnStreamSql,
+    "dd_video_neardup" -> ddVideoNearDupSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

@@ -1161,6 +1161,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a % 13 != 0 && b % 13 != 0 })
   }
 
+  test("videoNearDup pairs exactly the planted rotated-render groups: " +
+    "every pair is in-group, truncated containers never pair, and " +
+    "the signature walk matches a driver-side re-render (r9)") {
+    val d = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val sigs = graft.operators.Multimodal.videoFrameSigs(d)(spark)
+    // driver-side re-render of the fixture formula + polynomial sig
+    val P = 2147483647L
+    def frameSig(g: Long, m: Long, f: Long): Long = {
+      var sig = 0L; var pw = 1L
+      (0 until 8).foreach { i =>
+        val pert = if (f % 11 == m) m * 7L + 1L else 0L
+        val m1 = (f * 2654435761L + i * 40503L + (g % P) * 2246822519L +
+          pert) % P
+        val m2 = (f * 40503L + i * 2654435761L + (g % P) * 715827883L +
+          pert) % P
+        val v = (m1 * m2 % P) % 256
+        sig = (sig + v * pw) % P; pw = pw * 257L % P
+      }
+      sig
+    }
+    val got = sigs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, f, sig) =>
+      assert(id % 13 != 0, "truncated containers must emit nothing")
+      assert(sig == frameSig(id / 4, id % 4, f),
+        s"doc $id frame $f: sig mismatch")
+    }
+    val pairs = Dedup.videoNearDup(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(a / 4 == b / 4, s"spurious cross-group pair ($a,$b)")
+      assert(a % 13 != 0 && b % 13 != 0)
+    }
+  }
+
   test("embedBlockerRecall: two blocker rows with count invariants; " +
     "hits bounded by both sides; full-sample recall of the exact " +
     "truth is what the sign bands actually achieve") {
