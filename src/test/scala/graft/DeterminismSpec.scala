@@ -22,7 +22,11 @@ class DeterminismSpec extends AnyFunSuite {
     "x_compress_ratio",
     // r4 additions with fit-collects, distributed builds, or windows
     "sim_knn_ivfpq", "sim_knn_ivfpq_rerank", "x_knn_pq_trained",
-    "dd_contamination_bloomdist", "tx_word_familiarity", "rel_user_gaps")
+    "dd_contamination_bloomdist", "tx_word_familiarity", "rel_user_gaps",
+    // r9 additions with fit-collects (LPM Cramer), sampled evals,
+    // k-means arms, or row-local rank arrays
+    "tx_quality_lpm", "dd_embed_blocker_recall", "sim_knn_stream",
+    "dd_video_neardup", "dd_blocker_recall", "dd_lsh_recall_sampled")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>
