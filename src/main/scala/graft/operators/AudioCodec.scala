@@ -163,6 +163,35 @@ object AudioCodec {
     out.toByteArray
   }
 
+  /** PCM-16 mono WAV from an explicit per-sample function — the
+    * group-fixture builder (near-dup audio needs member-correlated
+    * SAMPLES, which [[wavBytes]]' byte-progression formula can't
+    * express). The container layout is identical to [[wavBytes]]';
+    * samples are written little-endian signed 16-bit. */
+  def pcm16WavBytes(sampleRate: Int, nSamples: Int,
+      sampleAt: Int => Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def str(s: String): Unit = s.foreach(c => out.write(c))
+    str("RIFF"); le32(36L + dataSize); str("WAVE")
+    str("fmt "); le32(16L)
+    le16(1) // PCM
+    le16(1) // mono
+    le32(sampleRate.toLong)
+    le32(sampleRate.toLong * 2)
+    le16(2)
+    le16(16)
+    str("data"); le32(dataSize.toLong)
+    var i = 0
+    while (i < nSamples) { le16(sampleAt(i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
   /** Deterministic PCM WAV fixture: a real, complete RIFF/WAVE file
     * whose sample bytes are (i·31 + seed) mod 256 — parsers must walk
     * the actual chunk layout to recover the header fields the oracle

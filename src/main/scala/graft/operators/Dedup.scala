@@ -514,6 +514,23 @@ object Dedup {
       frameSigs.select(col("doc_id"), col("sig").as("sh")).distinct(),
       minJaccardPpm)
 
+  /** Audio near-dup — the third modality on the shared signature-set
+    * Jaccard verify ([[imageNearDup]]: pixels, [[videoNearDup]]:
+    * frames, this: PCM windows): window signatures from
+    * [[graft.operators.Multimodal.audioWindowSigs]] (64-sample
+    * windows of the DECODED stream, so container-level differences —
+    * header layout, padding — never matter, only audible content),
+    * paired by exact set overlap via [[jaccardPairsFrom]]. The
+    * re-recorded/transcode-jitter case (a few windows differ, most
+    * match) lands above the threshold; unrelated audio shares no
+    * window signature. Same inverted-index cost bound as video: the
+    * join is signature-keyed, never |corpus|². */
+  def audioNearDup(windowSigs: DataFrame,
+                   minJaccardPpm: Long = 400000L): DataFrame =
+    jaccardPairsFrom(
+      windowSigs.select(col("doc_id"), col("sig").as("sh")).distinct(),
+      minJaccardPpm)
+
   /** Shared exact-Jaccard pair builder over an exploded (doc_id, sh)
     * shingle table: inverted-index self-join → per-pair intersection
     * count → union/jaccard from per-doc sizes. Factored out so the
@@ -685,6 +702,45 @@ object Dedup {
                         maxDf: Int = 50): DataFrame =
     containPairsFrom(dfCapShingles(shingles(docs, shingleN), maxDf),
       minContainPpm)
+
+  /** Edit-distance-verified near-duplicate pairs over the leading
+    * snippet (first `snipLen` chars) — the SHORT-TEXT dedup family
+    * (titles, search queries, captions, alt-text), where word-level
+    * Jaccard is too coarse and Levenshtein is the metric that
+    * matters. Same blocked-candidates + exact-verify architecture as
+    * [[ngramJaccardCapped]]: candidates = pairs sharing at least one
+    * character-`gramLen`-gram of the snippet whose document
+    * frequency is <= `maxDf` ([[dfCapShingles]]' df-cap on the SAME
+    * key the pair join uses — candidate volume stays linear in
+    * corpus size even under a boilerplate prefix shared by millions
+    * of docs); verify = EXACT `levenshtein(snippet_a, snippet_b) <=
+    * maxDist`, a bounded O(snipLen^2) row-local kernel both engines
+    * implement natively (Spark `levenshtein`, DuckDB `levenshtein`
+    * — unit-cost insert/delete/substitute in both). The per-pair
+    * verify cost is a constant (<= snipLen^2 cells), so the df-cap
+    * on blocking, not the verify, is what keeps 100 TB feasible. */
+  def editVerified(docs: DataFrame, snipLen: Int = 96, gramLen: Int = 16,
+                   maxDf: Int = 16, maxDist: Int = 24): DataFrame = {
+    val snip = docs
+      .where(length(col("text")) >= gramLen)
+      .select(col("doc_id"), substring(col("text"), 1, snipLen).as("sn"))
+    val grams = snip.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col("sn")) - (gramLen - 1)),
+        i => col("sn").substr(i, lit(gramLen))))).as("sh"))
+    val capped = dfCapShingles(grams, maxDf)
+    val cand = capped.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
+      .join(snip.select(col("doc_id").as("doc_b"), col("sn").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Benchmark decontamination: find training docs sharing any word
     * n-gram with an evaluation/benchmark set — the standard

@@ -828,6 +828,75 @@ object Multimodal {
       }
   }
 
+  /** Near-duplicate-bearing WAV fixture groups (the audio twin of
+    * [[syntheticGroupVideos]]): four members per group share one
+    * g-seeded PCM-16 stream; member m "re-records" the 64-sample
+    * windows whose index ≡ m (mod 9) with an 11·m+1 sample offset —
+    * the transcode-jitter / edit case an audio-dedup pipeline must
+    * pair despite byte-level difference. Every 13th doc truncated
+    * mid-data (the corrupt-container DLT arm). Sample formula
+    * (restated verbatim by the oracle):
+    * v_i = ((i·(131 + g mod 997) + (i div 64)²·7919 + g·127 + pert)
+    *        mod 65521) − 32760.
+    * Two anti-aliasing terms matter at corpus scale (found at the
+    * 9M-id probe, not theorized): a purely additive g-term collapses
+    * mod 65521, so groups 65521 apart emit IDENTICAL streams — the
+    * g-dependent multiplier fixes that; and same-multiplier AFFINE
+    * streams are SHIFT-invariant (an additive δ equals a time shift
+    * of δ/mult — and any term LINEAR in the window index stays
+    * inside the affine family), so when that shift lands on a window
+    * boundary two unrelated groups look like time-shifted
+    * re-recordings. The QUADRATIC window term breaks it:
+    * (w+s)² − w² = 2sw + s² is non-constant in w unless s = 0.
+    * Neither term disturbs the in-group design (both are equal
+    * across members of a group). */
+  def syntheticGroupWavs(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val g = id / 4
+        val m = (id % 4).toInt
+        val n = 384 + (g % 8).toInt * 64
+        val full = AudioCodec.pcm16WavBytes(8000, n, i => {
+          val pert = if ((i / 64) % 9 == m) m * 11 + 1 else 0
+          val w = (i / 64).toLong
+          (((i.toLong * (131L + g % 997L) + w * w * 7919L
+            + g * 127L + pert) % 65521L) - 32760L).toInt
+        })
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 40) else full)
+      }
+  }
+
+  /** Per-doc audio window signatures (doc_id, win, sig): the decoded
+    * PCM stream cut into 64-sample windows, each summarized by the
+    * position-weighted exact-integer signature
+    * sig = Σ_{j<64} (v_{64w+j} + 32760)·(j+1) — bounded by
+    * 65521·Σ(j+1) < 2^28, so BIGINT-exact in both engines with no
+    * modulus. Row-local flatMap over [[syntheticGroupWavs]] (the
+    * [[videoFrameSigs]] shape); corrupt payloads emit NOTHING (no
+    * partial signature sets). Pairing happens downstream in
+    * [[graft.operators.Dedup.audioNearDup]]. */
+  def audioWindowSigs(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGroupWavs(docs).mapPartitions(_.flatMap { d =>
+      AudioCodec.parseWavSamples(d.payload) match {
+        case Some((_, vs)) if vs.length >= 64 =>
+          val nw = vs.length / 64
+          (0 until nw).iterator.map { w =>
+            var s = 0L
+            var j = 0
+            while (j < 64) {
+              s += (vs(w * 64 + j).toLong + 32760L) * (j + 1)
+              j += 1
+            }
+            (d.doc_id, w.toLong, s)
+          }
+        case _ => Iterator.empty
+      }
+    }).toDF("doc_id", "win", "sig")
+  }
+
   /** REAL header-level audio decode (see [[AudioCodec]]): bytes in,
     * (channels, sample_rate, bits, n_samples, duration_ms) out, same
     * mapPartitions batch contract and DLT arm as [[imageMeta]]. */

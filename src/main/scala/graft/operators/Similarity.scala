@@ -504,4 +504,84 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "hamming")
       .orderBy("query_id", "rank")
   }
+
+  /** Maximum-inner-product top-k (MIPS) — retrieval by RAW integer
+    * dot product, no normalization: the scoring a recommender or
+    * learned-retrieval stack wants when vector norms carry signal
+    * (popularity, confidence, term importance) that cosine's
+    * normalization erases. Same plan shape as [[knnBrute]]
+    * (broadcast model-sized query set, one row-local scoring pass,
+    * per-query top-k window), but the score is [[V.qdot]]'s exact
+    * integer — no sqrt anywhere on this path, so the oracle restates
+    * it with pure integer ops. The shared [[quantized]] base drops
+    * zero-norm vectors; for MIPS that exclusion is cosmetic (a zero
+    * vector scores 0 against every query and cannot displace a
+    * positive-dot neighbor). */
+  def mipsBrute(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val base = quantized(embeddings)
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.qdot(col("qq"), col("qe")).as("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rank")
+  }
+
+  /** MIPS inverted-file ANN — the scale path for [[mipsBrute]]:
+    * lists are built exactly like [[knnIvf]]'s (coarse codebook =
+    * first `nCentroids` quantized ids, row-local exact-integer L2
+    * argmin assignment — standard MIPS-IVF practice clusters by
+    * geometry), but the QUERY ranks centroids by raw dot product
+    * descending (ties to the lowest cid) and scans its `nProbe`
+    * best inner-product lists; candidates then get the exact
+    * integer dot. Same broadcast-probe join plan as IVF; recall < 1
+    * by design — a high-norm outlier in an unprobed cell is missed,
+    * the MIPS-specific failure mode that more probes buy back. */
+  def mipsIvf(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val base = quantized(embeddings)
+    val cents: Seq[(Long, Seq[Long], Long)] = base
+      .where(col("vec_id") < nCentroids)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    def centDot(ce: Seq[Long]): Column =
+      aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+    val distStructs = cents.map { case (cid, ce, cn) =>
+      struct((col("qn") + cn - lit(2L) * centDot(ce)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val byDist = array_sort(array(distStructs: _*))
+    val assign = base.select(col("vec_id"), col("qe"),
+      element_at(byDist, 1).getField("cid").as("cid"))
+    // probe ranking: (-dot, cid) ascending == dot descending, ties
+    // to the lowest cid — the array_sort trick [[knnIvf]] uses for
+    // L2, negated for inner product
+    val probeStructs = cents.map { case (cid, ce, _) =>
+      struct((-centDot(ce)).as("ndot"), lit(cid).as("cid"))
+    }
+    val byDot = array_sort(array(probeStructs: _*))
+    val probes = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(byDot, 1, nProbe), s => s.getField("cid")))
+          .as("cid"))
+    val scored = assign.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("qq"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.qdot(col("qq"), col("qe")).as("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rank")
+  }
 }

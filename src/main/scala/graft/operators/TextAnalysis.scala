@@ -30,6 +30,75 @@ object TextAnalysis {
           .as("n_subword_tokens"))
       .orderBy("doc_id")
 
+  /** Literal retrieval queries for [[bm25]] — drawn from the corpus
+    * vocabulary; the oracle's VALUES list is generated from this SAME
+    * Seq so the two engines cannot diverge. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join", "merge"),
+    1L -> Seq("vector", "scan", "column"),
+    2L -> Seq("spark", "stream", "window", "batch"),
+    3L -> Seq("slow", "query", "filter"))
+
+  /** BM25 retrieval ranking — the inverted-index scoring a curation
+    * stack runs for decontamination-by-retrieval and targeted data
+    * selection (find the training docs closest to an eval query).
+    * Only documents sharing >= 1 query term are scored: the join of
+    * the query terms against the (term, doc, tf) posting table IS
+    * the inverted-index probe — at 100 TB the scan touches candidate
+    * postings, never the corpus, and df/avgdl are one
+    * partial-combinable aggregate pass each.
+    *
+    * Scoring is the BM25 shape (k1 = 1.2, b = 0.75) restated in the
+    * repo's integer-floor discipline so both engines hash-match:
+    *   sat_ppm = ⌊2.2e6·tf·1e6 / (1e6·tf + 3e5 + ⌊9e5·dl·N/L⌋)⌋
+    *   idf:   w_ppm = ⌊1e6·(2N−2df+1)/(2df+1)⌋ — the exact rational
+    *          INSIDE Robertson's log idf = ln((N−df+½)/(df+½)), used
+    *          without the log (transcendentals are banned on
+    *          hash-checked paths; see the PMI-collocations note).
+    *          Monotone in df like the classic weight, so single-term
+    *          rankings agree with log-BM25; multi-term totals weight
+    *          rare terms MORE heavily than the log form — documented
+    *          divergence, exact verification.
+    *   score_milli = Σ_t ⌊w_ppm·sat_ppm / 1e9⌋; top-`k` per query,
+    *          ties to the lowest doc_id.
+    * Every intermediate is int64-bounded to ~1e6 docs
+    * (w_ppm·sat_ppm < 2.6e18); beyond that the same formula slots
+    * into DECIMAL(38,0) like rel_abtest's counts. */
+  def bm25(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corp = dl.agg(count(lit(1)).as("n"), sum("dl").as("l"))
+    // tf/df are only consumed for query terms, so restrict BEFORE
+    // aggregating — a literal IN-predicate the scan evaluates
+    // row-locally (the inverted-index probe), not a corpus-wide
+    // per-term aggregate that then discards (vocab − |q|) groups
+    val qTerms = Bm25Queries.flatMap(_._2).distinct
+    val tokQ = tok.where(col("t").isin(qTerms: _*))
+    val tf = tokQ.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val qry = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "t")
+    val scored = broadcast(qry).join(tf, "t").join(broadcast(dfT), "t")
+      .join(dl, "doc_id").crossJoin(broadcast(corp))
+      .withColumn("w_ppm",
+        expr("(1000000L * (2L * n - 2L * df + 1L)) DIV (2L * df + 1L)"))
+      .withColumn("r_ppm", expr("(900000L * dl * n) DIV l"))
+      .withColumn("sat_ppm", expr("(2200000L * tf * 1000000L) DIV " +
+        "(1000000L * tf + 300000L + r_ppm)"))
+      .withColumn("term_milli", expr("(w_ppm * sat_ppm) DIV 1000000000L"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(sum("term_milli").as("score_milli"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_milli")
+      .orderBy("query_id", "rank")
+  }
+
   /** Quality feature columns (doc_id, lang, n_tokens,
     * mean_token_len_ppm, stopword_ratio_ppm, quality_ppm) — shared by
     * [[qualityScore]] and [[qualityFilter]]. Row-local. */

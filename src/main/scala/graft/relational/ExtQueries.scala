@@ -568,6 +568,136 @@ object ExtQueries {
       "WHERE CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) " +
       "AS BIGINT) >= 400000 ORDER BY doc_a, doc_b"
 
+  /** [[graft.operators.Dedup.audioNearDup]]: the full fixture chain
+    * restated — per-sample PCM values from the doc_id literals
+    * (v = ((i·131 + g·127 + pert) mod 65521) − 32760, pert on
+    * windows ≡ m mod 9), 64-sample position-weighted window
+    * signatures (all partial sums < 2^28, no modulus needed), then
+    * the standard signature-set Jaccard tail. A decoder that
+    * mis-walks the RIFF layout or mis-signs a sample changes sigs
+    * and fails the hash. */
+  private val ddAudioNearDupSql: String =
+    "WITH p AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m, " +
+      "384 + (doc_id // 4 % 8) * 64 AS n FROM documents " +
+      "WHERE doc_id % 13 <> 0), " +
+      "ix AS (SELECT doc_id, g, m, unnest(range(0, n)) AS i FROM p), " +
+      "v AS (SELECT doc_id, i // 64 AS w, (i % 64 + 1) AS j1, " +
+      "((i * (131 + g % 997) + (i // 64) * (i // 64) * 7919 + g * 127 + " +
+      "CASE WHEN (i // 64) % 9 = m " +
+      "THEN m * 11 + 1 ELSE 0 END) % 65521) - 32760 AS v FROM ix), " +
+      "sg AS (SELECT doc_id, w, sum((v + 32760) * j1) AS sig " +
+      "FROM v GROUP BY 1, 2), " +
+      "sh AS (SELECT DISTINCT doc_id, sig FROM sg), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "count(*) AS n_inter FROM sh a JOIN sh b " +
+      "ON a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter, " +
+      "CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union, " +
+      "CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) AS BIGINT) " +
+      "AS jaccard_ppm FROM inter " +
+      "JOIN sizes na ON na.doc_id = doc_a " +
+      "JOIN sizes nb ON nb.doc_id = doc_b " +
+      "WHERE CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) " +
+      "AS BIGINT) >= 400000 ORDER BY doc_a, doc_b"
+
+  /** [[graft.operators.Dedup.editVerified]]: df-capped char-16-gram
+    * candidates over the 96-char snippet (`HAVING count(*) <= 16` on
+    * the SAME gram key the pair join uses), verified by DuckDB's own
+    * exact `levenshtein` — an independent edit-distance
+    * implementation, so a Spark-side verify bug fails the hash. */
+  private val ddEditVerifiedSql: String =
+    "WITH s AS (SELECT doc_id, substr(text, 1, 96) AS sn FROM documents " +
+      "WHERE len(text) >= 16), " +
+      "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(sn) - 14), i -> substr(sn, CAST(i AS INT), 16)))) " +
+      "AS sh FROM s), " +
+      "c AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 16), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM sh a JOIN c USING (sh) JOIN sh b USING (sh) " +
+      "WHERE a.doc_id < b.doc_id), " +
+      "v AS (SELECT doc_a, doc_b, " +
+      "CAST(levenshtein(sa.sn, sb.sn) AS BIGINT) AS dist " +
+      "FROM cand JOIN s sa ON sa.doc_id = doc_a " +
+      "JOIN s sb ON sb.doc_id = doc_b) " +
+      "SELECT doc_a, doc_b, dist FROM v WHERE dist <= 24 " +
+      "ORDER BY doc_a, doc_b"
+
+  /** [[graft.operators.TextAnalysis.bm25]]: the integer-floor BM25
+    * chain restated with `//` at every step; the VALUES list is
+    * generated from the operator's own literal query Seq. */
+  private val txBm25Sql: String = {
+    val vals = graft.operators.TextAnalysis.Bm25Queries.flatMap {
+      case (q, ts) => ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    s"WITH ws AS ($wordsCte), " +
+      "tok AS (SELECT doc_id, unnest(w) AS t FROM ws), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "corp AS (SELECT count(*) AS n, sum(dl) AS l FROM dl), " +
+      "tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1), " +
+      s"qry AS (SELECT * FROM (VALUES $vals) AS vq(query_id, t)), " +
+      "sc AS (SELECT q.query_id, tf.doc_id, " +
+      "((1000000 * (2 * corp.n - 2 * dft.df + 1)) // (2 * dft.df + 1)) " +
+      "AS w_ppm, " +
+      "((2200000 * tf.tf * 1000000) // (1000000 * tf.tf + 300000 + " +
+      "(900000 * dl.dl * corp.n) // corp.l)) AS sat_ppm " +
+      "FROM qry q JOIN tf ON tf.t = q.t JOIN dft ON dft.t = q.t " +
+      "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corp), " +
+      "agg AS (SELECT query_id, doc_id, " +
+      "sum((w_ppm * sat_ppm) // 1000000000) AS score_milli " +
+      "FROM sc GROUP BY 1, 2), " +
+      "r AS (SELECT query_id, doc_id, score_milli, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY score_milli DESC, doc_id ASC) AS rk " +
+      "FROM agg) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, " +
+      "CAST(rk AS BIGINT) AS \"rank\", doc_id, " +
+      "CAST(score_milli AS BIGINT) AS score_milli " +
+      "FROM r WHERE rk <= 10 ORDER BY query_id, rk"
+  }
+
+  /** [[graft.operators.Similarity.mipsBrute]]: raw integer dot, no
+    * normalization — pure integer ops end to end. */
+  private val simMipsSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      s"${dotSql("qs.qe", "b.qe")} AS dot_q " +
+      "FROM base qs JOIN base b ON b.vec_id <> qs.vec_id WHERE qs.vec_id < 8), " +
+      "r AS (SELECT query_id, neighbor_id, dot_q, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, dot_q " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
+  /** [[graft.operators.Similarity.mipsIvf]]: the coarse CTEs mirror
+    * [[simKnnIvfSql]] (assignment stays L2 rn = 1); only the probe
+    * ranking (dot DESC, cid ASC) and the final scoring differ. */
+  private val simMipsIvfSql: String =
+    s"WITH $quantCte, " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "dists AS (SELECT b.vec_id, c.cid, b.qe, " +
+      s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist, " +
+      s"${dotSql("b.qe", "c.ce")} AS cdot " +
+      "FROM base b CROSS JOIN cents c), " +
+      "ranked AS (SELECT vec_id, cid, qe, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM dists), " +
+      "assign AS (SELECT vec_id, qe, cid FROM ranked WHERE rn = 1), " +
+      "pranked AS (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS pn " +
+      "FROM dists), " +
+      "probes AS (SELECT vec_id AS query_id, cid FROM pranked " +
+      "WHERE pn <= 2 AND vec_id < 8), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${dotSql("qs.qe", "a.qe")} AS dot_q " +
+      "FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id " +
+      "JOIN base qs ON qs.vec_id = p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, dot_q, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, dot_q " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
   /** [[graft.streaming.StreamKnn.knnStream]] in batch mode: bucket
     * candidates (queries share a sign-LSH band bucket with corpus
     * vectors — including themselves), exact quantized cosine, rank by
@@ -3734,6 +3864,15 @@ object ExtQueries {
     "dd_video_neardup" -> ((s, d) =>
       Dedup.videoNearDup(
         Multimodal.videoFrameSigs(Tables.documents(s, d))(s))),
+    // r9 continuation: third near-dup modality — decoded-PCM window
+    // signatures, same jaccardPairsFrom verify as image/video
+    "dd_audio_neardup" -> ((s, d) =>
+      Dedup.audioNearDup(
+        Multimodal.audioWindowSigs(Tables.documents(s, d))(s))),
+    // r9 continuation: short-text dedup — df-capped char-gram
+    // blocking + exact Levenshtein verify
+    "dd_edit_verified" -> ((s, d) =>
+      Dedup.editVerified(Tables.documents(s, d))),
     "sim_knn_stream" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val qs = e.where(F.col("vec_id") < 8)
@@ -3774,6 +3913,10 @@ object ExtQueries {
     "sim_knn_brute" -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d))),
     "sim_knn_lsh" -> ((s, d) => Similarity.knnLshBucketed(Tables.embeddings(s, d))),
     "sim_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
+    // r9 continuation: MIPS — retrieval by raw inner product (norms
+    // carry signal), brute exact + the inverted-file scale path
+    "sim_mips" -> ((s, d) => Similarity.mipsBrute(Tables.embeddings(s, d))),
+    "sim_mips_ivf" -> ((s, d) => Similarity.mipsIvf(Tables.embeddings(s, d))),
     "sim_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "sim_knn_ivfpq_rerank" -> ((s, d) =>
       Similarity.knnIvfPqRerank(Tables.embeddings(s, d))),
@@ -3842,6 +3985,9 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
     "tx_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    // r9 continuation: BM25 retrieval ranking over literal query
+    // term lists (decontamination-by-retrieval / data selection)
+    "tx_bm25" -> ((s, d) => TextAnalysis.bm25(Tables.documents(s, d))),
     "tx_bpe" -> ((s, d) => Bpe.tokenize(Tables.documents(s, d))),
     "tx_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "dd_contamination" -> ((s, d) =>
@@ -4103,6 +4249,8 @@ object ExtQueries {
     "dd_embed_blocker_recall" -> ddEmbedBlockerRecallSql,
     "sim_knn_stream" -> simKnnStreamSql,
     "dd_video_neardup" -> ddVideoNearDupSql,
+    "dd_audio_neardup" -> ddAudioNearDupSql,
+    "dd_edit_verified" -> ddEditVerifiedSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
@@ -4144,6 +4292,8 @@ object ExtQueries {
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql,
+    "sim_mips" -> simMipsSql,
+    "sim_mips_ivf" -> simMipsIvfSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "sim_knn_ivfpq_rerank" -> simKnnIvfPqRerankSql,
     "tx_tokens" -> txTokensSql,
@@ -4163,6 +4313,7 @@ object ExtQueries {
     "tx_sample_mix" -> txSampleMixSql,
     "tx_html_strip" -> txHtmlStripSql,
     "tx_tfidf" -> txTfidfSql,
+    "tx_bm25" -> txBm25Sql,
     "tx_bpe" -> txBpeSql,
     "tx_chunk" -> txChunkSql,
     "dd_contamination" -> ddContaminationSql,

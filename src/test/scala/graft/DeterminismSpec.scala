@@ -26,7 +26,11 @@ class DeterminismSpec extends AnyFunSuite {
     // r9 additions with fit-collects (LPM Cramer), sampled evals,
     // k-means arms, or row-local rank arrays
     "tx_quality_lpm", "dd_embed_blocker_recall", "sim_knn_stream",
-    "dd_video_neardup", "dd_blocker_recall", "dd_lsh_recall_sampled")
+    "dd_video_neardup", "dd_blocker_recall", "dd_lsh_recall_sampled",
+    // r9-continuation additions: fit-collect (MIPS-IVF centroids),
+    // LSH-style candidate joins, top-k windows
+    "sim_mips", "sim_mips_ivf", "dd_edit_verified", "dd_audio_neardup",
+    "tx_bm25")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>
