@@ -714,10 +714,14 @@ object Dedup {
     * key the pair join uses — candidate volume stays linear in
     * corpus size even under a boilerplate prefix shared by millions
     * of docs); verify = EXACT `levenshtein(snippet_a, snippet_b) <=
-    * maxDist`, a bounded O(snipLen^2) row-local kernel both engines
-    * implement natively (Spark `levenshtein`, DuckDB `levenshtein`
-    * — unit-cost insert/delete/substitute in both). The per-pair
-    * verify cost is a constant (<= snipLen^2 cells), so the df-cap
+    * maxDist`, a bounded row-local kernel both engines implement
+    * natively (unit-cost insert/delete/substitute in both). Spark
+    * side uses the THRESHOLDED form `levenshtein(sa, sb, maxDist)`
+    * — a banded DP (O(snipLen·maxDist) cells, early exit, -1 beyond
+    * the bound) that returns the EXACT distance whenever it is
+    * <= maxDist, so the emitted rows are identical to the unbounded
+    * form (measured 2.6x faster on the verify stage: 4.7 -> 1.8 s
+    * at sf0.1's 105k candidates; tools/Scratch editdup). The df-cap
     * on blocking, not the verify, is what keeps 100 TB feasible. */
   def editVerified(docs: DataFrame, snipLen: Int = 96, gramLen: Int = 16,
                    maxDf: Int = 16, maxDist: Int = 24): DataFrame = {
@@ -737,8 +741,8 @@ object Dedup {
       .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
       .join(snip.select(col("doc_id").as("doc_b"), col("sn").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("sa"), col("sb"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -54,7 +54,65 @@ object Scratch {
     spark.stop()
   }
 
+  /** r9-continuation probe: where do dd_edit_verified's seconds go —
+    * gram build, df-cap, candidate join, or the Levenshtein verify?
+    * `runMain graft.tools.Scratch editdup [sfDir]`. */
+  private def editDupMain(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val snip = docs.where(length(col("text")) >= 16)
+      .select(col("doc_id"), substring(col("text"), 1, 96).as("sn"))
+    val grams = snip.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col("sn")) - 15),
+        i => col("sn").substr(i, lit(16))))).as("sh"))
+    def stage(label: String)(df: DataFrame): Unit = {
+      df.count(); // warm
+      time(label)(println(s"  rows=${df.count()}"))
+    }
+    stage("grams")(grams)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val capped = grams.withColumn("df", count(lit(1)).over(w))
+      .where(col("df") <= 16).drop("df")
+    stage("capped")(capped)
+    val cand = capped.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    stage("candidates")(cand)
+    val ver = cand
+      .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
+      .join(snip.select(col("doc_id").as("doc_b"), col("sn").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .where(col("dist") <= 24)
+    stage("verified")(ver)
+    val verB = cand
+      .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
+      .join(snip.select(col("doc_id").as("doc_b"), col("sn").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sa"), col("sb"), 24).cast("long").as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= 24)
+    stage("verified bounded")(verB)
+    def full(): Unit = materialize(graft.operators.Dedup.editVerified(docs))
+    full()
+    for (i <- 1 to 3) time(s"editVerified full #$i")(full())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("editdup")) {
+      editDupMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     if (args.headOption.contains("blocker")) {
       blockerMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
