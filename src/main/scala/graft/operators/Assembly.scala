@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash => PH, TextOps}
+
+/** Training-run assembly: the last mile of a data pipeline, after
+  * curation — render supervised examples out of structured records,
+  * decide how much of each domain the run consumes, and lay the
+  * corpus out into balanced output shards. All three are exact,
+  * integer-arithmetic plans (div, not double division — the ppm
+  * boundaries must hash-match the DuckDB oracle bit for bit).
+  */
+object Assembly {
+
+  /** SFT example rendering: join the fact table to its dimension and
+    * render deterministic (prompt, completion) pairs with loss-span
+    * token accounting — prompt tokens are masked out of the loss, so
+    * the pipeline must carry `loss_start` (first completion token,
+    * 0-based) alongside the text, and a context-length admit flag.
+    *
+    * Shape: one broadcast dimension join (customer is a dimension;
+    * at warehouse scale where it outgrows the broadcast threshold
+    * this becomes a shuffle-hash join on o_custkey — the render
+    * itself is a row-local projection either way). Dates are
+    * rendered as epoch DAYS and money as floor-dollars: integer
+    * forms both engines produce byte-identically (the strftime /
+    * double-rounding dialect traps have no integer analogue). */
+  def sftRender(orders: DataFrame, customer: DataFrame,
+                ctxTokens: Int = 18): DataFrame = {
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val prompt = concat(
+      lit("Instruction: summarize order "), col("o_orderkey").cast("string"),
+      lit(" placed by "), col("c_name"),
+      lit(" on day "), day.cast("string"), lit("."))
+    val completion = concat(
+      lit("Response: status "), col("o_orderstatus"),
+      lit(", priority "), col("o_orderpriority"),
+      lit(", total "), floor(col("o_totalprice")).cast("long").cast("string"),
+      lit(" dollars."))
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("example_id"),
+        prompt.as("prompt"), completion.as("completion"))
+      .withColumn("prompt_tokens",
+        size(TextOps.words(col("prompt"))).cast("long"))
+      .withColumn("completion_tokens",
+        size(TextOps.words(col("completion"))).cast("long"))
+      .withColumn("total_tokens",
+        (col("prompt_tokens") + col("completion_tokens")).cast("long"))
+      .withColumn("loss_start", col("prompt_tokens"))
+      .withColumn("ctx_ok", (col("total_tokens") <= ctxTokens).cast("long"))
+      .orderBy("example_id")
+  }
+
+  /** Mixture plan: given per-(lang, source) token inventories and a
+    * token budget for the run, emit the sampling plan — target weight
+    * (sqrt-damped, the standard "flatten the head without drowning
+    * the tail" temperature), tokens requested from each domain, and
+    * the implied epoch count (oversampled domains repeat; the flag is
+    * what a run review reads first). The aggregate is k-rows tiny
+    * (domains, not documents), so the global-window total costs
+    * nothing; all shares are integer div — exact on both engines.
+    * Weight uses floor(sqrt(tokens)): ONE correctly-rounded IEEE op
+    * per group, never a cross-group double sum (summation order
+    * differs between engines). */
+  def mixPlan(docs: DataFrame, budgetTokens: Long = 10000000L): DataFrame = {
+    val tok = size(TextOps.words(col("text"))).cast("long")
+    val inv = docs.select(col("lang"), col("source"), tok.as("t"))
+      .groupBy("lang", "source").agg(sum("t").as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .withColumn("w_sum", sum("weight").over(Window.partitionBy()))
+    inv.select(col("lang"), col("source"), col("tokens"), col("weight"),
+        expr("1000000 * weight div w_sum").as("target_ppm"))
+      .withColumn("requested_tokens",
+        expr(s"target_ppm * $budgetTokens div 1000000"))
+      .withColumn("epochs_x100",
+        expr("(100 * requested_tokens + tokens - 1) div tokens"))
+      .withColumn("oversampled", (col("epochs_x100") > 100).cast("long"))
+      .orderBy("lang", "source")
+  }
+
+  /** Shard layout plan: hash-assign documents to `nShards` output
+    * shards and report the balance — the write-sharding step before
+    * training files are cut, where skew means one straggling writer
+    * and one over-long training file. The salted portable hash is the
+    * SAME family every sampler here uses, so shard assignment is
+    * reproducible across engines and runs. balance_ppm = this shard's
+    * token share × nShards (1e6 = perfectly balanced). The numerator
+    * stays far inside int64 at bench scale; at real corpus scale the
+    * division happens per-shard against a precomputed total (same
+    * plan, no widening). */
+  def shardPlan(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val tok = size(TextOps.words(col("text"))).cast("long")
+    val shard = PH.h31(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
+    docs.select(shard.as("shard_id"), tok.as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        sum("c").as("n_chars"))
+      .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr(s"1000000 * n_tokens * $nShards div tot").as("balance_ppm"))
+      .orderBy("shard_id")
+  }
+}

@@ -531,6 +531,20 @@ object Dedup {
       windowSigs.select(col("doc_id"), col("sig").as("sh")).distinct(),
       minJaccardPpm)
 
+  /** Code near-dup (r10): exact Jaccard over identifier-normalized
+    * statement n-grams ([[graft.operators.CodeCuration.codeGramTable]])
+    * — the structural dedup a source-code corpus needs, where files
+    * differing only in identifier names and comments are the same
+    * training example. Rides the SAME df-capped inverted index +
+    * verify math as every other family (df-cap because real code
+    * corpora have boilerplate statement runs — license headers,
+    * generated getters — shared by millions of files: exactly
+    * [[dfCapShingles]]' hot-key argument). */
+  def codeNearDup(gramTable: DataFrame,
+                  minJaccardPpm: Long = 500000L,
+                  maxDf: Int = 50): DataFrame =
+    jaccardPairsFrom(dfCapShingles(gramTable, maxDf), minJaccardPpm)
+
   /** Shared exact-Jaccard pair builder over an exploded (doc_id, sh)
     * shingle table: inverted-index self-join → per-pair intersection
     * count → union/jaccard from per-doc sizes. Factored out so the

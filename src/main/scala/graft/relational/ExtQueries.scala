@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.{functions => F}
 import graft.functions.{PortableHash => PH}
-import graft.operators.{Bpe, Cluster, CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Assembly, Bpe, Cluster, CodeCuration, CuratePipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Extension query surface (SURVEY.md §2.5): the training-data
   * pipeline operators (dedup / similarity / text analysis /
@@ -3815,6 +3815,105 @@ object ExtQueries {
     s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) ORDER BY col_name"
   }
 
+  // -- r10: code curation + training-run assembly -------------------
+
+  /** Byte-exact SQL re-rendering of [[graft.operators.CodeCuration
+    * .renderCode]] — same salted identifiers (h31(doc_id:i) % 997),
+    * same statement layout, same header/return lines. Ends in
+    * `code(doc_id, code)`. The render-parity check: tx_code_meta
+    * computes its metadata over THIS string with DuckDB's regex
+    * engine and must hash-match Spark computing over its own
+    * rendering. */
+  private val codeRenderCte: String =
+    "ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "ids AS (SELECT doc_id, w, list_transform(range(1, len(w) + 1), i -> " +
+      s"${PH.h31Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 997) AS vid FROM ws), " +
+      "code AS (SELECT doc_id, 'def f_' || doc_id || '():' || chr(10) || " +
+      "array_to_string(list_transform(range(1, len(w) + 1), i -> " +
+      "'  _v' || vid[i] || ' = lib.' || w[i] || '(' || " +
+      "(CASE WHEN i = 1 THEN 'seed' ELSE '_v' || vid[i - 1] END) || " +
+      "')  # s' || CAST(i - 1 AS VARCHAR)), chr(10)) || " +
+      "chr(10) || '  return _v' || vid[len(w)] AS code FROM ids)"
+
+  private val txCodeMetaSql: String =
+    s"WITH $codeRenderCte " +
+      "SELECT doc_id, " +
+      "CAST(len(string_split(code, chr(10))) AS BIGINT) AS n_lines, " +
+      "CAST(length(code) AS BIGINT) AS n_chars, " +
+      "CAST(list_aggregate(list_transform(string_split(code, chr(10)), " +
+      "l -> length(l)), 'max') AS BIGINT) AS max_line_len, " +
+      "CAST(len(regexp_extract_all(code, '_v[0-9]+')) AS BIGINT) AS n_ident_refs, " +
+      "CAST(len(list_distinct(regexp_extract_all(code, '_v[0-9]+'))) AS BIGINT) " +
+      "AS n_distinct_idents, " +
+      "CAST(len(regexp_extract_all(code, '# s[0-9]+')) AS BIGINT) AS n_comments " +
+      "FROM code ORDER BY doc_id"
+
+  /** [[graft.operators.Dedup.codeNearDup]] oracle — the IDEAL
+    * identifier-free result computed straight from the word stream
+    * (normalize(render(w, i)) is a function of w alone plus the
+    * position-0 seed marker), the mm_phash_oriented "upright
+    * formula" pattern: a wrong normalization regex or comment-strip
+    * order on the Spark side fails the hash. */
+  private val ddCodeNearDupSql: String =
+    "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "st AS (SELECT doc_id, list_transform(range(1, len(w) + 1), i -> " +
+      "'  V = lib.' || w[i] || '(' || (CASE WHEN i = 1 THEN 'seed' ELSE 'V' END) " +
+      "|| ')') AS s FROM ws), " +
+      "sh0 AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(" +
+      "range(1, greatest(len(s) - 3, 1) + 1), i -> " +
+      "md5(s[i] || ' | ' || s[i+1] || ' | ' || s[i+2] || ' | ' || s[i+3])), " +
+      "g -> g IS NOT NULL))) AS sh FROM st), " +
+      "dfok AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50), " +
+      "sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN dfok USING (sh)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT doc_a, doc_b, n_inter, na.n + nb.n - n_inter AS n_union, " +
+      "CAST(FLOOR(1000000.0 * n_inter / (na.n + nb.n - n_inter)) AS BIGINT) AS jaccard_ppm " +
+      "FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) " +
+      "SELECT * FROM j WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
+
+  private val txSftRenderSql: String =
+    "WITH r AS (SELECT o_orderkey AS example_id, " +
+      "'Instruction: summarize order ' || o_orderkey || ' placed by ' || c_name " +
+      "|| ' on day ' || (epoch_ns(o_orderdate) // 86400000000000) || '.' AS prompt, " +
+      "'Response: status ' || o_orderstatus || ', priority ' || o_orderpriority " +
+      "|| ', total ' || CAST(FLOOR(o_totalprice) AS BIGINT) || ' dollars.' AS completion " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "t AS (SELECT example_id, prompt, completion, " +
+      "CAST(len(string_split(prompt, ' ')) AS BIGINT) AS prompt_tokens, " +
+      "CAST(len(string_split(completion, ' ')) AS BIGINT) AS completion_tokens FROM r) " +
+      "SELECT example_id, prompt, completion, prompt_tokens, completion_tokens, " +
+      "prompt_tokens + completion_tokens AS total_tokens, " +
+      "prompt_tokens AS loss_start, " +
+      "CAST((prompt_tokens + completion_tokens) <= 18 AS BIGINT) AS ctx_ok " +
+      "FROM t ORDER BY example_id"
+
+  private val txMixPlanSql: String =
+    "WITH inv AS (SELECT lang, source, CAST(SUM(len(string_split(text, ' '))) " +
+      "AS BIGINT) AS tokens FROM documents GROUP BY 1, 2), " +
+      "wt AS (SELECT lang, source, tokens, " +
+      "CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight FROM inv), " +
+      "tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_sum FROM wt), " +
+      "p AS (SELECT lang, source, tokens, weight, " +
+      "(1000000 * weight) // w_sum AS target_ppm FROM wt, tot), " +
+      "q AS (SELECT *, (target_ppm * 10000000) // 1000000 AS requested_tokens FROM p) " +
+      "SELECT lang, source, tokens, weight, target_ppm, requested_tokens, " +
+      "(100 * requested_tokens + tokens - 1) // tokens AS epochs_x100, " +
+      "CAST(((100 * requested_tokens + tokens - 1) // tokens) > 100 AS BIGINT) " +
+      "AS oversampled FROM q ORDER BY lang, source"
+
+  private val txShardPlanSql: String =
+    s"WITH d AS (SELECT ${PH.h31Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 " +
+      "AS shard_id, len(string_split(text, ' ')) AS t, length(text) AS c " +
+      "FROM documents), " +
+      "g AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(t) AS BIGINT) AS n_tokens, CAST(SUM(c) AS BIGINT) AS n_chars " +
+      "FROM d GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g) " +
+      "SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens, n_chars, " +
+      "(1000000 * n_tokens * 16) // tot AS balance_ppm FROM g, tot ORDER BY shard_id"
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -3869,6 +3968,24 @@ object ExtQueries {
     "dd_audio_neardup" -> ((s, d) =>
       Dedup.audioNearDup(
         Multimodal.audioWindowSigs(Tables.documents(s, d))(s))),
+    // r10: code-corpus structural dedup — identifier-normalized
+    // statement grams over the deterministic code rendering; raw
+    // bytes never match across docs (doc-salted identifiers), only
+    // the normalization pass recovers the similarity
+    "dd_code_neardup" -> ((s, d) =>
+      Dedup.codeNearDup(CodeCuration.codeGramTable(Tables.documents(s, d)))),
+    // r10: file-level code metadata over the ACTUAL rendered string;
+    // oracle re-renders byte-for-byte in SQL (render-parity check)
+    "tx_code_meta" -> ((s, d) =>
+      CodeCuration.codeMeta(Tables.documents(s, d))),
+    // r10 assembly family: SFT example rendering with loss-span
+    // token accounting, mixture planning, shard layout planning
+    "tx_sft_render" -> ((s, d) =>
+      Assembly.sftRender(Tables.orders(s, d), Tables.customer(s, d))),
+    "tx_mix_plan" -> ((s, d) =>
+      Assembly.mixPlan(Tables.documents(s, d))),
+    "tx_shard_plan" -> ((s, d) =>
+      Assembly.shardPlan(Tables.documents(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4251,6 +4368,11 @@ object ExtQueries {
     "dd_video_neardup" -> ddVideoNearDupSql,
     "dd_audio_neardup" -> ddAudioNearDupSql,
     "dd_edit_verified" -> ddEditVerifiedSql,
+    "dd_code_neardup" -> ddCodeNearDupSql,
+    "tx_code_meta" -> txCodeMetaSql,
+    "tx_sft_render" -> txSftRenderSql,
+    "tx_mix_plan" -> txMixPlanSql,
+    "tx_shard_plan" -> txShardPlanSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

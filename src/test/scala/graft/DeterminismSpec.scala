@@ -30,7 +30,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r9-continuation additions: fit-collect (MIPS-IVF centroids),
     // LSH-style candidate joins, top-k windows
     "sim_mips", "sim_mips_ivf", "dd_edit_verified", "dd_audio_neardup",
-    "tx_bm25")
+    "tx_bm25",
+    // r10 additions: hash-salted render (code grams), global windows
+    // (mix/shard totals), dimension-join render
+    "dd_code_neardup", "tx_code_meta", "tx_mix_plan", "tx_shard_plan")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>

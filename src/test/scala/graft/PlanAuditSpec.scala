@@ -415,4 +415,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Filter") || p.contains("LocalTableScan"),
       s"no filter node:\n$p")
   }
+
+  test("tx_sft_render: the dimension join is BROADCAST and the " +
+    "render is a row-local projection — the fact side never " +
+    "shuffle-joins for its template fields (r10)") {
+    val p = plan("tx_sft_render")
+    assert(p.contains("BroadcastHashJoin"), s"customer not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"render shuffle-joins:\n$p")
+  }
+
+  test("tx_code_meta plans no exchange beyond spread — render, " +
+    "normalize, and metadata regexes are all row-local (r10)") {
+    val p = plan("tx_code_meta")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"code metadata is no longer a projection:\n$p")
+  }
 }
