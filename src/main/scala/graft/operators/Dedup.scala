@@ -153,7 +153,7 @@ object Dedup {
     * with 10k members means the band carries no discrimination).
     * The window count shuffles on the SAME (band, bucket) key the
     * subsequent self-join uses, so the exchange is reused. */
-  private def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -1267,7 +1267,7 @@ object Dedup {
 
   /** Sign-LSH band table for vectors — shared by the self-join, the
     * incremental probe, and the bucketed snapshot writer. */
-  private def vectorBands(embeddings: DataFrame, nBands: Int,
+  private[operators] def vectorBands(embeddings: DataFrame, nBands: Int,
       bitsPerBand: Int): DataFrame =
     embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>

@@ -56,6 +56,52 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** All-pairs k-NN GRAPH construction (r10) — the building block
+    * SemDeDup-style semantic curation, label propagation, and
+    * NN-descent all start from: EVERY corpus vector gets its top-k
+    * cosine neighbors, not just a broadcast query set. Brute force
+    * is |corpus|² and never survives scale, so candidates come from
+    * the SAME sign-LSH band table the near-dup family uses
+    * ([[Dedup.vectorBands]], occupancy-cappable) — cost is bounded
+    * by band-bucket occupancy; recall < 1 by design and MEASURED by
+    * dd_embed_blocker_recall (the sign-LSH row is this graph's
+    * operating point). Exact integer-cosine scoring happens only on
+    * candidate pairs, and the per-node top-k is a window over the
+    * candidate list with a pinned tiebreak (cos desc, neighbor asc
+    * — 10×-probe-stable). The undirected candidate pairs are scored
+    * ONCE (a<b) and mirrored by a union: half the distinct/scoring
+    * cost of a directed self-join, same directed output. */
+  def knnGraph(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+               bitsPerBand: Int = 4,
+               maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = quantized(embeddings)
+    val banded = Dedup.capBuckets(
+      Dedup.vectorBands(embeddings, nBands, bitsPerBand), maxBucketSize)
+    val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val scored = pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
+        col("qn").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
+        col("qn").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_ppm"))
+    val directed = scored.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("neighbor_id"), col("cos_ppm"))
+      .union(scored.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("cos_ppm")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    directed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Threshold RANGE search (r6 — the other similarity-query shape:
     * ALL corpus vectors within cosine ≥ τ of each query, not a fixed
     * top-k; the contract radius joins and near-dup admission want).

@@ -3815,6 +3815,54 @@ object ExtQueries {
     s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) ORDER BY col_name"
   }
 
+  // -- r10: k-NN graph + merge-upsert --------------------------------
+
+  /** [[graft.operators.Similarity.knnGraph]]: sign-LSH band
+    * candidates (the dd_embed_neardup CTEs), undirected pairs scored
+    * once then mirrored, per-node top-k with the pinned (cos desc,
+    * neighbor asc) tiebreak. */
+  private val simKnnGraphSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "sc AS (SELECT p.vec_a, p.vec_b, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM pairs p JOIN base x ON x.vec_id = p.vec_a " +
+      "JOIN base y ON y.vec_id = p.vec_b), " +
+      "und AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_ppm FROM sc " +
+      "UNION ALL SELECT vec_b, vec_a, cos_ppm FROM sc), " +
+      "r AS (SELECT vec_id, neighbor_id, cos_ppm, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor_id) AS rnk FROM und) " +
+      "SELECT vec_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_ppm " +
+      "FROM r WHERE rnk <= 4 ORDER BY vec_id, rank"
+
+  /** [[RelQueries.mergeUpsert]]: one FULL OUTER JOIN on the merge
+    * key, every arm resolved in a CASE — the same single-pass shape
+    * the Spark side plans. */
+  private val relMergeUpsertSql: String = {
+    val pc = centsSql("o_totalprice")
+    "WITH base AS (SELECT o_orderkey AS key, " +
+      s"$pc AS price_c, o_orderstatus AS status " +
+      "FROM orders WHERE o_orderkey % 5 <> 4), " +
+      "batch AS (SELECT o_orderkey AS key, " +
+      "CASE WHEN o_orderkey % 12 = 2 THEN 'D' ELSE 'U' END AS op, " +
+      s"$pc + (CASE WHEN o_orderkey % 6 = 0 THEN 1000 ELSE 0 END) AS new_price_c, " +
+      "o_orderstatus AS new_status FROM orders WHERE o_orderkey % 2 = 0) " +
+      "SELECT COALESCE(b.key, t.key) AS key, " +
+      "CASE WHEN t.op IS NULL THEN 'keep' " +
+      "WHEN b.price_c IS NULL AND t.op = 'D' THEN 'skip_absent' " +
+      "WHEN b.price_c IS NULL THEN 'insert' " +
+      "WHEN t.op = 'D' THEN 'delete' " +
+      "WHEN t.new_price_c = b.price_c AND t.new_status = b.status THEN 'noop' " +
+      "ELSE 'update' END AS action, " +
+      "CASE WHEN t.op IS NULL OR t.op = 'D' " +
+      "THEN COALESCE(b.price_c, t.new_price_c) ELSE t.new_price_c END AS price_c, " +
+      "CASE WHEN t.op IS NULL OR t.op = 'D' " +
+      "THEN COALESCE(b.status, t.new_status) ELSE t.new_status END AS status " +
+      "FROM base b FULL OUTER JOIN batch t ON b.key = t.key ORDER BY key"
+  }
+
   // -- r10: code curation + training-run assembly -------------------
 
   /** Byte-exact SQL re-rendering of [[graft.operators.CodeCuration
@@ -3968,6 +4016,12 @@ object ExtQueries {
     "dd_audio_neardup" -> ((s, d) =>
       Dedup.audioNearDup(
         Multimodal.audioWindowSigs(Tables.documents(s, d))(s))),
+    // r10: all-pairs k-NN graph over sign-LSH candidates — the
+    // SemDeDup / label-propagation / NN-descent building block
+    "sim_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d))),
+    // r10: MERGE INTO apply with per-key action audit (CDC upsert)
+    "rel_merge_upsert" -> (RelQueries.mergeUpsert _),
     // r10: code-corpus structural dedup — identifier-normalized
     // statement grams over the deterministic code rendering; raw
     // bytes never match across docs (doc-salted identifiers), only
@@ -4368,6 +4422,8 @@ object ExtQueries {
     "dd_video_neardup" -> ddVideoNearDupSql,
     "dd_audio_neardup" -> ddAudioNearDupSql,
     "dd_edit_verified" -> ddEditVerifiedSql,
+    "sim_knn_graph" -> simKnnGraphSql,
+    "rel_merge_upsert" -> relMergeUpsertSql,
     "dd_code_neardup" -> ddCodeNearDupSql,
     "tx_code_meta" -> txCodeMetaSql,
     "tx_sft_render" -> txSftRenderSql,

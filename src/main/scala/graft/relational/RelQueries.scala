@@ -1048,6 +1048,52 @@ object RelQueries {
     * from literals). ONE full-outer join on the key; the
     * classification arms are projection-local. At 100 TB both sides
     * bucket by key and the join plans exchange-free. */
+  /** MERGE INTO apply with an action audit (r10) — the CDC/upsert
+    * primitive of every lakehouse table format: apply a change batch
+    * (upserts + tombstones) to a base snapshot and emit, per key, the
+    * action taken and the resulting payload. Complements [[scd2Merge]]
+    * (which keeps history; this applies in place) and
+    * [[snapshotDiff]] (which derives the batch; this consumes one).
+    * Derivation is deterministic residue classes over orders: base =
+    * keys % 5 != 4; batch = even keys, tombstone when % 12 == 2,
+    * price bump when % 6 == 0 — so every MERGE arm (insert / update /
+    * noop / delete / unmatched-tombstone / untouched) is populated at
+    * every SF. Shape: ONE full-outer join on the key (shuffle on the
+    * merge key, exactly what a distributed MERGE plans), action and
+    * payload resolved row-locally in a single pass; at table-format
+    * scale the same plan runs against the bucketed/z-ordered base so
+    * only touched files rewrite — the join and audit are unchanged. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val base = o.where(col("o_orderkey") % 5 =!= 4)
+      .select(col("o_orderkey").as("key"),
+        cents(col("o_totalprice")).as("price_c"),
+        col("o_orderstatus").as("status"))
+    val batch = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 12 === 2, "D").otherwise("U").as("op"),
+        (cents(col("o_totalprice")) +
+          when(col("o_orderkey") % 6 === 0, 1000L).otherwise(0L))
+          .as("new_price_c"),
+        col("o_orderstatus").as("new_status"))
+    base.join(batch, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("op").isNull, "keep")
+          .when(col("price_c").isNull && col("op") === "D", "skip_absent")
+          .when(col("price_c").isNull, "insert")
+          .when(col("op") === "D", "delete")
+          .when(col("new_price_c") === col("price_c") &&
+            col("new_status") === col("status"), "noop")
+          .otherwise("update").as("action"),
+        when(col("op").isNull || col("op") === "D",
+          coalesce(col("price_c"), col("new_price_c")))
+          .otherwise(col("new_price_c")).as("price_c"),
+        when(col("op").isNull || col("op") === "D",
+          coalesce(col("status"), col("new_status")))
+          .otherwise(col("new_status")).as("status"))
+      .orderBy("key")
+  }
+
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val a = c.select(col("c_custkey").as("key"),

@@ -77,6 +77,56 @@ class CodeAssemblySpec extends AnyFunSuite {
     } finally p.unpersist()
   }
 
+  test("knnGraph: dense ranks per node, scores monotone in rank, no self-loops") {
+    import graft.operators.Similarity
+    val g = Similarity.knnGraph(Tables.embeddings(spark, sf)).cache()
+    try {
+      assert(g.where(col("vec_id") === col("neighbor_id")).count() == 0L)
+      val badRank = g.groupBy("vec_id")
+        .agg(max("rank").as("mx"), count(lit(1)).as("n"), min("rank").as("mn"))
+        .where(col("mx") =!= col("n") || col("mn") =!= 1L || col("mx") > 4L)
+        .count()
+      assert(badRank == 0L, "ranks must be dense 1..<=k per node")
+      val nxt = g.select(col("vec_id"), (col("rank") - 1L).as("rank"),
+        col("cos_ppm").as("next_cos"))
+      val badMono = g.join(nxt, Seq("vec_id", "rank"))
+        .where(col("next_cos") > col("cos_ppm")).count()
+      assert(badMono == 0L, "cos_ppm must be non-increasing in rank")
+      // the near-dup pairs (cos >= 0.4 among band candidates) are by
+      // definition candidate edges, so each must rank within its
+      // endpoint's top-k OR be displaced only by >= -cos neighbors —
+      // spot-check containment of the top-scoring near-dup pair
+      val top = Dedup.embeddingNearDup(Tables.embeddings(spark, sf))
+        .orderBy(col("cos_ppm").desc, col("vec_a")).head()
+      val a = top.getLong(0); val b = top.getLong(1)
+      assert(g.where(col("vec_id") === a && col("neighbor_id") === b).count() == 1L,
+        s"highest-cos near-dup pair ($a,$b) missing from the graph")
+    } finally g.unpersist()
+  }
+
+  test("mergeUpsert: one audit row per key, every MERGE arm populated, payloads exact") {
+    import graft.relational.RelQueries
+    val m = RelQueries.mergeUpsert(spark, sf).cache()
+    try {
+      val dupKeys = m.groupBy("key").count().where(col("count") > 1L).count()
+      assert(dupKeys == 0L, "MERGE must emit exactly one audit row per key")
+      val actions = m.select("action").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(actions == Set("keep", "insert", "update", "noop", "delete",
+        "skip_absent"), s"arms populated: $actions")
+      // update payload = base cents + 1000 (the derived batch bump)
+      val o = Tables.orders(spark, sf).select(col("o_orderkey").as("key"),
+        floor(col("o_totalprice") * 100).cast("long").as("pc"))
+      val badUpd = m.where(col("action") === "update").join(o, "key")
+        .where(col("price_c") =!= col("pc") + 1000L).count()
+      assert(badUpd == 0L)
+      // delete audit carries the OLD payload
+      val badDel = m.where(col("action") === "delete").join(o, "key")
+        .where(col("price_c") =!= col("pc")).count()
+      assert(badDel == 0L)
+    } finally m.unpersist()
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
