@@ -97,6 +97,27 @@ object CuratePipeline {
       .orderBy("domain")
   }
 
+  /** End-to-end ASSEMBLY composite (r10): curation → per-language
+    * context-window packing → shard MANIFEST — the artifact a
+    * training launch actually consumes (which shards exist, how many
+    * docs/tokens each holds, the doc-id range for reproducibility).
+    * Composes [[curate]] (admit) with
+    * [[TextAnalysis.tokenPackBy]] (the partitioned, 100 TB-shaped
+    * packing window) and reduces to a |lang × shards|-bounded
+    * aggregate with map-side partials. The only shuffles are the
+    * curation joins, the lang-partitioned packing window, and the
+    * tiny manifest agg — nothing new beyond its parts. */
+  def assemble(spark: SparkSession, docs: DataFrame,
+               shardTokens: Long = 4096L): DataFrame = {
+    val admitted = curate(spark, docs).select("doc_id")
+    val packed = TextAnalysis.tokenPackBy(docs.join(admitted, "doc_id"),
+      "lang", shardTokens)
+    packed.groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard_id")
+  }
+
   /** [[curate]] extended with the embedding modality: additionally
     * require the document's embedding to survive semantic dedup
     * (Cluster.semDedup kept = 1). The text-side and embedding-side

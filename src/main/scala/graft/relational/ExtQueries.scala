@@ -3250,6 +3250,24 @@ object ExtQueries {
       "AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id) " +
       "ORDER BY d.doc_id"
 
+  /** [[CuratePipeline.assemble]] oracle: the curation chain reused
+    * verbatim as a CTE, the lang-partitioned packing window, then the
+    * manifest aggregate. */
+  private val pipelineAssembleSql: String =
+    "WITH cur AS (" + pipelineCurateSql + "), " +
+      "ad AS (SELECT d.doc_id, d.lang, d.text FROM documents d " +
+      "JOIN cur ON cur.doc_id = d.doc_id), " +
+      "p AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(FLOOR(COALESCE(sum(len(string_split(text, ' '))) OVER " +
+      "(PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "/ 4096.0) AS BIGINT) AS shard_id FROM ad) " +
+      "SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+      "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+      "FROM p GROUP BY 1, 2 ORDER BY lang, shard_id"
+
   /** Multimodal composite: text-side curation ∩ embedding-side
     * semantic-dedup survivors (both oracle chains reused verbatim). */
   /** Derived deterministic URL input shared by tx_url_extract and
@@ -4369,6 +4387,9 @@ object ExtQueries {
     "pipeline_curate_full" -> ((s, d) =>
       CuratePipeline.curateFull(s, Tables.documents(s, d),
         Tables.embeddings(s, d))),
+    // r10: curation -> packing -> shard manifest, the launch artifact
+    "pipeline_assemble" -> ((s, d) =>
+      CuratePipeline.assemble(s, Tables.documents(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -4580,6 +4601,7 @@ object ExtQueries {
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
+    "pipeline_assemble" -> pipelineAssembleSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
     "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,
