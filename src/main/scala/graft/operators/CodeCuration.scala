@@ -37,39 +37,52 @@ import graft.functions.{Partitioning, PortableHash => PH}
   */
 object CodeCuration {
 
-  /** Identifier slot for word position `i` (0-based) of a document:
-    * `_v<h31(doc_id:i) % 997>` — salted by doc id so identical word
-    * streams render with DIFFERENT identifier names per document
-    * (the property the normalization pass must undo). Collisions
-    * mod 997 inside a doc are fine: deterministic on both engines.
-    * The leading underscore keeps the identifier namespace DISJOINT
-    * from corpus words: the probe corpus embeds variant-marker words
-    * `v1`/`v2`, and a bare `v<digits>` pattern made the normalizer
-    * eat real content (10x-probe catch, r10) — underscore never
-    * occurs in a corpus token. */
-  private def ident(docId: Column, i: Column): Column =
-    concat(lit("_v"),
-      (PH.h31(concat(docId.cast("string"), lit(":"), i.cast("string")))
-        % 997).cast("string"))
-
   /** Deterministic source-file rendering of a document: one `val`
     * statement per word, identifier-chained, each with a trailing
     * line comment — enough surface (header, identifiers, call chain,
     * comments, return) for the normalization/metadata operators to
-    * exercise every rule. Pure projection; the per-element lambda
-    * only touches its own element and two row-local md5s. */
+    * exercise every rule. Pure row-local projection.
+    *
+    * Identifier slot for word position i (0-based):
+    * `_v<h31(doc_id:i) % 997>` — salted by doc id so identical word
+    * streams render with DIFFERENT identifier names per document
+    * (the property the normalization pass must undo; collisions mod
+    * 997 inside a doc are fine — deterministic on both engines). The
+    * leading underscore keeps the identifier namespace DISJOINT from
+    * corpus words: the probe corpus embeds variant-marker words
+    * `v1`/`v2`, and a bare `v<digits>` pattern made the normalizer
+    * eat real content (10×-probe catch, r10) — underscore never
+    * occurs in a corpus token.
+    *
+    * Each statement references TWO identifier slots (its own and its
+    * argument's), so
+    * the per-position identifier array is computed ONCE and
+    * Generate-BOUND before the statement transform — element_at on a
+    * bound attribute is an array read, where inlining [[ident]] twice
+    * per statement doubles the md5 count and (HOFs being interpreted,
+    * no CSE) re-evaluates per access. */
   def renderCode(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
     val docId = col("doc_id")
-    val stmts = transform(ws, (w, i) =>
-      concat(lit("  "), ident(docId, i), lit(" = lib."), w, lit("("),
-        when(i === 0, lit("seed")).otherwise(ident(docId, i - 1)),
+    val vids = transform(col("ws"), (_, i) =>
+      ((PH.h31(concat(docId.cast("string"), lit(":"), i.cast("string")))
+        % 997)).cast("string"))
+    val stmts = transform(col("ws"), (w, i) =>
+      concat(lit("  _v"), element_at(col("vids"), i + 1),
+        lit(" = lib."), w, lit("("),
+        when(i === 0, lit("seed"))
+          .otherwise(concat(lit("_v"), element_at(col("vids"), i))),
         lit(")  # s"), i.cast("string")))
     val code = concat(
       lit("def f_"), docId.cast("string"), lit("():\n"),
       concat_ws("\n", stmts),
-      lit("\n  return "), ident(docId, size(ws) - 1))
-    docs.select(docId, code.as("code"))
+      lit("\n  return _v"), element_at(col("vids"), size(col("ws"))))
+    // the rendered string is itself Generate-bound: consumers
+    // (codeMeta) reference `code` many times, and project-collapse
+    // would inline the whole render expression into each reference
+    docs
+      .select(docId, explode(array(split(col("text"), " "))).as("ws"))
+      .select(docId, col("ws"), explode(array(vids)).as("vids"))
+      .select(docId, explode(array(code)).as("code"))
   }
 
   /** Structural normalization: canonicalize identifiers (`v<digits>`
@@ -88,22 +101,37 @@ object CodeCuration {
 
   /** Distinct md5 n-grams over consecutive statements. md5 gives the
     * fixed-width join key the pair join wants (statement text is
-    * unbounded). */
-  private def stmtGrams(stmts: Column, n: Int): Column =
-    array_distinct(filter(
-      transform(stmts, (_, i) =>
-        when(i + lit(n) <= size(stmts),
-          md5(concat_ws(" | ", slice(stmts, i + 1, lit(n)))))),
-      g => g.isNotNull))
+    * unbounded). The slice/zip_with shape, NOT an indexed lambda —
+    * higher-order lambdas are interpreted (no codegen, no CSE), so
+    * `transform(stmts, (_, i) => …slice(stmts, i+1, n)…)` re-evaluates
+    * the whole stmts expression per ELEMENT access; the n shifted
+    * slices evaluate it n times per ROW (see TextOps.wordShinglesHof,
+    * measured ~10×). Callers must pass a BOUND attribute (see
+    * [[codeGramTable]]'s Generate-bind) so even those n slices are
+    * array reads, not chain re-runs. */
+  private def stmtGrams(stmts: Column, n: Int): Column = {
+    val len = greatest(size(stmts) - lit(n - 1), lit(0))
+    val grams = (2 to n).foldLeft(slice(stmts, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(stmts, lit(k), len),
+        (a, b) => concat(a, lit(" | "), b))
+    }
+    array_distinct(transform(grams, g => md5(g)))
+  }
 
   /** Exploded (doc_id, sh) gram table over the FULL chain: render ->
     * normalize -> statement extraction -> statement n-grams. Input to
     * [[Dedup.codeNearDup]]. Files with fewer than `n` statements have
-    * no grams and drop out (same on both engines). */
+    * no grams and drop out (same on both engines). The statement
+    * array is Generate-BOUND (explode of a 1-element array) before
+    * the gram stage: project-collapse would otherwise inline the
+    * render+normalize+split chain into every slice/size reference
+    * (r10: the bind + slice shape took the sf0.1 gram build from
+    * 2.3 s to ~0.3 s). */
   def codeGramTable(docs: DataFrame, n: Int = 4): DataFrame =
     Partitioning.spread(renderCode(docs))
       .select(col("doc_id"),
-        explode(stmtGrams(stmtLines(normalizeCode(col("code"))), n)).as("sh"))
+        explode(array(stmtLines(normalizeCode(col("code"))))).as("stmts"))
+      .select(col("doc_id"), explode(stmtGrams(col("stmts"), n)).as("sh"))
 
   /** Raw-byte gram table (NO normalization) — exists to prove the
     * negative: doc-salted identifiers make raw statement grams
@@ -113,7 +141,8 @@ object CodeCuration {
   private[graft] def codeGramTableRaw(docs: DataFrame, n: Int = 4): DataFrame =
     Partitioning.spread(renderCode(docs))
       .select(col("doc_id"),
-        explode(stmtGrams(stmtLines(col("code")), n)).as("sh"))
+        explode(array(stmtLines(col("code")))).as("stmts"))
+      .select(col("doc_id"), explode(stmtGrams(col("stmts"), n)).as("sh"))
 
   /** Per-file code metadata — the file-level filter signals a code
     * pipeline gates on (The Stack drops files by line length /

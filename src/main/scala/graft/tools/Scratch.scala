@@ -108,7 +108,36 @@ object Scratch {
     spark.stop()
   }
 
+  /** r10 probe: dd_code_neardup stage costs — is the gram build
+    * paying the interpreted-HOF re-evaluation tax on the
+    * render+normalize chain? `runMain graft.tools.Scratch codedup`. */
+  private def codeDupMain(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def stage(label: String)(df: DataFrame): Unit = {
+      df.count()
+      time(label)(println(s"  rows=${df.count()}"))
+    }
+    stage("gramTable")(graft.operators.CodeCuration.codeGramTable(docs))
+    stage("pairs")(graft.operators.Dedup.codeNearDup(
+      graft.operators.CodeCuration.codeGramTable(docs)))
+    stage("meta")(graft.operators.CodeCuration.codeMeta(docs))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("codedup")) {
+      codeDupMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     if (args.headOption.contains("editdup")) {
       editDupMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return
