@@ -774,6 +774,150 @@ object ImageCodec {
     out
   }
 
+  // ---------------------------------------------------------------
+  // QOI — the "Quite OK Image" format (r10; public spec,
+  // qoiformat.org/qoi-specification.pdf): 14-byte header (magic
+  // "qoif", u32BE dims, channels, colorspace), then a byte-stream of
+  // five chunk ops over a running pixel + a 64-slot color index:
+  // RGB (0xFE + 3 bytes), RGBA (0xFF + 4), INDEX (0b00iiiiii),
+  // DIFF (0b01drdgdb, 2-bit channel deltas bias 2, wrapping),
+  // LUMA (0b10dggggg + drdg/dbdg nibbles, bias 32/8),
+  // RUN (0b11rrrrrr, lengths 1..62 bias -1), 8-byte end marker
+  // 0x00×7 0x01. Index slot = (r·3 + g·5 + b·7 + a·11) % 64.
+  // ---------------------------------------------------------------
+
+  /** Decoded QOI: dims + top-down row-major RGB raster (QOI's native
+    * pixel order — no re-ordering needed, unlike BMP). */
+  final case class QoiImage(width: Int, height: Int, raster: Array[Byte])
+
+  private def qoiPack(r: Int, g: Int, b: Int, a: Int): Int =
+    (r << 24) | (g << 16) | (b << 8) | a
+
+  /** Full QOI decode per the published spec. Truncation (chunk
+    * stream or end marker), bad magic/dims/channels → None (the DLT
+    * arm). Row-local; the index table and running pixel are the
+    * decoder's only state. */
+  def parseQoi(b: Array[Byte]): Option[QoiImage] = {
+    if (b.length < 22) return None
+    if (b(0) != 'q' || b(1) != 'o' || b(2) != 'i' || b(3) != 'f') return None
+    def be32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val w = be32(4); val h = be32(8)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val ch = b(12) & 0xff
+    if ((ch != 3 && ch != 4) || (b(13) & 0xff) > 1) return None
+    val n = (w * h).toInt
+    val out = new Array[Byte](n * 3)
+    val idx = new Array[Int](64) // zero-init = (0,0,0,0), per spec
+    var r = 0; var g = 0; var bl = 0; var a = 255
+    var p = 14; var px = 0; var run = 0
+    while (px < n) {
+      if (run > 0) run -= 1
+      else {
+        if (p >= b.length - 8) return None // truncated chunk stream
+        val b1 = b(p) & 0xff; p += 1
+        if (b1 == 0xfe) {
+          if (p + 3 > b.length - 8) return None
+          r = b(p) & 0xff; g = b(p + 1) & 0xff; bl = b(p + 2) & 0xff
+          p += 3
+        } else if (b1 == 0xff) {
+          if (p + 4 > b.length - 8) return None
+          r = b(p) & 0xff; g = b(p + 1) & 0xff
+          bl = b(p + 2) & 0xff; a = b(p + 3) & 0xff
+          p += 4
+        } else (b1 >> 6) match {
+          case 0 =>
+            val v = idx(b1 & 0x3f)
+            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff
+            bl = (v >>> 8) & 0xff; a = v & 0xff
+          case 1 =>
+            r = (r + ((b1 >> 4) & 3) - 2) & 0xff
+            g = (g + ((b1 >> 2) & 3) - 2) & 0xff
+            bl = (bl + (b1 & 3) - 2) & 0xff
+          case 2 =>
+            if (p + 1 > b.length - 8) return None
+            val dg = (b1 & 0x3f) - 32
+            val b2 = b(p) & 0xff; p += 1
+            r = (r + dg - 8 + ((b2 >> 4) & 0xf)) & 0xff
+            g = (g + dg) & 0xff
+            bl = (bl + dg - 8 + (b2 & 0xf)) & 0xff
+          case _ =>
+            run = b1 & 0x3f // this pixel + `run` more repeats
+        }
+        idx((r * 3 + g * 5 + bl * 7 + a * 11) % 64) = qoiPack(r, g, bl, a)
+      }
+      out(px * 3) = r.toByte; out(px * 3 + 1) = g.toByte
+      out(px * 3 + 2) = bl.toByte
+      px += 1
+    }
+    // end marker must be exactly 0x00×7 0x01 at the stream position
+    if (p + 8 > b.length) return None
+    var k = 0
+    while (k < 7) { if (b(p + k) != 0) return None; k += 1 }
+    if (b(p + 7) != 1) return None
+    Some(QoiImage(w.toInt, h.toInt, out))
+  }
+
+  /** Reference QOI encoder (channels = 3, alpha fixed 255) over a
+    * canonical sample function — the fixture writer. Faithful to the
+    * spec's reference implementation: run path skips the index
+    * update, INDEX hit checked before the slot is written, DIFF →
+    * LUMA → RGB fallback with int8-wrapped channel deltas. */
+  def qoiBytes(w: Int, h: Int, sample: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(14 + w * h * 4 + 8)
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(w); be32(h); out.write(3); out.write(0)
+    def wrap8(v: Int): Int = (v << 24) >> 24
+    val idx = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0 // prev starts (0,0,0,a=255)
+    var run = 0
+    var p = 0
+    while (p < w * h) {
+      val r = sample(p * 3) & 0xff
+      val g = sample(p * 3 + 1) & 0xff
+      val bl = sample(p * 3 + 2) & 0xff
+      if (r == pr && g == pg && bl == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val slot = (r * 3 + g * 5 + bl * 7 + 255 * 11) % 64
+        val packed = qoiPack(r, g, bl, 255)
+        if (idx(slot) == packed) out.write(slot)
+        else {
+          idx(slot) = packed
+          val dr = wrap8(r - pr); val dg = wrap8(g - pg)
+          val db = wrap8(bl - pb)
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+              db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else {
+            val drg = dr - dg; val dbg = db - dg
+            if (dg >= -32 && dg <= 31 && drg >= -8 && drg <= 7 &&
+                dbg >= -8 && dbg <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((drg + 8) << 4) | (dbg + 8))
+            } else {
+              out.write(0xfe); out.write(r); out.write(g); out.write(bl)
+            }
+          }
+        }
+        pr = r; pg = g; pb = bl
+      }
+      p += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    var k = 0
+    while (k < 7) { out.write(0); k += 1 }
+    out.write(1)
+    out.toByteArray
+  }
+
   /** Deterministic full P5/P6 fixture WITH raster: header (including
     * a comment line, exercising the tokenizer) followed by
     * width·height·channels bytes where byte i = pixel(i). The oracle

@@ -1153,6 +1153,74 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** QOI stats row (r10) — same canonical-order contract as BMP. */
+  final case class QoiStatsRow(doc_id: Long, width: Long, height: Long,
+      n_vals: Long, peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Canonical sample for the QOI fixture: pixel p's segment (runs
+    * of 6 pixels) cycles through three regimes chosen to exercise
+    * every chunk op of the format — constant color (RUN; the color
+    * itself alternates with seg%2 so later run segments re-hit the
+    * 64-slot color INDEX), +1-per-pixel drift (DIFF), and quadratic
+    * jumps (LUMA at small p, RGB once the jump outgrows LUMA's
+    * ±32/±8 windows). Closed form in (id, i) — the oracle recomputes
+    * it verbatim. */
+  private[graft] def qoiSample(id: Long, i: Int): Int = {
+    val p = i / 3; val c = i % 3; val seg = p / 6; val off = p % 6
+    val v = (seg % 3) match {
+      case 0 => id * 3 + (seg % 2) * 37 + c * 11
+      case 1 => id * 3 + seg * 5 + c * 11 + off
+      case _ => id * 7 + p.toLong * p * 13 + c * 29
+    }
+    (v % 256).toInt
+  }
+
+  /** Deterministic QOI payloads, one per document: dims from doc_id,
+    * samples from [[qoiSample]], encoded by the faithful reference
+    * encoder ([[ImageCodec.qoiBytes]]); every 13th payload truncated
+    * mid-stream (the corrupt-file DLT case). */
+  def syntheticQois(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 4 + (id % 9).toInt
+        val h = 3 + (id % 7).toInt
+        val full = ImageCodec.qoiBytes(w, h, i => qoiSample(id, i))
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 16) else full)
+      }
+  }
+
+  /** REAL QOI decode → stats (r10): full chunk-stream decode
+    * ([[ImageCodec.parseQoi]]: running pixel, 64-slot color index,
+    * all five ops, end-marker check), canonical top-down RGB stats
+    * the oracle recomputes sample-by-sample from [[qoiSample]] — so
+    * the hash proves decode∘encode is the identity on a stream that
+    * exercises RUN, INDEX, DIFF, LUMA and RGB chunks. Same
+    * mapPartitions batch contract and DLT arm as the BMP/PNM/WAV
+    * kernels. */
+  def qoiStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticQois(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseQoi(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          QoiStatsRow(d.doc_id, img.width.toLong, img.height.toLong,
+            r.length.toLong, peak, sum / r.length, wsum)
+        case None =>
+          QoiStatsRow(d.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decimated-audio summary per payload (r6). */
   final case class AudioResampleRow(doc_id: Long, format: String,
       n_out: Long, peak_abs: Long, mean_abs: Long, wsum: Long)

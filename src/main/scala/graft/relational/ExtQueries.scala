@@ -1809,6 +1809,33 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.qoiStats]] (r10): the fixture formula recomputed
+    * verbatim per sample — regimes keyed off segment = (i//3)//6;
+    * a decode that mishandles any chunk op (run carry, index slot,
+    * diff/luma bias or wrap, end marker) shifts the positional
+    * weighted sum. */
+  private val mmQoiStatsSql: String =
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, i, " +
+      "CASE ((i // 3) // 6) % 3 " +
+      "WHEN 0 THEN (doc_id * 3 + (((i // 3) // 6) % 2) * 37 + (i % 3) * 11) % 256 " +
+      "WHEN 1 THEN (doc_id * 3 + ((i // 3) // 6) * 5 + (i % 3) * 11 + ((i // 3) % 6)) % 256 " +
+      "ELSE (doc_id * 7 + (i // 3) * (i // 3) * 13 + (i % 3) * 29) % 256 " +
+      "END AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(peak AS BIGINT) AS peak, CAST(sv // n AS BIGINT) AS mean_floor, " +
+      "CAST(ws AS BIGINT) AS wsum FROM s " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS width, " +
+      "CAST(-1 AS BIGINT) AS height, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.icoStats]]: per-entry dims/samples/mask recomputed
     * from the (doc_id, entry, position) formulas — visible pixels
     * only, so an ignored AND mask or a mis-walked entry table fails
@@ -4232,6 +4259,8 @@ object ExtQueries {
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))(s)),
     "mm_image_meta" -> ((s, d) => Multimodal.imageMeta(Tables.documents(s, d))(s)),
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
+    // r10: QOI — full chunk-stream decode (RUN/INDEX/DIFF/LUMA/RGB)
+    "mm_qoi_stats" -> ((s, d) => Multimodal.qoiStats(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
     // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
     // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
@@ -4525,6 +4554,7 @@ object ExtQueries {
     "mm_audio_meta" -> mmAudioMetaSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_bmp_stats" -> mmBmpStatsSql,
+    "mm_qoi_stats" -> mmQoiStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
     "mm_exif_gps" -> mmExifGpsSql,
