@@ -70,7 +70,18 @@ object Similarity {
     * candidate list with a pinned tiebreak (cos desc, neighbor asc
     * — 10×-probe-stable). The undirected candidate pairs are scored
     * ONCE (a<b) and mirrored by a union: half the distinct/scoring
-    * cost of a directed self-join, same directed output. */
+    * cost of a directed self-join, same directed output.
+    *
+    * SCALE RULE (r10, measured at the 10× probe): band-bucket
+    * occupancy is N/2^bitsPerBand, so candidate volume per band is
+    * ~2^bits·(N/2^bits)² = N²/2^bits — the band WIDTH must grow with
+    * the corpus (bits ≈ log2(N/target_occupancy)), exactly the
+    * dd_simhash_pairs → _wide lesson on the text side. The declared
+    * default (4×4 over 16 of the 64 dims) is the ORACLE ANCHOR shared
+    * with dd_embed_neardup's measured recall operating point; the
+    * declared `sim_knn_graph_wide` twin (4×8, 256 buckets/band,
+    * 11.9 → 2.7 s at the 10× probe, full 80k-node neighbor coverage
+    * retained) pins the widened math. */
   def knnGraph(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
                bitsPerBand: Int = 4,
                maxBucketSize: Option[Int] = None): DataFrame = {

@@ -3866,8 +3866,8 @@ object ExtQueries {
     * candidates (the dd_embed_neardup CTEs), undirected pairs scored
     * once then mirrored, per-node top-k with the pinned (cos desc,
     * neighbor asc) tiebreak. */
-  private val simKnnGraphSql: String =
-    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+  private def simKnnGraphSqlFor(nBands: Int, bits: Int): String =
+    s"WITH $quantCte, ${signBandsCte(nBands, bits)}, " +
       "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
       "AND a.vec_id < b.vec_id), " +
@@ -3881,6 +3881,13 @@ object ExtQueries {
       "(PARTITION BY vec_id ORDER BY cos_ppm DESC, neighbor_id) AS rnk FROM und) " +
       "SELECT vec_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_ppm " +
       "FROM r WHERE rnk <= 4 ORDER BY vec_id, rank"
+
+  private val simKnnGraphSql: String = simKnnGraphSqlFor(4, 4)
+
+  /** The widened-banding scale twin (bits grow with the corpus —
+    * N²/2^bits candidate volume; the dd_simhash_pairs_wide lesson on
+    * the vector side). */
+  private val simKnnGraphWideSql: String = simKnnGraphSqlFor(4, 8)
 
   /** [[RelQueries.mergeUpsert]]: one FULL OUTER JOIN on the merge
     * key, every arm resolved in a CASE — the same single-pass shape
@@ -4065,6 +4072,11 @@ object ExtQueries {
     // SemDeDup / label-propagation / NN-descent building block
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d))),
+    // widened banding (4x8, 256 buckets/band): the scale twin — band
+    // width grows with the corpus, occupancy and candidate volume
+    // stay bounded (the dd_simhash_pairs_wide lesson, vector side)
+    "sim_knn_graph_wide" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), bitsPerBand = 8)),
     // r10: MERGE INTO apply with per-key action audit (CDC upsert)
     "rel_merge_upsert" -> (RelQueries.mergeUpsert _),
     // r10: code-corpus structural dedup — identifier-normalized
@@ -4473,6 +4485,7 @@ object ExtQueries {
     "dd_audio_neardup" -> ddAudioNearDupSql,
     "dd_edit_verified" -> ddEditVerifiedSql,
     "sim_knn_graph" -> simKnnGraphSql,
+    "sim_knn_graph_wide" -> simKnnGraphWideSql,
     "rel_merge_upsert" -> relMergeUpsertSql,
     "dd_code_neardup" -> ddCodeNearDupSql,
     "tx_code_meta" -> txCodeMetaSql,

@@ -34,7 +34,7 @@ class DeterminismSpec extends AnyFunSuite {
     // r10 additions: hash-salted render (code grams), global windows
     // (mix/shard totals), dimension-join render
     "dd_code_neardup", "tx_code_meta", "tx_mix_plan", "tx_shard_plan",
-    "sim_knn_graph", "rel_merge_upsert")
+    "sim_knn_graph", "sim_knn_graph_wide", "rel_merge_upsert")
 
   test("watchlist queries are identical across two executions") {
     watchlist.foreach { name =>
