@@ -1369,6 +1369,51 @@ object Dedup {
       .orderBy("size")
   }
 
+  /** Dedup-POLICY yield report (r10): for each removal policy, the
+    * documents and tokens it takes out of the corpus — one
+    * |policies|-row table, the companion to [[blockerRecallReport]]
+    * (that ranks blockers by recall; this ranks policies by what
+    * they buy, the other axis of every dedup decision). Policies,
+    * all over the SAME candidate machinery the declared operators
+    * use:
+    *  - `exact`: keep min doc_id per identical text;
+    *  - `lsh_loser`: drop doc_b of every MinHash-LSH pair at
+    *    threshold (pipeline_curate's admit rule — pairwise, so a
+    *    chain a~b~c keeps only a);
+    *  - `cluster_keep_one`: connected components over the SAME LSH
+    *    pairs, keep min id per cluster (the transitive-closure
+    *    policy — removes strictly ⊇ lsh_loser's set).
+    * Exact integer token counts; share as ppm of corpus tokens
+    * (integer div). Cost: each arm is an anti/semi join of the
+    * |docs|-row token table against an id set the existing operators
+    * already produce, plus one 1-row total broadcast. */
+  def yieldReport(docs: DataFrame,
+                  minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      size(graft.functions.TextOps.words(col("text"))).cast("long").as("t"))
+    val reps = exact(docs).select("doc_id")
+    val losers = minhashLsh(docs)
+      .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val cl = nearDupClusters(docs, minEstJaccardPpm)
+    val keepers = cl.groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    def arm(name: String, removed: DataFrame): DataFrame =
+      removed.agg(count(lit(1)).as("docs_removed"),
+          coalesce(sum("t"), lit(0L)).as("tokens_removed"))
+        .select(lit(name).as("method"), col("docs_removed"),
+          col("tokens_removed"))
+    val report =
+      arm("cluster_keep_one", tok.join(keepers, Seq("doc_id"), "left_anti"))
+        .unionByName(arm("exact", tok.join(reps, Seq("doc_id"), "left_anti")))
+        .unionByName(arm("lsh_loser", tok.join(losers, "doc_id")))
+    report
+      .crossJoin(broadcast(tok.agg(sum("t").as("tot"))))
+      .select(col("method"), col("docs_removed"), col("tokens_removed"),
+        expr("1000000 * tokens_removed div tot").as("tokens_removed_ppm"))
+      .orderBy("method")
+  }
+
   /** LSH recall/precision report (r7 continuation): the EVAL harness
     * for the dedup stack — exact ≥-threshold Jaccard pairs
     * ([[ngramJaccard]], ground truth) vs the MinHash-LSH candidate

@@ -3862,6 +3862,31 @@ object ExtQueries {
 
   // -- r10: k-NN graph + merge-upsert --------------------------------
 
+  /** [[Dedup.yieldReport]]: every policy's id set rebuilt from the
+    * SAME chains its declared operator uses (exact reps, LSH losers,
+    * recursive-closure keepers), token sums exact-integer. */
+  private val ddYieldReportSql: String =
+    s"WITH RECURSIVE $ddClustersCtes, " +
+      "tok AS (SELECT doc_id, len(string_split(text, ' ')) AS t FROM documents), " +
+      "tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tot FROM tok), " +
+      "reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+      "losers AS (SELECT DISTINCT doc_b AS doc_id FROM (" + ddMinhashSql + ") " +
+      "WHERE est_jaccard_ppm >= 750000), " +
+      "cl AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk " +
+      "GROUP BY node), " +
+      "keepers AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY cluster_id), " +
+      "ex AS (SELECT count(*) AS d, CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tk " +
+      "FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM reps)), " +
+      "lo AS (SELECT count(*) AS d, CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tk " +
+      "FROM tok JOIN losers USING (doc_id)), " +
+      "cr AS (SELECT count(*) AS d, CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tk " +
+      "FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM keepers)), " +
+      "u AS (SELECT 'cluster_keep_one' AS method, d, tk FROM cr " +
+      "UNION ALL SELECT 'exact', d, tk FROM ex " +
+      "UNION ALL SELECT 'lsh_loser', d, tk FROM lo) " +
+      "SELECT method, CAST(d AS BIGINT) AS docs_removed, tk AS tokens_removed, " +
+      "(1000000 * tk) // tot AS tokens_removed_ppm FROM u, tot ORDER BY method"
+
   /** [[graft.operators.Similarity.knnGraph]]: sign-LSH band
     * candidates (the dd_embed_neardup CTEs), undirected pairs scored
     * once then mirrored, per-node top-k with the pinned (cos desc,
@@ -4079,6 +4104,10 @@ object ExtQueries {
       Similarity.knnGraph(Tables.embeddings(s, d), bitsPerBand = 8)),
     // r10: MERGE INTO apply with per-key action audit (CDC upsert)
     "rel_merge_upsert" -> (RelQueries.mergeUpsert _),
+    // r10: dedup-policy yield comparison — what each removal policy
+    // buys (docs/tokens removed), the other axis of blocker_recall
+    "dd_yield_report" -> ((s, d) =>
+      Dedup.yieldReport(Tables.documents(s, d))),
     // r10: code-corpus structural dedup — identifier-normalized
     // statement grams over the deterministic code rendering; raw
     // bytes never match across docs (doc-salted identifiers), only
@@ -4486,6 +4515,7 @@ object ExtQueries {
     "dd_edit_verified" -> ddEditVerifiedSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_knn_graph_wide" -> simKnnGraphWideSql,
+    "dd_yield_report" -> ddYieldReportSql,
     "rel_merge_upsert" -> relMergeUpsertSql,
     "dd_code_neardup" -> ddCodeNearDupSql,
     "tx_code_meta" -> txCodeMetaSql,

@@ -127,6 +127,20 @@ class CodeAssemblySpec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("yieldReport: policy lattice holds — cluster_keep_one removes a " +
+    "superset of lsh_loser; every exact dup is also a cluster loser") {
+    val r = Dedup.yieldReport(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set("exact", "lsh_loser", "cluster_keep_one"))
+    // transitive closure can only ADD removals over the pairwise rule
+    assert(r("cluster_keep_one")._1 >= r("lsh_loser")._1)
+    assert(r("cluster_keep_one")._2 >= r("lsh_loser")._2)
+    // identical texts share all shingles -> same cluster -> the exact
+    // non-representative is a cluster non-keeper too (min-id policy
+    // agrees), so exact's removal set is contained in cluster's
+    assert(r("exact")._1 <= r("cluster_keep_one")._1)
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
