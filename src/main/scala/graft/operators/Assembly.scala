@@ -83,6 +83,87 @@ object Assembly {
       .orderBy("lang", "source")
   }
 
+  /** DPO/RLHF preference-pair rendering — the assembly step that
+    * turns ranked records into (prompt, chosen, rejected) triples.
+    * Preference signal: within each customer, the most urgent order
+    * (priority string asc — '1-URGENT' sorts first — then orderkey,
+    * a deterministic total order) is `chosen`, the runner-up is
+    * `rejected`; customers with fewer than two orders produce no
+    * pair. `margin_dollars` (chosen − rejected floor-dollar totals,
+    * may be negative) is the reward-margin column margin-weighted
+    * DPO variants consume. Shape: ONE shuffle on the partition key
+    * serving both the row_number window and the pair-collapse
+    * group-by (same key, exchange reused), then a broadcast
+    * dimension join and row-local rendering — the [[sftRender]]
+    * integer-forms discipline (floor dollars, no dates here) so both
+    * engines render byte-identically. */
+  def dpoRender(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc)
+    def completion(p: String) = concat(
+      lit("Response: order "), col(p + "_okey").cast("string"),
+      lit(" priority "), col(p + "_prio"),
+      lit(", total "), col(p + "_total").cast("string"),
+      lit(" dollars."))
+    val ranked = orders
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice")).cast("long").as("tot"))
+    val pairs = ranked.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("o_orderkey"))).as("ch_okey"),
+        max(when(col("rn") === 1, col("o_orderpriority"))).as("ch_prio"),
+        max(when(col("rn") === 1, col("tot"))).as("ch_total"),
+        max(when(col("rn") === 2, col("o_orderkey"))).as("rj_okey"),
+        max(when(col("rn") === 2, col("o_orderpriority"))).as("rj_prio"),
+        max(when(col("rn") === 2, col("tot"))).as("rj_total"))
+      .where(col("n") === 2)
+    pairs.join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("pair_id"),
+        concat(lit("Instruction: pick the most urgent order for "),
+          col("c_name"), lit(".")).as("prompt"),
+        completion("ch").as("chosen"),
+        completion("rj").as("rejected"),
+        (col("ch_total") - col("rj_total")).as("margin_dollars"))
+      .withColumn("chosen_tokens",
+        size(TextOps.words(col("chosen"))).cast("long"))
+      .withColumn("rejected_tokens",
+        size(TextOps.words(col("rejected"))).cast("long"))
+      .orderBy("pair_id")
+  }
+
+  /** Deterministic per-epoch training order: every (epoch, doc) gets
+    * a reproducible shard and position — the materialized read order
+    * a training run replays EXACTLY on restart, resume, or re-run
+    * (the reproducibility contract data loaders build on). Order key
+    * = salted portable hash of (epoch, doc_id), so each epoch is an
+    * independent uniform shuffle; shard = okey mod nShards (balanced
+    * by hash uniformity); position is PER (epoch, shard), which is
+    * how training data is actually laid out — readers consume shards
+    * sequentially and interleave across them, so no global position
+    * (and no single-partition global sort) is ever needed: the
+    * window key is (epoch, shard) and sort parallelism GROWS with
+    * nShards, the tx_pack → tx_pack_bylang lesson applied at design
+    * time rather than retrofitted. */
+  def epochOrder(docs: DataFrame, epochs: Int = 2,
+                 nShards: Int = 8): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        PH.h31(concat(lit("eorder:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))).as("okey"))
+      .withColumn("shard_id", (col("okey") % nShards).cast("long"))
+    val w = Window.partitionBy("epoch", "shard_id")
+      .orderBy(col("okey"), col("doc_id"))
+    keyed.withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("epoch", "shard_id", "shard_pos", "doc_id", "okey")
+      .orderBy("epoch", "shard_id", "shard_pos")
+  }
+
   /** Shard layout plan: hash-assign documents to `nShards` output
     * shards and report the balance — the write-sharding step before
     * training files are cut, where skew means one straggling writer

@@ -1414,6 +1414,48 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** Dedup threshold-sensitivity curve (r10): the verified-Jaccard
+    * pair set swept across the whole plausible threshold range —
+    * pairs surviving, docs removed (pairwise keep-min: doc_b is the
+    * loser, [[yieldReport]]'s `lsh_loser` policy), tokens removed and
+    * their corpus share at each cut. [[yieldReport]] compares
+    * POLICIES at one threshold; this is the other tuning axis — the
+    * curve an operator actually reads before picking minJaccardPpm
+    * (too low burns yield on false near-dups, too high leaves
+    * boilerplate in; the knee is corpus-specific and MEASURED, never
+    * assumed). Cost: the [[lshVerified]] pair build runs ONCE at the
+    * lowest threshold (checkpointed — pairs feed |thresholds| reads),
+    * the sweep itself is a broadcast theta-join against a 7-row
+    * threshold dim plus two aggregates keyed on threshold — output
+    * |thresholds| rows, nothing rescales with the corpus beyond the
+    * one pair build. */
+  def thresholdCurve(docs: DataFrame,
+      thresholds: Seq[Long] = (3L to 9L).map(_ * 100000L)): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = lshVerified(docs, minJaccardPpm = thresholds.min)
+      .select("doc_b", "jaccard_ppm").localCheckpoint(true)
+    val thrDf = thresholds.toDF("threshold_ppm")
+    val at = pairs.join(broadcast(thrDf),
+      col("jaccard_ppm") >= col("threshold_ppm"))
+    val np = at.groupBy("threshold_ppm").agg(count(lit(1)).as("n_pairs"))
+    val losers = at.select(col("threshold_ppm"), col("doc_b")).distinct()
+    val tok = docs.select(col("doc_id").as("doc_b"),
+      size(graft.functions.TextOps.words(col("text"))).cast("long").as("t"))
+    val rm = losers.join(tok, "doc_b").groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("docs_removed"), sum("t").as("tokens_removed"))
+    val tot = tok.agg(sum("t").as("tot"))
+    thrDf
+      .join(np, Seq("threshold_ppm"), "left")
+      .join(rm, Seq("threshold_ppm"), "left")
+      .na.fill(0L, Seq("n_pairs", "docs_removed", "tokens_removed"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold_ppm"), col("n_pairs"), col("docs_removed"),
+        col("tokens_removed"),
+        expr("1000000 * tokens_removed div tot").as("tokens_removed_ppm"))
+      .orderBy("threshold_ppm")
+  }
+
   /** LSH recall/precision report (r7 continuation): the EVAL harness
     * for the dedup stack — exact ≥-threshold Jaccard pairs
     * ([[ngramJaccard]], ground truth) vs the MinHash-LSH candidate

@@ -562,6 +562,115 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Scalar-quantized (SQ8) kNN — the int8-code rung of the
+    * compression ladder between [[knnBitsig]] (1 bit/dim, Hamming
+    * ranking) and [[knnIvfPq]] (sub-vector codebooks): each corpus
+    * vector stores a per-vector affine int8 code
+    * (code_i = ⌊(q_i − min)·255 / (max − min)⌋ — 4× smaller than the
+    * fixed-point column, no training step, unlike PQ), and search is
+    * ASYMMETRIC — the query stays full precision and scores against
+    * the dequantized corpus code, so quantization error is paid once
+    * per pair, not twice. This is the shape FAISS's SQ8 / production
+    * vector stores default to when PQ's codebook fit is not worth it:
+    * still exhaustive (no recall cliff, unlike banded LSH), memory
+    * cut 4×, and the reconstruct + dot is one row-local projection
+    * riding the scan — zero shuffles beyond [[knnBrute]]'s own.
+    * All arithmetic is exact integers (code and reconstruction use
+    * `div` on non-negative numerators, identical in both engines);
+    * the degenerate constant vector (max == min) reconstructs as
+    * itself. Ties break on neighbor_id; contract matches
+    * [[knnBrute]]. */
+  def knnSq8(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val base = quantized(embeddings)
+    val coded = base
+      .withColumn("mn", array_min(col("qe")))
+      .withColumn("mx", array_max(col("qe")))
+      .withColumn("recon", expr(
+        "CASE WHEN mx > mn THEN transform(qe, x -> mn + " +
+          "((((x - mn) * 255) div (mx - mn)) * (mx - mn)) div 255) " +
+          "ELSE qe END"))
+      .withColumn("rn2", V.qnorm2(col("recon")))
+      .where(col("rn2") > 0)
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+        col("qn").as("nq"))
+    val scored = coded.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("recon")), col("nq"), col("rn2"))
+          .as("cos_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF + SQ8 — the FAISS `IndexIVFScalarQuantizer` shape: inverted-
+    * file cell pruning ([[knnIvf]]'s assignment and probe rule,
+    * unchanged) with cells storing SQ8 CODES instead of full vectors
+    * ([[knnSq8]]'s per-vector affine int8 round-trip). This is the
+    * production default when PQ's codebook fit isn't worth it: the
+    * probe scan touches nProbe/nCentroids of the corpus AND reads 4×
+    * fewer bytes per touched vector, the two savings compose
+    * multiplicatively, and unlike PQ there is no training step to
+    * keep in sync with corpus drift. Scoring stays ASYMMETRIC (full-
+    * precision query × dequantized cell code, error paid once per
+    * pair) and all reconstruction math is the exact-integer round
+    * trip the SQ8 oracle pins, so both engines rank identically.
+    * Shape: centroid table is a collected model artifact (bounded,
+    * like every codebook here); assignment + reconstruction are one
+    * row-local projection riding the scan; candidates ride a
+    * broadcast (query, cell) probe join — zero shuffles. */
+  def knnIvfSq8(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+                nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val base = quantized(embeddings)
+    val cents: Seq[(Long, Seq[Long], Long)] = base
+      .where(col("vec_id") < nCentroids)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val distStructs = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }
+    val byDist = array_sort(array(distStructs: _*))
+    // the cell's stored representation IS the code: reconstruct once
+    // per stored vector, full-precision column never read again
+    val assign = base
+      .select(col("vec_id"), col("qe"),
+        element_at(byDist, 1).getField("cid").as("cid"))
+      .withColumn("mn", array_min(col("qe")))
+      .withColumn("mx", array_max(col("qe")))
+      .withColumn("recon", expr(
+        "CASE WHEN mx > mn THEN transform(qe, x -> mn + " +
+          "((((x - mn) * 255) div (mx - mn)) * (mx - mn)) div 255) " +
+          "ELSE qe END"))
+      .withColumn("rn2", V.qnorm2(col("recon")))
+      .where(col("rn2") > 0)
+      .select("vec_id", "cid", "recon", "rn2")
+    val probes = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(byDist, 1, nProbe), s => s.getField("cid")))
+          .as("cid"))
+    val scored = assign.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+          col("qn").as("nq"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("recon")), col("nq"), col("rn2"))
+          .as("cos_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
   /** Maximum-inner-product top-k (MIPS) — retrieval by RAW integer
     * dot product, no normalization: the scoring a recommender or
     * learned-retrieval stack wants when vector norms carry signal

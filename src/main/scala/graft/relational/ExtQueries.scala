@@ -320,6 +320,48 @@ object ExtQueries {
       "SELECT doc_a, doc_b, n_inter, n_union, jaccard_ppm FROM j " +
       "WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
 
+  /** [[Dedup.thresholdCurve]] oracle — the identical LSH-verified
+    * pair chain built at the 300k floor, swept across the 7-point
+    * threshold dim; a wrong loser rule (doc_a instead of doc_b), a
+    * non-distinct loser count, or an off-by-one threshold comparison
+    * fails the hash. */
+  private val ddThresholdCurveSql: String =
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band " +
+      "AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      s"sh AS (SELECT doc_id, unnest(${shingleList(3)}) AS sh FROM ws), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c " +
+      "JOIN sh a ON a.doc_id = c.doc_a " +
+      "JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "j AS (SELECT i.doc_a, i.doc_b, " +
+      "CAST(FLOOR(1000000.0 * i.n_inter / (na.n + nb.n - i.n_inter)) AS BIGINT) " +
+      "AS jaccard_ppm FROM inter i " +
+      "JOIN sizes na ON na.doc_id = i.doc_a " +
+      "JOIN sizes nb ON nb.doc_id = i.doc_b), " +
+      "vp AS (SELECT doc_b, jaccard_ppm FROM j WHERE jaccard_ppm >= 300000), " +
+      "thr AS (SELECT unnest([300000, 400000, 500000, 600000, 700000, " +
+      "800000, 900000]) AS threshold_ppm), " +
+      "att AS (SELECT t.threshold_ppm, v.doc_b FROM thr t " +
+      "JOIN vp v ON v.jaccard_ppm >= t.threshold_ppm), " +
+      "np AS (SELECT threshold_ppm, count(*) AS n_pairs FROM att GROUP BY 1), " +
+      "lo AS (SELECT DISTINCT threshold_ppm, doc_b FROM att), " +
+      "tokd AS (SELECT doc_id, len(string_split(text, ' ')) AS t FROM documents), " +
+      "rm AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS docs_removed, " +
+      "CAST(SUM(tokd.t) AS BIGINT) AS tokens_removed FROM lo " +
+      "JOIN tokd ON tokd.doc_id = lo.doc_b GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tot FROM tokd) " +
+      "SELECT CAST(thr.threshold_ppm AS BIGINT) AS threshold_ppm, " +
+      "CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+      "CAST(COALESCE(rm.docs_removed, 0) AS BIGINT) AS docs_removed, " +
+      "CAST(COALESCE(rm.tokens_removed, 0) AS BIGINT) AS tokens_removed, " +
+      "(1000000 * CAST(COALESCE(rm.tokens_removed, 0) AS BIGINT)) // tot " +
+      "AS tokens_removed_ppm " +
+      "FROM thr LEFT JOIN np USING (threshold_ppm) " +
+      "LEFT JOIN rm USING (threshold_ppm), tot ORDER BY threshold_ppm"
+
   /** [[Dedup.lshRecallReport]]: ground truth (exact Jaccard ≥ 750k
     * ppm) and the banded candidate set rebuilt from the shared CTE
     * fragments, reduced to the four counts + ppm ratios. */
@@ -4039,6 +4081,117 @@ object ExtQueries {
       "SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens, n_chars, " +
       "(1000000 * n_tokens * 16) // tot AS balance_ppm FROM g, tot ORDER BY shard_id"
 
+  /** [[graft.operators.Assembly.dpoRender]] oracle — the preference
+    * pair is re-derived from scratch (window rank → pair collapse →
+    * render), so a wrong rank order, a dropped <2-order customer, or
+    * a swapped chosen/rejected arm on the Spark side fails the hash.
+    * All rendered numbers are integers (floor dollars), so the
+    * strings are byte-identical across engines. */
+  private val txDpoRenderSql: String =
+    "WITH rk AS (SELECT o_custkey, o_orderkey, o_orderpriority, " +
+      "CAST(FLOOR(o_totalprice) AS BIGINT) AS tot, " +
+      "row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderpriority ASC, o_orderkey ASC) AS rn FROM orders), " +
+      "p AS (SELECT o_custkey, " +
+      "max(CASE WHEN rn = 1 THEN o_orderkey END) AS ch_okey, " +
+      "max(CASE WHEN rn = 1 THEN o_orderpriority END) AS ch_prio, " +
+      "max(CASE WHEN rn = 1 THEN tot END) AS ch_total, " +
+      "max(CASE WHEN rn = 2 THEN o_orderkey END) AS rj_okey, " +
+      "max(CASE WHEN rn = 2 THEN o_orderpriority END) AS rj_prio, " +
+      "max(CASE WHEN rn = 2 THEN tot END) AS rj_total " +
+      "FROM rk WHERE rn <= 2 GROUP BY 1 HAVING count(*) = 2), " +
+      "r AS (SELECT o_custkey AS pair_id, " +
+      "'Instruction: pick the most urgent order for ' || c_name || '.' AS prompt, " +
+      "'Response: order ' || ch_okey || ' priority ' || ch_prio || " +
+      "', total ' || ch_total || ' dollars.' AS chosen, " +
+      "'Response: order ' || rj_okey || ' priority ' || rj_prio || " +
+      "', total ' || rj_total || ' dollars.' AS rejected, " +
+      "ch_total - rj_total AS margin_dollars " +
+      "FROM p JOIN customer ON o_custkey = c_custkey) " +
+      "SELECT pair_id, prompt, chosen, rejected, margin_dollars, " +
+      "CAST(len(string_split(chosen, ' ')) AS BIGINT) AS chosen_tokens, " +
+      "CAST(len(string_split(rejected, ' ')) AS BIGINT) AS rejected_tokens " +
+      "FROM r ORDER BY pair_id"
+
+  /** [[graft.operators.Assembly.epochOrder]] oracle — rebuilds both
+    * epochs' salted order keys and the per-(epoch, shard) positions
+    * independently; a Spark-side global (single-partition) sort
+    * would still hash-match, but a wrong salt, wrong shard mod, or a
+    * position keyed on anything but (epoch, shard) fails. */
+  private val txEpochOrderSql: String =
+    s"WITH k AS (SELECT e.epoch, d.doc_id, " +
+      s"${PH.h31Sql("'eorder:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS okey " +
+      "FROM documents d CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e), " +
+      "s AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, okey, " +
+      "CAST(okey % 8 AS BIGINT) AS shard_id FROM k) " +
+      "SELECT epoch, shard_id, " +
+      "CAST(row_number() OVER (PARTITION BY epoch, shard_id " +
+      "ORDER BY okey, doc_id) AS BIGINT) AS shard_pos, doc_id, okey " +
+      "FROM s ORDER BY epoch, shard_id, shard_pos"
+
+  /** [[graft.operators.Similarity.knnSq8]] oracle — re-derives the
+    * per-vector affine int8 code AND its dequantization from the
+    * shared fixed-point column, then ranks by asymmetric cosine
+    * (full-precision query x reconstructed corpus). The round-trip
+    * is exact integer math (all numerators non-negative, so DuckDB
+    * floor-div == Spark trunc-div), so a wrong code scale, a
+    * symmetric-distance shortcut, or a skipped degenerate
+    * (mx == mn) branch on the Spark side fails the hash. */
+  private val simKnnSq8Sql: String =
+    s"WITH $quantCte, " +
+      "coded AS (SELECT vec_id, qe, list_aggregate(qe, 'min') AS mn, " +
+      "list_aggregate(qe, 'max') AS mx FROM base), " +
+      "rec0 AS (SELECT vec_id, CASE WHEN mx > mn THEN " +
+      "list_transform(qe, x -> mn + ((((x - mn) * 255) // (mx - mn)) * (mx - mn)) // 255) " +
+      "ELSE qe END AS recon FROM coded), " +
+      "rec AS (SELECT vec_id, recon, " +
+      s"${dotSql("recon", "recon")} AS rn2 FROM rec0 " +
+      s"WHERE ${dotSql("recon", "recon")} > 0), " +
+      "scored AS (SELECT qs.vec_id AS query_id, r.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "r.recon"), "qs.n", "r.rn2")} AS cos_ppm " +
+      "FROM base qs JOIN rec r ON r.vec_id <> qs.vec_id WHERE qs.vec_id < 8), " +
+      "rr AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM rr WHERE rk <= 5 ORDER BY query_id, rk"
+
+  /** [[graft.operators.Similarity.knnIvfSq8]] oracle — the IVF cell
+    * chain (assignment + 2-probe rule, the sim_knn_ivf CTEs) composed
+    * with the SQ8 reconstruction: candidates score against the
+    * DEQUANTIZED cell code while the query stays full precision. A
+    * wrong probe rule, a symmetric shortcut, or a reconstruction
+    * applied to the query side fails the hash. */
+  private val simKnnIvfSq8Sql: String =
+    s"WITH $quantCte, " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "dists AS (SELECT b.vec_id, c.cid, b.qe, b.n, " +
+      s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist " +
+      "FROM base b CROSS JOIN cents c), " +
+      "ranked AS (SELECT vec_id, cid, qe, n, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM dists), " +
+      "assign0 AS (SELECT vec_id, qe, cid, " +
+      "list_aggregate(qe, 'min') AS mn, list_aggregate(qe, 'max') AS mx " +
+      "FROM ranked WHERE rn = 1), " +
+      "assign1 AS (SELECT vec_id, cid, CASE WHEN mx > mn THEN " +
+      "list_transform(qe, x -> mn + ((((x - mn) * 255) // (mx - mn)) * (mx - mn)) // 255) " +
+      "ELSE qe END AS recon FROM assign0), " +
+      "assign AS (SELECT vec_id, cid, recon, " +
+      s"${dotSql("recon", "recon")} AS rn2 FROM assign1 " +
+      s"WHERE ${dotSql("recon", "recon")} > 0), " +
+      "probes AS (SELECT vec_id AS query_id, cid FROM ranked " +
+      "WHERE rn <= 2 AND vec_id < 8), " +
+      "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "a.recon"), "qs.n", "a.rn2")} AS cos_ppm " +
+      "FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id " +
+      "JOIN base qs ON qs.vec_id = p.query_id), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -4126,6 +4279,24 @@ object ExtQueries {
       Assembly.mixPlan(Tables.documents(s, d))),
     "tx_shard_plan" -> ((s, d) =>
       Assembly.shardPlan(Tables.documents(s, d))),
+    // r10 assembly continuation: preference-pair (DPO) rendering and
+    // the deterministic per-epoch shard/position training order
+    "tx_dpo_render" -> ((s, d) =>
+      Assembly.dpoRender(Tables.orders(s, d), Tables.customer(s, d))),
+    "tx_epoch_order" -> ((s, d) =>
+      Assembly.epochOrder(Tables.documents(s, d))),
+    // r10: scalar-quantized (SQ8) exhaustive kNN — the 4x-compressed,
+    // training-free rung between bitsig (1 bit/dim) and IVF-PQ
+    "sim_knn_sq8" -> ((s, d) =>
+      Similarity.knnSq8(Tables.embeddings(s, d))),
+    // r10: IVF + SQ8 cells — FAISS IndexIVFScalarQuantizer shape:
+    // cell pruning x 4x-smaller cell reads, multiplicative savings
+    "sim_knn_ivfsq" -> ((s, d) =>
+      Similarity.knnIvfSq8(Tables.embeddings(s, d))),
+    // r10: dedup threshold-sensitivity curve — yield vs cut point,
+    // the OTHER tuning axis next to dd_yield_report's policy axis
+    "dd_threshold_curve" -> ((s, d) =>
+      Dedup.thresholdCurve(Tables.documents(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4522,6 +4693,11 @@ object ExtQueries {
     "tx_sft_render" -> txSftRenderSql,
     "tx_mix_plan" -> txMixPlanSql,
     "tx_shard_plan" -> txShardPlanSql,
+    "tx_dpo_render" -> txDpoRenderSql,
+    "tx_epoch_order" -> txEpochOrderSql,
+    "sim_knn_sq8" -> simKnnSq8Sql,
+    "sim_knn_ivfsq" -> simKnnIvfSq8Sql,
+    "dd_threshold_curve" -> ddThresholdCurveSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

@@ -141,6 +141,118 @@ class CodeAssemblySpec extends AnyFunSuite {
     assert(r("exact")._1 <= r("cluster_keep_one")._1)
   }
 
+  test("dpoRender: one pair per 2+-order customer, chosen wins on URGENCY " +
+    "(not total — margins go negative), fixed render arity") {
+    val orders = Tables.orders(spark, sf)
+    val r = Assembly.dpoRender(orders, Tables.customer(spark, sf)).cache()
+    try {
+      val eligible = orders.groupBy("o_custkey").count()
+        .where(col("count") >= 2L).count()
+      assert(r.count() == eligible, "exactly one pair per eligible customer")
+      // the preference is priority order, so the chosen completion's
+      // priority string is <= the rejected one's (lexicographic — the
+      // '1-URGENT'..'5-LOW' encoding makes that the urgency order)
+      val prio = (c: String) => regexp_extract(col(c), "priority ([^,]+),", 1)
+      assert(r.where(prio("chosen") > prio("rejected")).count() == 0L)
+      // urgency != value: both margin signs must occur, or the pair
+      // label would be learnable from the reward column alone
+      assert(r.where(col("margin_dollars") < 0L).count() > 0L)
+      assert(r.where(col("margin_dollars") > 0L).count() > 0L)
+      // template arity: both completions render to exactly 8 tokens
+      val badTok = r.where(col("chosen_tokens") =!= 8L ||
+        col("rejected_tokens") =!= 8L).count()
+      assert(badTok == 0L)
+      assert(r.where(col("chosen") === col("rejected")).count() == 0L)
+    } finally r.unpersist()
+  }
+
+  test("epochOrder: epochs x docs rows, dense per-(epoch,shard) positions, " +
+    "independent epoch shuffles, deterministic replay") {
+    val o = Assembly.epochOrder(docs, epochs = 2, nShards = 8).cache()
+    try {
+      val n = docs.count()
+      assert(o.count() == 2L * n)
+      val badDense = o.groupBy("epoch", "shard_id")
+        .agg(count(lit(1)).as("c"), max("shard_pos").as("mx"),
+          min("shard_pos").as("mn"))
+        .where(col("mx") =!= col("c") || col("mn") =!= 1L).count()
+      assert(badDense == 0L, "shard positions must be dense 1..n")
+      // epochs are INDEPENDENT shuffles: a doc's shard must not be
+      // pinned across epochs (salt includes the epoch)
+      val moved = o.groupBy("doc_id")
+        .agg(countDistinct("shard_id").as("k")).where(col("k") > 1L).count()
+      assert(moved > n / 2, s"only $moved/$n docs change shard across epochs")
+      // replay contract: a second run is byte-identical
+      val again = Assembly.epochOrder(docs, epochs = 2, nShards = 8)
+      assert(o.exceptAll(again).count() == 0L && again.exceptAll(o).count() == 0L)
+    } finally o.unpersist()
+  }
+
+  test("knnSq8: brute-force contract shape; asymmetric SQ8 ranking tracks " +
+    "full-precision cosine closely") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val sq = Similarity.knnSq8(e).collect()
+    val br = Similarity.knnBrute(e).collect()
+    assert(sq.length == br.length, "same (query, k) surface as knnBrute")
+    assert(sq.forall(x => x.getLong(0) != x.getLong(2)), "no self pairs")
+    val sqTop = sq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val brTop = br.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlap = brTop.map { case (q, t) => (sqTop(q) & t).size }.sum
+    assert(overlap >= (br.length * 3) / 5,
+      s"SQ8 top-5 overlap with exact top-5 too low: $overlap/${br.length}")
+    // for neighbors BOTH rankings retain, the 8-bit dequantized score
+    // sits within 5% of the exact cosine
+    val brScore = br.map(x => (x.getLong(0), x.getLong(2)) -> x.getLong(3)).toMap
+    val maxErr = sq.flatMap(x => brScore.get((x.getLong(0), x.getLong(2)))
+      .map(v => math.abs(v - x.getLong(3)))).max
+    assert(maxErr <= 50000L, s"SQ8 score error $maxErr ppm > 5%")
+  }
+
+  test("knnIvfSq8: identical candidate pruning to knnIvf; SQ8 cell codes " +
+    "track full-precision in-cell scores closely") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val sq = Similarity.knnIvfSq8(e).collect()
+    val iv = Similarity.knnIvf(e).collect()
+    assert(sq.length == iv.length, "same (query, k) surface as knnIvf")
+    assert(sq.forall(x => x.getLong(0) != x.getLong(2)), "no self pairs")
+    // the IVF stage is unchanged, so the two operators rank the SAME
+    // candidate pool — top-k lists must overlap heavily and shared
+    // neighbors score within the SQ8 error envelope
+    val ivTop = iv.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val sqTop = sq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val overlap = ivTop.map { case (q, t) => (sqTop(q) & t).size }.sum
+    assert(overlap >= (iv.length * 3) / 5,
+      s"IVF-SQ8 top-5 overlap with IVF too low: $overlap/${iv.length}")
+    val ivScore = iv.map(x => (x.getLong(0), x.getLong(2)) -> x.getLong(3)).toMap
+    val maxErr = sq.flatMap(x => ivScore.get((x.getLong(0), x.getLong(2)))
+      .map(v => math.abs(v - x.getLong(3)))).max
+    assert(maxErr <= 50000L, s"IVF-SQ8 score error $maxErr ppm > 5%")
+  }
+
+  test("thresholdCurve: yields monotone non-increasing in threshold; " +
+    "agrees with dd_lsh_verified at the 500k point") {
+    val c = Dedup.thresholdCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(c.length == 7)
+    c.sliding(2).foreach { case Array((t1, p1, d1, k1), (t2, p2, d2, k2)) =>
+      assert(p1 >= p2 && d1 >= d2 && k1 >= k2,
+        s"curve must be non-increasing: $t1=($p1,$d1,$k1) vs $t2=($p2,$d2,$k2)")
+    }
+    // cross-operator law: the 500k point IS dd_lsh_verified's pair count
+    val atDefault = c.find(_._1 == 500000L).get._2
+    assert(atDefault == Dedup.lshVerified(docs).count(),
+      "curve at 500k must equal the declared verified-pair operator")
+    // losers are pair endpoints: distinct docs removed <= pairs
+    c.foreach { case (_, p, d, _) => assert(d <= p || p == 0L) }
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
