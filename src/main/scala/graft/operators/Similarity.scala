@@ -671,6 +671,48 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN recall ladder (r10): every approximate retrieval rung this
+    * engine ships — bitsig (1 bit/dim Hamming), SQ8 (int8 affine),
+    * sign-LSH banding, IVF (2-probe), IVF-SQ8, IVF-PQ — measured
+    * against [[knnBrute]]'s exact top-k on the SAME queries, reduced
+    * to per-method returned/hit counts and integer-ppm recall@k.
+    * The retrieval twin of `dd_blocker_recall`: the blocker table
+    * decides which candidate generator a dedup corpus gets; THIS
+    * table decides which index shape a retrieval corpus gets — the
+    * compression/recall trade read off one page, measured on the
+    * actual corpus rather than assumed from FAISS folklore. Cost is
+    * the sum of its rungs (the point of an eval); every rung is the
+    * identical declared operator, so the ladder can never drift from
+    * what production runs. Truth and the rung union are checkpointed
+    * once (each feeds two consumers); the reduce is per-method
+    * counts + one 1-row truth broadcast. */
+  def recallLadder(embeddings: DataFrame, nQueries: Int = 8,
+                   k: Int = 5): DataFrame = {
+    val truth = knnBrute(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val arms: Seq[(String, DataFrame)] = Seq(
+      "bitsig" -> knnBitsig(embeddings, nQueries, k),
+      "ivf" -> knnIvf(embeddings, nQueries, k),
+      "ivfpq" -> knnIvfPq(embeddings, nQueries, k),
+      "ivfsq" -> knnIvfSq8(embeddings, nQueries, k),
+      "lsh" -> knnLshBucketed(embeddings, nQueries, k),
+      "sq8" -> knnSq8(embeddings, nQueries, k))
+    val union = arms.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val returned = union.groupBy("method").agg(count(lit(1)).as("n_returned"))
+    val hits = union
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    returned.join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(nt))
+      .select(col("method"), col("n_returned"), col("n_hits"), col("n_truth"),
+        expr("1000000 * n_hits div n_truth").as("recall_ppm"))
+      .orderBy("method")
+  }
+
   /** Maximum-inner-product top-k (MIPS) — retrieval by RAW integer
     * dot product, no normalization: the scoring a recommender or
     * learned-retrieval stack wants when vector norms carry signal

@@ -2661,6 +2661,35 @@ object ExtQueries {
       "SELECT purchase_id, user_id, purchase_us, click_id, click_us " +
       "FROM j WHERE rk = 1 ORDER BY purchase_id"
 
+  /** [[RelQueries.attribMulti]] oracle — window membership, the
+    * (c_us, click_id) position order, and the exact-integer U-shape
+    * weights all re-derived; a float-division weight, a wrong
+    * remainder assignment, or an off-by-one window bound fails the
+    * hash (weights must sum to exactly 1e6 per purchase in BOTH
+    * engines). */
+  private val relAttribMultiSql: String =
+    "WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM e " +
+      "WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, event_id AS click_id, us AS c_us FROM e " +
+      "WHERE event_type = 'click'), " +
+      "pr AS (SELECT p.purchase_id, p.user_id, c.click_id, c.c_us " +
+      "FROM p JOIN c ON c.user_id = p.user_id " +
+      "AND c.c_us <= p.p_us AND c.c_us > p.p_us - 3600000000), " +
+      "wn AS (SELECT purchase_id, user_id, click_id, " +
+      "row_number() OVER (PARTITION BY purchase_id " +
+      "ORDER BY c_us ASC, click_id ASC) AS pos, " +
+      "count(*) OVER (PARTITION BY purchase_id) AS n_touch FROM pr) " +
+      "SELECT purchase_id, user_id, click_id, CAST(pos AS BIGINT) AS pos, " +
+      "CAST(n_touch AS BIGINT) AS n_touch, " +
+      "CAST(CASE WHEN n_touch = 1 THEN 1000000 " +
+      "WHEN n_touch = 2 THEN 500000 " +
+      "WHEN pos = 1 OR pos = n_touch THEN 400000 " +
+      "ELSE 200000 // (n_touch - 2) + " +
+      "(CASE WHEN pos - 1 <= 200000 % (n_touch - 2) THEN 1 ELSE 0 END) " +
+      "END AS BIGINT) AS weight_ppm " +
+      "FROM wn ORDER BY purchase_id, pos"
+
   private val relRangeClicksSql: String =
     "WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events), " +
       "p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us FROM e " +
@@ -4192,6 +4221,32 @@ object ExtQueries {
       "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
       "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
 
+  /** [[graft.operators.Similarity.recallLadder]] oracle — every rung
+    * rebuilt from its OWN declared oracle SQL as a subquery (the
+    * subqueries carry their own WITH chains, scoped per SQL
+    * standard), so the ladder can never drift from the per-rung
+    * oracles; reduced to per-method counts + recall ppm. Lazy: the
+    * rung vals are declared across this object and an eager val
+    * would race initialization order. */
+  private lazy val simRecallLadderSql: String =
+    "WITH b AS (SELECT query_id, neighbor_id FROM (" + simKnnBruteSql + ")), " +
+      "u AS (" +
+      "SELECT 'bitsig' AS method, query_id, neighbor_id FROM (" + simKnnBitsigSql + ") " +
+      "UNION ALL SELECT 'ivf', query_id, neighbor_id FROM (" + simKnnIvfSql + ") " +
+      "UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM (" + simKnnIvfPqSql + ") " +
+      "UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM (" + simKnnIvfSq8Sql + ") " +
+      "UNION ALL SELECT 'lsh', query_id, neighbor_id FROM (" + simKnnLshSql + ") " +
+      "UNION ALL SELECT 'sq8', query_id, neighbor_id FROM (" + simKnnSq8Sql + ")), " +
+      "r AS (SELECT method, count(*) AS n_returned FROM u GROUP BY 1), " +
+      "h AS (SELECT method, count(*) AS n_hits FROM u " +
+      "JOIN b USING (query_id, neighbor_id) GROUP BY 1), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM b) " +
+      "SELECT r.method, CAST(r.n_returned AS BIGINT) AS n_returned, " +
+      "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, t.n_truth, " +
+      "(1000000 * CAST(COALESCE(h.n_hits, 0) AS BIGINT)) // t.n_truth " +
+      "AS recall_ppm " +
+      "FROM r LEFT JOIN h USING (method), t ORDER BY method"
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -4297,6 +4352,10 @@ object ExtQueries {
     // the OTHER tuning axis next to dd_yield_report's policy axis
     "dd_threshold_curve" -> ((s, d) =>
       Dedup.thresholdCurve(Tables.documents(s, d))),
+    // r10: ANN recall ladder — every approximate rung vs exact truth
+    // on one page, the retrieval twin of dd_blocker_recall
+    "sim_recall_ladder" -> ((s, d) =>
+      Similarity.recallLadder(Tables.embeddings(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4620,6 +4679,9 @@ object ExtQueries {
       .agg(F.approx_count_distinct("user_id").as("approx_users"))
       .orderBy("event_type")),
     "rel_asof_click" -> (RelQueries.purchaseLastClick _),
+    // r10: position-based (40/20/40) multi-touch attribution with
+    // exact-integer ppm weights — last-touch's production sibling
+    "rel_attrib_multi" -> ((s, d) => RelQueries.attribMulti(s, d)),
     "rel_range_clicks" -> ((s, d) =>
       graft.operators.RangeJoin.clicksBefore(Tables.events(s, d))),
     "rel_rollup" -> (RelQueries.pricingRollup _),
@@ -4698,6 +4760,7 @@ object ExtQueries {
     "sim_knn_sq8" -> simKnnSq8Sql,
     "sim_knn_ivfsq" -> simKnnIvfSq8Sql,
     "dd_threshold_curve" -> ddThresholdCurveSql,
+    "sim_recall_ladder" -> simRecallLadderSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
@@ -4846,6 +4909,7 @@ object ExtQueries {
     "rel_json_props" -> relJsonPropsSql,
     "rel_median_value" -> relMedianSql,
     "rel_asof_click" -> relAsofSql,
+    "rel_attrib_multi" -> relAttribMultiSql,
     "rel_range_clicks" -> relRangeClicksSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

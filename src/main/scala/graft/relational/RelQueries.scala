@@ -113,6 +113,57 @@ object RelQueries {
       .orderBy("purchase_id")
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    * every click in a purchase's 1-hour lookback window gets a share
+    * of the conversion credit — 40% to the first touch, 40% to the
+    * last, 20% split across the middles — the model marketing
+    * analytics runs beside last-touch ([[purchaseLastClick]] is the
+    * degenerate 0/0/100 case). Weights are EXACT integer ppm summing
+    * to 1,000,000 per purchase: middles get 200000 div (n−2) each,
+    * with the remainder distributed one-ppm-apiece to the EARLIEST
+    * middles (a pinned total order, not float division — cross-engine
+    * bit-stable and auditable: sum(weight_ppm) == 1e6 every row
+    * group). n=1 → 1e6; n=2 → 500000/500000 (the standard U-shape
+    * degeneracies). Window membership and ordering reuse the
+    * [[purchaseLastClick]]/range-clicks conventions: ts ≤ purchase,
+    * > purchase − 1h, ordered (ts asc, event_id asc) — the probe-
+    * corpus tiebreak lesson applied from the start. Scale shape: the
+    * pair join is the BOUNDED range join (per-user equi-join + time
+    * predicate — occupancy capped by the window, never corpus²), the
+    * position windows key on purchase_id, and both reuse one
+    * exchange. */
+  def attribMulti(spark: SparkSession, sfDir: String,
+                  windowUs: Long = 3600000000L): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("CAST(ts AS BIGINT) div 1000"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"),
+        col("event_id").as("purchase_id"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_us"),
+        col("event_id").as("click_id"))
+    val pairs = p.join(c, Seq("user_id"))
+      .where(col("c_us") <= col("p_us") &&
+        col("c_us") > col("p_us") - windowUs)
+    val byPurchase = Window.partitionBy("purchase_id")
+    val ordered = Window.partitionBy("purchase_id")
+      .orderBy(col("c_us").asc, col("click_id").asc)
+    pairs
+      .withColumn("pos", row_number().over(ordered).cast("long"))
+      .withColumn("n_touch", count(lit(1)).over(byPurchase).cast("long"))
+      .withColumn("weight_ppm",
+        when(col("n_touch") === 1L, lit(1000000L))
+          .when(col("n_touch") === 2L, lit(500000L))
+          .when(col("pos") === 1L || col("pos") === col("n_touch"),
+            lit(400000L))
+          .otherwise(expr("200000L div (n_touch - 2)") +
+            when(col("pos") - 1L <= expr("200000L % (n_touch - 2)"), 1L)
+              .otherwise(0L)))
+      .select("purchase_id", "user_id", "click_id", "pos", "n_touch",
+        "weight_ppm")
+      .orderBy("purchase_id", "pos")
+  }
+
   /** ROLLUP grouping-sets coverage (absent in the reference —
     * SURVEY.md §2.2): pricing rollup with explicit NULLS FIRST
     * ordering (Spark defaults nulls-first on ASC, DuckDB defaults

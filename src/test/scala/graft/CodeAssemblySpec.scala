@@ -253,6 +253,53 @@ class CodeAssemblySpec extends AnyFunSuite {
     c.foreach { case (_, p, d, _) => assert(d <= p || p == 0L) }
   }
 
+  test("recallLadder: all six rungs present, counts consistent, exhaustive " +
+    "rungs return a full top-k surface") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val rows = Similarity.recallLadder(e).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("bitsig", "ivf", "ivfpq", "ivfsq", "lsh", "sq8"))
+    rows.foreach { case (m, (ret, hits, truth, ppm)) =>
+      assert(hits <= ret && hits <= truth, s"$m: hits bound violated")
+      assert(ppm >= 0L && ppm <= 1000000L, s"$m: recall ppm out of range")
+      assert(ppm == 1000000L * hits / truth, s"$m: ppm inconsistent")
+    }
+    // exhaustive rungs (no candidate pruning) always fill the top-k
+    val truth = rows("sq8")._3
+    assert(rows("sq8")._1 == truth && rows("bitsig")._1 == truth,
+      "exhaustive rungs must return exactly |truth| rows")
+  }
+
+  test("attribMulti: credit sums to exactly 1e6 ppm per purchase, positions " +
+    "dense, last touch agrees with the as-of pick") {
+    import graft.relational.RelQueries
+    // unbounded lookback at sf0.001: every prior click attributes, so
+    // the first/middle/last arms are all exercised (the 1h production
+    // window only yields multi-touch at the probe's duplicated rows)
+    val a = RelQueries.attribMulti(spark, sf, windowUs = Long.MaxValue / 4).cache()
+    try {
+      val badSum = a.groupBy("purchase_id")
+        .agg(sum("weight_ppm").as("s"), max("pos").as("mx"),
+          count(lit(1)).as("n"), min("pos").as("mn"))
+        .where(col("s") =!= 1000000L || col("mx") =!= col("n") ||
+          col("mn") =!= 1L).count()
+      assert(badSum == 0L, "every purchase's credit must sum to exactly 1e6")
+      // multi-touch must actually occur (the U-shape is not vacuous)
+      assert(a.where(col("n_touch") >= 3L).count() > 0L)
+      // the pos == n_touch click IS purchaseLastClick's pick (same
+      // total order; the window is unbounded here, matching as-of)
+      val last = a.where(col("pos") === col("n_touch"))
+        .select(col("purchase_id"), col("click_id"))
+      val asof = RelQueries.purchaseLastClick(spark, sf)
+        .select(col("purchase_id"), col("click_id").as("asof_click"))
+      val disagree = last.join(asof, "purchase_id")
+        .where(col("click_id") =!= col("asof_click")).count()
+      assert(disagree == 0L, "U-shape last touch must equal the as-of pick")
+    } finally a.unpersist()
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
