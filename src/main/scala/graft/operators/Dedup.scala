@@ -667,6 +667,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment verify behind a BOTTOM-K sketch blocker (r10) — the
+    * scale path [[containment]]'s Scaladoc promises, made a declared
+    * operator: each doc's blocking keys are its `bottomK` smallest
+    * shingle hashes (a bottom-k sketch — the (h31(sh), sh) order is a
+    * pinned total order, so the sketch is deterministic and
+    * oracle-restatable), candidates are docs sharing a sketch key,
+    * and EXACT containment is computed only for candidates (the
+    * [[lshVerified]] discipline on the containment measure). Why
+    * bottom-k instead of MinHash bands: symmetric Jaccard banding
+    * under-recalls high-containment/low-jaccard pairs (the short doc
+    * inside the long one), but a pair with containment c shares ≥
+    * c·|smaller| of the SMALLER side's shingles, so the smaller
+    * side's minimum hashes land in the shared set with probability
+    * ≈ 1 − (1−c)^k — recall driven by c itself, independent of the
+    * big doc's size. Candidate volume ≤ occupancy per sketch key
+    * (bottom-k keys of near-uniform hashes spread like random keys);
+    * recall < 1 by design and measured against the exact anchor in
+    * BASELINE.md. */
+  def containmentBlocked(docs: DataFrame, shingleN: Int = 3,
+                         minContainPpm: Long = 600000L,
+                         bottomK: Int = 4): DataFrame = {
+    val sh = shingles(docs, shingleN).localCheckpoint(true)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(PH.h31(col("sh")), col("sh"))
+    val keys = sh.withColumn("rk", row_number().over(wd))
+      .where(col("rk") <= bottomK).select("doc_id", "sh")
+    val cand = keys.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        floor(lit(1000000.0) * col("n_inter")
+          / least(col("na"), col("nb"))).cast("long").as("contain_ppm"))
+      .where(col("contain_ppm") >= minContainPpm)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Asymmetric containment dedup: C(a,b) = |A∩B| / min(|A|,|B|)
     * over word-shingle sets — the measure that catches a SHORT doc
     * embedded in a LONG one, which symmetric Jaccard dilutes to

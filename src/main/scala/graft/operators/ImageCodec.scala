@@ -918,6 +918,121 @@ object ImageCodec {
     out.toByteArray
   }
 
+  final case class TgaImage(width: Int, height: Int, raster: Array[Byte])
+
+  /** REAL Truevision TGA decode (r10) — image type 10 (RLE-compressed
+    * true-color), the format whose traps are all ORDERING: pixels are
+    * stored BGR (canonical raster is RGB — a swap-less decoder gets
+    * every channel wrong), rows are stored BOTTOM-UP when descriptor
+    * bit 5 is clear (the BMP origin lesson in a second container),
+    * and the stream interleaves two packet kinds — RLE (bit 7 set:
+    * count+1 copies of ONE pixel) and raw (count+1 literal pixels).
+    * Returns the canonical TOP-DOWN RGB raster; malformed headers,
+    * truncated packet streams, and pixel overruns reject to None
+    * (the DLT arm). TGA 2.0 spec: 18-byte header — idLength,
+    * colorMapType, imageType, 5-byte colormap spec, x/y origin,
+    * width/height LE16, bpp, descriptor. */
+  def parseTga(b: Array[Byte]): Option[TgaImage] = {
+    if (b.length < 18) return None
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    val idLen = b(0) & 0xff
+    if ((b(1) & 0xff) != 0) return None // color-mapped: unsupported
+    if ((b(2) & 0xff) != 10) return None // only RLE true-color here
+    val w = u16(12); val h = u16(14)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if ((b(16) & 0xff) != 24) return None
+    val desc = b(17) & 0xff
+    if ((desc & 0x0f) != 0) return None // no alpha bits at 24bpp
+    val topDown = (desc & 0x20) != 0
+    val n = w * h
+    val stored = new Array[Byte](n * 3)
+    var p = 18 + idLen
+    var px = 0
+    while (px < n) {
+      if (p >= b.length) return None
+      val hdr = b(p) & 0xff; p += 1
+      val cnt = (hdr & 0x7f) + 1
+      if (px + cnt > n) return None // packet overruns the raster
+      if ((hdr & 0x80) != 0) { // RLE: one pixel, cnt copies
+        if (p + 3 > b.length) return None
+        val bl = b(p); val g = b(p + 1); val r = b(p + 2); p += 3
+        var i = 0
+        while (i < cnt) {
+          stored(px * 3) = r; stored(px * 3 + 1) = g
+          stored(px * 3 + 2) = bl
+          px += 1; i += 1
+        }
+      } else { // raw: cnt literal pixels
+        if (p + 3 * cnt > b.length) return None
+        var i = 0
+        while (i < cnt) {
+          stored(px * 3) = b(p + 2); stored(px * 3 + 1) = b(p + 1)
+          stored(px * 3 + 2) = b(p); p += 3
+          px += 1; i += 1
+        }
+      }
+    }
+    val out =
+      if (topDown) stored
+      else {
+        val o = new Array[Byte](n * 3)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(stored, (h - 1 - y) * w * 3, o, y * w * 3, w * 3)
+          y += 1
+        }
+        o
+      }
+    Some(TgaImage(w, h, out))
+  }
+
+  /** Reference TGA RLE encoder over a canonical TOP-DOWN RGB sample
+    * function — the fixture writer. Stores rows bottom-up (descriptor
+    * 0x00) in BGR, packets never cross scan lines (spec v2.0), runs
+    * of ≥2 equal pixels become RLE packets, everything else
+    * accumulates into raw packets; both capped at 128 pixels. */
+  def tgaBytes(w: Int, h: Int, sample: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(18 + w * h * 4)
+    out.write(0); out.write(0); out.write(10)
+    var k = 0
+    while (k < 5) { out.write(0); k += 1 } // no colormap
+    out.write(0); out.write(0); out.write(0); out.write(0) // x,y origin
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(24); out.write(0) // bottom-up, no alpha
+    def px(p: Int): (Int, Int, Int) =
+      (sample(p * 3) & 0xff, sample(p * 3 + 1) & 0xff,
+        sample(p * 3 + 2) & 0xff)
+    def writeBgr(v: (Int, Int, Int)): Unit = {
+      out.write(v._3); out.write(v._2); out.write(v._1)
+    }
+    var y = h - 1
+    while (y >= 0) { // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val p0 = y * w + x
+        val v0 = px(p0)
+        var run = 1
+        while (x + run < w && run < 128 && px(p0 + run) == v0) run += 1
+        if (run >= 2) {
+          out.write(0x80 | (run - 1)); writeBgr(v0)
+          x += run
+        } else {
+          var lit = 1 // literals until the next >=2 run or row end
+          while (x + lit < w && lit < 128 &&
+              !(x + lit + 1 < w && px(p0 + lit) == px(p0 + lit + 1)))
+            lit += 1
+          out.write(lit - 1)
+          var i = 0
+          while (i < lit) { writeBgr(px(p0 + i)); i += 1 }
+          x += lit
+        }
+      }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic full P5/P6 fixture WITH raster: header (including
     * a comment line, exercising the tokenizer) followed by
     * width·height·channels bytes where byte i = pixel(i). The oracle

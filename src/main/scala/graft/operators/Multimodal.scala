@@ -1221,6 +1221,72 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** TGA stats row (r10) — same canonical-order contract as QOI. */
+  final case class TgaStatsRow(doc_id: Long, width: Long, height: Long,
+      n_vals: Long, peak: Long, mean_floor: Long, wsum: Long)
+
+  /** Canonical sample for the TGA fixture: 5-pixel segments alternate
+    * constant color (an RLE packet — possibly split at a row edge,
+    * the encoder keeps packets inside scan lines per spec) and
+    * per-pixel drift (raw literal packets), so every stream
+    * interleaves both packet kinds. Channels differ by c·17, so a
+    * BGR→RGB swap miss shifts every stat. Closed form in (id, i) —
+    * the oracle recomputes it verbatim. */
+  private[graft] def tgaSample(id: Long, i: Int): Int = {
+    val p = i / 3; val c = i % 3; val seg = p / 5
+    val v =
+      if (seg % 2 == 0) id * 5 + seg * 3 + c * 17
+      else id * 5 + p.toLong * 7 + c * 17
+    (v % 256).toInt
+  }
+
+  /** Deterministic TGA payloads, one per document: dims from doc_id,
+    * canonical top-down RGB samples from [[tgaSample]], encoded
+    * bottom-up BGR RLE by the reference encoder
+    * ([[ImageCodec.tgaBytes]]); every 13th payload truncated inside
+    * the header (the corrupt-file DLT case). */
+  def syntheticTgas(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val w = 4 + (id % 9).toInt
+        val h = 3 + (id % 7).toInt
+        val full = ImageCodec.tgaBytes(w, h, i => tgaSample(id, i))
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 10) else full)
+      }
+  }
+
+  /** REAL TGA RLE decode → stats (r10): full packet-stream decode
+    * ([[ImageCodec.parseTga]]: RLE + raw packets, BGR→RGB swap,
+    * bottom-up origin flip), canonical top-down RGB stats the oracle
+    * recomputes sample-by-sample from [[tgaSample]] — the
+    * order-sensitive wsum means a forgotten row flip or channel swap
+    * fails the hash even when the value HISTOGRAM is identical. Same
+    * mapPartitions batch contract and DLT arm as the QOI/BMP
+    * kernels. */
+  def tgaStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticTgas(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseTga(d.payload) match {
+        case Some(img) =>
+          val r = img.raster
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          TgaStatsRow(d.doc_id, img.width.toLong, img.height.toLong,
+            r.length.toLong, peak, sum / r.length, wsum)
+        case None =>
+          TgaStatsRow(d.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** Decimated-audio summary per payload (r6). */
   final case class AudioResampleRow(doc_id: Long, format: String,
       n_out: Long, peak_abs: Long, mean_abs: Long, wsum: Long)

@@ -113,6 +113,31 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Mutual-kNN graph (r10): [[knnGraph]] edges kept only when BOTH
+    * endpoints rank each other — the standard graph-denoising step
+    * before clustering/label-propagation (SemDeDup-family pipelines
+    * run exactly this filter: a hub that many nodes point at but
+    * that points back at none of them contributes no mutual edge, so
+    * hub-induced megaclusters dissolve). One self-equi-join of the
+    * checkpointed graph on the undirected pair key — the graph feeds
+    * two consumers, each side pre-filtered to half the edges
+    * (a < b vs a > b), so the join is |edges|-sized, never N·k². */
+  def mutualKnn(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+                bitsPerBand: Int = 4): DataFrame = {
+    val g = knnGraph(embeddings, k, nBands, bitsPerBand)
+      .localCheckpoint(true)
+    val fwd = g.select(col("vec_id").as("vec_a"),
+        col("neighbor_id").as("vec_b"), col("cos_ppm"),
+        col("rank").as("rank_ab"))
+      .where(col("vec_a") < col("vec_b"))
+    val rev = g.select(col("neighbor_id").as("vec_a"),
+        col("vec_id").as("vec_b"), col("rank").as("rank_ba"))
+      .where(col("vec_a") < col("vec_b"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+      .select("vec_a", "vec_b", "cos_ppm", "rank_ab", "rank_ba")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Threshold RANGE search (r6 — the other similarity-query shape:
     * ALL corpus vectors within cosine ≥ τ of each query, not a fixed
     * top-k; the contract radius joins and near-dup admission want).

@@ -320,6 +320,31 @@ object ExtQueries {
       "SELECT doc_a, doc_b, n_inter, n_union, jaccard_ppm FROM j " +
       "WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
 
+  /** [[Dedup.containmentBlocked]] oracle — bottom-k sketch keys from
+    * the pinned (h31(sh), sh) order, candidate join, exact
+    * containment re-verified on candidates only; a wrong sketch
+    * order, a size computed over the sketch instead of the full
+    * shingle set, or jaccard-instead-of-containment math fails the
+    * hash. */
+  private val ddContainmentBlockedSql: String =
+    s"WITH ${shinglesCte(3)}, " +
+      "keys AS (SELECT doc_id, sh FROM (SELECT doc_id, sh, " +
+      s"row_number() OVER (PARTITION BY doc_id ORDER BY ${PH.h31Sql("sh")}, sh) " +
+      "AS rk FROM sh) WHERE rk <= 4), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM keys a JOIN keys b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c " +
+      "JOIN sh a ON a.doc_id = c.doc_a " +
+      "JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "j AS (SELECT i.doc_a, i.doc_b, i.n_inter, " +
+      "CAST(FLOOR(1000000.0 * i.n_inter / least(na.n, nb.n)) AS BIGINT) " +
+      "AS contain_ppm FROM inter i " +
+      "JOIN sizes na ON na.doc_id = i.doc_a " +
+      "JOIN sizes nb ON nb.doc_id = i.doc_b) " +
+      "SELECT doc_a, doc_b, n_inter, contain_ppm FROM j " +
+      "WHERE contain_ppm >= 600000 ORDER BY doc_a, doc_b"
+
   /** [[Dedup.thresholdCurve]] oracle — the identical LSH-verified
     * pair chain built at the 300k floor, swept across the 7-point
     * threshold dim; a wrong loser rule (doc_a instead of doc_b), a
@@ -1878,6 +1903,31 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.tgaStats]]: the canonical top-down RGB samples
+    * recomputed verbatim from the (doc_id, i) closed form — the
+    * order-sensitive wsum catches a forgotten bottom-up flip or
+    * BGR→RGB swap even when value histograms agree. */
+  private val mmTgaStatsSql: String =
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h " +
+      "FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d), " +
+      "v AS (SELECT doc_id, w, h, i, " +
+      "CASE WHEN ((i // 3) // 5) % 2 = 0 " +
+      "THEN (doc_id * 5 + ((i // 3) // 5) * 3 + (i % 3) * 17) % 256 " +
+      "ELSE (doc_id * 5 + (i // 3) * 7 + (i % 3) * 17) % 256 " +
+      "END AS v FROM j), " +
+      "s AS (SELECT doc_id, w, h, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (i + 1)) AS ws FROM v GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(peak AS BIGINT) AS peak, CAST(sv // n AS BIGINT) AS mean_floor, " +
+      "CAST(ws AS BIGINT) AS wsum FROM s " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) AS width, " +
+      "CAST(-1 AS BIGINT) AS height, CAST(-1 AS BIGINT) AS n_vals, " +
+      "CAST(-1 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS mean_floor, " +
+      "CAST(-1 AS BIGINT) AS wsum " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.icoStats]]: per-entry dims/samples/mask recomputed
     * from the (doc_id, entry, position) formulas — visible pixels
     * only, so an ignored AND mask or a mis-walked entry table fails
@@ -2689,6 +2739,42 @@ object ExtQueries {
       "(CASE WHEN pos - 1 <= 200000 % (n_touch - 2) THEN 1 ELSE 0 END) " +
       "END AS BIGINT) AS weight_ppm " +
       "FROM wn ORDER BY purchase_id, pos"
+
+  /** [[RelQueries.tCloseness]] oracle — the ordinal EMD re-derived on
+    * the dense class×band grid (zero-count bands included: a missing
+    * band IS distance); all shares integer ppm so a float-share
+    * implementation, a sparse grid, or a wrong normalization (m vs
+    * m−1) fails the hash. */
+  private val relTclosenessSql: String =
+    "WITH r AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, " +
+      "c_mktsegment AS mktsegment, " +
+      "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer), " +
+      "cc AS (SELECT nationkey, mktsegment, CAST(count(*) AS BIGINT) AS n_members " +
+      "FROM r GROUP BY 1, 2), " +
+      "cb AS (SELECT nationkey, mktsegment, bal_band, count(*) AS cnt " +
+      "FROM r GROUP BY 1, 2, 3), " +
+      "gb0 AS (SELECT bal_band, count(*) AS g FROM r GROUP BY 1), " +
+      "gb AS (SELECT bal_band, SUM(g) OVER (ORDER BY bal_band " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum FROM gb0), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM r), " +
+      "grid AS (SELECT cc.nationkey, cc.mktsegment, cc.n_members, " +
+      "gb.bal_band, gb.gcum, COALESCE(cb.cnt, 0) AS cnt " +
+      "FROM cc CROSS JOIN gb LEFT JOIN cb ON cb.nationkey = cc.nationkey " +
+      "AND cb.mktsegment = cc.mktsegment AND cb.bal_band = gb.bal_band), " +
+      "gc AS (SELECT *, SUM(cnt) OVER (PARTITION BY nationkey, mktsegment " +
+      "ORDER BY bal_band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS ccum FROM grid), " +
+      "gaps AS (SELECT nationkey, mktsegment, n_members, " +
+      "abs((1000000 * ccum) // n_members - (1000000 * gcum) // big_n) AS gap " +
+      "FROM gc, tot), " +
+      "agg AS (SELECT nationkey, mktsegment, n_members, SUM(gap) AS gap_sum, " +
+      "count(*) AS m FROM gaps GROUP BY 1, 2, 3), " +
+      "fin AS (SELECT nationkey, mktsegment, n_members, " +
+      "CAST(CASE WHEN m > 1 THEN gap_sum // (m - 1) ELSE 0 END AS BIGINT) " +
+      "AS emd_ppm FROM agg) " +
+      "SELECT nationkey, mktsegment, n_members, emd_ppm, " +
+      "CAST(CASE WHEN emd_ppm > 200000 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+      "FROM fin ORDER BY nationkey, mktsegment"
 
   private val relRangeClicksSql: String =
     "WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events), " +
@@ -3985,6 +4071,23 @@ object ExtQueries {
     * the vector side). */
   private val simKnnGraphWideSql: String = simKnnGraphSqlFor(4, 8)
 
+  /** [[graft.operators.Similarity.mutualKnn]] oracle — the graph
+    * rebuilt from its own declared SQL, mutual edges = the pair
+    * appears in BOTH directions' top-k; keeps both ranks so an
+    * asymmetric-rank bug is visible in the hash. */
+  private val simMutualKnnSql: String =
+    "WITH g AS (SELECT vec_id, \"rank\", neighbor_id, cos_ppm FROM (" +
+      simKnnGraphSql + ")), " +
+      "f AS (SELECT vec_id AS vec_a, neighbor_id AS vec_b, cos_ppm, " +
+      "\"rank\" AS rank_ab FROM g WHERE vec_id < neighbor_id), " +
+      "rv AS (SELECT neighbor_id AS vec_a, vec_id AS vec_b, " +
+      "\"rank\" AS rank_ba FROM g WHERE neighbor_id < vec_id) " +
+      "SELECT f.vec_a, f.vec_b, f.cos_ppm, " +
+      "CAST(f.rank_ab AS BIGINT) AS rank_ab, " +
+      "CAST(rv.rank_ba AS BIGINT) AS rank_ba " +
+      "FROM f JOIN rv ON rv.vec_a = f.vec_a AND rv.vec_b = f.vec_b " +
+      "ORDER BY 1, 2"
+
   /** [[RelQueries.mergeUpsert]]: one FULL OUTER JOIN on the merge
     * key, every arm resolved in a CASE — the same single-pass shape
     * the Spark side plans. */
@@ -4356,6 +4459,14 @@ object ExtQueries {
     // on one page, the retrieval twin of dd_blocker_recall
     "sim_recall_ladder" -> ((s, d) =>
       Similarity.recallLadder(Tables.embeddings(s, d))),
+    // r10: mutual-kNN filter — the graph-denoising step before
+    // clustering (hub edges without reciprocity dissolve)
+    "sim_mutual_knn" -> ((s, d) =>
+      Similarity.mutualKnn(Tables.embeddings(s, d))),
+    // r10: containment verify behind a bottom-k sketch blocker — the
+    // scale path the containment anchor's Scaladoc promises, declared
+    "dd_containment_blocked" -> ((s, d) =>
+      Dedup.containmentBlocked(Tables.documents(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4532,6 +4643,9 @@ object ExtQueries {
     "mm_bmp_stats" -> ((s, d) => Multimodal.bmpStats(Tables.documents(s, d))(s)),
     // r10: QOI — full chunk-stream decode (RUN/INDEX/DIFF/LUMA/RGB)
     "mm_qoi_stats" -> ((s, d) => Multimodal.qoiStats(Tables.documents(s, d))(s)),
+    // r10: TGA RLE true-color decode — RLE+raw packets, BGR swap,
+    // bottom-up origin flip, order-sensitive stats
+    "mm_tga_stats" -> ((s, d) => Multimodal.tgaStats(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
     // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
     // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
@@ -4598,6 +4712,9 @@ object ExtQueries {
     "rel_kanon" -> ((s, d) => RelQueries.kAnonymity(s, d)),
     // l-diversity: the leak k-anonymity can't see (uniform sensitive)
     "rel_ldiversity" -> ((s, d) => RelQueries.lDiversity(s, d)),
+    // r10: t-closeness — the third privacy gate (distributional skew
+    // of the sensitive attribute per QI class, ordinal EMD)
+    "rel_tcloseness" -> ((s, d) => RelQueries.tCloseness(s, d)),
     // salted skew join pinned against the PLAIN-join oracle
     "rel_skew_join" -> (RelQueries.skewJoinRevenue _),
     // phonetic blocking key, identical translate+regexp chain both sides
@@ -4761,6 +4878,8 @@ object ExtQueries {
     "sim_knn_ivfsq" -> simKnnIvfSq8Sql,
     "dd_threshold_curve" -> ddThresholdCurveSql,
     "sim_recall_ladder" -> simRecallLadderSql,
+    "sim_mutual_knn" -> simMutualKnnSql,
+    "dd_containment_blocked" -> ddContainmentBlockedSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
@@ -4837,6 +4956,7 @@ object ExtQueries {
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_qoi_stats" -> mmQoiStatsSql,
+    "mm_tga_stats" -> mmTgaStatsSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
     "mm_exif_gps" -> mmExifGpsSql,
@@ -4869,6 +4989,7 @@ object ExtQueries {
     "dd_image_neardup_oriented" -> ddImageNearDupOrientedSql,
     "rel_kanon" -> relKanonSql,
     "rel_ldiversity" -> relLdiversitySql,
+    "rel_tcloseness" -> relTclosenessSql,
     "rel_skew_join" -> relSkewJoinSql,
     "rel_phonetic_key" -> relPhoneticKeySql,
     "rel_er_match" -> relErMatchSql,

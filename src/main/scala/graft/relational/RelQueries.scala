@@ -1222,6 +1222,63 @@ object RelQueries {
         when(col("n_sensitive") < l, 1L).otherwise(0L))
       .orderBy("nationkey", "mktsegment")
 
+  /** t-closeness audit (r10) — the third privacy gate, catching what
+    * [[kAnonymity]] and [[lDiversity]] both miss (Li et al.,
+    * ICDE'07): a class can be large AND diverse yet still leak when
+    * its sensitive-value DISTRIBUTION deviates from the corpus (all
+    * its balances in the top bands ⇒ membership itself reveals
+    * wealth). Per QI class (nation, segment): Earth Mover's Distance
+    * between the class's band distribution and the global one, using
+    * the ORDERED-attribute EMD (sum of |cumulative-share gaps| over
+    * the band order, normalized by m−1 — the paper's formula for
+    * ordinal sensitive values, the right one for $-bands where being
+    * one band off matters less than five). All shares are integer
+    * ppm ((1e6·cum) div n — both engines' div agree on non-negative
+    * numerators), so the distance is exact cross-engine. Scale
+    * shape: one hash-agg to class×band counts, then a DENSE
+    * class×band grid (bounded by QI×sensitive DOMAINS, never rows —
+    * the zero-count bands matter: a missing band IS distributional
+    * distance) via a broadcast band-dim cross join; the global
+    * cumulative table is |bands| rows on one partition (fine — it is
+    * a dimension, not data). */
+  def tCloseness(spark: SparkSession, sfDir: String,
+                 tPpm: Long = 200000L): DataFrame = {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    val classCnt = rows.groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("n_members"))
+    val cb = rows.groupBy("nationkey", "mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gb = rows.groupBy("bal_band").agg(count(lit(1)).as("g"))
+      .withColumn("gcum", sum("g").over(wg))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("big_n"))))
+      .select(col("bal_band"), col("gcum"), col("big_n"))
+    val wc = Window.partitionBy("nationkey", "mktsegment")
+      .orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = classCnt
+      .crossJoin(broadcast(gb))
+      .join(cb, Seq("nationkey", "mktsegment", "bal_band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("ccum", sum("cnt").over(wc))
+    grid
+      .select(col("nationkey"), col("mktsegment"), col("n_members"),
+        abs(expr("(1000000 * ccum) div n_members") -
+          expr("(1000000 * gcum) div big_n")).as("gap_ppm"))
+      .groupBy("nationkey", "mktsegment", "n_members")
+      .agg(sum("gap_ppm").as("gap_sum"), count(lit(1)).as("m"))
+      .select(col("nationkey"), col("mktsegment"), col("n_members"),
+        when(col("m") > 1L, expr("gap_sum div (m - 1)"))
+          .otherwise(lit(0L)).as("emd_ppm"))
+      .withColumn("at_risk",
+        when(col("emd_ppm") > tPpm, 1L).otherwise(0L))
+      .orderBy("nationkey", "mktsegment")
+  }
+
   /** Salted skew join as a DECLARED query (r7 continuation): the
     * events fact side scattered by a deterministic whole-row salt,
     * the supplier build side replicated saltFactor times, joined on

@@ -300,6 +300,59 @@ class CodeAssemblySpec extends AnyFunSuite {
     } finally a.unpersist()
   }
 
+  test("tCloseness: one row per QI class, members partition the table, " +
+    "EMD bounded and zero iff distribution matches global") {
+    import graft.relational.RelQueries
+    val t = RelQueries.tCloseness(spark, sf).cache()
+    try {
+      val cust = Tables.customer(spark, sf)
+      assert(t.count() ==
+        cust.select("c_nationkey", "c_mktsegment").distinct().count())
+      assert(t.agg(sum("n_members")).head().getLong(0) == cust.count())
+      val bad = t.where(col("emd_ppm") < 0L || col("emd_ppm") > 1000000L ||
+        col("at_risk") =!= (col("emd_ppm") > 200000L).cast("long")).count()
+      assert(bad == 0L)
+      // the gate is not vacuous on this corpus: both classes at risk
+      // and classes in the clear must occur
+      assert(t.select(countDistinct("at_risk")).head().getLong(0) == 2L)
+    } finally t.unpersist()
+  }
+
+  test("mutualKnn: every mutual edge exists in the kNN graph in BOTH " +
+    "directions with its exact ranks") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val m = Similarity.mutualKnn(e).collect()
+    assert(m.nonEmpty, "seeded near-dups must produce mutual edges")
+    m.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      assert(a < b, "mutual edges are canonical (a < b)")
+      assert(g.get((a, b)).contains(r.getLong(3)), s"($a,$b) fwd rank")
+      assert(g.get((b, a)).contains(r.getLong(4)), s"($a,$b) rev rank")
+    }
+    // completeness: every reciprocal graph pair appears exactly once
+    val recip = g.keys.filter { case (x, y) => x < y && g.contains((y, x)) }
+    assert(m.length == recip.size)
+  }
+
+  test("containmentBlocked: a strict subset of the exact containment anchor " +
+    "with identical scores; recall measured") {
+    val exact = Dedup.containment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val blocked = Dedup.containmentBlocked(docs).collect()
+    blocked.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.get(key).contains(r.getLong(3)),
+        s"$key: blocked pair missing from anchor or score drifted")
+    }
+    val recall = blocked.length.toDouble / exact.size
+    info(f"bottom-4 sketch recall vs exact containment: $recall%.3f " +
+      s"(${blocked.length}/${exact.size})")
+    assert(recall >= 0.5, f"bottom-k recall collapsed: $recall%.3f")
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {

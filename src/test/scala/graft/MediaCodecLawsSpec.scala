@@ -36,6 +36,44 @@ class MediaCodecLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("TGA: parse(tgaBytes) recovers every canonical sample for random " +
+    "dims; run-heavy and literal-heavy extremes both round-trip") {
+    val dimGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+    } yield (w, h)
+    val dims = Gen.listOfN(40, dimGen).sample.get ++
+      Seq((1, 1), (1, 40), (40, 1), (2, 3), (200, 2))
+    dims.foreach { case (w, h) =>
+      val seed = w * 43 + h
+      // three content regimes: all-constant (maximal RLE, >128-px rows
+      // exercise the packet cap), all-varying (maximal raw), mixed
+      val regimes: Seq[Int => Int] = Seq(
+        _ => seed % 256,
+        i => (i * 7 + seed) % 256,
+        i => { val p = i / 3; if ((p / 5) % 2 == 0) (p / 5 + seed) % 256
+               else (i * 11 + seed) % 256 })
+      regimes.zipWithIndex.foreach { case (f, ri) =>
+        val img = ImageCodec.parseTga(ImageCodec.tgaBytes(w, h, f))
+          .getOrElse(fail(s"($w,$h) regime $ri did not parse"))
+        assert(img.width == w && img.height == h)
+        var i = 0
+        while (i < w * h * 3) {
+          assert((img.raster(i) & 0xff) == f(i), s"($w,$h) r$ri sample $i")
+          i += 1
+        }
+      }
+    }
+    // corrupt arms reject: truncated header, truncated packet stream,
+    // unsupported type byte
+    val good = ImageCodec.tgaBytes(6, 4, i => (i * 3) % 256)
+    assert(ImageCodec.parseTga(java.util.Arrays.copyOf(good, 10)).isEmpty)
+    assert(ImageCodec.parseTga(
+      java.util.Arrays.copyOf(good, good.length - 2)).isEmpty)
+    val badType = good.clone(); badType(2) = 2 // uncompressed: not ours
+    assert(ImageCodec.parseTga(badType).isEmpty)
+  }
+
   test("TIFF: both byte orders round-trip random dims and sample " +
     "counts; the detected order matches the written one") {
     val caseGen = for {

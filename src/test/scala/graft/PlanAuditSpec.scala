@@ -44,6 +44,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("tx_top_terms").contains("TakeOrderedAndProject"))
   }
 
+  test("tx_dpo_render: the rank window and the pair collapse share ONE " +
+    "hash exchange; the dimension join is broadcast") {
+    val p = plan("tx_dpo_render")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (shared o_custkey exchange):\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tx_epoch_order: one hash exchange (the per-(epoch,shard) position " +
+    "window) — no global sort before the final presentation orderBy") {
+    val p = plan("tx_epoch_order")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"epoch order must shuffle once, on (epoch, shard):\n$p")
+  }
+
+  test("sim_knn_sq8 / sim_knn_ivfsq: reconstruction rides the scan — one " +
+    "hash exchange (the top-k window), corpus side never broadcast") {
+    Seq("sim_knn_sq8", "sim_knn_ivfsq").foreach { q =>
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: expected only the rank window's shuffle:\n$p")
+    }
+  }
+
   test("dd_simhash is a pure projection: no aggregate, no explode") {
     // the native Simhash48 expression replaced the explode + 48-sum
     // aggregate — the fingerprint must never reintroduce a shuffle
