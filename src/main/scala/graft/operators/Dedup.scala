@@ -1501,6 +1501,49 @@ object Dedup {
       .orderBy("threshold_ppm")
   }
 
+  /** Signature-estimator CALIBRATION report (r10): for every LSH
+    * candidate pair, both signature families' Jaccard ESTIMATE
+    * (matching-minima fraction) against the EXACT shingle Jaccard of
+    * the same pair, reduced to per-family error stats — the third
+    * leg of the dedup eval triad ([[blockerRecallReport]] measures
+    * which pairs a blocker FINDS, [[thresholdCurve]] what a cut
+    * BUYS; this measures whether the estimator the threshold is
+    * applied TO can be trusted, i.e. whether K=16 minima are enough
+    * at the operating threshold or the bands are gating on noise).
+    * Exact Jaccard is computed only for candidate pairs (the
+    * [[lshVerified]] discipline); the K-affine and one-permutation
+    * families are scored against the SAME exact truth, so the report
+    * doubles as the minhash-vs-OPH accuracy comparison the OphBench
+    * wall-clock table (BASELINE r7) deliberately left unmeasured. */
+  def minhashCalibration(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(docs, shingleN).localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    def exactFor(cand: DataFrame): DataFrame = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000000.0) * col("n_inter")
+          / (col("na") + col("nb") - col("n_inter"))).cast("long")
+          .as("exact_ppm"))
+    def arm(name: String, pairs: DataFrame): DataFrame = {
+      val est = pairs.select("doc_a", "doc_b", "est_jaccard_ppm")
+        .localCheckpoint(true)
+      est.join(exactFor(est.select("doc_a", "doc_b")), Seq("doc_a", "doc_b"))
+        .select(abs(col("est_jaccard_ppm") - col("exact_ppm")).as("err"))
+        .agg(count(lit(1)).as("n_pairs"), sum("err").as("err_sum"),
+          max("err").as("max_err_ppm"))
+        .select(lit(name).as("method"), col("n_pairs"),
+          expr("err_sum div n_pairs").as("mean_err_ppm"),
+          col("max_err_ppm"))
+    }
+    arm("minhash16", minhashLsh(docs, shingleN))
+      .unionByName(arm("oph16", ophLsh(docs, shingleN)))
+      .orderBy("method")
+  }
+
   /** LSH recall/precision report (r7 continuation): the EVAL harness
     * for the dedup stack — exact ≥-threshold Jaccard pairs
     * ([[ngramJaccard]], ground truth) vs the MinHash-LSH candidate

@@ -113,6 +113,37 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF index-health report (r10): per-cell occupancy and balance —
+    * the table an operator reads BEFORE trusting [[knnIvf]]-family
+    * latency numbers, because IVF cost is gated by the largest probed
+    * cell: a 10×-mean cell means 10×-tail queries and, at 100 TB, a
+    * straggling scan per probe that hits it. balance_ppm = occupancy
+    * relative to the uniform share (1e6 = perfectly balanced), the
+    * [[graft.operators.Assembly.shardPlan]] convention on the index
+    * side. One hash-agg over the row-local assignment — the report
+    * costs one scan. */
+  def ivfBalance(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val base = quantized(embeddings)
+    val cents: Seq[(Long, Seq[Long], Long)] = base
+      .where(col("vec_id") < nCentroids)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val distStructs = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }
+    val byDist = array_sort(array(distStructs: _*))
+    base.select(element_at(byDist, 1).getField("cid").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("total"))))
+      .select(col("cid"), col("n_vectors"),
+        expr(s"(1000000 * n_vectors * $nCentroids) div total")
+          .as("balance_ppm"))
+      .orderBy("cid")
+  }
+
   /** Mutual-kNN graph (r10): [[knnGraph]] edges kept only when BOTH
     * endpoints rank each other — the standard graph-denoising step
     * before clustering/label-propagation (SemDeDup-family pipelines

@@ -320,6 +320,40 @@ object ExtQueries {
       "SELECT doc_a, doc_b, n_inter, n_union, jaccard_ppm FROM j " +
       "WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b"
 
+  /** [[Dedup.minhashCalibration]] oracle — both signature families'
+    * candidate pairs rebuilt from their OWN declared oracle SQL,
+    * exact Jaccard re-derived for each candidate set, errors reduced
+    * to the same integer stats; pairs sharing zero shingles drop
+    * from BOTH engines via the inner intersection join. Lazy: the
+    * composed SQL vals are declared across this object. */
+  private lazy val ddMinhashCalibrationSql: String =
+    s"WITH ${shinglesCte(3)}, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "mh AS (SELECT doc_a, doc_b, est_jaccard_ppm FROM (" + ddMinhashSql + ")), " +
+      "op AS (SELECT doc_a, doc_b, est_jaccard_ppm FROM (" + ddOphSql + ")), " +
+      "im AS (SELECT m.doc_a, m.doc_b, count(*) AS n_inter FROM mh m " +
+      "JOIN sh a ON a.doc_id = m.doc_a " +
+      "JOIN sh b ON b.doc_id = m.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "io AS (SELECT o.doc_a, o.doc_b, count(*) AS n_inter FROM op o " +
+      "JOIN sh a ON a.doc_id = o.doc_a " +
+      "JOIN sh b ON b.doc_id = o.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "em AS (SELECT abs(m.est_jaccard_ppm - " +
+      "CAST(FLOOR(1000000.0 * i.n_inter / (na.n + nb.n - i.n_inter)) AS BIGINT)) " +
+      "AS err FROM mh m JOIN im i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b " +
+      "JOIN sizes na ON na.doc_id = m.doc_a " +
+      "JOIN sizes nb ON nb.doc_id = m.doc_b), " +
+      "eo AS (SELECT abs(o.est_jaccard_ppm - " +
+      "CAST(FLOOR(1000000.0 * i.n_inter / (na.n + nb.n - i.n_inter)) AS BIGINT)) " +
+      "AS err FROM op o JOIN io i ON i.doc_a = o.doc_a AND i.doc_b = o.doc_b " +
+      "JOIN sizes na ON na.doc_id = o.doc_a " +
+      "JOIN sizes nb ON nb.doc_id = o.doc_b) " +
+      "SELECT 'minhash16' AS method, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(SUM(err) // count(*) AS BIGINT) AS mean_err_ppm, " +
+      "CAST(max(err) AS BIGINT) AS max_err_ppm FROM em " +
+      "UNION ALL SELECT 'oph16', CAST(count(*) AS BIGINT), " +
+      "CAST(SUM(err) // count(*) AS BIGINT), CAST(max(err) AS BIGINT) FROM eo " +
+      "ORDER BY method"
+
   /** [[Dedup.containmentBlocked]] oracle — bottom-k sketch keys from
     * the pinned (h31(sh), sh) order, candidate join, exact
     * containment re-verified on candidates only; a wrong sketch
@@ -4071,6 +4105,24 @@ object ExtQueries {
     * the vector side). */
   private val simKnnGraphWideSql: String = simKnnGraphSqlFor(4, 8)
 
+  /** [[graft.operators.Similarity.ivfBalance]] oracle — the same
+    * deterministic assignment CTEs as sim_knn_ivf, reduced to
+    * per-cell occupancy and the uniform-share balance ppm. */
+  private val simIvfBalanceSql: String =
+    s"WITH $quantCte, " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "dists AS (SELECT b.vec_id, c.cid, " +
+      s"(b.n + c.cn - 2 * ${dotSql("b.qe", "c.ce")}) AS dist " +
+      "FROM base b CROSS JOIN cents c), " +
+      "ranked AS (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM dists), " +
+      "assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM base) " +
+      "SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors, " +
+      "(1000000 * count(*) * 8) // total AS balance_ppm " +
+      "FROM assign, tot GROUP BY cid, total ORDER BY cid"
+
   /** [[graft.operators.Similarity.mutualKnn]] oracle — the graph
     * rebuilt from its own declared SQL, mutual edges = the pair
     * appears in BOTH directions' top-k; keeps both ranks so an
@@ -4467,6 +4519,13 @@ object ExtQueries {
     // scale path the containment anchor's Scaladoc promises, declared
     "dd_containment_blocked" -> ((s, d) =>
       Dedup.containmentBlocked(Tables.documents(s, d))),
+    // r10: signature-estimator calibration — minhash16 vs oph16 error
+    // against exact Jaccard on their own candidate pairs
+    "dd_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(Tables.documents(s, d))),
+    // r10: IVF index-health report — per-cell occupancy balance
+    "sim_ivf_balance" -> ((s, d) =>
+      Similarity.ivfBalance(Tables.embeddings(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4880,6 +4939,8 @@ object ExtQueries {
     "sim_recall_ladder" -> simRecallLadderSql,
     "sim_mutual_knn" -> simMutualKnnSql,
     "dd_containment_blocked" -> ddContainmentBlockedSql,
+    "dd_minhash_calibration" -> ddMinhashCalibrationSql,
+    "sim_ivf_balance" -> simIvfBalanceSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

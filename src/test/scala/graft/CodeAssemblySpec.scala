@@ -353,6 +353,34 @@ class CodeAssemblySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"bottom-k recall collapsed: $recall%.3f")
   }
 
+  test("minhashCalibration: both families reported, estimator error inside " +
+    "the K=16 concentration envelope") {
+    val rows = Dedup.minhashCalibration(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("minhash16", "oph16"))
+    rows.foreach { case (m, (n, mean, mx)) =>
+      assert(n > 0L, s"$m: no candidate pairs scored")
+      assert(mean <= mx && mx <= 1000000L, s"$m: stat ordering")
+      // K=16 minima: sd <= 1/(2*sqrt(16)) = 12.5% at worst-case j;
+      // candidates skew to high j where variance shrinks further
+      assert(mean <= 125000L, s"$m: mean error $mean ppm outside envelope")
+    }
+  }
+
+  test("ivfBalance: occupancies partition the corpus; balance averages the " +
+    "uniform share") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val b = Similarity.ivfBalance(e).collect()
+    assert(b.length == 8, "every centroid owns a cell at this corpus")
+    val n = b.map(_.getLong(1)).sum
+    assert(n > 0L && b.forall(_.getLong(1) > 0L))
+    val meanBal = b.map(_.getLong(2)).sum / b.length
+    assert(meanBal > 900000L && meanBal < 1100000L,
+      s"mean balance $meanBal must straddle the uniform share")
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
