@@ -113,6 +113,48 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Vector-store BUILD pipeline (r10): the retrieval-side composite
+    * mirroring what `pipeline_curate` is for text — near-dup the
+    * embedding corpus (sign-LSH banded candidates, exact cosine
+    * verify, keep-min losers out: `dd_embed_neardup`'s chain), then
+    * IVF-assign the SURVIVORS against the deterministic full-corpus
+    * codebook, and emit the per-cell build manifest (occupancy, id
+    * range, balance vs the survivor-uniform share) an index loader
+    * consumes. Dedup-before-index is the production order for a
+    * reason the recall ladder measured this round: duplicate-heavy
+    * corpora make recall@k tie-break-noise, and every duplicate in a
+    * cell is paid on every probe of that cell forever. Composite
+    * cost = its parts'; the only new work is one id anti-join and
+    * the |cells|-row manifest reduce. */
+  def indexPipeline(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val losers = graft.operators.Dedup.embeddingNearDup(embeddings)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val full = quantized(embeddings)
+    val surv = full.join(losers, Seq("vec_id"), "left_anti")
+    val cents: Seq[(Long, Seq[Long], Long)] = full
+      .where(col("vec_id") < nCentroids)
+      .select("vec_id", "qe", "qn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val distStructs = cents.map { case (cid, ce, cn) =>
+      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
+    }
+    val byDist = array_sort(array(distStructs: _*))
+    surv.select(col("vec_id"),
+        element_at(byDist, 1).getField("cid").as("cid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"),
+        max("vec_id").as("max_vec_id"))
+      .crossJoin(broadcast(surv.agg(count(lit(1)).as("total"))))
+      .select(col("cid"), col("n_vectors"), col("min_vec_id"),
+        col("max_vec_id"),
+        expr(s"(1000000 * n_vectors * $nCentroids) div total")
+          .as("balance_ppm"))
+      .orderBy("cid")
+  }
+
   /** IVF index-health report (r10): per-cell occupancy and balance —
     * the table an operator reads BEFORE trusting [[knnIvf]]-family
     * latency numbers, because IVF cost is gated by the largest probed

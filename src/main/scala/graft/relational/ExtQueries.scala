@@ -4123,6 +4123,37 @@ object ExtQueries {
       "(1000000 * count(*) * 8) // total AS balance_ppm " +
       "FROM assign, tot GROUP BY cid, total ORDER BY cid"
 
+  /** [[graft.operators.Similarity.indexPipeline]] oracle — the
+    * embed-near-dup loser set, the survivor anti-join, the
+    * full-corpus codebook assignment and the manifest reduce all
+    * re-derived; an index built over the UNDEDUPED corpus (or a
+    * codebook fit on survivors instead of the pinned full-corpus
+    * rule) fails the occupancy hash. */
+  private val simIndexPipelineSql: String =
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "prs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "lose AS (SELECT DISTINCT p.vec_b AS vec_id FROM prs p " +
+      "JOIN base x ON x.vec_id = p.vec_a JOIN base y ON y.vec_id = p.vec_b " +
+      s"WHERE ${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} >= 400000), " +
+      "surv AS (SELECT b.* FROM base b LEFT JOIN lose l ON l.vec_id = b.vec_id " +
+      "WHERE l.vec_id IS NULL), " +
+      "cents AS (SELECT vec_id AS cid, qe AS ce, n AS cn FROM base WHERE vec_id < 8), " +
+      "dists AS (SELECT s.vec_id, c.cid, " +
+      s"(s.n + c.cn - 2 * ${dotSql("s.qe", "c.ce")}) AS dist " +
+      "FROM surv s CROSS JOIN cents c), " +
+      "ranked AS (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn " +
+      "FROM dists), " +
+      "assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM surv) " +
+      "SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors, " +
+      "CAST(min(vec_id) AS BIGINT) AS min_vec_id, " +
+      "CAST(max(vec_id) AS BIGINT) AS max_vec_id, " +
+      "(1000000 * count(*) * 8) // total AS balance_ppm " +
+      "FROM assign, tot GROUP BY cid, total ORDER BY cid"
+
   /** [[graft.operators.Similarity.mutualKnn]] oracle — the graph
     * rebuilt from its own declared SQL, mutual edges = the pair
     * appears in BOTH directions' top-k; keeps both ranks so an
@@ -4526,6 +4557,10 @@ object ExtQueries {
     // r10: IVF index-health report — per-cell occupancy balance
     "sim_ivf_balance" -> ((s, d) =>
       Similarity.ivfBalance(Tables.embeddings(s, d))),
+    // r10: vector-store build composite — dedup survivors -> IVF
+    // assignment -> per-cell manifest (pipeline_curate, vector side)
+    "pipeline_index" -> ((s, d) =>
+      Similarity.indexPipeline(Tables.embeddings(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -4941,6 +4976,7 @@ object ExtQueries {
     "dd_containment_blocked" -> ddContainmentBlockedSql,
     "dd_minhash_calibration" -> ddMinhashCalibrationSql,
     "sim_ivf_balance" -> simIvfBalanceSql,
+    "pipeline_index" -> simIndexPipelineSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,

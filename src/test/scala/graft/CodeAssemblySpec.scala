@@ -381,6 +381,25 @@ class CodeAssemblySpec extends AnyFunSuite {
       s"mean balance $meanBal must straddle the uniform share")
   }
 
+  test("indexPipeline: survivors partition the deduped corpus; every cell " +
+    "shrinks or holds vs the undeduped index (same codebook)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val m = Similarity.indexPipeline(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCells = Similarity.ivfBalance(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same deterministic codebook => dedup can only REMOVE from a cell
+    m.foreach { case (cid, n) =>
+      assert(n <= fullCells(cid), s"cell $cid grew after dedup")
+    }
+    val losers = Dedup.embeddingNearDup(e)
+      .select("vec_b").distinct().count()
+    assert(m.values.sum == fullCells.values.sum - losers,
+      "survivor occupancies must partition corpus minus distinct losers")
+    assert(losers > 0L, "seeded near-dups must remove something")
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
