@@ -918,6 +918,163 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Decoded animation: `rasters` is the frame sequence concatenated
+    * in presentation order (nFrames · w · h · 3 RGB bytes) so
+    * order-sensitive stats catch a shuffled frame walk. */
+  final case class GifAnim(width: Int, height: Int, nFrames: Int,
+      totalDelayCs: Long, rasters: Array[Byte])
+
+  /** REAL animated-GIF decode (r10) — the multi-frame block walk the
+    * single-frame [[parseGifRaster]] stops short of: Graphic Control
+    * Extensions carry each frame's delay (centiseconds, LE16),
+    * application/comment extensions (e.g. the NETSCAPE2.0 loop
+    * block) must be skipped by the generic sub-block chain rule, and
+    * every image descriptor is its own LZW stream decoded against
+    * the global color table. Full-frame, non-interlaced, GCT-only
+    * animations (the fixture contract); anything else → None (DLT
+    * arm), as are truncated chains and out-of-protocol LZW. */
+  def parseGifFrames(b: Array[Byte]): Option[GifAnim] = {
+    val meta = parseGif(b) match {
+      case Some(m) => m
+      case None => return None
+    }
+    val w = meta.width.toInt; val h = meta.height.toInt
+    if (w > (1 << 12) || h > (1 << 12)) return None
+    if (meta.palette <= 0) return None
+    val gctAt = 13; val gctSize = meta.palette.toInt
+    var p = 13 + 3 * gctSize
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pendingDelay = 0L; var totalDelay = 0L
+    while (p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x21 =>
+          if (p + 2 >= b.length) return None
+          val label = b(p + 1) & 0xff
+          if (label == 0xf9) { // Graphic Control Extension
+            if (p + 7 >= b.length) return None
+            if ((b(p + 2) & 0xff) != 4) return None
+            pendingDelay =
+              ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8)).toLong
+            p += 7
+            if ((b(p) & 0xff) != 0) return None // block terminator
+            p += 1
+          } else { // application/comment/plain-text: skip sub-blocks
+            p += 2
+            var len = if (p < b.length) b(p) & 0xff else return None
+            while (len != 0) {
+              p += 1 + len
+              if (p >= b.length) return None
+              len = b(p) & 0xff
+            }
+            p += 1
+          }
+        case 0x2c =>
+          if (p + 10 > b.length) return None
+          val left = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8)
+          val top = (b(p + 3) & 0xff) | ((b(p + 4) & 0xff) << 8)
+          val iw = (b(p + 5) & 0xff) | ((b(p + 6) & 0xff) << 8)
+          val ih = (b(p + 7) & 0xff) | ((b(p + 8) & 0xff) << 8)
+          val packed = b(p + 9) & 0xff
+          if ((packed & 0xc0) != 0) return None // LCT or interlace
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          p += 10
+          if (p >= b.length) return None
+          val minCode = b(p) & 0xff
+          if (minCode < 2 || minCode > 11) return None
+          p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var len = if (p < b.length) b(p) & 0xff else return None
+          while (len != 0) {
+            if (p + 1 + len > b.length) return None
+            data.write(b, p + 1, len)
+            p += 1 + len
+            if (p >= b.length) return None
+            len = b(p) & 0xff
+          }
+          p += 1
+          val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(v) => v
+            case None => return None
+          }
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val ix = idx(i) & 0xff
+            if (ix >= gctSize) return None
+            out(i * 3) = b(gctAt + ix * 3)
+            out(i * 3 + 1) = b(gctAt + ix * 3 + 1)
+            out(i * 3 + 2) = b(gctAt + ix * 3 + 2)
+            i += 1
+          }
+          frames += out
+          totalDelay += pendingDelay
+          pendingDelay = 0L
+        case 0x3b =>
+          if (frames.isEmpty) return None
+          val all = new Array[Byte](frames.length * w * h * 3)
+          var f = 0
+          while (f < frames.length) {
+            System.arraycopy(frames(f), 0, all, f * w * h * 3, w * h * 3)
+            f += 1
+          }
+          return Some(GifAnim(w, h, frames.length, totalDelay, all))
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Reference animated-GIF encoder — GIF89a header, global color
+    * table, a NETSCAPE2.0 infinite-loop application extension (which
+    * the decoder must skip by the generic rule), and per frame one
+    * GCE (delay in centiseconds) + full-frame image descriptor + LZW
+    * stream. */
+  def gifAnimBytes(w: Int, h: Int, paletteExp: Int, nFrames: Int,
+      delayCs: Int => Int, palette: (Int, Int) => Int,
+      index: (Int, Int) => Int): Array[Byte] = {
+    val size = 1 << (paletteExp + 1)
+    val minCode = math.max(2, paletteExp + 1)
+    val out = new java.io.ByteArrayOutputStream()
+    "GIF89a".foreach(c => out.write(c))
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(0x80 | (paletteExp & 0x07))
+    out.write(0); out.write(0)
+    for (j <- 0 until size; ch <- 0 until 3) out.write(palette(j, ch) & 0xff)
+    out.write(0x21); out.write(0xff); out.write(11) // app extension
+    "NETSCAPE2.0".foreach(c => out.write(c))
+    out.write(3); out.write(1); out.write(0); out.write(0) // loop forever
+    out.write(0)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write(0) // no disposal, no transparency
+      val d = delayCs(f)
+      out.write(d & 0xff); out.write((d >> 8) & 0xff)
+      out.write(0) // transparent index (unused)
+      out.write(0) // terminator
+      out.write(0x2c) // full-frame descriptor, no LCT, no interlace
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0)
+      out.write(minCode)
+      val idx = Array.tabulate[Byte](w * h)(i => (index(f, i) % size).toByte)
+      val data = lzwEncode(idx, minCode)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   final case class TgaImage(width: Int, height: Int, raster: Array[Byte])
 
   /** REAL Truevision TGA decode (r10) — image type 10 (RLE-compressed

@@ -1221,6 +1221,66 @@ object Multimodal {
     }).toDF().orderBy("doc_id")
   }
 
+  /** Animated-GIF frame-walk row (r10): frame count, summed GCE
+    * delays, and the usual order-sensitive stats over the frames
+    * CONCATENATED in presentation order (a shuffled or dropped frame
+    * moves wsum even when per-frame histograms agree). */
+  final case class GifFramesRow(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, total_delay_cs: Long, n_vals: Long, peak: Long,
+      mean_floor: Long, wsum: Long)
+
+  /** Deterministic ANIMATED GIF payloads: 1 + id%4 frames, per-frame
+    * GCE delays and per-(frame, pixel) palette indices from closed
+    * forms, a NETSCAPE2.0 loop extension the decoder must skip by
+    * the generic sub-block rule; every 13th payload truncated
+    * mid-chain (the corrupt arm). */
+  def syntheticGifAnims(docs: DataFrame)(implicit spark: SparkSession): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.functions.Partitioning.spread(docs)
+      .select(col("doc_id")).as[Long].map { id =>
+        val full = ImageCodec.gifAnimBytes(
+          w = 5 + (id % 7).toInt, h = 3 + (id % 5).toInt,
+          paletteExp = (id % 8).toInt,
+          nFrames = 1 + (id % 4).toInt,
+          delayCs = f => (3 + ((id + f) % 7)).toInt,
+          palette = (j, ch) => ((id * 13 + j * 41L + ch * 17) % 256).toInt,
+          index = (f, i) => ((id * 3 + f * 11L + i.toLong * 7) % 256).toInt)
+        BinaryDoc(id,
+          if (id % 13 == 0) java.util.Arrays.copyOf(full, 25) else full)
+      }
+  }
+
+  /** REAL animated-GIF decode → stats (r10): the multi-frame block
+    * walk ([[ImageCodec.parseGifFrames]] — per-frame GCE delays,
+    * skipped application extension, one LZW stream per frame),
+    * reduced to frame count + total delay + order-sensitive stats
+    * over the concatenated presentation-order rasters, all
+    * recomputed by the oracle from the (id, frame, pixel) closed
+    * forms. Same mapPartitions batch contract and DLT arm as every
+    * codec kernel. */
+  def gifFrames(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    syntheticGifAnims(docs).mapPartitions(_.map { d =>
+      ImageCodec.parseGifFrames(d.payload) match {
+        case Some(a) =>
+          val r = a.rasters
+          var peak = 0L; var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < r.length) {
+            val v = r(i) & 0xffL
+            if (v > peak) peak = v
+            sum += v; wsum += v * (i + 1)
+            i += 1
+          }
+          GifFramesRow(d.doc_id, a.width.toLong, a.height.toLong,
+            a.nFrames.toLong, a.totalDelayCs, r.length.toLong, peak,
+            sum / r.length, wsum)
+        case None =>
+          GifFramesRow(d.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /** TGA stats row (r10) — same canonical-order contract as QOI. */
   final case class TgaStatsRow(doc_id: Long, width: Long, height: Long,
       n_vals: Long, peak: Long, mean_floor: Long, wsum: Long)

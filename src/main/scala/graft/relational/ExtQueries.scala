@@ -1937,6 +1937,36 @@ object ExtQueries {
       "CAST(-1 AS BIGINT) AS wsum " +
       "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
 
+  /** [[Multimodal.gifFrames]]: every frame's palette indices, the
+    * GCT mapping and the per-frame GCE delays recomputed from the
+    * (id, frame, pixel) closed forms; wsum runs over the
+    * CONCATENATED presentation-order rasters, so a dropped, doubled
+    * or shuffled frame fails even when per-frame stats agree. */
+  private val mmGifFramesSql: String =
+    "WITH d AS (SELECT doc_id, 5 + doc_id % 7 AS w, 3 + doc_id % 5 AS h, " +
+      "CAST(1 AS BIGINT) << CAST(doc_id % 8 + 1 AS INTEGER) AS psize, " +
+      "1 + doc_id % 4 AS nf FROM documents WHERE doc_id % 13 <> 0), " +
+      "j AS (SELECT doc_id, w, h, psize, nf, " +
+      "unnest(range(0, nf * w * h * 3)) AS s FROM d), " +
+      "v AS (SELECT doc_id, w, h, nf, s, " +
+      "(doc_id * 13 + (((doc_id * 3 + (s // (w * h * 3)) * 11 " +
+      "+ ((s % (w * h * 3)) // 3) * 7) % 256) % psize) * 41 " +
+      "+ (s % 3) * 17) % 256 AS v FROM j), " +
+      "st AS (SELECT doc_id, w, h, nf, count(*) AS n, max(v) AS peak, " +
+      "sum(v) AS sv, sum(v * (s + 1)) AS ws FROM v GROUP BY 1, 2, 3, 4), " +
+      "dl AS (SELECT doc_id, CAST(SUM(3 + (doc_id + f) % 7) AS BIGINT) " +
+      "AS tdel FROM (SELECT doc_id, unnest(range(0, nf)) AS f FROM d) " +
+      "GROUP BY doc_id) " +
+      "SELECT st.doc_id, CAST(w AS BIGINT) AS width, " +
+      "CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames, " +
+      "dl.tdel AS total_delay_cs, CAST(n AS BIGINT) AS n_vals, " +
+      "CAST(peak AS BIGINT) AS peak, CAST(sv // n AS BIGINT) AS mean_floor, " +
+      "CAST(ws AS BIGINT) AS wsum FROM st JOIN dl ON dl.doc_id = st.doc_id " +
+      "UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), " +
+      "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), " +
+      "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) " +
+      "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id"
+
   /** [[Multimodal.tgaStats]]: the canonical top-down RGB samples
     * recomputed verbatim from the (doc_id, i) closed form — the
     * order-sensitive wsum catches a forgotten bottom-up flip or
@@ -4740,6 +4770,9 @@ object ExtQueries {
     // r10: TGA RLE true-color decode — RLE+raw packets, BGR swap,
     // bottom-up origin flip, order-sensitive stats
     "mm_tga_stats" -> ((s, d) => Multimodal.tgaStats(Tables.documents(s, d))(s)),
+    // r10: ANIMATED GIF decode — per-frame GCE delays, skipped app
+    // extension, one LZW stream per frame, presentation-order stats
+    "mm_gif_frames" -> ((s, d) => Multimodal.gifFrames(Tables.documents(s, d))(s)),
     "mm_tiff_meta" -> ((s, d) => Multimodal.tiffMeta(Tables.documents(s, d))(s)),
     // EXIF: marker walk -> APP1 -> embedded-TIFF IFD walk, both byte
     // orders, inline/offset ASCII, RATIONAL, 0x8769 sub-IFD hop
@@ -5054,6 +5087,7 @@ object ExtQueries {
     "mm_bmp_stats" -> mmBmpStatsSql,
     "mm_qoi_stats" -> mmQoiStatsSql,
     "mm_tga_stats" -> mmTgaStatsSql,
+    "mm_gif_frames" -> mmGifFramesSql,
     "mm_tiff_meta" -> mmTiffMetaSql,
     "mm_exif" -> mmExifSql,
     "mm_exif_gps" -> mmExifGpsSql,

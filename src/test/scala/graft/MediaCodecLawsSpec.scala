@@ -74,6 +74,48 @@ class MediaCodecLawsSpec extends AnyFunSuite {
     assert(ImageCodec.parseTga(badType).isEmpty)
   }
 
+  test("Animated GIF: parse(gifAnimBytes) recovers frame count, summed " +
+    "delays, and every frame's pixels in presentation order") {
+    val cases = Gen.listOfN(25, for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      pe <- Gen.chooseNum(0, 7)
+      nf <- Gen.chooseNum(1, 6)
+    } yield (w, h, pe, nf)).sample.get ++ Seq((1, 1, 0, 1), (24, 1, 7, 6))
+    cases.foreach { case (w, h, pe, nf) =>
+      val size = 1 << (pe + 1)
+      val bytes = ImageCodec.gifAnimBytes(w, h, pe, nf,
+        delayCs = f => 2 + f * 3,
+        palette = (j, ch) => (j * 41 + ch * 17 + w) % 256,
+        index = (f, i) => (f * 11 + i * 7 + h) % 256)
+      val a = ImageCodec.parseGifFrames(bytes)
+        .getOrElse(fail(s"($w,$h,$pe,$nf) did not parse"))
+      assert(a.width == w && a.height == h && a.nFrames == nf)
+      assert(a.totalDelayCs == (0 until nf).map(2 + _ * 3).sum.toLong)
+      var f = 0
+      while (f < nf) {
+        var p = 0
+        while (p < w * h) {
+          val j = ((f * 11 + p * 7 + h) % 256) % size
+          val base = (f * w * h + p) * 3
+          (0 until 3).foreach { ch =>
+            assert((a.rasters(base + ch) & 0xff) == (j * 41 + ch * 17 + w) % 256,
+              s"($w,$h,$pe,$nf) frame $f pixel $p ch $ch")
+          }
+          p += 1
+        }
+        f += 1
+      }
+    }
+    // corrupt arms: truncated chain, missing trailer
+    val good = ImageCodec.gifAnimBytes(5, 4, 2, 3, _ => 4,
+      (j, ch) => j + ch, (f, i) => f + i)
+    assert(ImageCodec.parseGifFrames(
+      java.util.Arrays.copyOf(good, 25)).isEmpty)
+    assert(ImageCodec.parseGifFrames(
+      java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
+  }
+
   test("TIFF: both byte orders round-trip random dims and sample " +
     "counts; the detected order matches the written one") {
     val caseGen = for {
