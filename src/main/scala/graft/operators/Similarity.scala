@@ -186,6 +186,47 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** One NN-DESCENT refinement round (r10) over [[knnGraph]] — the
+    * algorithm (Dong et al., WWW'11) that makes approximate kNN
+    * graphs converge: a neighbor's neighbor is likely a neighbor, so
+    * each round re-ranks every node over its current edges PLUS its
+    * neighbors-of-neighbors, exact-scored. One round is a DECLARED
+    * superset re-rank (the candidate set per node contains the
+    * current graph's edges, so per-node best cosine is monotonically
+    * non-decreasing — spec-pinned), and iterating the operator is
+    * the production convergence loop. Scale shape: the NoN expansion
+    * is ONE self-equi-join of the k-bounded edge list (≤ N·k² rows,
+    * k small by construction — never corpus²), then the same
+    * exact-scoring joins and per-node top-k window every graph op
+    * here uses. Banding recall gaps close precisely here: a pair the
+    * bands missed is recovered through any shared neighbor. */
+  def knnDescent(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+                 bitsPerBand: Int = 4): DataFrame = {
+    val base = quantized(embeddings)
+    val g = knnGraph(embeddings, k, nBands, bitsPerBand)
+      .select("vec_id", "neighbor_id").localCheckpoint(true)
+    val non = g.select(col("vec_id"), col("neighbor_id").as("mid"))
+      .join(g.select(col("vec_id").as("mid"),
+        col("neighbor_id").as("cand")), Seq("mid"))
+      .select(col("vec_id"), col("cand").as("neighbor_id"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+    val cands = g.unionByName(non).distinct()
+    val scored = cands
+      .join(base.select(col("vec_id"), col("qe").as("qa"),
+        col("qn").as("na")), "vec_id")
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("qe").as("qb"), col("qn").as("nb")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_ppm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cos_ppm")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Mutual-kNN graph (r10): [[knnGraph]] edges kept only when BOTH
     * endpoints rank each other — the standard graph-denoising step
     * before clustering/label-propagation (SemDeDup-family pipelines

@@ -4184,6 +4184,30 @@ object ExtQueries {
       "(1000000 * count(*) * 8) // total AS balance_ppm " +
       "FROM assign, tot GROUP BY cid, total ORDER BY cid"
 
+  /** [[graft.operators.Similarity.knnDescent]] oracle — the graph
+    * rebuilt from its own declared SQL, the neighbor-of-neighbor
+    * expansion, exact re-scoring and the per-node top-k all
+    * re-derived; a candidate set missing the current edges (the
+    * monotonicity guarantee) or a stale-score carry-over fails the
+    * hash. */
+  private val simKnnDescentSql: String =
+    s"WITH $quantCte, " +
+      "g0 AS (SELECT vec_id, neighbor_id FROM (" + simKnnGraphSql + ")), " +
+      "nn AS (SELECT a.vec_id, b.neighbor_id FROM g0 a " +
+      "JOIN g0 b ON b.vec_id = a.neighbor_id " +
+      "WHERE a.vec_id <> b.neighbor_id), " +
+      "cands AS (SELECT DISTINCT vec_id, neighbor_id FROM " +
+      "(SELECT vec_id, neighbor_id FROM g0 UNION ALL SELECT * FROM nn)), " +
+      "sc AS (SELECT c.vec_id, c.neighbor_id, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM cands c JOIN base x ON x.vec_id = c.vec_id " +
+      "JOIN base y ON y.vec_id = c.neighbor_id), " +
+      "r AS (SELECT vec_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM sc) " +
+      "SELECT vec_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 4 ORDER BY vec_id, rk"
+
   /** [[graft.operators.Similarity.mutualKnn]] oracle — the graph
     * rebuilt from its own declared SQL, mutual edges = the pair
     * appears in BOTH directions' top-k; keeps both ranks so an
@@ -4576,6 +4600,10 @@ object ExtQueries {
     // clustering (hub edges without reciprocity dissolve)
     "sim_mutual_knn" -> ((s, d) =>
       Similarity.mutualKnn(Tables.embeddings(s, d))),
+    // r10: one NN-descent round — neighbors-of-neighbors re-rank,
+    // the convergence step that closes banding recall gaps
+    "sim_knn_descent" -> ((s, d) =>
+      Similarity.knnDescent(Tables.embeddings(s, d))),
     // r10: containment verify behind a bottom-k sketch blocker — the
     // scale path the containment anchor's Scaladoc promises, declared
     "dd_containment_blocked" -> ((s, d) =>
@@ -5006,6 +5034,7 @@ object ExtQueries {
     "dd_threshold_curve" -> ddThresholdCurveSql,
     "sim_recall_ladder" -> simRecallLadderSql,
     "sim_mutual_knn" -> simMutualKnnSql,
+    "sim_knn_descent" -> simKnnDescentSql,
     "dd_containment_blocked" -> ddContainmentBlockedSql,
     "dd_minhash_calibration" -> ddMinhashCalibrationSql,
     "sim_ivf_balance" -> simIvfBalanceSql,

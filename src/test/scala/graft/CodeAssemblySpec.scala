@@ -400,6 +400,31 @@ class CodeAssemblySpec extends AnyFunSuite {
     assert(losers > 0L, "seeded near-dups must remove something")
   }
 
+  test("knnDescent: per-node best cosine never decreases vs the raw graph " +
+    "(candidate superset law); brute-truth recall does not regress") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.where(col("rank") === 1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val g = Similarity.knnGraph(e)
+    val d = Similarity.knnDescent(e)
+    val gBest = best(g); val dBest = best(d)
+    gBest.foreach { case (v, c) =>
+      assert(dBest.getOrElse(v, Long.MinValue) >= c,
+        s"node $v: descent best ${dBest.get(v)} < graph best $c")
+    }
+    // recall@4 vs exact truth for the 8 standard query ids
+    val truth = Similarity.knnBrute(e, nQueries = 8, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.where(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).count(truth)
+    val hg = hits(g); val hd = hits(d)
+    info(s"graph recall@4 hits $hg/${truth.size}; after one descent round $hd")
+    assert(hd >= hg, "one descent round must not lose true neighbors")
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
