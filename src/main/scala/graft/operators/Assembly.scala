@@ -164,6 +164,37 @@ object Assembly {
       .orderBy("epoch", "shard_id", "shard_pos")
   }
 
+  /** Curriculum training order (r10): [[epochOrder]]'s deterministic
+    * (epoch, shard) layout with the WITHIN-SHARD read order driven by
+    * quality instead of the salt — each shard streams easy→hard
+    * (quality_ppm desc, the `tx_quality` composite; salt and doc id
+    * break ties, so the order stays a pinned total order and replay
+    * stays exact). Shard ASSIGNMENT keeps the same epoch-salted hash
+    * as [[epochOrder]] — curriculum reorders within readers, it must
+    * not unbalance them — and the quality table joins on doc_id once
+    * before the explode, so the score is computed once per doc, not
+    * once per (epoch, doc). The curriculum-vs-uniform choice then
+    * costs NOTHING at read time: both orders are materialized
+    * columns of the same layout. */
+  def curriculumOrder(docs: DataFrame, epochs: Int = 2,
+                      nShards: Int = 8): DataFrame = {
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_ppm"))
+    val keyed = q
+      .select(col("doc_id"), col("quality_ppm"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        col("quality_ppm"),
+        PH.h31(concat(lit("eorder:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))).as("okey"))
+      .withColumn("shard_id", (col("okey") % nShards).cast("long"))
+    val w = Window.partitionBy("epoch", "shard_id")
+      .orderBy(col("quality_ppm").desc, col("okey"), col("doc_id"))
+    keyed.withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("epoch", "shard_id", "shard_pos", "doc_id", "quality_ppm")
+      .orderBy("epoch", "shard_id", "shard_pos")
+  }
+
   /** Shard layout plan: hash-assign documents to `nShards` output
     * shards and report the balance — the write-sharding step before
     * training files are cut, where skew means one straggling writer

@@ -4425,6 +4425,24 @@ object ExtQueries {
       "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
       "FROM rr WHERE rk <= 5 ORDER BY query_id, rk"
 
+  /** [[graft.operators.Assembly.curriculumOrder]] oracle — the
+    * epoch-order chain with the within-shard order re-derived from
+    * the quality composite (its own declared SQL as a subquery); a
+    * salt-ordered (non-curriculum) or unsalted-shard implementation
+    * fails the hash. */
+  private lazy val txCurriculumOrderSql: String =
+    "WITH q AS (SELECT doc_id, quality_ppm FROM (" + txQualitySql + ")), " +
+      "k AS (SELECT e.epoch, q.doc_id, q.quality_ppm, " +
+      s"${PH.h31Sql("'eorder:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(q.doc_id AS VARCHAR)")} AS okey " +
+      "FROM q CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e), " +
+      "s AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, quality_ppm, " +
+      "okey, CAST(okey % 8 AS BIGINT) AS shard_id FROM k) " +
+      "SELECT epoch, shard_id, " +
+      "CAST(row_number() OVER (PARTITION BY epoch, shard_id " +
+      "ORDER BY quality_ppm DESC, okey, doc_id) AS BIGINT) AS shard_pos, " +
+      "doc_id, quality_ppm " +
+      "FROM s ORDER BY epoch, shard_id, shard_pos"
+
   /** [[graft.operators.Similarity.knnIvfSq8]] oracle — the IVF cell
     * chain (assignment + 2-probe rule, the sim_knn_ivf CTEs) composed
     * with the SQ8 reconstruction: candidates score against the
@@ -4580,6 +4598,10 @@ object ExtQueries {
       Assembly.dpoRender(Tables.orders(s, d), Tables.customer(s, d))),
     "tx_epoch_order" -> ((s, d) =>
       Assembly.epochOrder(Tables.documents(s, d))),
+    // r10: curriculum order — same shard layout, within-shard read
+    // order driven by quality (easy->hard), replay still exact
+    "tx_curriculum_order" -> ((s, d) =>
+      Assembly.curriculumOrder(Tables.documents(s, d))),
     // r10: scalar-quantized (SQ8) exhaustive kNN — the 4x-compressed,
     // training-free rung between bitsig (1 bit/dim) and IVF-PQ
     "sim_knn_sq8" -> ((s, d) =>
@@ -5029,6 +5051,7 @@ object ExtQueries {
     "tx_shard_plan" -> txShardPlanSql,
     "tx_dpo_render" -> txDpoRenderSql,
     "tx_epoch_order" -> txEpochOrderSql,
+    "tx_curriculum_order" -> txCurriculumOrderSql,
     "sim_knn_sq8" -> simKnnSq8Sql,
     "sim_knn_ivfsq" -> simKnnIvfSq8Sql,
     "dd_threshold_curve" -> ddThresholdCurveSql,

@@ -425,6 +425,26 @@ class CodeAssemblySpec extends AnyFunSuite {
     assert(hd >= hg, "one descent round must not lose true neighbors")
   }
 
+  test("curriculumOrder: identical shard assignment to epochOrder; each " +
+    "shard streams easy-to-hard (quality non-increasing in position)") {
+    val c = Assembly.curriculumOrder(docs).cache()
+    try {
+      val e = Assembly.epochOrder(docs)
+        .select(col("epoch"), col("doc_id"), col("shard_id").as("e_shard"))
+      val moved = c.join(e, Seq("epoch", "doc_id"))
+        .where(col("shard_id") =!= col("e_shard")).count()
+      assert(moved == 0L, "curriculum must reorder WITHIN shards, not move docs")
+      val nxt = c.select(col("epoch"), col("shard_id"),
+        (col("shard_pos") - 1L).as("shard_pos"),
+        col("quality_ppm").as("next_q"))
+      val badMono = c.join(nxt, Seq("epoch", "shard_id", "shard_pos"))
+        .where(col("next_q") > col("quality_ppm")).count()
+      assert(badMono == 0L, "quality must be non-increasing within a shard")
+      // the order is genuinely curriculum, not salt: quality varies
+      assert(c.select(countDistinct("quality_ppm")).head().getLong(0) > 1L)
+    } finally c.unpersist()
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
