@@ -2775,6 +2775,28 @@ object ExtQueries {
       "SELECT purchase_id, user_id, purchase_us, click_id, click_us " +
       "FROM j WHERE rk = 1 ORDER BY purchase_id"
 
+  /** [[RelQueries.trendSlope]] oracle — the OLS sufficient
+    * statistics re-derived from rebased integer days; num/den are
+    * exact, the ppm form shares the floor(1e6·num/den) IEEE division
+    * convention (floor ≠ truncation on negative slopes — using //
+    * here would diverge from Spark's floor()). */
+  private val relSlopeSql: String =
+    "WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
+      "count(*) AS n FROM events GROUP BY 1, 2), " +
+      "m0 AS (SELECT min(day) AS day0 FROM d), " +
+      "r AS (SELECT event_type, day - day0 AS x, n AS y FROM d, m0), " +
+      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+      "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx " +
+      "FROM r GROUP BY 1) " +
+      "SELECT event_type, n_days, " +
+      "n_days * sxy - sx * sy AS slope_num, " +
+      "n_days * sxx - sx * sx AS slope_den, " +
+      "CAST(CASE WHEN n_days * sxx - sx * sx > 0 THEN " +
+      "FLOOR(1000000.0 * (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)) " +
+      "ELSE 0 END AS BIGINT) AS slope_ppm " +
+      "FROM s ORDER BY event_type"
+
   /** [[RelQueries.attribMulti]] oracle — window membership, the
     * (c_us, click_id) position order, and the exact-integer U-shape
     * weights all re-derived; a float-division weight, a wrong
@@ -4976,6 +4998,9 @@ object ExtQueries {
     // r10: position-based (40/20/40) multi-touch attribution with
     // exact-integer ppm weights — last-touch's production sibling
     "rel_attrib_multi" -> ((s, d) => RelQueries.attribMulti(s, d)),
+    // r10: OLS trend slope over daily counts — exact integer
+    // sufficient statistics, the third trend primitive
+    "rel_slope" -> (RelQueries.trendSlope _),
     "rel_range_clicks" -> ((s, d) =>
       graft.operators.RangeJoin.clicksBefore(Tables.events(s, d))),
     "rel_rollup" -> (RelQueries.pricingRollup _),
@@ -5214,6 +5239,7 @@ object ExtQueries {
     "rel_median_value" -> relMedianSql,
     "rel_asof_click" -> relAsofSql,
     "rel_attrib_multi" -> relAttribMultiSql,
+    "rel_slope" -> relSlopeSql,
     "rel_range_clicks" -> relRangeClicksSql,
     "rel_rollup" -> relRollupSql,
     "pipeline_curate" -> pipelineCurateSql,

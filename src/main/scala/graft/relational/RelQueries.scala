@@ -953,6 +953,45 @@ object RelQueries {
     * per-type prefix window over the |types|·|hours|-bounded
     * aggregate, one argmax window — the fact stream shuffles once.
     * Tie-break: earliest hour at the max deviation. */
+  /** Per-type least-squares TREND slope over daily counts (r10) —
+    * the third trend primitive beside [[changepoint]] (where did the
+    * level shift) and [[seasonality]] (which weekday): is the series
+    * going up or down, and how fast. Ordinary least squares over
+    * (day, count) reduced to EXACT integer sufficient statistics:
+    * slope = (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²) with days REBASED to
+    * the corpus minimum (keeps every product far under 2⁶³ at any
+    * horizon — the broadcast 1-row min is a dimension, not data).
+    * Numerator/denominator are emitted exactly; the ppm form uses
+    * the one shared floor(1e6·num/den) IEEE division every ratio
+    * here uses (floor, not truncation — negative slopes stay
+    * cross-engine identical). Shape: one (type, day) hash-agg, one
+    * per-type reduce over the |types|·|days|-bounded aggregate. */
+  def trendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val nanosPerDay = 86400L * 1000000000L
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"CAST(ts AS BIGINT) div $nanosPerDay").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val minDay = daily.agg(min("day").as("day0"))
+    daily.crossJoin(broadcast(minDay))
+      .select(col("event_type"), (col("day") - col("day0")).as("x"),
+        col("n").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+      .withColumn("slope_ppm",
+        when(col("slope_den") > 0L,
+          floor(lit(1000000.0) * col("slope_num") / col("slope_den"))
+            .cast("long")).otherwise(lit(0L)))
+      .orderBy("event_type")
+  }
+
   def changepoint(spark: SparkSession, sfDir: String): DataFrame =
     changepointOf(Tables.events(spark, sfDir))
 

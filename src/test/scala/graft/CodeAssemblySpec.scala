@@ -445,6 +445,35 @@ class CodeAssemblySpec extends AnyFunSuite {
     } finally c.unpersist()
   }
 
+  test("trendSlope: sufficient statistics match a driver-side exact OLS " +
+    "rebuild; ppm form is floor of the exact ratio") {
+    import graft.relational.{RelQueries, Tables}
+    val rows = RelQueries.trendSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact rebuild from raw events for every type
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(ts AS BIGINT) div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val day0 = daily.map(_._2).min
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val pts = daily.filter(_._1 == t).map { case (_, d, n) => (d - day0, n) }
+      val m = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      assert(r.getLong(1) == m && r.getLong(2) == m * sxy - sx * sy &&
+        r.getLong(3) == m * sxx - sx * sx, s"$t: sufficient stats drifted")
+      val den = m * sxx - sx * sx
+      if (den > 0) {
+        val expect = math.floor(1e6 * (m * sxy - sx * sy) / den).toLong
+        assert(r.getLong(4) == expect, s"$t: ppm form")
+      }
+    }
+  }
+
   test("shardPlan: every doc lands in exactly one of 16 shards; balance reported") {
     val s = Assembly.shardPlan(docs).cache()
     try {
