@@ -1375,6 +1375,34 @@ object Dedup {
         V.quantize(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)
+    embeddingNearDupFrom(q, embeddings, nBands, bitsPerBand, minCosPpm,
+      maxBucketSize)
+  }
+
+  /** [[embeddingNearDup]] with the blocker's band width derived from
+    * the corpus count via [[Similarity.autoBits]] (declared
+    * dd_embed_neardup_auto) — the same mechanized occupancy rule as
+    * sim_knn_graph_auto, threaded through the near-dup blocker: N is
+    * counted on the checkpointed quantized base the verify join
+    * reuses, so the width derivation adds one cached count, not a
+    * second corpus scan. */
+  def embeddingNearDupAuto(embeddings: DataFrame, nBands: Int = 4,
+                           minCosPpm: Long = 400000L,
+                           targetOccupancy: Long = 128L,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
+    val q = Partitioning.spread(embeddings).select(col("vec_id"),
+        V.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
+      .where(col("qn") > 0)
+      .localCheckpoint(true)
+    val bits = Similarity.autoBits(q.count(), targetOccupancy)
+    embeddingNearDupFrom(q, embeddings, nBands, bits, minCosPpm,
+      maxBucketSize)
+  }
+
+  private def embeddingNearDupFrom(q: DataFrame, embeddings: DataFrame,
+      nBands: Int, bitsPerBand: Int, minCosPpm: Long,
+      maxBucketSize: Option[Int]): DataFrame = {
     val banded = capBuckets(embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
         V.signBucket(col("embedding"), b, bitsPerBand)): _*)))

@@ -84,10 +84,45 @@ object Similarity {
     * retained) pins the widened math. */
   def knnGraph(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
                bitsPerBand: Int = 4,
-               maxBucketSize: Option[Int] = None): DataFrame = {
-    val base = quantized(embeddings)
-    val banded = Dedup.capBuckets(
-      Dedup.vectorBands(embeddings, nBands, bitsPerBand), maxBucketSize)
+               maxBucketSize: Option[Int] = None): DataFrame =
+    knnGraphFrom(quantized(embeddings), Dedup.capBuckets(
+      Dedup.vectorBands(embeddings, nBands, bitsPerBand), maxBucketSize), k)
+
+  /** The r10 banding rule, MECHANIZED (r11): band-bucket occupancy is
+    * N/2^bits, so holding occupancy at a target makes candidate
+    * volume ~N·occupancy — linear — where any FIXED width degrades
+    * quadratically (measured: 4×4 at the 10× probe = 11.9 s vs the
+    * hand-widened 4×8's 2.7 s). bits = clamp(⌈log₂(N/target)⌉,
+    * minBits, maxBits); target 128 reproduces BOTH recorded
+    * operating points exactly — bits(2000)=4 (the sf0.1 anchor,
+    * dd_embed_blocker_recall's measured recall row) and
+    * bits(20000)=8 (the probe-tuned wide twin) — so the auto path
+    * IS the anchor at driver SFs and IS the wide twin at the probe,
+    * not a third behavior. maxBits=16 is the embedding-dimension
+    * ceiling (4 bands × 16 bits = 64 dims). The oracle derives the
+    * same width with a scalar subquery over its base CTE
+    * (dd_semdedup_auto's √N pattern). */
+  def autoBits(n: Long, targetOccupancy: Long = 128L,
+               minBits: Int = 4, maxBits: Int = 16): Int =
+    math.max(minBits, math.min(maxBits,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetOccupancy)
+        / math.log(2.0)).toInt))
+
+  /** [[knnGraph]] with the band width derived from the corpus count
+    * (declared sim_knn_graph_auto): N is read from the SAME
+    * localCheckpoint the scoring joins reuse — one corpus scan plus
+    * a count over the cached base, not a separate job. */
+  def knnGraphAuto(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+                   targetOccupancy: Long = 128L,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = quantized(embeddings).localCheckpoint(true)
+    val bits = autoBits(base.count(), targetOccupancy)
+    knnGraphFrom(base, Dedup.capBuckets(
+      Dedup.vectorBands(embeddings, nBands, bits), maxBucketSize), k)
+  }
+
+  private def knnGraphFrom(base: DataFrame, banded: DataFrame,
+                           k: Int): DataFrame = {
     val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
       .join(banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("band", "bucket"))

@@ -4135,7 +4135,10 @@ object ExtQueries {
     * once then mirrored, per-node top-k with the pinned (cos desc,
     * neighbor asc) tiebreak. */
   private def simKnnGraphSqlFor(nBands: Int, bits: Int): String =
-    s"WITH $quantCte, ${signBandsCte(nBands, bits)}, " +
+    simKnnGraphSqlFrom(signBandsCte(nBands, bits))
+
+  private def simKnnGraphSqlFrom(bandsCte: String): String =
+    s"WITH $quantCte, $bandsCte, " +
       "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
       "AND a.vec_id < b.vec_id), " +
@@ -4156,6 +4159,52 @@ object ExtQueries {
     * N²/2^bits candidate volume; the dd_simhash_pairs_wide lesson on
     * the vector side). */
   private val simKnnGraphWideSql: String = simKnnGraphSqlFor(4, 8)
+
+  /** bits = clamp(⌈log₂(N/128)⌉, 4, 16) over the usable base — the
+    * scalar-subquery twin of Similarity.autoBits (the
+    * dd_semdedup_auto √N pattern, applied to band width). */
+  private val autoBitsCte: String =
+    "abits AS (SELECT greatest(4, least(16, " +
+      "CAST(CEIL(LOG2(greatest(count(*), 1) / 128.0)) AS BIGINT))) AS ab " +
+      "FROM base)"
+
+  /** Sign-LSH bands CTE with the width picked at RUN time by the
+    * abits scalar: one guarded arm per candidate width — exactly one
+    * arm survives the `(SELECT ab FROM abits) = w` predicate, so the
+    * pair join only ever sees the derived width's bands (the other
+    * arms prune to zero rows before any join). */
+  private def signBandsAutoCte(nBands: Int): String = {
+    val arms = (4 to 16).flatMap { bits =>
+      (0 until nBands).map { b =>
+        val bucket = (0 until bits).map { k =>
+          val dim = b * bits + k + 1 // DuckDB lists are 1-based
+          s"(CAST(embedding[$dim] > 0 AS BIGINT) * ${1L << k})"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $bucket AS bucket FROM embeddings " +
+          s"WHERE (SELECT ab FROM abits) = $bits"
+      }
+    }
+    s"$autoBitsCte, bands AS (${arms.mkString(" UNION ALL ")})"
+  }
+
+  /** [[graft.operators.Similarity.knnGraphAuto]]: the same graph
+    * tail as sim_knn_graph, bands built at the auto-derived width. */
+  private val simKnnGraphAutoSql: String =
+    simKnnGraphSqlFrom(signBandsAutoCte(4))
+
+  /** [[graft.operators.Dedup.embeddingNearDupAuto]]: dd_embed_neardup's
+    * pair/verify tail over auto-width bands. */
+  private val ddEmbedNearDupAutoSql: String =
+    s"WITH $quantCte, ${signBandsAutoCte(4)}, " +
+      "pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "c AS (SELECT p.vec_a, p.vec_b, " +
+      s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} AS cos_ppm " +
+      "FROM pairs p JOIN base x ON x.vec_id = p.vec_a " +
+      "JOIN base y ON y.vec_id = p.vec_b) " +
+      "SELECT vec_a, vec_b, cos_ppm FROM c WHERE cos_ppm >= 400000 " +
+      "ORDER BY vec_a, vec_b"
 
   /** [[graft.operators.Similarity.ivfBalance]] oracle — the same
     * deterministic assignment CTEs as sim_knn_ivf, reduced to
@@ -4590,6 +4639,13 @@ object ExtQueries {
     // stay bounded (the dd_simhash_pairs_wide lesson, vector side)
     "sim_knn_graph_wide" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), bitsPerBand = 8)),
+    // r11: the banding rule mechanized — band width derived from the
+    // corpus count (occupancy target 128), no hand-tuned constant
+    "sim_knn_graph_auto" -> ((s, d) =>
+      Similarity.knnGraphAuto(Tables.embeddings(s, d))),
+    // r11: the same auto width threaded through the near-dup blocker
+    "dd_embed_neardup_auto" -> ((s, d) =>
+      Dedup.embeddingNearDupAuto(Tables.embeddings(s, d))),
     // r10: MERGE INTO apply with per-key action audit (CDC upsert)
     "rel_merge_upsert" -> (RelQueries.mergeUpsert _),
     // r10: dedup-policy yield comparison — what each removal policy
@@ -5067,6 +5123,8 @@ object ExtQueries {
     "dd_edit_verified" -> ddEditVerifiedSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_knn_graph_wide" -> simKnnGraphWideSql,
+    "sim_knn_graph_auto" -> simKnnGraphAutoSql,
+    "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,
     "rel_merge_upsert" -> relMergeUpsertSql,
     "dd_code_neardup" -> ddCodeNearDupSql,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.relational.Tables
+
+/** r11: the sign-LSH banding rule mechanized (VERDICT r10 top_next).
+  * Pins (a) the rule's recorded operating points — the sf0.1 anchor
+  * width and the 10×-probe wide-twin width fall OUT of the formula,
+  * so sim_knn_graph_auto is not a third behavior, it IS the anchor
+  * at driver SFs and IS the wide twin at the probe's N — and (b)
+  * that the auto operators equal their fixed-width twins at the
+  * width the rule derives (the thread-through, not just the
+  * arithmetic). */
+class AutoBandingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("autoBits reproduces both recorded operating points and clamps") {
+    // driver SFs: 500 (sf0.001/sf0.01) and 2000 (sf0.1) → the 4-bit anchor
+    assert(Similarity.autoBits(500) == 4)
+    assert(Similarity.autoBits(2000) == 4)
+    // the 10× probe corpus (20k vectors) → the 8-bit wide twin
+    assert(Similarity.autoBits(20000) == 8)
+    // exact power-of-two boundary: 128·2^4 = 2048 is still 4 bits
+    assert(Similarity.autoBits(2048) == 4)
+    assert(Similarity.autoBits(2049) == 5)
+    // clamps: tiny corpora floor at the anchor width, huge corpora
+    // ceil at the 64-dim / 4-band dimension budget
+    assert(Similarity.autoBits(0) == 4)
+    assert(Similarity.autoBits(1) == 4)
+    assert(Similarity.autoBits(Long.MaxValue) == 16)
+    // 100× probe prediction (200k vectors): one step past the probe
+    assert(Similarity.autoBits(200000) == 11)
+  }
+
+  test("knnGraphAuto == knnGraph at the derived width (driver corpus)") {
+    val e = Tables.embeddings(spark, sf)
+    val bits = Similarity.autoBits(e.count())
+    assert(bits == 4, "driver corpus must land on the anchor width")
+    val auto = Similarity.knnGraphAuto(e).collect().toSeq
+    val fixed = Similarity.knnGraph(e, bitsPerBand = bits).collect().toSeq
+    assert(auto == fixed)
+  }
+
+  test("embeddingNearDupAuto == embeddingNearDup at the derived width") {
+    val e = Tables.embeddings(spark, sf)
+    val auto = Dedup.embeddingNearDupAuto(e).collect().toSeq
+    val fixed = Dedup.embeddingNearDup(e, bitsPerBand = 4).collect().toSeq
+    assert(auto == fixed)
+  }
+
+  test("a corpus past the 2048 boundary derives a NON-default width " +
+    "and the auto graph equals the fixed graph at that width") {
+    // deterministic synthetic corpus big enough to cross the rule's
+    // first boundary: 3000 vectors → ⌈log₂(3000/128)⌉ = 5 bits
+    val e = spark.range(3000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (sin(col("id") * (d + lit(1)))).cast("float")).as("embedding"))
+    assert(Similarity.autoBits(3000) == 5)
+    val auto = Similarity.knnGraphAuto(e).collect().toSeq
+    assert(auto.nonEmpty)
+    val fixed = Similarity.knnGraph(e, bitsPerBand = 5).collect().toSeq
+    assert(auto == fixed)
+    // and the width genuinely changes the candidate set vs the anchor:
+    // occupancy at 4 bits would be 187 per bucket — the rule exists
+    // because that anchor plan is the quadratic one
+    val anchor = Similarity.knnGraph(e, bitsPerBand = 4).collect().toSeq
+    assert(auto != anchor)
+  }
+}
