@@ -1628,6 +1628,21 @@ object Dedup {
   private def sampledCol(id: Column, pct: Int): Column =
     PH.h31(concat(lit("recall:"), id.cast("string"))) % 100 < pct
 
+  /** Eval-truth auto-sizing (r11, VERDICT r10 #7): the sampled
+    * all-pairs ground truth costs |sample|², so the sample FRACTION
+    * must shrink as the corpus grows — pct = clamp(⌈100·target/N⌉,
+    * 1, 100) holds |sample| ≈ target (and the truth join ≈ target²)
+    * constant at any corpus size, the documented knob mechanized
+    * like the banding rule. Targets are chosen to reproduce the
+    * r8/r9 pinned operating points at the sf0.01 gate corpus
+    * (N=500): 150 docs ⇒ 30%, 250 vectors ⇒ 50% — so the auto path
+    * leaves the gate hashes byte-identical while dialing down to 3%
+    * at sf0.1 and 1% at the 10× probe. The oracle derives the same
+    * pct with a scalar subquery over its source table. */
+  def autoSamplePct(n: Long, targetSample: Long): Int =
+    math.max(1, math.min(100,
+      math.ceil(100.0 * targetSample / math.max(1L, n)).toInt))
+
   private def sampled(pct: Int) = sampledCol(col("doc_id"), pct)
 
   /** Restrict a (doc_a, doc_b, …) pair table to pairs whose BOTH ends
@@ -1674,11 +1689,16 @@ object Dedup {
     * measurement, not a bug. The sampled truth is computed ONCE and
     * checkpointed across the four reports. */
   def blockerRecallReport(docs: DataFrame,
-      minJaccardPpm: Long = 750000L, samplePct: Int = 30): DataFrame = {
+      minJaccardPpm: Long = 750000L,
+      samplePct: Option[Int] = None): DataFrame = {
+    // auto-sized sample (r11): |sample| ≈ 150 at any corpus size —
+    // one count over the corpus (eval-only harness), then everything
+    // below is the pinned-pct protocol at the derived pct
+    val pct = samplePct.getOrElse(autoSamplePct(docs.count(), 150L))
     // row-local sample restriction (r9 — was two broadcast joins
     // against a materialized id set; membership is a pure function
     // of the id, so the set never needs to exist): restrictSampled
-    val truth = ngramJaccard(docs.where(sampled(samplePct)),
+    val truth = ngramJaccard(docs.where(sampled(pct)),
         minJaccardPpm = minJaccardPpm)
       .select("doc_a", "doc_b").localCheckpoint(true)
     // ONE hashed-shingle build feeds BOTH MinHash-family arms (r9,
@@ -1698,7 +1718,7 @@ object Dedup {
       "snm" -> sortedNeighborhood(docs),
       "winnow" -> winnowPairs(docs))
     blockers.map { case (name, cand) =>
-      recallCounts(truth, restrictSampled(cand, samplePct))
+      recallCounts(truth, restrictSampled(cand, pct))
         .select(lit(name).as("blocker"), col("n_truth"),
           col("n_candidates"), col("n_hits"), col("recall_ppm"),
           col("precision_ppm"))
@@ -1727,14 +1747,18 @@ object Dedup {
     * crawl scale pct dials down to hold |sample|² constant while the
     * blockers under eval still see everything. */
   def embedBlockerRecall(embeddings: DataFrame,
-      minCosPpm: Long = 400000L, samplePct: Int = 50,
+      minCosPpm: Long = 400000L, samplePct: Option[Int] = None,
       nBands: Int = 4, bitsPerBand: Int = 4,
       k: Int = 8, iters: Int = 2): DataFrame = {
     val q = Partitioning.spread(embeddings).select(col("vec_id"),
         V.quantize(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), V.qnorm2(col("qe")).as("qn"))
       .where(col("qn") > 0)
-    val qs = q.where(sampledCol(col("vec_id"), samplePct))
+      .localCheckpoint(true)
+    // auto-sized sample (r11): |sample| ≈ 250 vectors at any corpus
+    // size; the count rides the checkpointed base the verify reuses
+    val pct = samplePct.getOrElse(autoSamplePct(q.count(), 250L))
+    val qs = q.where(sampledCol(col("vec_id"), pct))
       .localCheckpoint(true)
     val truth = qs.select(col("vec_id").as("doc_a"),
         col("qe").as("qa"), col("qn").as("na"))
@@ -1767,7 +1791,7 @@ object Dedup {
     val truthCk = truth.localCheckpoint(true)
     Seq("signlsh" -> signPairs, "ivf" -> ivfPairs).map {
       case (name, cand) =>
-        recallCounts(truthCk, restrictSampled(cand, samplePct))
+        recallCounts(truthCk, restrictSampled(cand, pct))
           .select(lit(name).as("blocker"), col("n_truth"),
             col("n_candidates"), col("n_hits"), col("recall_ppm"),
             col("precision_ppm"))

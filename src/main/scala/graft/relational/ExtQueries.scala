@@ -538,6 +538,19 @@ object ExtQueries {
     "samp AS MATERIALIZED (SELECT doc_id FROM documents WHERE " +
       s"${PH.h31Sql("'recall:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct)"
 
+  /** Auto-sized eval sample (r11): pct = clamp(⌈100·150/N⌉, 1, 100)
+    * — the scalar-subquery twin of Dedup.autoSamplePct(N, 150),
+    * holding the all-pairs truth at ~150² regardless of corpus
+    * size (and reproducing the pinned 30% exactly at the N=500
+    * gate corpus). */
+  private val recallSampAutoCte: String =
+    "spct AS (SELECT greatest(1, least(100, " +
+      "CAST(CEIL(100.0 * 150 / greatest(count(*), 1)) AS BIGINT))) AS pct " +
+      "FROM documents), " +
+      "samp AS MATERIALIZED (SELECT doc_id FROM documents WHERE " +
+      s"${PH.h31Sql("'recall:' || CAST(doc_id AS VARCHAR)")} % 100 " +
+      "< (SELECT pct FROM spct))"
+
   /** Sampled exact-Jaccard ground-truth CTE chain: shingle verify
     * restricted to sampled docs only, ending in truth(doc_a, doc_b).
     * Requires [[recallSampCte]] earlier in the WITH chain. */
@@ -608,7 +621,7 @@ object ExtQueries {
         s"(SELECT doc_a, doc_b FROM ($sql)) c " +
         "JOIN samp a ON a.doc_id = c.doc_a " +
         "JOIN samp b ON b.doc_id = c.doc_b)"
-    s"WITH ${recallSampCte(30)}, " +
+    s"WITH $recallSampAutoCte, " +
       s"${sampledTruthCtes(750000L)}, " +
       s"${restricted("mh", ddMinhashSql)}, " +
       s"${restricted("oph", ddOphSql)}, " +
@@ -831,10 +844,16 @@ object ExtQueries {
     * aliased doc_a/doc_b so the shared count select applies
     * unchanged. lazy: kmeansCtes helpers are declared later. */
   private lazy val ddEmbedBlockerRecallSql: String = {
-    val pct = 50
+    // auto-sized pct (r11): Dedup.autoSamplePct(|base|, 250) as a
+    // scalar subquery — 50% at the N=500 gate corpus, dialing down
+    // as the corpus grows to hold the all-pairs truth ~250²
     def vsamp(c: String): String =
-      s"${PH.h31Sql(s"'recall:' || CAST($c AS VARCHAR)")} % 100 < $pct"
+      s"${PH.h31Sql(s"'recall:' || CAST($c AS VARCHAR)")} % 100 " +
+        "< (SELECT pct FROM vpct)"
     s"WITH ${kmeansCtes("8", 2)}, ${signBandsCte(4, 4)}, " +
+      "vpct AS (SELECT greatest(1, least(100, " +
+      "CAST(CEIL(100.0 * 250 / greatest(count(*), 1)) AS BIGINT))) AS pct " +
+      "FROM base), " +
       "truth AS MATERIALIZED (SELECT x.vec_id AS doc_a, " +
       "y.vec_id AS doc_b FROM base x JOIN base y ON x.vec_id < y.vec_id " +
       s"WHERE ${vsamp("x.vec_id")} AND ${vsamp("y.vec_id")} " +

@@ -36,6 +36,38 @@ class AutoBandingSpec extends AnyFunSuite {
     assert(Similarity.autoBits(200000) == 11)
   }
 
+  test("autoSamplePct holds |sample| ~ target and reproduces the " +
+    "pinned gate operating points") {
+    // the r8/r9 pinned pcts fall out of the formula at the N=500 gate
+    assert(Dedup.autoSamplePct(500, 150) == 30)
+    assert(Dedup.autoSamplePct(500, 250) == 50)
+    // growth dials the fraction down: |sample| stays ~constant
+    assert(Dedup.autoSamplePct(5000, 150) == 3)
+    assert(Dedup.autoSamplePct(50000, 150) == 1)
+    assert(Dedup.autoSamplePct(2000, 250) == 13)
+    assert(Dedup.autoSamplePct(20000, 250) == 2)
+    // clamps: tiny corpora sample everything, huge ones floor at 1%
+    assert(Dedup.autoSamplePct(100, 150) == 100)
+    assert(Dedup.autoSamplePct(0, 150) == 100)
+    assert(Dedup.autoSamplePct(Long.MaxValue, 150) == 1)
+  }
+
+  test("blocker recall reports at the auto pct equal the pinned-pct " +
+    "anchor mode at the gate corpus size") {
+    // N=500 ⇒ auto pct == the old pinned constants, so the declared
+    // queries' gate hashes are byte-identical by construction
+    val d = Tables.documents(spark, sf)
+    val auto = Dedup.blockerRecallReport(d).collect().toSeq
+    val pinned = Dedup.blockerRecallReport(d, samplePct = Some(30))
+      .collect().toSeq
+    assert(auto == pinned)
+    val e = Tables.embeddings(spark, sf)
+    val eAuto = Dedup.embedBlockerRecall(e).collect().toSeq
+    val ePinned = Dedup.embedBlockerRecall(e, samplePct = Some(50))
+      .collect().toSeq
+    assert(eAuto == ePinned)
+  }
+
   test("knnGraphAuto == knnGraph at the derived width (driver corpus)") {
     val e = Tables.embeddings(spark, sf)
     val bits = Similarity.autoBits(e.count())

@@ -1214,7 +1214,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // pct=100 → the sample is the corpus: candidate recall must then
     // match embeddingNearDup's own coverage of the exact truth
-    val full = Dedup.embedBlockerRecall(e, samplePct = 100).collect()
+    val full = Dedup.embedBlockerRecall(e, samplePct = Some(100)).collect()
     assert(full.map(_.getString(0)).toSeq == Seq("ivf", "signlsh"))
     assert(full.forall(_.getLong(1) > 0), "corpus plants true pairs")
   }
