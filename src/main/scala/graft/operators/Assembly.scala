@@ -218,4 +218,103 @@ object Assembly {
         expr(s"1000000 * n_tokens * $nShards div tot").as("balance_ppm"))
       .orderBy("shard_id")
   }
+
+  /** No-split sequence-packing quality report (r11, VERDICT r10 #4):
+    * first-fit-decreasing bin packing of whole documents into
+    * `shardTokens`-capacity shards vs the split-stream layout
+    * ([[graft.operators.TextAnalysis.tokenPack]]'s accounting, which
+    * chops the concatenated token stream and pays padding only in
+    * the final shard — the information-theoretic shard-count lower
+    * bound ⌈T/C⌉). The measurable claim is the DELTA: what
+    * preserving document boundaries costs in shards and padding.
+    * One row per method with exact-integer shard/pad/waste counts.
+    *
+    * Scale shape: FFD is order-free — it depends only on the
+    * MULTISET of item sizes — so the corpus never sorts globally;
+    * one map-side-combinable histogram aggregate (≤ `shardTokens`
+    * distinct item sizes, a model-sized collect like the BPE merge
+    * table) feeds a driver simulation that walks bins as
+    * (remaining, count) RUNS in bin-index order: placing c items of
+    * size s batches to ⌊rem/s⌋ per bin (first-fit walks forward
+    * monotonically within a size class — bins before the cursor all
+    * have rem < s), so the loop is O(capacity · runs), independent
+    * of N. Documents longer than the capacity contribute ⌊n/C⌋
+    * zero-pad full shards plus an n mod C remainder item
+    * (deterministic, oracle-restated). The oracle replays FFD
+    * doc-by-doc with a recursive CTE — an intentionally different
+    * formulation of the same algorithm, so the run-batching
+    * equivalence is itself under the hash. */
+  def packBestFit(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = shardTokens
+    val sized = docs
+      .select(size(TextOps.words(col("text"))).cast("long").as("n"))
+      .where(col("n") > 0)
+      .select(col("n"),
+        when(col("n") > c, col("n") % c).otherwise(col("n")).as("s"),
+        when(col("n") > c, floor(col("n") / c).cast("long"))
+          .otherwise(lit(0L)).as("full"))
+    // the ONLY collect: (item size → count) plus per-class token and
+    // full-shard sums — bounded by the capacity, never by the corpus
+    val hist = sized.groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum("n").as("sn"), sum("full").as("sf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = hist.map(_._2).sum
+    val total = hist.map(_._3).sum
+    val fullShards = hist.map(_._4).sum
+    // FFD over size classes, bins kept as (remaining, nBins) runs in
+    // bin-index order; s == 0 rows are oversize docs that split into
+    // full shards exactly (no remainder item)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for ((s, cnt, _, _) <- hist.filter(_._1 > 0).sortBy(-_._1)) {
+      var remaining = cnt
+      var i = 0
+      while (remaining > 0 && i < runs.length) {
+        val (rem, nb) = runs(i)
+        if (rem >= s) {
+          val perBin = rem / s
+          if (remaining >= nb * perBin) {
+            runs(i) = (rem - perBin * s, nb)
+            remaining -= nb * perBin
+            i += 1
+          } else {
+            val fullBins = remaining / perBin
+            val partial = remaining - fullBins * perBin
+            val repl = Seq(
+              (rem - perBin * s, fullBins),
+              (rem - partial * s, if (partial > 0) 1L else 0L),
+              (rem, nb - fullBins - (if (partial > 0) 1L else 0L)))
+              .filter(_._2 > 0)
+            runs.remove(i)
+            runs.insertAll(i, repl)
+            remaining = 0
+          }
+        } else i += 1
+      }
+      if (remaining > 0) {
+        val perBin = c / s // >= 1: items are <= capacity by split
+        val fullNew = remaining / perBin
+        val partial = remaining - fullNew * perBin
+        if (fullNew > 0) runs += ((c - perBin * s, fullNew))
+        if (partial > 0) runs += ((c - partial * s, 1L))
+      }
+    }
+    val nFfd = runs.map(_._2).sum + fullShards
+    val padFfd = runs.map(r => r._1 * r._2).sum
+    val maxPadFfd = if (runs.isEmpty) 0L else runs.map(_._1).max
+    val nStream = (total + c - 1) / c
+    val padStream = nStream * c - total
+    def waste(pad: Long, n: Long): Long =
+      if (n == 0) 0L else 1000000L * pad / (n * c)
+    Seq(
+      ("bestfit_ffd", c, nDocs, total, nFfd, padFfd,
+        waste(padFfd, nFfd), maxPadFfd),
+      ("stream_split", c, nDocs, total, nStream, padStream,
+        waste(padStream, nStream), padStream))
+      .toDF("method", "capacity", "n_docs", "total_tokens", "n_shards",
+        "pad_tokens", "waste_ppm", "max_shard_pad")
+      .orderBy("method")
+  }
 }

@@ -887,6 +887,32 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** Retrieval-after-dedup ladder (r11, VERDICT r10 #5): the r10
+    * lesson "measure recall AFTER dedup, or the ladder lies in both
+    * directions" (duplicate-heavy corpora turn recall@k into
+    * tie-break noise: a missed twin of a returned duplicate counts
+    * as a miss, a returned twin counts as a hit — neither says
+    * anything about the index) made into a declared, measured query:
+    * the SAME ladder protocol ([[recallLadder]] — per-method
+    * approximate top-k scored against that corpus's own brute-force
+    * truth) run on the raw corpus AND on the
+    * [[Dedup.embeddingNearDup]] survivor set `pipeline_index`
+    * actually indexes. Two corpora, one protocol — the delta between
+    * the halves is the duplicate-induced distortion. Cost = two
+    * ladders + the near-dup chain (eval harnesses cost the sum of
+    * their rungs); the survivor anti-join is the only new work. */
+  def recallLadderPostDedup(embeddings: DataFrame, nQueries: Int = 8,
+                            k: Int = 5): DataFrame = {
+    val losers = graft.operators.Dedup.embeddingNearDup(embeddings)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val surv = embeddings.join(losers, Seq("vec_id"), "left_anti")
+    recallLadder(embeddings, nQueries, k)
+      .select(lit("raw").as("corpus"), col("*"))
+      .unionByName(recallLadder(surv, nQueries, k)
+        .select(lit("dedup").as("corpus"), col("*")))
+      .orderBy("corpus", "method")
+  }
+
   /** Maximum-inner-product top-k (MIPS) — retrieval by RAW integer
     * dot product, no normalization: the scoring a recommender or
     * learned-retrieval stack wants when vector norms carry signal

@@ -1473,6 +1473,53 @@ object ExtQueries {
       "/ 4096.0) AS BIGINT) AS shard_id " +
       "FROM documents ORDER BY lang, doc_id"
 
+  /** [[graft.operators.Assembly.packBestFit]]: doc-by-doc first-fit-
+    * decreasing replayed with a recursive CTE over the item sequence
+    * (bins carried as a remaining-capacity LIST; first fit =
+    * list_position of the first bin with rem ≥ s) — deliberately the
+    * NAIVE formulation, so the operator's run-batched simulation is
+    * equivalence-checked by the hash, not shared. */
+  private val txPackBestfitSql: String =
+    "WITH RECURSIVE " +
+      "t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+      "FROM documents), " +
+      "tp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tot FROM t WHERE n > 0), " +
+      "ofull AS (SELECT CAST(COALESCE(SUM(n // 4096), 0) AS BIGINT) AS fs " +
+      "FROM t WHERE n > 4096), " +
+      "items AS (SELECT n AS s FROM t WHERE n > 0 AND n <= 4096 " +
+      "UNION ALL SELECT n % 4096 FROM t WHERE n > 4096 AND n % 4096 > 0), " +
+      "seq AS (SELECT s, row_number() OVER (ORDER BY s DESC) AS rn FROM items), " +
+      "ffd(rn, bins) AS (" +
+      "SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS bins " +
+      "UNION ALL " +
+      "SELECT rn + 1, " +
+      "CASE WHEN idx = 0 THEN list_append(bins, 4096 - s) " +
+      "ELSE list_concat(list_concat(" +
+      "list_slice(bins, 1, idx - 1), [bins[idx] - s]), " +
+      "list_slice(bins, idx + 1, len(bins))) END " +
+      "FROM (SELECT f.rn, f.bins, s.s, " +
+      "COALESCE(list_position(list_transform(f.bins, b -> b >= s.s), " +
+      "true), 0) AS idx " +
+      "FROM ffd f JOIN seq s ON s.rn = f.rn + 1)), " +
+      "fin AS (SELECT bins FROM ffd " +
+      "WHERE rn = (SELECT count(*) FROM seq)), " +
+      "fsum AS (SELECT CAST(len(bins) + (SELECT fs FROM ofull) AS BIGINT) " +
+      "AS n_shards, CAST(COALESCE(list_sum(bins), 0) AS BIGINT) AS pad, " +
+      "CAST(COALESCE(list_max(bins), 0) AS BIGINT) AS maxpad FROM fin), " +
+      "ssum AS (SELECT CAST((tot + 4095) // 4096 AS BIGINT) AS n_shards, " +
+      "CAST((tot + 4095) // 4096 * 4096 - tot AS BIGINT) AS pad FROM tp), " +
+      "u AS (SELECT 'bestfit_ffd' AS method, n_docs, tot AS total_tokens, " +
+      "f.n_shards, f.pad AS pad_tokens, f.maxpad AS max_shard_pad " +
+      "FROM fsum f, tp " +
+      "UNION ALL SELECT 'stream_split', n_docs, tot, s.n_shards, s.pad, " +
+      "s.pad FROM ssum s, tp) " +
+      "SELECT method, CAST(4096 AS BIGINT) AS capacity, n_docs, " +
+      "total_tokens, n_shards, pad_tokens, " +
+      "CAST(CASE WHEN n_shards = 0 THEN 0 " +
+      "ELSE (1000000 * pad_tokens) // (n_shards * 4096) END AS BIGINT) " +
+      "AS waste_ppm, max_shard_pad FROM u ORDER BY method"
+
   private val txRepetitionSql: String =
     s"WITH ws AS ($wordsCte), " +
       s"g AS (SELECT doc_id, unnest(${shingleListAll(2)}) AS g FROM ws), " +
@@ -4595,6 +4642,25 @@ object ExtQueries {
       "AS recall_ppm " +
       "FROM r LEFT JOIN h USING (method), t ORDER BY method"
 
+  /** [[graft.operators.Similarity.recallLadderPostDedup]]: the full
+    * ladder restated twice — once over the raw table, once with every
+    * `FROM embeddings` redirected to the near-dup survivor CTE (all
+    * embedding-table references in this object are exactly that
+    * token, so the rewrite is total); the survivor set is
+    * dd_embed_neardup's loser anti-join. */
+  private lazy val simRecallPostdedupSql: String =
+    "WITH losers AS (SELECT DISTINCT vec_b AS vec_id FROM (" +
+      ddEmbedNearDupSql + ")), " +
+      "surv AS (SELECT e.* FROM embeddings e " +
+      "WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)), " +
+      "rawl AS (SELECT * FROM (" + simRecallLadderSql + ")), " +
+      "dedl AS (SELECT * FROM (" +
+      simRecallLadderSql.replace("FROM embeddings", "FROM surv") + ")) " +
+      "SELECT 'raw' AS corpus, method, n_returned, n_hits, n_truth, " +
+      "recall_ppm FROM rawl " +
+      "UNION ALL SELECT 'dedup', method, n_returned, n_hits, n_truth, " +
+      "recall_ppm FROM dedl ORDER BY corpus, method"
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -4715,6 +4781,10 @@ object ExtQueries {
     // on one page, the retrieval twin of dd_blocker_recall
     "sim_recall_ladder" -> ((s, d) =>
       Similarity.recallLadder(Tables.embeddings(s, d))),
+    // r11: the ladder on raw vs near-dup-survivor corpora — the
+    // "measure recall AFTER dedup" lesson as a declared query
+    "sim_recall_postdedup" -> ((s, d) =>
+      Similarity.recallLadderPostDedup(Tables.embeddings(s, d))),
     // r10: mutual-kNN filter — the graph-denoising step before
     // clustering (hub edges without reciprocity dissolve)
     "sim_mutual_knn" -> ((s, d) =>
@@ -4810,6 +4880,10 @@ object ExtQueries {
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "tx_split" -> ((s, d) => TextAnalysis.datasetSplit(Tables.documents(s, d))),
     "tx_pack" -> ((s, d) => TextAnalysis.tokenPack(Tables.documents(s, d))),
+    // r11: FFD whole-doc packing vs the split-stream lower bound —
+    // what preserving doc boundaries costs in shards and padding
+    "tx_pack_bestfit" -> ((s, d) =>
+      Assembly.packBestFit(Tables.documents(s, d))),
     "tx_pack_bylang" -> ((s, d) =>
       TextAnalysis.tokenPackBy(Tables.documents(s, d), "lang")),
     "tx_repetition" -> ((s, d) =>
@@ -5158,6 +5232,7 @@ object ExtQueries {
     "sim_knn_ivfsq" -> simKnnIvfSq8Sql,
     "dd_threshold_curve" -> ddThresholdCurveSql,
     "sim_recall_ladder" -> simRecallLadderSql,
+    "sim_recall_postdedup" -> simRecallPostdedupSql,
     "sim_mutual_knn" -> simMutualKnnSql,
     "sim_knn_descent" -> simKnnDescentSql,
     "dd_containment_blocked" -> ddContainmentBlockedSql,
@@ -5218,6 +5293,7 @@ object ExtQueries {
     "tx_fingerprint" -> txFingerprintSql,
     "tx_split" -> txSplitSql,
     "tx_pack" -> txPackSql,
+    "tx_pack_bestfit" -> txPackBestfitSql,
     "tx_pack_bylang" -> txPackByLangSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_pii_scrub" -> txPiiScrubSql,
