@@ -202,7 +202,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""tiers":${tiersJson(results, f3)},"queries":$qs,"sf":"$sf"}"""
     try {
       val p = java.nio.file.Paths.get(s"bench_full_$sf.json")
       java.nio.file.Files.write(p,
@@ -211,6 +212,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: $e")
     }
+  }
+
+  /** Production/eval tier second sums as a JSON object — the split
+    * SparkEntry.evalQueries defines, rendered with the caller's
+    * number format (3-decimal for the full record, 1-decimal for the
+    * byte-budgeted stdout line). */
+  private def tiersJson(results: Seq[(String, Double)],
+      fmt: Double => String): String = {
+    val (ev, prod) = results.partition(r =>
+      SparkEntry.evalQueries.contains(r._1))
+    s"""{"prod":${fmt(prod.map(_._2).sum)},"eval":${fmt(ev.map(_._2).sum)}}"""
   }
 
   /** The one-line stdout contract, factored out so a spec can pin the
@@ -240,10 +252,16 @@ object Bench {
     // the constant /root/testdata/ prefix is 15 dead bytes in a
     // budget measured to the byte — record the SF basename
     val sf = sfDir.split('/').last
+    // tier split (r11, VERDICT r10 #8): production vs eval-harness
+    // second sums, so the window reader sees production cost even
+    // when the ladder folds fast queries into "_rest". Computed over
+    // the FULL result set, before any folding.
+    val tiers = tiersJson(results, fmt(_, 1))
     def render(rs: Seq[(String, Double)], d: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+        s""""tiers":$tiers,"queries":$qs,"sf":"$sf"}"""
     }
     val full2 = render(results, 2)
     if (full2.length <= budget) return full2

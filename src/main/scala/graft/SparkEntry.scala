@@ -45,4 +45,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ ExtQueries.oracles
+
+  /** Queries that MEASURE the engine rather than produce pipeline
+    * data — recall/calibration/yield/waste harnesses that by design
+    * cost the sum of the rungs they evaluate (a recall ladder re-runs
+    * every ANN arm; a blocker report re-runs every blocker). The
+    * bench reports this tier's wall separately so a driver-window
+    * reader sees production cost without opening the committed
+    * full record (VERDICT r10 #8). Queries not listed are the
+    * production tier. */
+  val evalQueries: Set[String] = Set(
+    "dd_lsh_recall", "dd_lsh_recall_sampled", "dd_blocker_recall",
+    "dd_embed_blocker_recall", "dd_threshold_curve",
+    "dd_minhash_calibration", "dd_yield_report",
+    "sim_recall_ladder", "sim_recall_postdedup", "sim_ivf_balance",
+    "tx_pack_bestfit")
 }

@@ -30,7 +30,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // minimal JSON sanity without a parser dependency: balanced
     // braces, the declared fields present, and it ends cleanly
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
-    assert(line.count(_ == '{') == 2 && line.count(_ == '}') == 2)
+    // three objects since r11: the envelope, "tiers", and "queries"
+    assert(line.count(_ == '{') == 3 && line.count(_ == '}') == 3)
+    assert(line.contains("\"tiers\":{\"prod\":"))
     assert(line.endsWith("\"}"))
   }
 
@@ -95,6 +97,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(f"""\"value\":$total%.3f"""))
   }
 
+  test("tier split: prod + eval second sums cover the full surface " +
+    "and survive the ladder's _rest folding (r11)") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timed = names.zipWithIndex.map { case (n, i) => n -> (0.1 + i * 0.01) }
+    val line = Bench.formatLine(timed, "/root/testdata/sf0.1")
+    val tiers = "\"tiers\":\\{\"prod\":([0-9.]+),\"eval\":([0-9.]+)\\}".r
+    val m = tiers.findFirstMatchIn(line).getOrElse(
+      fail(s"tiers object missing from $line"))
+    val (prod, ev) = (m.group(1).toDouble, m.group(2).toDouble)
+    val total = timed.map(_._2).sum
+    // 1-decimal rendering: each tier sum is exact to ±0.05
+    assert(math.abs(prod + ev - total) < 0.11, s"$prod + $ev != $total")
+    val evalTrue = timed.filter(t => SparkEntry.evalQueries.contains(t._1))
+      .map(_._2).sum
+    assert(math.abs(ev - evalTrue) < 0.06)
+    // every declared eval query is a real query (set can't go stale)
+    assert(SparkEntry.evalQueries.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("regression gate: flags >1.5x AND >0.3s movers only, worst " +
     "first; parse round-trips the full record format (r8)") {
     val prevLine = Bench.formatLine(
@@ -120,7 +141,7 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("line is locale-stable JSON with the declared fields") {
     val line = Bench.formatLine(Seq("q1" -> 1.5, "q2" -> 0.25), "sfX")
-    assert(line == """{"metric":"total","value":1.750,"unit":"sec","queries":{"q1":1.50,"q2":0.25},"sf":"sfX"}""")
+    assert(line == """{"metric":"total","value":1.750,"unit":"sec","tiers":{"prod":1.8,"eval":0.0},"queries":{"q1":1.50,"q2":0.25},"sf":"sfX"}""")
     assert(Bench.formatLine(Nil, "sfX").contains("\"value\":0.000"))
   }
 }
