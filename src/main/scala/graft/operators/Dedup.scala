@@ -1312,7 +1312,7 @@ object Dedup {
 
   /** Sign-LSH band table for vectors — shared by the self-join, the
     * incremental probe, and the bucketed snapshot writer. */
-  private[operators] def vectorBands(embeddings: DataFrame, nBands: Int,
+  private[graft] def vectorBands(embeddings: DataFrame, nBands: Int,
       bitsPerBand: Int): DataFrame =
     embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
