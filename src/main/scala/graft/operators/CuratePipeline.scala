@@ -138,4 +138,44 @@ object CuratePipeline {
       .select("doc_id", "lang", "source", "n_chars", "quality_ppm", "cid")
       .orderBy("doc_id")
   }
+
+  /** Dataset-card report (r11): the per-source summary a training-run
+    * decision reads before any curation runs — docs, whitespace
+    * tokens, exact-duplicate rate, mean quality, language spread and
+    * the modal language. One row per source; every statistic is
+    * integer/ppm (house rule).
+    *
+    * Scale shape: ONE corpus scan feeding two source-keyed hash aggs
+    * (the stats agg and the (source, lang) mode agg — both map-side
+    * combinable) plus the quality chain's row-local features; the
+    * distinct-text count aggregates md5(text) (32-char keys), not the
+    * text payload, so the distinct shuffle carries digests — the same
+    * width at any document length. Output is |sources| rows. */
+  def report(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "n_tokens", "quality_ppm")
+    val base = docs.select("doc_id", "source", "lang", "text")
+      .join(q, "doc_id")
+    val stats = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"),
+      sum("quality_ppm").as("sum_q"),
+      countDistinct(col("lang")).as("n_langs"))
+    val topLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("c").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    stats.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"),
+        expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")
+          .as("exact_dup_ppm"),
+        expr("sum_q div n_docs").as("mean_quality_ppm"),
+        col("n_langs"), col("top_lang"))
+      .orderBy("source")
+  }
 }

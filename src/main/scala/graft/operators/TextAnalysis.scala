@@ -1219,6 +1219,63 @@ object TextAnalysis {
     * TakeOrderedAndProject. The corpus is scanned once per aggregate
     * family — the pair and unigram scans are independent branches, and
     * the expensive one (pairs) shuffles only gram-keyed partials. */
+  /** Trained multi-class source classifier (r11) with a
+    * VOCABULARY-sized model — the scale shape [[qualityLpm]] (three
+    * collected weights) deliberately cannot cover: the model here is
+    * |vocab| × |classes| rows, so it NEVER reaches the driver. Fit
+    * and application are both DataFrames; the model is applied to
+    * the test split via a shuffle join on the token.
+    *
+    * Fit (train = doc_id % 5 != 0): weight(w, source) = ppm share of
+    * token w's training occurrences that lie in `source` docs — a
+    * Rocchio-style class-share vote (integer ppm floor-division, the
+    * house no-floats rule; a log-likelihood NB would put an
+    * engine-dependent `ln` under the oracle hash).
+    *
+    * Score (test = doc_id % 5 == 0): score(doc, source) =
+    * Σ over token OCCURRENCES of weight(w, source); tokens absent
+    * from the training vocabulary contribute 0 to every class
+    * equally, so they cannot flip an argmax. The (doc × class) grid
+    * comes from a broadcast of the tiny distinct-class dim (absent
+    * scores read as 0 — a doc with no vocabulary hit still gets a
+    * deterministic prediction); prediction = argmax with the pinned
+    * (score desc, source asc) tie-break.
+    *
+    * Emits the confusion matrix (true_source, predicted_source,
+    * n_docs) — class-count-bounded output at any corpus size. Scale
+    * shape: two token-keyed hash aggs (map-side combinable) for the
+    * fit, one token-keyed shuffle join + one doc-keyed agg for the
+    * scoring, one broadcast of |classes| rows; no collect anywhere. */
+  def sourceClassifier(docs: DataFrame, fold: Int = 5): DataFrame = {
+    val words = Partitioning.spread(docs).select(col("doc_id"),
+      col("source"), explode(TextOps.words(col("text"))).as("w"))
+    val train = words.where(pmod(col("doc_id"), lit(fold)) =!= 0)
+    val cwl = train.groupBy("w", "source").agg(count(lit(1)).as("c_wl"))
+    val cw = train.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val model = cwl.join(cw, "w")
+      .select(col("w"), col("source").as("label"),
+        expr("(c_wl * 1000000) div c_w").as("weight_ppm"))
+    val labels = model.select("label").distinct()
+    val testDocs = docs.where(pmod(col("doc_id"), lit(fold)) === 0)
+      .select(col("doc_id"), col("source"))
+    val hits = words.where(pmod(col("doc_id"), lit(fold)) === 0)
+      .select("doc_id", "w")
+      .join(model, "w")
+      .groupBy("doc_id", "label").agg(sum("weight_ppm").as("score"))
+    val grid = testDocs.crossJoin(broadcast(labels))
+      .join(hits, Seq("doc_id", "label"), "left")
+      .na.fill(0L, Seq("score"))
+    val pred = grid.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("label"))))
+      .where(col("rn") === 1)
+    pred.select(col("source").as("true_source"),
+        col("label").as("predicted_source"))
+      .groupBy("true_source", "predicted_source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_source", "predicted_source")
+  }
+
   def collocations(docs: DataFrame, minPair: Int = 5,
                    k: Int = 50): DataFrame = {
     val spreadDocs = Partitioning.spread(docs)

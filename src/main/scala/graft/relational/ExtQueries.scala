@@ -3604,6 +3604,62 @@ object ExtQueries {
       "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
       "FROM p GROUP BY 1, 2 ORDER BY lang, shard_id"
 
+  /** [[graft.operators.TextAnalysis.sourceClassifier]]: the
+    * vocabulary-sized class-share model re-fit entirely in SQL —
+    * same % 5 split, same integer ppm floor-division weights, same
+    * zero-filled (doc × class) grid and (score desc, label asc)
+    * argmax tie-break. A divergence anywhere in the fit (token
+    * multiplicity, split membership, unseen-token handling) moves
+    * some doc's argmax and fails the confusion-matrix hash. */
+  private val txSourceClassifierSql: String =
+    "WITH tok AS (SELECT doc_id, source, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "train AS (SELECT * FROM tok WHERE doc_id % 5 != 0), " +
+      "cwl AS (SELECT w, source AS label, count(*) AS c_wl " +
+      "FROM train GROUP BY 1, 2), " +
+      "cw AS (SELECT w, count(*) AS c_w FROM train GROUP BY 1), " +
+      "model AS (SELECT cwl.w, label, (c_wl * 1000000) // c_w " +
+      "AS weight_ppm FROM cwl JOIN cw USING (w)), " +
+      "labels AS (SELECT DISTINCT label FROM model), " +
+      "testd AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0), " +
+      "hits AS (SELECT t.doc_id, m.label, sum(weight_ppm) AS score " +
+      "FROM tok t JOIN model m ON t.w = m.w " +
+      "WHERE t.doc_id % 5 = 0 GROUP BY 1, 2), " +
+      "grid AS (SELECT d.doc_id, d.source, l.label, " +
+      "coalesce(h.score, 0) AS score FROM testd d CROSS JOIN labels l " +
+      "LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = l.label), " +
+      "pred AS (SELECT doc_id, source, label, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM grid) " +
+      "SELECT source AS true_source, label AS predicted_source, " +
+      "CAST(count(*) AS BIGINT) AS n_docs FROM pred WHERE rn = 1 " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** [[graft.operators.CuratePipeline.report]]: per-source dataset
+    * card — the quality chain's g CTE reused verbatim, distinct
+    * texts counted over md5 digests exactly as the operator shuffles
+    * them, modal language with the (count desc, lang asc) tie-break,
+    * integer floor-division everywhere. */
+  private val pipelineReportSql: String =
+    s"WITH $qualityGCte, " +
+      "base AS (SELECT d.doc_id, d.source, d.lang, d.text, " +
+      "g.n_tokens, g.quality_ppm FROM documents d " +
+      "JOIN g ON g.doc_id = d.doc_id), " +
+      "stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts, " +
+      "CAST(sum(quality_ppm) AS BIGINT) AS sum_q, " +
+      "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs " +
+      "FROM base GROUP BY 1), " +
+      "lc AS (SELECT source, lang, count(*) AS c FROM documents " +
+      "GROUP BY 1, 2), " +
+      "lt AS (SELECT source, lang AS top_lang, row_number() OVER " +
+      "(PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc) " +
+      "SELECT s.source, s.n_docs, s.n_tokens, s.n_distinct_texts, " +
+      "((s.n_docs - s.n_distinct_texts) * 1000000) // s.n_docs " +
+      "AS exact_dup_ppm, s.sum_q // s.n_docs AS mean_quality_ppm, " +
+      "s.n_langs, lt.top_lang FROM stats s " +
+      "JOIN lt ON lt.source = s.source AND lt.rn = 1 ORDER BY s.source"
+
   /** Multimodal composite: text-side curation ∩ embedding-side
     * semantic-dedup survivors (both oracle chains reused verbatim). */
   /** Derived deterministic URL input shared by tx_url_extract and
@@ -5161,6 +5217,13 @@ object ExtQueries {
     // r10: curation -> packing -> shard manifest, the launch artifact
     "pipeline_assemble" -> ((s, d) =>
       CuratePipeline.assemble(s, Tables.documents(s, d))),
+    // r11: per-source dataset card — the pre-curation decision report
+    "pipeline_report" -> ((s, d) =>
+      CuratePipeline.report(Tables.documents(s, d))),
+    // r11: trained source classifier with a vocabulary-sized model
+    // applied via a token-keyed shuffle join (never collected)
+    "tx_source_classifier" -> ((s, d) =>
+      TextAnalysis.sourceClassifier(Tables.documents(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5398,6 +5461,8 @@ object ExtQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_assemble" -> pipelineAssembleSql,
+    "pipeline_report" -> pipelineReportSql,
+    "tx_source_classifier" -> txSourceClassifierSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
     "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,

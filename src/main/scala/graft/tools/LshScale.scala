@@ -42,6 +42,13 @@ object LshScale {
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .agg(max("n").as("mx"),
           expr("percentile(n, 0.99D)").as("p99")).head()
+      // LSHSCALE_SKIP_QUADRATIC=1: past ~100k docs the 12-bit anchor's
+      // distinct-pair join is the very quadratic this table exists to
+      // demonstrate (~5.6% of ALL pairs — billions at 500k docs), so
+      // report its COST via the occupancy identity Σn(n−1)/2 instead
+      // of materializing it (join-input volume, pre-distinct), and
+      // skip the anchor's verified output (-1 sentinel).
+      val skipQuad = sys.env.get("LSHSCALE_SKIP_QUADRATIC").contains("1")
       val shCand = { // simhash banded candidates BEFORE the hamming verify
         val fp = Dedup.simhash(docs)
         val chunkBits = 12
@@ -51,13 +58,17 @@ object LshScale {
               .cast("long") % (1L << chunkBits)
           }: _*)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-        banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"))
-          .join(banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b")),
-            Seq("band", "chunk"))
-          .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct().count()
+        if (skipQuad)
+          banded.groupBy("band", "chunk").agg(count(lit(1)).as("n"))
+            .agg(sum(expr("n * (n - 1) / 2")).cast("long")).head().getLong(0)
+        else
+          banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"))
+            .join(banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b")),
+              Seq("band", "chunk"))
+            .where(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b").distinct().count()
       }
-      val shPairs = Dedup.simhashPairs(docs).count()
+      val shPairs = if (skipQuad) -1L else Dedup.simhashPairs(docs).count()
       // wide blocker (Manku 3-of-6 triple keys): candidate volume +
       // bucket occupancy of the EXACT d<=3 scheme
       val (shwCand, shwMax) = {
