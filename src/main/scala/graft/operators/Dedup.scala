@@ -1487,6 +1487,39 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** Cross-source near-dup overlap matrix (r11): WHERE the
+    * duplication lives — [[minhashLsh]]'s near-dup pairs (est ≥
+    * threshold) labeled with both endpoints' sources, normalized to
+    * an unordered (source_a ≤ source_b) cell, with pair counts and
+    * the distinct docs touched per cell. [[yieldReport]] says how
+    * much a policy removes; this says which corpus slices collide
+    * (intra-source boilerplate vs cross-source syndication — the
+    * axis that decides whether dedup can run per-source in parallel
+    * or must be global). Cost: the blocker's pair table + two
+    * id-keyed joins against a two-column doc dim + one
+    * |sources|²-bounded agg; distinct-doc counts aggregate ids, not
+    * payloads. */
+  def sourceOverlap(docs: DataFrame,
+                    minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = minhashLsh(docs)
+      .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
+      .select("doc_a", "doc_b")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Dedup threshold-sensitivity curve (r10): the verified-Jaccard
     * pair set swept across the whole plausible threshold range —
     * pairs surviving, docs removed (pairwise keep-min: doc_b is the

@@ -3660,6 +3660,29 @@ object ExtQueries {
       "s.n_langs, lt.top_lang FROM stats s " +
       "JOIN lt ON lt.source = s.source AND lt.rn = 1 ORDER BY s.source"
 
+  /** [[graft.operators.Dedup.sourceOverlap]]: the MinHash pair chain
+    * reused verbatim, endpoints labeled with their sources, cells
+    * normalized by (least, greatest). */
+  private val ddSourceOverlapSql: String =
+    s"WITH $minhashCteChain, " +
+      s"bandtab AS (${bandSelectsFrom("minh")}), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.doc_id < b.doc_id), " +
+      s"m AS (SELECT p.doc_a, p.doc_b, ($minhashMatches) AS n_matching " +
+      "FROM pairs p JOIN minh x ON x.doc_id = p.doc_a " +
+      "JOIN minh y ON y.doc_id = p.doc_b), " +
+      "nd AS (SELECT doc_a, doc_b FROM m " +
+      s"WHERE CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) >= 750000), " +
+      "lab AS (SELECT nd.doc_a, nd.doc_b, da.source AS sa, db.source AS sb " +
+      "FROM nd JOIN documents da ON da.doc_id = nd.doc_a " +
+      "JOIN documents db ON db.doc_id = nd.doc_b) " +
+      "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a, " +
+      "CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b " +
+      "FROM lab GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** Multimodal composite: text-side curation ∩ embedding-side
     * semantic-dedup survivors (both oracle chains reused verbatim). */
   /** Derived deterministic URL input shared by tx_url_extract and
@@ -5224,6 +5247,10 @@ object ExtQueries {
     // applied via a token-keyed shuffle join (never collected)
     "tx_source_classifier" -> ((s, d) =>
       TextAnalysis.sourceClassifier(Tables.documents(s, d))),
+    // r11: cross-source near-dup overlap matrix — which corpus
+    // slices collide (per-source vs global dedup decision input)
+    "dd_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5463,6 +5490,7 @@ object ExtQueries {
     "pipeline_assemble" -> pipelineAssembleSql,
     "pipeline_report" -> pipelineReportSql,
     "tx_source_classifier" -> txSourceClassifierSql,
+    "dd_source_overlap" -> ddSourceOverlapSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
     "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,

@@ -70,6 +70,21 @@ class SourceClassifierSpec extends AnyFunSuite {
     assert(labels.subsetOf(Set("alpha", "beta")))
   }
 
+  test("source overlap: cells are source-normalized and pair-counted") {
+    // identical texts across two sources -> one (books, web) cell
+    // regardless of which doc id is doc_a; the unrelated doc appears
+    // in no cell.
+    val d = docs(
+      (1L, "one two three four five six", "en", "web"),
+      (2L, "one two three four five six", "en", "books"),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "web"))
+    val rows = graft.operators.Dedup.sourceOverlap(d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == ("books", "web"))
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L)
+  }
+
   test("report: integer accounting and the top-lang tie-break") {
     val d = docs(
       (1L, "one two three four", "en", "web"),
