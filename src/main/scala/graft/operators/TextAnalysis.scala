@@ -1246,15 +1246,26 @@ object TextAnalysis {
     * shape: two token-keyed hash aggs (map-side combinable) for the
     * fit, one token-keyed shuffle join + one doc-keyed agg for the
     * scoring, one broadcast of |classes| rows; no collect anywhere. */
+  /** The classifier's FIT half, exposed on its own so the stream
+    * path ([[graft.streaming.StreamingCuration.classifyStream]]) can
+    * apply a batch-fit model to arriving docs — the batch-fit /
+    * stream-score loop. Returns (w, label, weight_ppm): class-share
+    * ppm of each training token, one row per (token, class). */
+  def sourceModel(docs: DataFrame, fold: Int = 5): DataFrame = {
+    val train = Partitioning.spread(docs)
+      .where(pmod(col("doc_id"), lit(fold)) =!= 0)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    val cwl = train.groupBy("w", "source").agg(count(lit(1)).as("c_wl"))
+    val cw = train.groupBy("w").agg(count(lit(1)).as("c_w"))
+    cwl.join(cw, "w")
+      .select(col("w"), col("source").as("label"),
+        expr("(c_wl * 1000000) div c_w").as("weight_ppm"))
+  }
+
   def sourceClassifier(docs: DataFrame, fold: Int = 5): DataFrame = {
     val words = Partitioning.spread(docs).select(col("doc_id"),
       col("source"), explode(TextOps.words(col("text"))).as("w"))
-    val train = words.where(pmod(col("doc_id"), lit(fold)) =!= 0)
-    val cwl = train.groupBy("w", "source").agg(count(lit(1)).as("c_wl"))
-    val cw = train.groupBy("w").agg(count(lit(1)).as("c_w"))
-    val model = cwl.join(cw, "w")
-      .select(col("w"), col("source").as("label"),
-        expr("(c_wl * 1000000) div c_w").as("weight_ppm"))
+    val model = sourceModel(docs, fold)
     val labels = model.select("label").distinct()
     val testDocs = docs.where(pmod(col("doc_id"), lit(fold)) === 0)
       .select(col("doc_id"), col("source"))

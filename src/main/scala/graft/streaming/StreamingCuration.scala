@@ -237,4 +237,49 @@ object StreamingCuration {
     }.reduce(_ || _)
     joined.where(!matched).select("ts", "vec_id", "embedding")
   }
+
+  /** Streaming model application (r11): score arriving docs with a
+    * BATCH-fit classifier model — the batch-fit / stream-score loop
+    * ([[graft.operators.TextAnalysis.sourceModel]] refreshes the
+    * model offline; this query serves it continuously). The model is
+    * vocabulary-sized so it is NOT collected: tokens explode
+    * stateless, stream-static LEFT join on the token (absent tokens
+    * keep the doc present with all-zero scores — argmax-neutral,
+    * same law as the batch classifier), then ONE windowed stateful
+    * agg per (window, doc_id) with the per-class score as a
+    * conditional sum — the class list is the only collected piece
+    * (|classes| rows, a model-sized literal like langId's profiles).
+    * The argmax folds right-to-left over the sorted class list with
+    * ≥, which lands ties on the alphabetically-first class — the
+    * SAME pinned tie-break as the batch classifier. Emits on window
+    * close (append mode): (window, doc_id, predicted_source, score).
+    * State: |docs in window| × |classes| conditional sums inside the
+    * watermark horizon — bounded, id-keyed, no text payload. */
+  def classifyStream(docs: DataFrame, model: DataFrame,
+                     windowLen: String = "1 minute",
+                     watermark: String = "1 hour"): DataFrame = {
+    val labels = model.select("label").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.nonEmpty, "classifyStream: empty model")
+    val toks = docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+    val scored = toks.join(model, Seq("w"), "left")
+    val perLabel = labels.map(l =>
+      sum(when(col("label") === l, col("weight_ppm")).otherwise(0L))
+        .as(s"s_$l"))
+    val agg = scored
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(perLabel.head, perLabel.tail: _*)
+    val init = struct(col(s"s_${labels.last}").as("score"),
+      lit(labels.last).as("label"))
+    val best = labels.dropRight(1).reverse.foldLeft(init) { (acc, l) =>
+      when(col(s"s_$l") >= acc.getField("score"),
+        struct(col(s"s_$l").as("score"), lit(l).as("label")))
+        .otherwise(acc)
+    }
+    agg.select(col("window"), col("doc_id"),
+      best.getField("label").as("predicted_source"),
+      best.getField("score").as("score"))
+  }
 }

@@ -317,4 +317,44 @@ class StreamingCurationSpec extends AnyFunSuite {
         Set("insert", "update", "noop", "delete", "skip_absent"))
     } finally q.stop()
   }
+
+  test("classifyStream scores arrivals with the batch-fit model; " +
+    "tie-break and unseen-token laws match the batch classifier") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    // batch fit: alpha vocabulary {aa, bb}, beta vocabulary {cc, dd}
+    // (train ids 1-4; % 5 split as in the batch classifier)
+    val fitDocs = Seq(
+      (1L, "aa bb aa", "alpha"), (2L, "aa bb", "alpha"),
+      (3L, "cc dd cc", "beta"), (4L, "cc dd", "beta"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val model = graft.operators.TextAnalysis.sourceModel(fitDocs)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration.classifyStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), model,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("classify_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts(0), 100L, "aa bb aa"),  // clean alpha vocabulary
+        (ts(0), 101L, "cc cc"),     // clean beta vocabulary
+        (ts(0), 102L, "zz yy"),     // no vocabulary hit -> all-zero
+        (ts(0), 103L, "aa zz zz"))  // one alpha hit + unseen noise
+      q.processAllAvailable()
+      // advance the watermark past window end + horizon to close it
+      mem.addData((ts(5), 999L, "flush"))
+      q.processAllAvailable()
+      val got = spark.table("classify_out").collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(got(100L) == "alpha")
+      assert(got(101L) == "beta")
+      // all-zero scores fall to the alphabetically-first class --
+      // the SAME pinned tie-break as the batch grid
+      assert(got(102L) == "alpha")
+      // unseen tokens are argmax-neutral
+      assert(got(103L) == "alpha")
+      assert(!got.contains(999L)) // flush window not yet closed
+    } finally q.stop()
+  }
 }
