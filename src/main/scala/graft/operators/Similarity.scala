@@ -992,4 +992,57 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "dot_q")
       .orderBy("query_id", "rank")
   }
+
+  /** Embedding drift report (r11): per label, the cosine between the
+    * centroids of two corpus halves (vec_id parity — the stand-in
+    * for "yesterday's snapshot vs today's"; production passes real
+    * snapshot tags). The monitoring primitive for an embedding
+    * pipeline: a model/preprocessing regression shows up as a
+    * centroid shift long before retrieval metrics move.
+    *
+    * Exactness discipline: the centroid is the per-dimension integer
+    * floor-mean of the QUANTIZED vectors (sum div n) — components
+    * return to |c| ≤ 1024, so the centroid dot products stay ≲ 2⁶,
+    * exactly representable in an IEEE double on both engines (raw
+    * component SUMS would cross 2⁵³ and put an inexact double dot
+    * under the hash). Scale shape: one (label, half, dim) hash agg
+    * over the exploded dims (map-side combinable, |labels|·2·dims
+    * groups), one |labels|-sized join — the corpus is scanned once,
+    * nothing collects. */
+  def driftReport(embeddings: DataFrame): DataFrame = {
+    val base = quantized(embeddings)
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+      .select(col("label"), (col("vec_id") % 2).cast("long").as("half"),
+        posexplode(col("qe")))
+    val cent = base.groupBy("label", "half", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      // floor of the IEEE double quotient, NOT integer `div`:
+      // component sums go negative and trunc ≠ floor there (the
+      // rel_slope lesson); both engines share IEEE division so the
+      // floors agree exactly
+      .select(col("label"), col("half"), col("pos"),
+        floor(col("s") / col("n")).cast("long").as("c"), col("n"))
+    val packed = cent.groupBy("label", "half")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"),
+        max("n").as("n"))
+    val a = packed.where(col("half") === 0)
+      .select(col("label"), col("cv").as("ca"), col("n").as("n_a"))
+    val b = packed.where(col("half") === 1)
+      .select(col("label"), col("cv").as("cb"), col("n").as("n_b"))
+    val dot = aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    def n2(c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(c, c, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    a.join(b, "label")
+      // degenerate all-zero centroid (possible only on adversarial
+      // inputs — every floor-mean component 0) has no direction:
+      // excluded identically on both engines rather than hashing an
+      // engine-specific inf/NaN rendering
+      .where(n2(col("ca")) > 0 && n2(col("cb")) > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        floor(lit(1000000.0) * dot / (sqrt(n2(col("ca")))
+          * sqrt(n2(col("cb"))))).cast("long").as("drift_cos_ppm"))
+      .orderBy("label")
+  }
 }

@@ -4351,6 +4351,34 @@ object ExtQueries {
       "SELECT vec_a, vec_b, cos_ppm FROM c WHERE cos_ppm >= 400000 " +
       "ORDER BY vec_a, vec_b"
 
+  /** [[graft.operators.Similarity.driftReport]]: per-label centroid
+    * drift between vec_id-parity halves — same quantization, same
+    * IEEE floor-mean centroid (floor of the double quotient, NOT
+    * `//`: component sums go negative and floor ≠ trunc there), same
+    * zero-norm exclusion, same ppm cosine. */
+  private val simDriftReportSql: String =
+    s"WITH $quantCte, " +
+      "lab AS (SELECT b.vec_id, e.label, b.qe FROM base b " +
+      "JOIN embeddings e ON e.vec_id = b.vec_id), " +
+      "d AS (SELECT label, vec_id % 2 AS half, " +
+      "unnest(range(1, len(qe) + 1)) AS pos, qe FROM lab), " +
+      "dv AS (SELECT label, half, pos, qe[pos] AS v FROM d), " +
+      "cent AS (SELECT label, half, pos, " +
+      "CAST(FLOOR(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c, " +
+      "count(*) AS n FROM dv GROUP BY 1, 2, 3), " +
+      "cv AS (SELECT label, half, list(c ORDER BY pos) AS cv, " +
+      "max(n) AS n FROM cent GROUP BY 1, 2), " +
+      "aa AS (SELECT label, cv AS ca, n AS n_a FROM cv WHERE half = 0), " +
+      "bb AS (SELECT label, cv AS cb, n AS n_b FROM cv WHERE half = 1), " +
+      "j AS (SELECT aa.label, n_a, n_b, " +
+      s"${dotSql("ca", "cb")} AS dot, " +
+      s"${dotSql("ca", "ca")} AS na, ${dotSql("cb", "cb")} AS nb " +
+      "FROM aa JOIN bb ON aa.label = bb.label) " +
+      "SELECT label, CAST(n_a AS BIGINT) AS n_a, " +
+      "CAST(n_b AS BIGINT) AS n_b, " +
+      "CAST(FLOOR(1000000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) " +
+      "AS drift_cos_ppm FROM j WHERE na > 0 AND nb > 0 ORDER BY label"
+
   /** [[graft.operators.Similarity.ivfBalance]] oracle — the same
     * deterministic assignment CTEs as sim_knn_ivf, reduced to
     * per-cell occupancy and the uniform-share balance ppm. */
@@ -5251,6 +5279,10 @@ object ExtQueries {
     // slices collide (per-source vs global dedup decision input)
     "dd_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d))),
+    // r11: per-label centroid drift between corpus halves — the
+    // embedding-pipeline monitoring primitive
+    "sim_drift_report" -> ((s, d) =>
+      Similarity.driftReport(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5491,6 +5523,7 @@ object ExtQueries {
     "pipeline_report" -> pipelineReportSql,
     "tx_source_classifier" -> txSourceClassifierSql,
     "dd_source_overlap" -> ddSourceOverlapSql,
+    "sim_drift_report" -> simDriftReportSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
     "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,
