@@ -59,5 +59,5 @@ object SparkEntry {
     "dd_embed_blocker_recall", "dd_threshold_curve",
     "dd_minhash_calibration", "dd_yield_report",
     "sim_recall_ladder", "sim_recall_postdedup", "sim_ivf_balance",
-    "tx_pack_bestfit")
+    "tx_pack_bestfit", "dd_minhash_bands_sweep")
 }

@@ -1487,6 +1487,46 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** MinHash BANDING sweep (r11): the deployment knob
+    * [[minhashLsh]] fixes at (8 bands × 2 rows) swept across every
+    * (b, r) factorization of the K=16 signature — per arm, the
+    * analytic S-curve threshold s* = (1/b)^(1/r), the candidate
+    * volume the banding admits, and the verified near-dups it
+    * surfaces. [[Dedup.minhashLsh]]'s calibration query measures the
+    * ESTIMATOR at one banding; this measures the BANDING itself —
+    * the (recall ↔ candidate-volume) trade the r10/r11 sign-LSH
+    * auto-width work mechanized on the vector side, exposed for the
+    * text side as a measured plan-selection table.
+    *
+    * Determinism: s* is computed as NESTED SQRT, never pow — r is
+    * always a power of two here, and IEEE sqrt is exactly specified
+    * on both engines where library pow is not. ONE signature pass
+    * (checkpointed) feeds all five band tables; each arm's pair join
+    * is the usual (band, bucket) equi-join, cost bounded by that
+    * arm's occupancy (the b=1 arm degenerates to exact-signature
+    * buckets; the b=16 arm is the recall ceiling at 16× candidate
+    * fan-out). Output: 5 rows. */
+  def minhashBandsSweep(docs: DataFrame,
+                        minEstJaccardPpm: Long = 750000L): DataFrame = {
+    val sigs = minhashSignatures(docs).localCheckpoint(true)
+    def sStar(b: Int, r: Int): Column = {
+      val inv = lit(1.0 / b)
+      val root = Iterator.iterate(inv)(sqrt(_))
+        .drop(java.lang.Integer.numberOfTrailingZeros(r)).next()
+      floor(lit(1000000.0) * root).cast("long")
+    }
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+      lshPairsFrom(bandsFrom(sigs, b, r))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("est_jaccard_ppm") >= minEstJaccardPpm, 1L)
+            .otherwise(0L)).as("n_dup_pairs"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          sStar(b, r).as("s_star_ppm"),
+          col("n_candidates"), coalesce(col("n_dup_pairs"), lit(0L))
+            .as("n_dup_pairs"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
   /** Cross-source near-dup overlap matrix (r11): WHERE the
     * duplication lives — [[minhashLsh]]'s near-dup pairs (est ≥
     * threshold) labeled with both endpoints' sources, normalized to

@@ -56,6 +56,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Metadata-FILTERED ANN (r11): top-k under a label predicate, the
+    * pre-filter vs post-filter comparison every vector-store design
+    * decides — run BOTH arms under one protocol:
+    *  - `pre`: rank only same-label corpus vectors (the filter
+    *    restricts the candidate set BEFORE ranking — always returns
+    *    k hits when the stratum has them);
+    *  - `post`: rank globally, THEN filter to the label (ranks keep
+    *    their GLOBAL values, so dropped ranks are visible as gaps
+    *    and a query may return < k hits — the recall loss the
+    *    pre-filter arm exists to avoid).
+    * Same queries, same tie-break (cos desc, neighbor asc), one
+    * `arm` column. Scale shape: both arms broadcast the model-sized
+    * query set and scan the corpus once each; at production scale
+    * the pre-filter arm pushes `label = ?` into the scan (partition
+    * prune on a label-partitioned store) — the plan this operator's
+    * declared form demonstrates. */
+  def knnFiltered(embeddings: DataFrame, nQueries: Int = 8,
+                  k: Int = 5): DataFrame = {
+    val base = quantized(embeddings)
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"),
+        col("qn").as("nq"), col("label").as("qlabel"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn"))
+          .as("cos_ppm"))
+    val order = Window.partitionBy("query_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    val pre = scored.where(col("label") === col("qlabel"))
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), lit("pre").as("arm"), col("rank"),
+        col("neighbor_id"), col("cos_ppm"))
+    val post = scored
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .where(col("rank") <= k && col("label") === col("qlabel"))
+      .select(col("query_id"), lit("post").as("arm"), col("rank"),
+        col("neighbor_id"), col("cos_ppm"))
+    pre.unionByName(post).orderBy("query_id", "arm", "rank")
+  }
+
   /** All-pairs k-NN GRAPH construction (r10) — the building block
     * SemDeDup-style semantic curation, label propagation, and
     * NN-descent all start from: EVERY corpus vector gets its top-k

@@ -3660,6 +3660,48 @@ object ExtQueries {
       "s.n_langs, lt.top_lang FROM stats s " +
       "JOIN lt ON lt.source = s.source AND lt.rn = 1 ORDER BY s.source"
 
+  /** Generalized banding over the minh signature: b bands of r rows
+    * (b·r = 16). The fixed 8×2 [[bandSelectsFrom]] is the b=8 arm. */
+  private def bandSelectsGen(src: String, b: Int, r: Int): String =
+    (0 until b).map { band =>
+      val bucket = (0 until r).map(i => s"CAST(m${band * r + i} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $band AS band, $bucket AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+
+  /** [[graft.operators.Dedup.minhashBandsSweep]]: every (b, r)
+    * factorization of K=16 replayed — same nested-sqrt s* (never
+    * pow: sqrt is exactly specified on both engines), same distinct
+    * pair join per arm, same estimator threshold. */
+  private val ddMinhashBandsSweepSql: String = {
+    val arms = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+    def sStarSql(b: Int, r: Int): String = {
+      val nest = Iterator.iterate(s"${1.0 / b}")(x => s"sqrt($x)")
+        .drop(java.lang.Integer.numberOfTrailingZeros(r)).next()
+      s"CAST(FLOOR(1000000.0 * $nest) AS BIGINT)"
+    }
+    val armCtes = arms.zipWithIndex.map { case ((b, r), i) =>
+      s"bt$i AS (${bandSelectsGen("minh", b, r)}), " +
+        s"pr$i AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        s"FROM bt$i a JOIN bt$i b ON a.band = b.band AND a.bucket = b.bucket " +
+        "AND a.doc_id < b.doc_id), " +
+        s"mm$i AS (SELECT ($minhashMatches) AS n_matching FROM pr$i p " +
+        "JOIN minh x ON x.doc_id = p.doc_a " +
+        "JOIN minh y ON y.doc_id = p.doc_b), " +
+        s"ag$i AS (SELECT CAST($b AS BIGINT) AS bands, " +
+        s"CAST($r AS BIGINT) AS rows_per_band, " +
+        s"${sStarSql(b, r)} AS s_star_ppm, " +
+        "CAST(count(*) AS BIGINT) AS n_candidates, " +
+        "CAST(coalesce(sum(CASE WHEN CAST(FLOOR(1000000.0 * n_matching / " +
+        s"${PH.MinhashK}) AS BIGINT) >= 750000 THEN 1 ELSE 0 END), 0) " +
+        s"AS BIGINT) AS n_dup_pairs FROM mm$i)"
+    }.mkString(", ")
+    s"WITH $minhashCteChain, $armCtes " +
+      "SELECT * FROM (" +
+      arms.indices.map(i => s"SELECT * FROM ag$i").mkString(" UNION ALL ") +
+      ") ORDER BY bands"
+  }
+
   /** [[graft.operators.Dedup.sourceOverlap]]: the MinHash pair chain
     * reused verbatim, endpoints labeled with their sources, cells
     * normalized by (least, greatest). */
@@ -4378,6 +4420,35 @@ object ExtQueries {
       "CAST(n_b AS BIGINT) AS n_b, " +
       "CAST(FLOOR(1000000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) " +
       "AS drift_cos_ppm FROM j WHERE na > 0 AND nb > 0 ORDER BY label"
+
+  /** [[graft.operators.Similarity.knnFiltered]]: both filter arms
+    * re-derived — the pre arm ranks within the label stratum, the
+    * post arm keeps GLOBAL ranks and filters after, so the oracle
+    * hash pins the rank-gap semantics too. */
+  private val simKnnFilteredSql: String =
+    s"WITH $quantCte, " +
+      "lab AS (SELECT b.vec_id, b.qe, b.n, e.label FROM base b " +
+      "JOIN embeddings e ON e.vec_id = b.vec_id), " +
+      "qs AS (SELECT vec_id AS query_id, qe AS qq, n AS nq, " +
+      "label AS qlabel FROM lab WHERE vec_id < 8), " +
+      "sc AS (SELECT qs.query_id, qs.qlabel, l.label, " +
+      "l.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qq", "l.qe"), "qs.nq", "l.n")} AS cos_ppm " +
+      "FROM lab l CROSS JOIN qs WHERE l.vec_id != qs.query_id), " +
+      "rg AS (SELECT query_id, qlabel, label, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cos_ppm DESC, neighbor_id) AS rnk FROM sc), " +
+      "rp AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cos_ppm DESC, neighbor_id) AS rnk FROM sc " +
+      "WHERE label = qlabel) " +
+      "SELECT * FROM (" +
+      "SELECT query_id, 'pre' AS arm, CAST(rnk AS BIGINT) AS rank, " +
+      "neighbor_id, cos_ppm FROM rp WHERE rnk <= 5 " +
+      "UNION ALL " +
+      "SELECT query_id, 'post' AS arm, CAST(rnk AS BIGINT) AS rank, " +
+      "neighbor_id, cos_ppm FROM rg WHERE rnk <= 5 AND label = qlabel" +
+      ") ORDER BY query_id, arm, rank"
 
   /** [[graft.operators.Similarity.ivfBalance]] oracle — the same
     * deterministic assignment CTEs as sim_knn_ivf, reduced to
@@ -5283,6 +5354,15 @@ object ExtQueries {
     // embedding-pipeline monitoring primitive
     "sim_drift_report" -> ((s, d) =>
       Similarity.driftReport(Tables.embeddings(s, d))),
+    // r11: the text-LSH banding knob measured — every (b, r)
+    // factorization of K=16, candidates vs verified dups vs s*
+    "dd_minhash_bands_sweep" -> ((s, d) =>
+      Dedup.minhashBandsSweep(Tables.documents(s, d))),
+    // r11: metadata-filtered ANN — pre-filter vs post-filter arms
+    // under one protocol (global ranks kept so dropped ranks shows
+    // the post-filter recall loss)
+    "sim_knn_filtered" -> ((s, d) =>
+      Similarity.knnFiltered(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5524,6 +5604,8 @@ object ExtQueries {
     "tx_source_classifier" -> txSourceClassifierSql,
     "dd_source_overlap" -> ddSourceOverlapSql,
     "sim_drift_report" -> simDriftReportSql,
+    "dd_minhash_bands_sweep" -> ddMinhashBandsSweepSql,
+    "sim_knn_filtered" -> simKnnFilteredSql,
     "pipeline_curate_web" -> pipelineCurateWebSql,
     "rel_domain_quality" -> relDomainQualitySql,
     "tx_sample_strat" -> txSampleStratSql,
