@@ -192,6 +192,78 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Incremental k-NN graph MAINTENANCE (r11): fold an arriving
+    * batch (vec_id % splitMod == 0 — [[graft.relational]] uses the
+    * dd_incremental residue convention) into the store's existing
+    * graph WITHOUT recomputing it, and return a result that is
+    * byte-identical to the from-scratch graph — the declared oracle
+    * IS `sim_knn_graph_wide`'s from-scratch SQL, so the hash PROVES
+    * the merge exact, not approximately refreshed.
+    *
+    * Exactness argument (spec-pinned): band keys are per-vector
+    * (width fixed — an auto width would shift with N and change the
+    * candidate sets), so existing↔existing candidates are unchanged
+    * by the batch; new candidate pairs all touch an incoming vector.
+    * For an unaffected node nothing changed. For an affected node,
+    * the true top-k draws from (all its old candidates ∪ its new
+    * edges); any old candidate OUTSIDE its old top-k was already
+    * beaten by k old edges that are all still present, so top-k of
+    * (old top-k ∪ new edges) = top-k of the full candidate set, rank
+    * values included (row_number over a superset containing the true
+    * top-k under the shared (cos desc, neighbor asc) order).
+    *
+    * Scale shape: the maintenance cost is the INCOMING band join —
+    * |batch| × bucket occupancy — plus a |affected|-keyed re-top-k;
+    * corpus-sized work appears only in the stored graph it reuses.
+    * This is the vector-store ingest loop: pay per batch, not per
+    * corpus. */
+  def knnGraphUpsert(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+                     bitsPerBand: Int = 8,
+                     splitMod: Int = 10): DataFrame = {
+    val existing = embeddings
+      .where(pmod(col("vec_id"), lit(splitMod)) =!= 0)
+    val gOld = knnGraph(existing, k, nBands, bitsPerBand)
+      .localCheckpoint(true)
+    val base = quantized(embeddings).localCheckpoint(true)
+    val banded = Dedup.vectorBands(embeddings, nBands, bitsPerBand)
+    val newIds = embeddings
+      .where(pmod(col("vec_id"), lit(splitMod)) === 0).select("vec_id")
+    val bandedNew = banded.join(newIds, "vec_id")
+    val pairs = bandedNew
+      .select(col("band"), col("bucket"), col("vec_id").as("va"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vec_id").as("vb")), Seq("band", "bucket"))
+      .where(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"))
+      .distinct()
+    val scored = pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
+        col("qn").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
+        col("qn").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_ppm"))
+    val directedNew = scored.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("neighbor_id"), col("cos_ppm"))
+      .union(scored.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("cos_ppm")))
+    val affected = directedNew.select("vec_id").distinct()
+    val merged = gOld.select("vec_id", "neighbor_id", "cos_ppm")
+      .join(affected, "vec_id")
+      .unionByName(directedNew)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
+    val recomputed = merged
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cos_ppm")
+    gOld.join(affected, Seq("vec_id"), "left_anti")
+      .unionByName(recomputed)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Vector-store BUILD pipeline (r10): the retrieval-side composite
     * mirroring what `pipeline_curate` is for text — near-dup the
     * embedding corpus (sign-LSH banded candidates, exact cosine

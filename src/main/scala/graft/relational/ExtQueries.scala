@@ -5363,6 +5363,10 @@ object ExtQueries {
     // the post-filter recall loss)
     "sim_knn_filtered" -> ((s, d) =>
       Similarity.knnFiltered(Tables.embeddings(s, d))),
+    // r11: incremental graph maintenance whose oracle is the
+    // FROM-SCRATCH wide graph — the hash proves the merge exact
+    "sim_knn_upsert" -> ((s, d) =>
+      Similarity.knnGraphUpsert(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5418,6 +5422,9 @@ object ExtQueries {
     "dd_edit_verified" -> ddEditVerifiedSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_knn_graph_wide" -> simKnnGraphWideSql,
+    // the upsert's oracle IS the from-scratch wide graph: the hash
+    // proves the incremental merge exact
+    "sim_knn_upsert" -> simKnnGraphWideSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

@@ -37,6 +37,39 @@ class BandingSweepSpec extends AnyFunSuite {
     assert(rows.head._2 == 1000000L && rows.last._2 == 62500L)
   }
 
+  test("knn upsert: incremental merge equals the from-scratch graph, " +
+    "including displaced neighbors and rank values") {
+    // all-positive dims -> every vector lands in one band bucket, so
+    // candidates are all pairs and displacement is exercised: new
+    // vec 10 sits between 1 and 3, pushing 3 down id 1's list; new
+    // vec 20 is near-orthogonal noise.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f)), (3L, Seq(0.8f, 0.3f)), (5L, Seq(0.1f, 1.0f)),
+      (10L, Seq(0.95f, 0.15f)), (20L, Seq(0.3f, 0.9f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val inc = rows(Similarity.knnGraphUpsert(emb, k = 2, nBands = 1,
+      bitsPerBand = 2, splitMod = 10))
+    val scratch = rows(Similarity.knnGraph(emb, k = 2, nBands = 1,
+      bitsPerBand = 2))
+    assert(inc == scratch)
+    // the displacement really happened: vec 10 is id 1's rank-1
+    assert(inc.contains((1L, 1L, 10L, inc.find(t => t._1 == 1L &&
+      t._2 == 1L).get._4)))
+  }
+
+  test("knn upsert: empty incoming batch returns the stored graph unchanged") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f)), (3L, Seq(0.8f, 0.3f)), (5L, Seq(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Similarity.knnGraphUpsert(emb, k = 2, nBands = 1,
+        bitsPerBand = 2, splitMod = 10)) ==
+      rows(Similarity.knnGraph(emb, k = 2, nBands = 1, bitsPerBand = 2)))
+  }
+
   test("filtered ANN: post arm is the label-filtered subset of the " +
     "global top-k with ranks preserved; pre ranks are <= post ranks") {
     val emb = Seq(
