@@ -277,9 +277,22 @@ object Similarity {
     * cell is paid on every probe of that cell forever. Composite
     * cost = its parts'; the only new work is one id anti-join and
     * the |cells|-row manifest reduce. */
-  def indexPipeline(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
-    val losers = graft.operators.Dedup.embeddingNearDup(embeddings)
-      .select(col("vec_b").as("vec_id")).distinct()
+  def indexPipeline(embeddings: DataFrame, nCentroids: Int = 8): DataFrame =
+    indexPipelineFrom(embeddings,
+      graft.operators.Dedup.embeddingNearDup(embeddings), nCentroids)
+
+  /** [[indexPipeline]] over the AUTO-width near-dup blocker (r11) —
+    * the composite composes the SCALE path, the pipeline_curate
+    * auto-k convention applied to the vector side: no hand-tuned
+    * band width survives inside the flagship build. */
+  def indexPipelineAuto(embeddings: DataFrame,
+                        nCentroids: Int = 8): DataFrame =
+    indexPipelineFrom(embeddings,
+      graft.operators.Dedup.embeddingNearDupAuto(embeddings), nCentroids)
+
+  private def indexPipelineFrom(embeddings: DataFrame, nearDup: DataFrame,
+                                nCentroids: Int): DataFrame = {
+    val losers = nearDup.select(col("vec_b").as("vec_id")).distinct()
     val full = quantized(embeddings)
     val surv = full.join(losers, Seq("vec_id"), "left_anti")
     val cents: Seq[(Long, Seq[Long], Long)] = full

@@ -4474,8 +4474,8 @@ object ExtQueries {
     * re-derived; an index built over the UNDEDUPED corpus (or a
     * codebook fit on survivors instead of the pinned full-corpus
     * rule) fails the occupancy hash. */
-  private val simIndexPipelineSql: String =
-    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+  private def simIndexPipelineSqlFrom(bandsCte: String): String =
+    s"WITH $quantCte, $bandsCte, " +
       "prs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
       "AND a.vec_id < b.vec_id), " +
@@ -4498,6 +4498,16 @@ object ExtQueries {
       "CAST(max(vec_id) AS BIGINT) AS max_vec_id, " +
       "(1000000 * count(*) * 8) // total AS balance_ppm " +
       "FROM assign, tot GROUP BY cid, total ORDER BY cid"
+
+  private val simIndexPipelineSql: String =
+    simIndexPipelineSqlFrom(signBandsCte(4, 4))
+
+  /** [[graft.operators.Similarity.indexPipelineAuto]]: the same build
+    * over the AUTO-width near-dup blocker (signBandsAutoCte) — the
+    * composite composes the scale path, matching pipeline_curate's
+    * auto-k convention. */
+  private val simIndexPipelineAutoSql: String =
+    simIndexPipelineSqlFrom(signBandsAutoCte(4))
 
   /** [[graft.operators.Similarity.knnDescent]] oracle — the graph
     * rebuilt from its own declared SQL, the neighbor-of-neighbor
@@ -4986,6 +4996,10 @@ object ExtQueries {
     // assignment -> per-cell manifest (pipeline_curate, vector side)
     "pipeline_index" -> ((s, d) =>
       Similarity.indexPipeline(Tables.embeddings(s, d))),
+    // r11: the same build over the auto-width blocker — the
+    // composite composes the scale path
+    "pipeline_index_auto" -> ((s, d) =>
+      Similarity.indexPipelineAuto(Tables.embeddings(s, d))),
     // r9 continuation: short-text dedup — df-capped char-gram
     // blocking + exact Levenshtein verify
     "dd_edit_verified" -> ((s, d) =>
@@ -5448,6 +5462,7 @@ object ExtQueries {
     "dd_minhash_calibration" -> ddMinhashCalibrationSql,
     "sim_ivf_balance" -> simIvfBalanceSql,
     "pipeline_index" -> simIndexPipelineSql,
+    "pipeline_index_auto" -> simIndexPipelineAutoSql,
     "dd_lsh_verified" -> ddLshVerifiedSql,
     "dd_embed_neardup" -> ddEmbedNearDupSql,
     "dd_kmeans" -> ddKmeansSql,
