@@ -1245,7 +1245,13 @@ object TextAnalysis {
     * n_docs) — class-count-bounded output at any corpus size. Scale
     * shape: two token-keyed hash aggs (map-side combinable) for the
     * fit, one token-keyed shuffle join + one doc-keyed agg for the
-    * scoring, one broadcast of |classes| rows; no collect anywhere. */
+    * scoring, one broadcast of |classes| rows; no collect anywhere.
+    * The corpus is deliberately RE-SCANNED per branch (fit / score /
+    * test dim) rather than localCheckpoint-ing the exploded token
+    * table: the token table is corpus-sized — caching it costs more
+    * than the column-pruned scans it would save (the checkpoint-
+    * vs-rescan rule the semDedup assignment applies in the OPPOSITE
+    * direction, because there the cached side is model-bounded). */
   /** The classifier's FIT half, exposed on its own so the stream
     * path ([[graft.streaming.StreamingCuration.classifyStream]]) can
     * apply a batch-fit model to arriving docs — the batch-fit /
