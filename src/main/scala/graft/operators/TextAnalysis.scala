@@ -1261,8 +1261,14 @@ object TextAnalysis {
     val train = Partitioning.spread(docs)
       .where(pmod(col("doc_id"), lit(fold)) =!= 0)
       .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+    // ONE corpus pass: the per-token total is the label-sum of the
+    // per-(token, class) counts, so c_w reduces over the (vocab ×
+    // classes)-sized cwl instead of re-scanning the corpus; cwl is
+    // model-sized, so materializing it for its two plan references
+    // (the checkpoint-vs-rescan rule, model-sized side) is cheap
     val cwl = train.groupBy("w", "source").agg(count(lit(1)).as("c_wl"))
-    val cw = train.groupBy("w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(true)
+    val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
     cwl.join(cw, "w")
       .select(col("w"), col("source").as("label"),
         expr("(c_wl * 1000000) div c_w").as("weight_ppm"))
