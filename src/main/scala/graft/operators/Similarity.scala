@@ -237,6 +237,11 @@ object Similarity {
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
       .distinct()
+    // batch-sized (|batch| × occupancy) and referenced by THREE
+    // downstream consumers (both union arms and, via affected, the
+    // anti-join) — materialize once or the banded-join subtree
+    // re-executes per reference (measured: 36 corpus scans in the
+    // un-checkpointed plan)
     val scored = pairs
       .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
         col("qn").as("na")), "vec_a")
@@ -245,6 +250,7 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
           .as("cos_ppm"))
+      .localCheckpoint(true)
     val directedNew = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))
       .union(scored.select(col("vec_b").as("vec_id"),
@@ -1151,10 +1157,13 @@ object Similarity {
       // floors agree exactly
       .select(col("label"), col("half"), col("pos"),
         floor(col("s") / col("n")).cast("long").as("c"), col("n"))
+    // |labels|·2 rows, referenced by both join sides — materialize
+    // once (model-sized checkpoint rule) or the corpus agg runs twice
     val packed = cent.groupBy("label", "half")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           e => e.getField("c")).as("cv"),
         max("n").as("n"))
+      .localCheckpoint(true)
     val a = packed.where(col("half") === 0)
       .select(col("label"), col("cv").as("ca"), col("n").as("n_a"))
     val b = packed.where(col("half") === 1)
