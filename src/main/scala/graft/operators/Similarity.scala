@@ -1128,6 +1128,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label integer floor-mean centroids of the full corpus —
+    * the BASELINE side of the streaming drift monitor
+    * ([[graft.streaming.StreamingCuration.driftStream]]): (label,
+    * cv: array<bigint>, n). Same quantization and floor-of-IEEE-
+    * quotient mean as [[driftReport]]; zero-direction centroids
+    * excluded (no drift direction to compare against). */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val base = quantized(embeddings)
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+      .select(col("label"), posexplode(col("qe")))
+    val cent = base.groupBy("label", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        floor(col("s") / col("n")).cast("long").as("c"), col("n"))
+    val packed = cent.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"),
+        max("n").as("n"))
+    val n2 = aggregate(zip_with(col("cv"), col("cv"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    packed.where(n2 > 0).select("label", "cv", "n")
+  }
+
   /** Embedding drift report (r11): per label, the cosine between the
     * centroids of two corpus halves (vec_id parity — the stand-in
     * for "yesterday's snapshot vs today's"; production passes real

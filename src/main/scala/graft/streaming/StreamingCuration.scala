@@ -282,4 +282,50 @@ object StreamingCuration {
       best.getField("label").as("predicted_source"),
       best.getField("score").as("score"))
   }
+
+  /** Streaming drift monitor (r11): per (window, label), the cosine
+    * between the arriving batch's centroid and the STATIC baseline
+    * corpus centroid ([[graft.operators.Similarity.labelCentroids]]) —
+    * the alert surface for an embedding-pipeline regression (the
+    * batch form is `sim_drift_report`; this is its always-on twin
+    * over windows instead of corpus halves).
+    *
+    * Stream shape: (ts: timestamp, vec_id: bigint, embedding:
+    * array<float>, label: int). Design: ONE windowed stateful agg —
+    * the per-dimension component sums are `dims` conditional sum
+    * columns generated at PLAN time (dims read from one baseline
+    * row, a model-sized lookup), so no explode-then-regroup and no
+    * chained stateful operators; the centroid mean is the shared
+    * floor-of-IEEE-quotient; the baseline joins in stream-static by
+    * label after the agg (|labels|-sized). State per window:
+    * |labels| × (dims + 1) longs — bounded, payload-free. Rows whose
+    * quantized norm is zero are excluded exactly as the batch
+    * quantized() gate does. */
+  def driftStream(vecs: DataFrame, baseline: DataFrame,
+                  windowLen: String = "1 minute",
+                  watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    val base = baseline.localCheckpoint(true)
+    val dims = base.select(size(col("cv"))).head().getInt(0)
+    val q = vecs.withWatermark("ts", watermark)
+      .select(col("ts"), col("label"), V.quantize(col("embedding")).as("qe"))
+      .withColumn("qn", V.qnorm2(col("qe")))
+      .where(col("qn") > 0)
+    val sums = (0 until dims).map(i =>
+      sum(get(col("qe"), lit(i))).as(s"s_$i"))
+    val agg = q.groupBy(window(col("ts"), windowLen), col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val cw = array((0 until dims).map(i =>
+      floor(col(s"s_$i") / col("n")).cast("long")): _*)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    agg.withColumn("cw", cw)
+      .where(dot(col("cw"), col("cw")) > 0)
+      .join(base.select(col("label"), col("cv").as("cb")), "label")
+      .select(col("window"), col("label"), col("n"),
+        floor(lit(1000000.0) * dot(col("cw"), col("cb"))
+          / (sqrt(dot(col("cw"), col("cw")))
+            * sqrt(dot(col("cb"), col("cb"))))).cast("long")
+          .as("drift_cos_ppm"))
+  }
 }

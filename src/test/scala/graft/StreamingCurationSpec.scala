@@ -357,4 +357,40 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(!got.contains(999L)) // flush window not yet closed
     } finally q.stop()
   }
+
+  test("driftStream: window centroids vs the static baseline, " +
+    "batch floor/cosine arithmetic shared") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    // static baseline: label 1 -> [1, 0], label 2 -> [0, 1]
+    // ([1,0] quantizes to [1024, 0]: perfect-square norm -> exact 1e6
+    // on an identical window centroid)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 1.0f), 2), (4L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val baseline = graft.operators.Similarity.labelCentroids(corpus)
+    val mem = MemoryStream[(Timestamp, Long, Seq[Float], Int)]
+    val q = StreamingCuration.driftStream(
+        mem.toDF().toDF("ts", "vec_id", "embedding", "label"), baseline,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (ts(0), 100L, Seq(1.0f, 0.0f), 1),  // on-baseline for label 1
+        (ts(0), 101L, Seq(0.0f, 1.0f), 1),  // drifted arrival, label 1
+        (ts(0), 102L, Seq(0.0f, 1.0f), 2))  // on-baseline for label 2
+      q.processAllAvailable()
+      mem.addData((ts(5), 999L, Seq(1.0f, 1.0f), 1)) // close the window
+      q.processAllAvailable()
+      val got = spark.table("drift_out").collect()
+        .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+      // label 1 window centroid = floor-mean of [1024,0] and [0,1024]
+      // = [512, 512]; cos vs [1024, 0] = 1/sqrt(2) -> 707106 ppm
+      assert(got(1) == ((2L, 707106L)))
+      // label 2 window centroid equals its baseline exactly -> 1e6
+      assert(got(2) == ((1L, 1000000L)))
+    } finally q.stop()
+  }
 }
