@@ -1538,7 +1538,13 @@ object Dedup {
     * or must be global). Cost: the blocker's pair table + two
     * id-keyed joins against a two-column doc dim + one
     * |sources|²-bounded agg; distinct-doc counts aggregate ids, not
-    * payloads. */
+    * payloads. The doc endpoints swap TOGETHER with the sources when
+    * the (source_a ≤ source_b) normalization flips a pair (r12,
+    * review finding): n_docs_a counts the docs that BELONG to
+    * source_a in every cell — with id-ordered endpoints an
+    * off-diagonal cell whose pair arrived source-reversed would
+    * credit source_a with source_b's docs, misleading the per-source
+    * dedup decision the report exists to inform. */
   def sourceOverlap(docs: DataFrame,
                     minEstJaccardPpm: Long = 750000L): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
@@ -1552,11 +1558,14 @@ object Dedup {
         "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
-        col("doc_a"), col("doc_b"))
+        when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("da"),
+        when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("db"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc_a")).as("n_docs_a"),
-        countDistinct(col("doc_b")).as("n_docs_b"))
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
       .orderBy("source_a", "source_b")
   }
 

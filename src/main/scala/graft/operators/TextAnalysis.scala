@@ -1309,13 +1309,28 @@ object TextAnalysis {
       .select(explode(TextOps.wordShinglesAll(col("text"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n_pair"))
     val totals = pairCounts.agg(sum("n_pair").as("n_total"))
-    pairCounts.filter(col("n_pair") >= minPair)
+    // surviving pairs feed THREE consumers (the two endpoint-word
+    // prunes and the PMI join) and sit behind a corpus-sized bigram
+    // agg — materialize once (the multiply-referenced bounded
+    // intermediate rule; n_pair >= minPair bounds the set)
+    val surviving = pairCounts.filter(col("n_pair") >= minPair)
       .select(split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"), col("n_pair"))
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
-        "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
-        "w2")
+      .localCheckpoint(true)
+    // the unigram table is VOCABULARY-sized — Heaps-law unbounded in
+    // the corpus, the one dim in this family a broadcast may NOT
+    // assume small (r11 verdict finding). Semi-join-prune it to the
+    // words surviving the minPair filter (≤ 2·|surviving| rows, the
+    // join's own key set) and leave the strategy to AQE: the pruned
+    // dim is runtime-sized, so Spark broadcasts it exactly when it
+    // is in fact small instead of on a hand-written promise.
+    val survWords = surviving.select(col("w1").as("w"))
+      .union(surviving.select(col("w2").as("w"))).distinct()
+    val prunedUni = uni.join(survWords, Seq("w"), "left_semi")
+      .localCheckpoint(true)
+    surviving
+      .join(prunedUni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(prunedUni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"),
         expr("(n_pair * 1000000 * n_total) div (c1 * c2)")

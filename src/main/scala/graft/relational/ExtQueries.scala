@@ -3704,7 +3704,8 @@ object ExtQueries {
 
   /** [[graft.operators.Dedup.sourceOverlap]]: the MinHash pair chain
     * reused verbatim, endpoints labeled with their sources, cells
-    * normalized by (least, greatest). */
+    * normalized by (least, greatest) — doc endpoints swapped along
+    * with the sources so n_docs_a/b count docs per SOURCE side. */
   private val ddSourceOverlapSql: String =
     s"WITH $minhashCteChain, " +
       s"bandtab AS (${bandSelectsFrom("minh")}), " +
@@ -3721,8 +3722,10 @@ object ExtQueries {
       "JOIN documents db ON db.doc_id = nd.doc_b) " +
       "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
       "CAST(count(*) AS BIGINT) AS n_pairs, " +
-      "CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a, " +
-      "CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b " +
+      "CAST(count(DISTINCT CASE WHEN sa <= sb THEN doc_a ELSE doc_b END) " +
+      "AS BIGINT) AS n_docs_a, " +
+      "CAST(count(DISTINCT CASE WHEN sa <= sb THEN doc_b ELSE doc_a END) " +
+      "AS BIGINT) AS n_docs_b " +
       "FROM lab GROUP BY 1, 2 ORDER BY 1, 2"
 
   /** Multimodal composite: text-side curation ∩ embedding-side
@@ -4811,15 +4814,36 @@ object ExtQueries {
     * oracles; reduced to per-method counts + recall ppm. Lazy: the
     * rung vals are declared across this object and an eager val
     * would race initialization order. */
-  private lazy val simRecallLadderSql: String =
-    "WITH b AS (SELECT query_id, neighbor_id FROM (" + simKnnBruteSql + ")), " +
+  /** Rewrites an ANN-arm oracle's base-table references onto another
+    * relation (the post-dedup survivor CTE) — GUARDED, not a blind
+    * replace (r12, review finding): every arm must reference the base
+    * table only via the literal `FROM embeddings` token (once through
+    * quantCte or bitsig's `s`; the lsh arm also once per band select)
+    * and never as any other spelling. A future arm edit that spells
+    * the reference differently (zero matches) or mentions the table
+    * outside the token now fails HERE at oracle-dump time instead of
+    * silently producing a wrong dedup arm. */
+  private def armFrom(sql: String, table: String): String = {
+    val token = "FROM embeddings"
+    require(sql.contains(token),
+      s"ANN arm oracle has no rewritable '$token' base-table reference")
+    require(!sql.replace(token, "").contains("embeddings"),
+      "ANN arm oracle references 'embeddings' outside the rewritable token")
+    sql.replace(token, s"FROM $table")
+  }
+
+  /** [[graft.operators.Similarity.recallLadder]] parameterized on the
+    * corpus relation, so the post-dedup twin composes structurally
+    * instead of via post-hoc string surgery. */
+  private def simRecallLadderSqlFrom(table: String): String =
+    "WITH b AS (SELECT query_id, neighbor_id FROM (" + armFrom(simKnnBruteSql, table) + ")), " +
       "u AS (" +
-      "SELECT 'bitsig' AS method, query_id, neighbor_id FROM (" + simKnnBitsigSql + ") " +
-      "UNION ALL SELECT 'ivf', query_id, neighbor_id FROM (" + simKnnIvfSql + ") " +
-      "UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM (" + simKnnIvfPqSql + ") " +
-      "UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM (" + simKnnIvfSq8Sql + ") " +
-      "UNION ALL SELECT 'lsh', query_id, neighbor_id FROM (" + simKnnLshSql + ") " +
-      "UNION ALL SELECT 'sq8', query_id, neighbor_id FROM (" + simKnnSq8Sql + ")), " +
+      "SELECT 'bitsig' AS method, query_id, neighbor_id FROM (" + armFrom(simKnnBitsigSql, table) + ") " +
+      "UNION ALL SELECT 'ivf', query_id, neighbor_id FROM (" + armFrom(simKnnIvfSql, table) + ") " +
+      "UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM (" + armFrom(simKnnIvfPqSql, table) + ") " +
+      "UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM (" + armFrom(simKnnIvfSq8Sql, table) + ") " +
+      "UNION ALL SELECT 'lsh', query_id, neighbor_id FROM (" + armFrom(simKnnLshSql, table) + ") " +
+      "UNION ALL SELECT 'sq8', query_id, neighbor_id FROM (" + armFrom(simKnnSq8Sql, table) + ")), " +
       "r AS (SELECT method, count(*) AS n_returned FROM u GROUP BY 1), " +
       "h AS (SELECT method, count(*) AS n_hits FROM u " +
       "JOIN b USING (query_id, neighbor_id) GROUP BY 1), " +
@@ -4830,11 +4854,16 @@ object ExtQueries {
       "AS recall_ppm " +
       "FROM r LEFT JOIN h USING (method), t ORDER BY method"
 
+  /** Lazy: the rung vals are declared across this object and an eager
+    * val would race initialization order. */
+  private lazy val simRecallLadderSql: String =
+    simRecallLadderSqlFrom("embeddings")
+
   /** [[graft.operators.Similarity.recallLadderPostDedup]]: the full
-    * ladder restated twice — once over the raw table, once with every
-    * `FROM embeddings` redirected to the near-dup survivor CTE (all
-    * embedding-table references in this object are exactly that
-    * token, so the rewrite is total); the survivor set is
+    * ladder restated twice — once over the raw table, once built over
+    * the near-dup survivor CTE via the PARAMETERIZED ladder builder
+    * ([[simRecallLadderSqlFrom]] — each arm's base-table reference is
+    * anchored and verified, see [[armFrom]]); the survivor set is
     * dd_embed_neardup's loser anti-join. */
   private lazy val simRecallPostdedupSql: String =
     "WITH losers AS (SELECT DISTINCT vec_b AS vec_id FROM (" +
@@ -4842,8 +4871,7 @@ object ExtQueries {
       "surv AS (SELECT e.* FROM embeddings e " +
       "WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)), " +
       "rawl AS (SELECT * FROM (" + simRecallLadderSql + ")), " +
-      "dedl AS (SELECT * FROM (" +
-      simRecallLadderSql.replace("FROM embeddings", "FROM surv") + ")) " +
+      "dedl AS (SELECT * FROM (" + simRecallLadderSqlFrom("surv") + ")) " +
       "SELECT 'raw' AS corpus, method, n_returned, n_hits, n_truth, " +
       "recall_ppm FROM rawl " +
       "UNION ALL SELECT 'dedup', method, n_returned, n_hits, n_truth, " +

@@ -265,19 +265,26 @@ object StreamingCuration {
       .select(col("ts"), col("doc_id"),
         explode(TextOps.words(col("text"))).as("w"))
     val scored = toks.join(model, Seq("w"), "left")
-    val perLabel = labels.map(l =>
+    // score columns are INDEX-named over the sorted label list (r12,
+    // review finding): a label value containing a dot, space, or
+    // backtick would make a label-derived col(s"s_$label") fail to
+    // resolve (Spark parses dots as struct access) — the label string
+    // only ever appears as a literal, never as an identifier
+    val perLabel = labels.zipWithIndex.map { case (l, i) =>
       sum(when(col("label") === l, col("weight_ppm")).otherwise(0L))
-        .as(s"s_$l"))
+        .as(s"s_$i")
+    }
     val agg = scored
       .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(perLabel.head, perLabel.tail: _*)
-    val init = struct(col(s"s_${labels.last}").as("score"),
+    val init = struct(col(s"s_${labels.size - 1}").as("score"),
       lit(labels.last).as("label"))
-    val best = labels.dropRight(1).reverse.foldLeft(init) { (acc, l) =>
-      when(col(s"s_$l") >= acc.getField("score"),
-        struct(col(s"s_$l").as("score"), lit(l).as("label")))
-        .otherwise(acc)
-    }
+    val best = labels.zipWithIndex.dropRight(1).reverse
+      .foldLeft(init) { case (acc, (l, i)) =>
+        when(col(s"s_$i") >= acc.getField("score"),
+          struct(col(s"s_$i").as("score"), lit(l).as("label")))
+          .otherwise(acc)
+      }
     agg.select(col("window"), col("doc_id"),
       best.getField("label").as("predicted_source"),
       best.getField("score").as("score"))

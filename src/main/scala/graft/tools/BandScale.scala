@@ -42,7 +42,7 @@ object BandScale {
       (4 to 16).foreach { bits =>
         val occ = Dedup.vectorBands(e, 4, bits)
           .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
-          .agg(sum(expr("c * (c - 1) / 2")).cast("long").as("pairs"),
+          .agg(sum(expr("c * (c - 1) DIV 2")).cast("long").as("pairs"),
             max("c").as("mx"),
             expr("percentile(c, 0.99D)").as("p99")).head()
         // the rule's design point: pairs if every bucket held exactly

@@ -37,7 +37,7 @@ object ClusterScale {
         assign.groupBy("cid").agg(count(lit(1)).as("n"))
           .agg(max("n").as("mx"), expr("percentile(n, 0.99D)").as("p99"),
             // within-cluster pair-join volume = sum n*(n-1)/2
-            sum(expr("n * (n - 1) / 2")).as("pairs")).head()
+            sum(expr("n * (n - 1) DIV 2")).as("pairs")).head()
       // fixed k=8 (the pinned-oracle anchor): pair volume measured
       // ANALYTICALLY from occupancy — executing the quadratic join at
       // the probe scale is exactly what the auto path exists to avoid

@@ -60,7 +60,7 @@ object LshScale {
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
         if (skipQuad)
           banded.groupBy("band", "chunk").agg(count(lit(1)).as("n"))
-            .agg(sum(expr("n * (n - 1) / 2")).cast("long")).head().getLong(0)
+            .agg(sum(expr("n * (n - 1) DIV 2")).cast("long")).head().getLong(0)
         else
           banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"))
             .join(banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b")),

@@ -358,6 +358,39 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifyStream survives label values that are not valid " +
+    "column identifiers (dots, spaces, backticks)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    // label-derived column names would make col("s_web.en") parse as
+    // struct access and crash planning (r12 review finding) — score
+    // columns are index-named, labels only ever appear as literals
+    val fitDocs = Seq(
+      (1L, "aa bb aa", "web.en"), (2L, "aa bb", "web.en"),
+      (3L, "cc dd cc", "lab data"), (4L, "cc dd", "lab data"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val model = graft.operators.TextAnalysis.sourceModel(fitDocs)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingCuration.classifyStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), model,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("classify_dotted_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(0), 100L, "aa bb"), (ts(0), 101L, "cc dd"),
+        (ts(0), 102L, "zz"))
+      q.processAllAvailable()
+      mem.addData((ts(5), 999L, "flush"))
+      q.processAllAvailable()
+      val got = spark.table("classify_dotted_out").collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(got(100L) == "web.en")
+      assert(got(101L) == "lab data")
+      // all-zero tie falls to the alphabetically-first label
+      assert(got(102L) == "lab data")
+    } finally q.stop()
+  }
+
   test("driftStream: window centroids vs the static baseline, " +
     "batch floor/cosine arithmetic shared") {
     implicit val sqlCtx = spark.sqlContext
