@@ -55,4 +55,26 @@ object VectorOps {
       when(get(v, lit(band * bitsPerBand + k)) > 0.0f, lit(1L << k))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Prefix-ANCHORED sign bucket (r12): band `b` reads dims
+    * [b·stride + offset, b·stride + offset + bits) — the band's dim
+    * block is pinned by `stride` (the maximum width), not by the
+    * current width, so widening a band NEVER shifts which dims it
+    * reads: bucket(w+1) = bucket(w) + bit_w·2^w, i.e. wider buckets
+    * REFINE narrower ones. That is the property [[signBucket]]'s
+    * packed layout lacks (band b at width w starts at dim b·w — a
+    * width change re-deals every band's dims) and the one a GROWABLE
+    * index needs: under anchoring, co-bucketed-at-(w+1) implies
+    * co-bucketed-at-w, so a width migration is a pure candidate-set
+    * filter (Similarity.knnGraphReband). `offset` slices the
+    * extension bits [w, w') on their own for the migration join. */
+  def signBucketAnchored(v: Column, band: Int, bits: Int,
+                         stride: Int, offset: Int = 0): Column = {
+    require(offset + bits <= stride,
+      s"anchored band exceeds its dim block: offset $offset + bits $bits > stride $stride")
+    (0 until bits).map { k =>
+      when(get(v, lit(band * stride + offset + k)) > 0.0f, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

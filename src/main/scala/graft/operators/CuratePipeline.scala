@@ -25,7 +25,10 @@ object CuratePipeline {
     val reps = Dedup.exact(docs).select("doc_id")
     val quality = TextAnalysis.qualityScore(docs)
       .select("doc_id", "quality_ppm")
-    val losers = Dedup.minhashLsh(docs)
+    // AUTO-banded blocker (r12): the flagship composite deploys the
+    // corpus-count-derived (b, r), never the hand-fixed 8×2 — the
+    // pipeline_index_auto convention applied to the text side
+    val losers = Dedup.minhashLshAuto(docs)
       .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.select("doc_id", "lang", "source", "n_chars")

@@ -192,6 +192,61 @@ object Dedup {
       capBuckets(minhashBands(docs, shingleN, bands, rowsPerBand),
         maxBucketSize))
 
+  /** Inverse background-similarity level for [[autoBandRows]]: docs
+    * at Jaccard ≤ 1/10 are unrelated — the noise floor the banding
+    * must suppress, shared verbatim with the DuckDB oracle. */
+  val AutoInvS2: Long = 10L
+
+  /** The text-side banding rule, MECHANIZED (r12 — the
+    * [[graft.operators.Similarity.autoBits]] move applied to the
+    * MinHash (b, r) knob that [[minhashBandsSweep]] only MEASURED):
+    * r = the largest power-of-two factorization of K=16 with
+    * [[AutoInvS2]]^r ≤ N (clamped to ≥ 2), b = K/r.
+    *
+    * Derivation: a non-dup pair at background Jaccard s₂ collides in
+    * one band with probability s₂^r, so expected background
+    * candidates scale as b·N²·s₂^r — the classic LSH parameter rule
+    * (Gionis–Indyk–Motwani, VLDB'99) sets r ≈ ln N / ln(1/s₂) to
+    * hold that at ~b·N (linear). Flooring to the available arm takes
+    * the RECALL-safe side (smaller r ⇒ lower S-curve threshold
+    * s* = (1/b)^(1/r) ⇒ more candidates, never fewer true pairs) and
+    * with 1/s₂ = 10 the pick is pure INTEGER thresholds — r = 4 iff
+    * N ≥ 10⁴, r = 8 iff N ≥ 10⁸, r = 16 iff N ≥ 10¹⁶ — no ln/pow,
+    * so the oracle reproduces it exactly (library transcendentals
+    * are not bit-specified across engines; sqrt/integer compares
+    * are).
+    *
+    * The sweep's MEASUREMENTS confirm the rule's two live picks:
+    * at the driver SFs (N ≤ 5×10³) it returns r=2 — the deployed
+    * 8×2 operating point (dd_blocker_recall's measured recall row);
+    * at the 10× probe (N = 5×10⁴ > 10⁴) it returns r=4 — 4×4
+    * measured there at 248k candidates vs 8×2's 342k (−27% verify
+    * volume) while keeping 246,949 of 247,667 dup pairs (99.7%).
+    * The r=1 arm (16×1) is never picked: measured 15.7M candidates
+    * at the probe for the same dup yield — the explosion arm. */
+  def autoBandRows(n: Long, invS2: Long = AutoInvS2): Int =
+    Iterator.iterate(PH.MinhashK)(_ / 2).takeWhile(_ >= 2).find { r =>
+      // invS2^r <= n, in exact integer arithmetic (divide down —
+      // invS2^16 would overflow a Long for larger invS2)
+      var v = n; var i = 0
+      while (i < r && v >= invS2) { v /= invS2; i += 1 }
+      i == r
+    }.getOrElse(2)
+
+  /** [[minhashLsh]] with the banding derived from the corpus count
+    * (declared dd_minhash_auto): N is read from the SAME
+    * localCheckpoint the band explode reuses — one signature pass
+    * plus a count over the cached table, the knnGraphAuto shape. No
+    * hand-tuned (b, r) survives inside the flagship composites:
+    * [[graft.operators.CuratePipeline]] deploys THIS blocker. */
+  def minhashLshAuto(docs: DataFrame, shingleN: Int = 3,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleN).localCheckpoint(true)
+    val r = autoBandRows(sigs.count())
+    lshPairsFrom(capBuckets(bandsFrom(sigs, PH.MinhashK / r, r),
+      maxBucketSize))
+  }
+
   /** Banded-signature self-join → (doc_a, doc_b, n_matching,
     * est_jaccard_ppm) — shared by the K-affine ([[minhashLsh]]) and
     * one-permutation ([[ophLsh]]) signature families. */

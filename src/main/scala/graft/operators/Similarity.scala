@@ -172,7 +172,15 @@ object Similarity {
         Seq("band", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val scored = pairs
+    graphFromScored(scorePairs(pairs, base), k)
+  }
+
+  /** Exact quantized-cosine scoring of an undirected (vec_a < vec_b)
+    * candidate pair set against the quantized base — the expensive
+    * half of graph construction, split out so [[knnGraphReband]] can
+    * SKIP it (migrated pairs carry their stored scores). */
+  private def scorePairs(pairs: DataFrame, base: DataFrame): DataFrame =
+    pairs
       .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
         col("qn").as("na")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
@@ -180,6 +188,10 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
           .as("cos_ppm"))
+
+  /** Mirror + per-node top-k tail over an already-scored undirected
+    * pair set — shared by from-scratch, auto, and reband builds. */
+  private def graphFromScored(scored: DataFrame, k: Int): DataFrame = {
     val directed = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))
       .union(scored.select(col("vec_b").as("vec_id"),
@@ -219,13 +231,24 @@ object Similarity {
     * corpus. */
   def knnGraphUpsert(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
                      bitsPerBand: Int = 8,
-                     splitMod: Int = 10): DataFrame = {
+                     splitMod: Int = 10): DataFrame =
+    knnGraphUpsertWith(embeddings, k,
+      e => Dedup.vectorBands(e, nBands, bitsPerBand), splitMod)
+
+  /** [[knnGraphUpsert]] parameterized on the band-table builder, so
+    * the anchored-layout lifecycle (upsert → [[knnGraphReband]] →
+    * upsert, KnnRebandSpec) exercises the SAME merge under the
+    * migratable banding. The exactness argument above only needs the
+    * band key to be a fixed per-vector function — it holds for any
+    * layout the builder pins. */
+  private[graft] def knnGraphUpsertWith(embeddings: DataFrame, k: Int,
+      bandFn: DataFrame => DataFrame, splitMod: Int): DataFrame = {
     val existing = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) =!= 0)
-    val gOld = knnGraph(existing, k, nBands, bitsPerBand)
+    val gOld = knnGraphFrom(quantized(existing), bandFn(existing), k)
       .localCheckpoint(true)
     val base = quantized(embeddings).localCheckpoint(true)
-    val banded = Dedup.vectorBands(embeddings, nBands, bitsPerBand)
+    val banded = bandFn(embeddings)
     val newIds = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) === 0).select("vec_id")
     val bandedNew = banded.join(newIds, "vec_id")
@@ -268,6 +291,105 @@ object Similarity {
     gOld.join(affected, Seq("vec_id"), "left_anti")
       .unionByName(recomputed)
       .orderBy("vec_id", "rank")
+  }
+
+  /** Anchored-stride dim-block width: 4 bands × 16-dim blocks = the
+    * 64-dim embedding — bits per band can grow to 16 without any
+    * band's block moving. */
+  val AnchorStride: Int = 16
+
+  /** Sign-LSH band table over the prefix-ANCHORED layout
+    * ([[graft.functions.VectorOps.signBucketAnchored]]): band b reads
+    * dims [b·16, b·16+bits). The packed [[Dedup.vectorBands]] layout
+    * re-deals every band's dims when the width changes; anchoring
+    * pins them, making wider buckets strict refinements of narrower
+    * ones — the property a GROWABLE store needs (see
+    * [[knnGraphReband]]). */
+  private[graft] def vectorBandsAnchored(embeddings: DataFrame,
+      nBands: Int, bits: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        V.signBucketAnchored(col("embedding"), b, bits, AnchorStride)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** From-scratch k-NN graph over the anchored layout — the oracle
+    * twin [[knnGraphReband]] must reproduce byte-identically, and the
+    * from-scratch arm of KnnRebandSpec's lifecycle. */
+  private[graft] def knnGraphAnchored(embeddings: DataFrame, k: Int = 4,
+      nBands: Int = 4, bits: Int = 4): DataFrame =
+    knnGraphFrom(quantized(embeddings),
+      vectorBandsAnchored(embeddings, nBands, bits), k)
+
+  /** Width MIGRATION for a growable k-NN store (r12): the auto-width
+    * rule ([[autoBits]]) says band width must GROW with the corpus,
+    * but [[knnGraphUpsert]]'s exactness requires a FIXED width — so a
+    * long-lived store eventually crosses a width boundary and must
+    * re-band. Under the ANCHORED layout the migration w → w' is a
+    * pure candidate-set refinement, never a rebuild:
+    *
+    *   bucket_w'(v) = bucket_w(v) + ext(v)·2^w  (prefix anchoring)
+    *   ⇒ co-bucketed at w' in band b ⟺ co-bucketed at w in band b
+    *     AND agreeing on the extension bits [w, w') of band b
+    *
+    * so pairs(w') ⊆ pairs(w) EXACTLY, and every surviving pair's
+    * cosine is already in the store. Migration = one id-keyed join of
+    * the stored per-band candidate rows against each endpoint's
+    * extension bits + the stored-score lookup + the shared top-k tail:
+    * NO pair self-join, NO re-scoring — the two costs that make a
+    * from-scratch rebuild at 100 TB a full-corpus job. The store here
+    * is built inline at width w = autoBits(N) (what a store its size
+    * would be running) and migrated to w+1 (what corpus growth is
+    * about to demand); the declared oracle IS the from-scratch
+    * anchored graph at w+1, so the hash PROVES the migration exact —
+    * the [[knnGraphUpsert]] oracle-exactness pattern. At the width
+    * ceiling (w = 16 = stride) the extension is empty and migration
+    * degenerates to the identity on the candidate set.
+    *
+    * Store shape note: the migratable store keeps (vec_a, vec_b,
+    * band) candidate rows PLUS the distinct scored pairs — the band
+    * column is what lets the refinement check run per band without
+    * re-deriving who co-bucketed where. Both are candidate-volume-
+    * bounded (the same bound the blocker's occupancy cap enforces). */
+  def knnGraphReband(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
+                     targetOccupancy: Long = 128L): DataFrame = {
+    val base = quantized(embeddings).localCheckpoint(true)
+    val fromBits = autoBits(base.count(), targetOccupancy)
+    val toBits = math.min(fromBits + 1, AnchorStride)
+    val extBits = toBits - fromBits
+    // --- the STORE a width-w deployment holds ---------------------
+    val bandedOld = vectorBandsAnchored(embeddings, nBands, fromBits)
+    // per-band candidate rows (band kept — the refinement key);
+    // referenced once but the scored-pair build below re-reads it, so
+    // materialize the one candidate fan-out
+    val pairBands = bandedOld
+      .select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(bandedOld.select(col("band"), col("bucket"),
+        col("vec_id").as("vec_b")), Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "band")
+      .localCheckpoint(true)
+    val storedScores = scorePairs(
+      pairBands.select("vec_a", "vec_b").distinct(), base)
+      .localCheckpoint(true)
+    // --- the MIGRATION --------------------------------------------
+    if (extBits == 0) graphFromScored(storedScores, k)
+    else {
+      // each vector's extension bits [w, w') per band — a row-local
+      // projection over the corpus, the only new corpus-sized read
+      val ext = embeddings.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(b =>
+          V.signBucketAnchored(col("embedding"), b, extBits,
+            AnchorStride, offset = fromBits)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "ext")
+      val survived = pairBands
+        .join(ext.select(col("vec_id").as("vec_a"), col("band"),
+          col("ext").as("ea")), Seq("vec_a", "band"))
+        .join(ext.select(col("vec_id").as("vec_b"), col("band"),
+          col("ext").as("eb")), Seq("vec_b", "band"))
+        .where(col("ea") === col("eb"))
+        .select("vec_a", "vec_b").distinct()
+      graphFromScored(survived.join(storedScores, Seq("vec_a", "vec_b")), k)
+    }
   }
 
   /** Vector-store BUILD pipeline (r10): the retrieval-side composite

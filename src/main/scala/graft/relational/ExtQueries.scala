@@ -129,6 +129,36 @@ object ExtQueries {
       "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
   }
 
+  /** [[graft.operators.Dedup.minhashLshAuto]]: the banding derived
+    * from the corpus count by autoBandRows' INTEGER thresholds
+    * (r = 4 iff N ≥ 10⁴, 8 iff N ≥ 10⁸, 16 iff N ≥ 10¹⁶, else 2 —
+    * the 1/s₂ = 10 LSH parameter rule, no transcendentals so both
+    * engines pick identically), N counted over the SIGNATURE-BEARING
+    * docs (m0 NULL ⟺ fewer than shingleN words — the Spark side's
+    * pre-filter); one guarded arm per (b, r) factorization, exactly
+    * one survives the scalar predicate (the signBandsAutoCte
+    * pattern), then the shared pair/estimator tail. */
+  private val ddMinhashAutoSql: String = {
+    val bandArms = Seq((8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      s"SELECT doc_id, band, bucket FROM (${bandSelectsGen("minh", b, r)}) " +
+        s"WHERE (SELECT rr FROM arr) = $r"
+    }.mkString(" UNION ALL ")
+    s"WITH $minhashCteChain, " +
+      "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
+      "WHEN count(*) >= 100000000 THEN 8 WHEN count(*) >= 10000 THEN 4 " +
+      "ELSE 2 END AS rr FROM minh WHERE m0 IS NOT NULL), " +
+      s"bandtab AS ($bandArms), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
+      "AND a.doc_id < b.doc_id), " +
+      s"m AS (SELECT p.doc_a, p.doc_b, ($minhashMatches) AS n_matching " +
+      "FROM pairs p JOIN minh x ON x.doc_id = p.doc_a " +
+      "JOIN minh y ON y.doc_id = p.doc_b) " +
+      "SELECT doc_a, doc_b, n_matching, " +
+      s"CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) " +
+      "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
+  }
+
   /** [[graft.operators.Dedup.ophLsh]]: the one-permutation-hashing
     * signature restated — per-bin list minima (empty bin → NULL),
     * then rotation densification as a 16-way COALESCE with the
@@ -3573,11 +3603,14 @@ object ExtQueries {
   // ---------------------------------------------------------------
 
   /** Composite: reuses the quality and minhash oracle SQL verbatim as
-    * parenthesized CTE subqueries (DuckDB allows nested WITH). */
+    * parenthesized CTE subqueries (DuckDB allows nested WITH). The
+    * loser chain is the AUTO-banded blocker (r12): no hand-tuned
+    * (b, r) survives inside a flagship composite — the
+    * pipeline_index_auto convention on the text side. */
   private val pipelineCurateSql: String =
     "WITH q AS (SELECT doc_id, quality_ppm FROM (" + txQualitySql + ")), " +
       "reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
-      "losers AS (SELECT DISTINCT doc_b AS doc_id FROM (" + ddMinhashSql + ") " +
+      "losers AS (SELECT DISTINCT doc_b AS doc_id FROM (" + ddMinhashAutoSql + ") " +
       "WHERE est_jaccard_ppm >= 750000) " +
       "SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_ppm " +
       "FROM documents d JOIN reps r ON r.doc_id = d.doc_id " +
@@ -4382,6 +4415,29 @@ object ExtQueries {
   private val simKnnGraphAutoSql: String =
     simKnnGraphSqlFrom(signBandsAutoCte(4))
 
+  /** ANCHORED-layout bands at the POST-migration width
+    * least(autoBits + 1, 16): band b reads dims [b·16, b·16 + bits)
+    * — [[graft.operators.Similarity.knnGraphReband]]'s oracle is the
+    * FROM-SCRATCH anchored graph at the migrated width, so the hash
+    * proves the stored-pair refinement + carried-score migration
+    * exact (the sim_knn_upsert oracle-exactness pattern). */
+  private def anchoredBandsAutoCte(nBands: Int): String = {
+    val arms = (5 to 16).flatMap { bits =>
+      (0 until nBands).map { b =>
+        val bucket = (0 until bits).map { k =>
+          val dim = b * 16 + k + 1 // DuckDB lists are 1-based
+          s"(CAST(embedding[$dim] > 0 AS BIGINT) * ${1L << k})"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $bucket AS bucket FROM embeddings " +
+          s"WHERE least((SELECT ab FROM abits) + 1, 16) = $bits"
+      }
+    }
+    s"$autoBitsCte, bands AS (${arms.mkString(" UNION ALL ")})"
+  }
+
+  private val simKnnRebandSql: String =
+    simKnnGraphSqlFrom(anchoredBandsAutoCte(4))
+
   /** [[graft.operators.Dedup.embeddingNearDupAuto]]: dd_embed_neardup's
     * pair/verify tail over auto-width bands. */
   private val ddEmbedNearDupAutoSql: String =
@@ -4884,6 +4940,10 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // r12: the banding derived from the corpus count (integer-
+    // threshold LSH parameter rule) — the deployed blocker shape
+    "dd_minhash_auto" -> ((s, d) =>
+      Dedup.minhashLshAuto(Tables.documents(s, d))),
     // LSH eval harness: recall/precision of banding vs exact truth
     "dd_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.documents(s, d))),
@@ -5409,6 +5469,11 @@ object ExtQueries {
     // FROM-SCRATCH wide graph — the hash proves the merge exact
     "sim_knn_upsert" -> ((s, d) =>
       Similarity.knnGraphUpsert(Tables.embeddings(s, d))),
+    // r12: width migration for a growable store — anchored-layout
+    // bucket refinement + carried scores; oracle is the from-scratch
+    // anchored graph at the migrated width (exactness by hash)
+    "sim_knn_reband" -> ((s, d) =>
+      Similarity.knnGraphReband(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5442,6 +5507,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_minhash_auto" -> ddMinhashAutoSql,
     "dd_lsh_recall" -> ddLshRecallSql,
     "sim_knn_bitsig" -> simKnnBitsigSql,
     "dd_oph" -> ddOphSql,
@@ -5467,6 +5533,9 @@ object ExtQueries {
     // the upsert's oracle IS the from-scratch wide graph: the hash
     // proves the incremental merge exact
     "sim_knn_upsert" -> simKnnGraphWideSql,
+    // the reband's oracle IS the from-scratch anchored graph at the
+    // migrated width: the hash proves the migration exact
+    "sim_knn_reband" -> simKnnRebandSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

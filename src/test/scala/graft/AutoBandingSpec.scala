@@ -84,6 +84,61 @@ class AutoBandingSpec extends AnyFunSuite {
     assert(auto == fixed)
   }
 
+  test("autoBandRows: integer-threshold LSH rule reproduces the 8×2 " +
+    "operating point at driver SFs and steps at the 10^r boundaries") {
+    // driver SFs (N ≤ 5×10³) → r = 2: the deployed 8×2 point
+    assert(Dedup.autoBandRows(46) == 2)    // sf0.001 docs
+    assert(Dedup.autoBandRows(500) == 2)   // sf0.01 docs
+    assert(Dedup.autoBandRows(5000) == 2)  // sf0.1 docs
+    // boundary is EXACTLY 10^r (1/s₂ = 10): 9999 stays, 10000 steps
+    assert(Dedup.autoBandRows(9999L) == 2)
+    assert(Dedup.autoBandRows(10000L) == 4)
+    // both probe corpora (5×10⁴, 5×10⁵ docs) → the measured 4×4 arm
+    assert(Dedup.autoBandRows(50000L) == 4)
+    assert(Dedup.autoBandRows(500000L) == 4)
+    assert(Dedup.autoBandRows(99999999L) == 4)
+    assert(Dedup.autoBandRows(100000000L) == 8)
+    assert(Dedup.autoBandRows(10000000000000000L) == 16)
+    // clamps: tiny corpora floor at r=2 (never the 16×1 explosion
+    // arm), the divide-down never overflows at Long.MaxValue
+    assert(Dedup.autoBandRows(0) == 2)
+    assert(Dedup.autoBandRows(Long.MaxValue) == 16)
+  }
+
+  test("minhashLshAuto == minhashLsh at the 8×2 point (driver corpus)") {
+    val d = Tables.documents(spark, sf)
+    val auto = Dedup.minhashLshAuto(d).collect().toSeq
+    val fixed = Dedup.minhashLsh(d).collect().toSeq
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("a corpus past the 10^4 boundary derives the 4×4 banding and " +
+    "the auto pairs equal the fixed 4×4 pairs") {
+    // deterministic synthetic corpus: 10500 docs; each id ≡ 0 (mod
+    // 200) doc PAIRS with its successor at Jaccard ≈ 1/3 (five shared
+    // leading words, three distinct trailing ones) — the intermediate
+    // similarity band where the 8×2 arm (s* = 0.354) and the 4×4 arm
+    // (s* = 0.707) genuinely produce different candidate sets
+    def w(p: String, c: org.apache.spark.sql.Column) = concat(lit(p), c)
+    val id = col("id")
+    val docs = spark.range(10500).select(id.as("doc_id"),
+      when(id % 200 === 0, concat_ws(" ", w("f", id), w("g", id),
+        w("h", id), w("i", id), w("j", id), lit("tail one common")))
+        .when(id % 200 === 1, concat_ws(" ", w("f", id - 1), w("g", id - 1),
+          w("h", id - 1), w("i", id - 1), w("j", id - 1),
+          lit("per doc ending")))
+        .otherwise(concat_ws(" ", w("a", id), w("b", id), w("c", id),
+          w("d", id), w("e", id))).as("text"))
+    assert(Dedup.autoBandRows(10500) == 4)
+    val auto = Dedup.minhashLshAuto(docs).collect().toSeq
+    val fixed = Dedup.minhashLsh(docs, bands = 4, rowsPerBand = 4)
+      .collect().toSeq
+    assert(auto == fixed && auto.nonEmpty)
+    // and the banding genuinely changed vs the hand-fixed default
+    val anchor = Dedup.minhashLsh(docs).collect().toSeq
+    assert(auto != anchor)
+  }
+
   test("a corpus past the 2048 boundary derives a NON-default width " +
     "and the auto graph equals the fixed graph at that width") {
     // deterministic synthetic corpus big enough to cross the rule's
