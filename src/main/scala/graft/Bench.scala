@@ -77,7 +77,15 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Probe-leg cost control (r12, VERDICT r11 #7): the 10× probe
+    // bench is ~35 min and growing, most of it eval harnesses that
+    // re-run every rung BY DESIGN. SPARK_GRAFT_BENCH_TIER=prod
+    // restricts a run to the production tier for per-iteration probe
+    // legs; the driver and the committed closing record run with the
+    // variable unset — the full surface, contract unchanged.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "all")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      tier != "prod" || !SparkEntry.evalQueries.contains(n) }
     val calStart = calibrate(spark)
     // One untimed warmup pass over the whole suite (janino codegen
     // compile, JIT, broadcast thread-pool spin-up — one-time costs a
@@ -132,7 +140,12 @@ object Bench {
     // queries into "_rest" to fit the driver's 2 kB tail window, so
     // persist the complete 3-decimal per-query map to a file the
     // judge/BASELINE can read (overwritten per run, keyed by SF).
-    writeFullRecord(results, sfDir)
+    // A tier-restricted run records under a tier suffix — it must
+    // never clobber the full record the regression gate diffs against
+    // (the diff above still works: it only inspects queries present
+    // in the current run).
+    writeFullRecord(results, sfDir,
+      if (tier == "all") "" else s"_$tier")
     println(formatLine(results, sfDir))
     spark.stop()
   }
@@ -194,8 +207,8 @@ object Bench {
   }
 
   private def writeFullRecord(results: Seq[(String, Double)],
-      sfDir: String): Unit = {
-    val sf = sfDir.split('/').last
+      sfDir: String, suffix: String = ""): Unit = {
+    val sf = sfDir.split('/').last + suffix
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

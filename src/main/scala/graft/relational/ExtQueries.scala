@@ -5414,6 +5414,10 @@ object ExtQueries {
     // r7: the approx-bounds winsorize scale path, exercised as a
     // declared query (rows-only, same sketch caveat)
     "x_winsorize_approx" -> (RelQueries.winsorizeApprox _),
+    // r12: the sketch-threshold RFM scale path — the swap rel_rfm's
+    // Scaladoc names, declared (rows-only; envelope in
+    // ApproxParitySpec vs the exact quintile anchor)
+    "x_rfm_approx" -> (RelQueries.rfmSegmentsApprox _),
     // DEFLATE bytes are engine-specific -> rows-only check
     "x_compress_ratio" -> ((s, d) =>
       TextAnalysis.compressRatio(Tables.documents(s, d))),

@@ -1628,8 +1628,9 @@ object RelQueries {
     * shape, three window sorts over the per-customer table, each
     * discarded down to 4 values), and scoring is a row-local compare
     * against 12 broadcast constants. At 100 TB the thresholds come
-    * from approx_percentile instead ([[winsorizeApprox]] documents
-    * that swap); the exact variant stays the correctness anchor.
+    * from approx_percentile instead — DECLARED as the
+    * [[rfmSegmentsApprox]] twin (x_rfm_approx, r12); the exact
+    * variant stays the correctness anchor.
     * R inverts (recent = high score); quintile ties share the exact
     * same side of the threshold in both engines — pure integer
     * compares. */
@@ -1673,6 +1674,53 @@ object RelQueries {
         (lit(5L) - bins("r_days")).as("r_score"),
         (lit(1L) + bins("f_cnt")).as("f_score"),
         (lit(1L) + bins("m_c")).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
+
+  /** [[rfmSegments]]' 100 TB twin (r12, declared x_rfm_approx): the
+    * quintile thresholds come from ONE approx_percentile sketch agg
+    * instead of three GLOBAL window sorts — the swap the exact
+    * anchor's Scaladoc names, now a declared query (the
+    * x_winsorize_approx pattern: rows-only driver check, accuracy
+    * envelope vs the exact segments in ApproxParitySpec). Everything
+    * downstream of the thresholds — the inverted R scale, the
+    * > -threshold binning, the 3-digit code — is the anchor's code
+    * path, so the ONLY divergence a sketch can introduce is a
+    * customer near a quintile boundary landing one bin over. */
+  def rfmSegmentsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val microsPerDay = 86400L * 1000000L
+    val perCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $microsPerDay")
+          .as("day"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f_cnt"),
+        sum("price_c").as("m_c"))
+    val globals = perCust.agg(max("last_day").as("corpus_last"))
+    val feats = perCust.crossJoin(broadcast(globals))
+      .select(col("custkey"),
+        (col("corpus_last") - col("last_day")).as("r_days"),
+        col("f_cnt"), col("m_c"))
+    val pcts = (1 to 4).map(_ * 0.2)
+    val thresholds = feats.agg(
+      expr(s"approx_percentile(r_days, array(${pcts.mkString(", ")}), 10000)")
+        .as("r_t"),
+      expr(s"approx_percentile(f_cnt, array(${pcts.mkString(", ")}), 10000)")
+        .as("f_t"),
+      expr(s"approx_percentile(m_c, array(${pcts.mkString(", ")}), 10000)")
+        .as("m_t"))
+    def bins(dim: String, t: String): Column =
+      (0 until 4).map(k =>
+        when(col(dim) > get(col(t), lit(k)), 1L).otherwise(0L))
+        .reduce(_ + _)
+    feats.crossJoin(broadcast(thresholds))
+      .select(col("custkey"), col("r_days"), col("f_cnt"), col("m_c"),
+        (lit(5L) - bins("r_days", "r_t")).as("r_score"),
+        (lit(1L) + bins("f_cnt", "f_t")).as("f_score"),
+        (lit(1L) + bins("m_c", "m_t")).as("m_score"))
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy("custkey")

@@ -197,11 +197,22 @@ object StreamingCuration {
     *    lists — exact quantized cosine, no shuffle, no state.
     * LSH recall < 1 means rare near-dups slip through — the standard
     * ingest-gate trade, same as the batch twin. Stream shape:
-    * (ts: timestamp, vec_id: bigint, embedding: array<float>). */
+    * (ts: timestamp, vec_id: bigint, embedding: array<float>).
+    *
+    * Band width (r12): `bitsPerBand = None` derives it from the
+    * corpus snapshot count via the SAME rule the batch blocker uses
+    * ([[graft.operators.Similarity.autoBits]]) — one count on the
+    * static side at stream-build time, the knnGraphAuto shape. The
+    * r11 batch side mechanized this width; a stream gate pinned at
+    * the old fixed 4 would probe quadratic-occupancy buckets the
+    * moment the corpus outgrows them. An explicit Some(bits) remains
+    * for parity pinning against a fixed-width batch twin. */
   def admitVectorStream(vecs: DataFrame, corpus: DataFrame,
-                        nBands: Int = 4, bitsPerBand: Int = 4,
+                        nBands: Int = 4, bitsPerBand: Option[Int] = None,
                         minCosPpm: Long = 400000L): DataFrame = {
     import graft.functions.{VectorOps => V}
+    val bitsPB = bitsPerBand.getOrElse(
+      graft.operators.Similarity.autoBits(corpus.count()))
     val corpusQ = corpus
       .select(col("vec_id"), V.quantize(col("embedding")).as("qb"))
       .select(col("vec_id"), col("qb"), V.qnorm2(col("qb")).as("nb"))
@@ -216,7 +227,7 @@ object StreamingCuration {
     // than the strategy distortion.
     val corpusBuckets = corpus.select(col("vec_id"),
         posexplode(array((0 until nBands).map(b =>
-          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+          V.signBucket(col("embedding"), b, bitsPB)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .join(corpusQ, "vec_id")
       .groupBy("band", "bucket")
@@ -227,10 +238,14 @@ object StreamingCuration {
     val joined = (0 until nBands).foldLeft(base) { (df, b) =>
       df.join(corpusBuckets.where(col("band") === b)
           .select(col("bucket").as(s"bk$b"), col("cands").as(s"cands$b")),
-        V.signBucket(col("embedding"), b, bitsPerBand) === col(s"bk$b"),
+        V.signBucket(col("embedding"), b, bitsPB) === col(s"bk$b"),
         "left")
     }
-    val matched = (0 until nBands).map { b =>
+    // a zero-norm arrival has no cosine to any candidate — ADMIT it
+    // without the verify (cosPpm would divide by zero; the batch
+    // family excludes zero-norm rows from pairing the same way —
+    // found by the r12 width-parity spec's sin-generated vec 0)
+    val matched = col("na") > 0 && (0 until nBands).map { b =>
       coalesce(exists(col(s"cands$b"), c =>
         V.cosPpm(V.qdot(col("qa"), c.getField("qb")), col("na"),
           c.getField("nb")) >= minCosPpm), lit(false))

@@ -75,6 +75,34 @@ class ApproxParitySpec extends AnyFunSuite {
     }
   }
 
+  test("x_rfm_approx: same customers, scores within one bin of the " +
+    "exact quintile anchor, boundary drift only (r12)") {
+    val exact = RelQueries.rfmSegments(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val approx = RelQueries.rfmSegmentsApprox(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // identical customer set and identical R/F/M FEATURES — the
+    // sketch only moves thresholds, never the per-customer values
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    var moved = 0
+    approx.foreach { case (ck, a) =>
+      val e = exact(ck)
+      assert((1 to 3).forall(i => a.getLong(i) == e.getLong(i)),
+        s"$ck: features differ")
+      // GK rank error at accuracy 10000 is n/10000 ranks — far under
+      // one quintile's width, so each score may shift at most ONE bin
+      (4 to 6).foreach { i =>
+        assert(math.abs(a.getLong(i) - e.getLong(i)) <= 1,
+          s"$ck: score col $i ${a.getLong(i)} vs ${e.getLong(i)}")
+      }
+      if (a.getLong(7) != e.getLong(7)) moved += 1
+    }
+    // drift is the exception, not the rule: the overwhelming majority
+    // of customers land in their exact segment
+    assert(moved <= exact.size / 10,
+      s"$moved of ${exact.size} customers moved segments")
+  }
+
   test("x_knn_pq_trained recall@5 vs brute force meets the measured " +
     "floor (r9 — the sketch family's last unspec'd accuracy)") {
     // Lloyd fit and search are fully deterministic on a fixed corpus

@@ -151,6 +151,51 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admitVectorStream follows the batch blocker's auto width at " +
+    "two corpus sizes (r12: the gate tracks autoBits, not a constant)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, sequence, sin, transform => xform}
+    def admitted(corpus: org.apache.spark.sql.DataFrame,
+                 bits: Option[Int], name: String): Set[Long] = {
+      val mem = MemoryStream[(Timestamp, Long, Array[Float])]
+      val q = StreamingCuration.admitVectorStream(
+          mem.toDF().toDF("ts", "vec_id", "embedding"), corpus,
+          bitsPerBand = bits)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // near-copy of a NONZERO corpus vector (vec 0 of the sin
+        // corpus is all-zero), a novel vector, and a zero-norm
+        // arrival (nothing to compare → admitted, never a crash)
+        val near = corpus.where(col("vec_id") === 1).head()
+          .getSeq[Float](1).toArray
+        val novel = Array.tabulate(64)(i =>
+          (((i * 7919 + 13) % 101) - 50).toFloat)
+        val zero = Array.fill(64)(0.0f)
+        mem.addData((ts(0), 9000L, near), (ts(0), 9001L, novel),
+          (ts(0), 9002L, zero))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    // size 1: the driver corpus (N=500 → the 4-bit anchor width)
+    val small = graft.relational.Tables
+      .embeddings(spark, "/root/testdata/sf0.001").localCheckpoint(true)
+    val smallBits = graft.operators.Similarity.autoBits(small.count())
+    assert(smallBits == 4)
+    assert(admitted(small, None, "vw_auto_s") ==
+      admitted(small, Some(smallBits), "vw_pin_s"))
+    // size 2: past the 2048 boundary (N=3000 → 5 bits) — the gate
+    // must follow the batch rule, not the old fixed default
+    val big = spark.range(3000).select(col("id").as("vec_id"),
+      xform(sequence(lit(0), lit(63)), d =>
+        (sin(col("id") * (d + lit(1)))).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    assert(graft.operators.Similarity.autoBits(3000) == 5)
+    assert(admitted(big, None, "vw_auto_b") ==
+      admitted(big, Some(5), "vw_pin_b"))
+  }
+
   test("admitNearDupStream drops syntactic near-dups of corpus docs, " +
     "admits novel and short docs; verdicts agree with batch ophLsh") {
     implicit val sqlCtx = spark.sqlContext
