@@ -247,6 +247,104 @@ object Dedup {
       maxBucketSize))
   }
 
+  /** Incremental near-dup STORE maintenance (r12 — the text twin of
+    * [[graft.operators.Similarity.knnGraphUpsert]]): fold an arriving
+    * batch (doc_id % splitMod == 0, the dd_incremental residue
+    * convention) into the store's existing near-dup pair table
+    * WITHOUT recomputing it; the declared oracle IS dd_minhash_lsh's
+    * from-scratch SQL, so the hash PROVES the merge exact.
+    *
+    * Exactness is simpler than the graph case (no top-k): band keys
+    * are per-doc functions of content alone, so existing↔existing
+    * pairs are untouched by arrivals, every new candidate pair
+    * touches an incoming doc, and the two sets are DISJOINT — the
+    * merged store is their plain union. Maintenance cost = the
+    * incoming band join (|batch| × bucket occupancy) plus the delta
+    * estimator; corpus-sized work appears only in the stored table
+    * it reuses. This is the corpus-ingest loop: pay per batch, not
+    * per corpus. */
+  def minhashLshUpsert(docs: DataFrame, shingleN: Int = 3,
+                       bands: Int = DefaultBands,
+                       rowsPerBand: Int = DefaultRowsPerBand,
+                       splitMod: Int = 10): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleN).localCheckpoint(true)
+    val isNew = pmod(col("doc_id"), lit(splitMod)) === 0
+    val stored = lshPairsFrom(
+      bandsFrom(sigs.where(!isNew), bands, rowsPerBand))
+      .localCheckpoint(true)
+    val banded = bandsFrom(sigs, bands, rowsPerBand)
+    val newPairs = banded.where(isNew)
+      .select(col("band"), col("bucket"), col("doc_id").as("da"),
+        col("sig").as("siga"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("doc_id").as("db"), col("sig").as("sigb")),
+        Seq("band", "bucket"))
+      .where(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("siga")).otherwise(col("sigb"))
+          .as("sig_a"),
+        when(col("da") < col("db"), col("sigb")).otherwise(col("siga"))
+          .as("sig_b"))
+      .distinct()
+    stored.unionByName(estimated(newPairs)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Banding MIGRATION for a growable near-dup store (r12 — the text
+    * twin of [[graft.operators.Similarity.knnGraphReband]], closing
+    * the loop between [[autoBandRows]] and [[minhashLshUpsert]]:
+    * the upsert is exact only under a FIXED banding, the auto rule
+    * says rows-per-band must GROW with N, so a long-lived store
+    * crosses an arm boundary). K-slot MinHash banding has the same
+    * refinement structure anchoring gives sign-LSH, FOR FREE: the
+    * 2r-slot bucket of band j is the concatenation of the r-slot
+    * buckets of bands 2j and 2j+1, so
+    *
+    *   co-bucketed at (K/2r, 2r) in band j ⟺
+    *     co-bucketed at (K/r, r) in band 2j AND in band 2j+1
+    *
+    * ⇒ pairs(K/2r, 2r) ⊆ pairs(K/r, r) exactly, and migration is an
+    * (exists j: both half-bands present) filter over the stored
+    * per-band co-occurrence rows + the carried estimates: NO
+    * re-signing, NO pair self-join, NO estimator re-run — linear in
+    * the store. The widths come from the auto rule itself: from
+    * r = autoBandRows(N) (what a store this size runs) to min(2r, K)
+    * (what growth past the next 10^r boundary will demand); at the
+    * r = K ceiling the migration degenerates to the identity. The
+    * declared oracle IS the from-scratch SQL at the migrated
+    * banding — the hash proves the migration exact.
+    *
+    * Store shape note: like the vector store, the migratable store
+    * keeps (doc_a, doc_b, band) co-occurrence rows alongside the
+    * estimated distinct pairs — the band column is the refinement
+    * key. Both are candidate-volume-bounded. */
+  def minhashReband(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleN).localCheckpoint(true)
+    val fromRows = autoBandRows(sigs.count())
+    val toRows = math.min(2 * fromRows, PH.MinhashK)
+    val banded = bandsFrom(sigs, PH.MinhashK / fromRows, fromRows)
+    // --- the STORE an (K/r, r) deployment holds --------------------
+    val stored = lshPairsFrom(banded).localCheckpoint(true)
+    if (toRows == fromRows) stored
+    else {
+      val pairBands = banded
+        .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_b")), Seq("band", "bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "band")
+      // --- the MIGRATION ------------------------------------------
+      val survived = pairBands
+        .groupBy(col("doc_a"), col("doc_b"),
+          expr("band div 2").as("wide_band"))
+        .agg(count(lit(1)).as("halves"))
+        .where(col("halves") === 2)
+        .select("doc_a", "doc_b").distinct()
+      survived.join(stored, Seq("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** Banded-signature self-join → (doc_a, doc_b, n_matching,
     * est_jaccard_ppm) — shared by the K-affine ([[minhashLsh]]) and
     * one-permutation ([[ophLsh]]) signature families. */
@@ -264,6 +362,14 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")
       .distinct()
+    estimated(pairs)
+  }
+
+  /** Signature-agreement estimator tail over a (doc_a, doc_b, sig_a,
+    * sig_b) pair set — split out of [[lshPairsFrom]] so the
+    * incremental store ops ([[minhashLshUpsert]]) can score just
+    * their delta pairs. */
+  private def estimated(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"),
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -271,7 +377,6 @@ object Dedup {
       .withColumn("est_jaccard_ppm",
         floor(lit(1000000.0) * col("n_matching") / PH.MinhashK).cast("long"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Rotation-densification offset constant for [[ophSignatures]];
     * shared verbatim with the DuckDB oracle. */

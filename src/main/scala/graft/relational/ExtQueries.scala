@@ -138,17 +138,16 @@ object ExtQueries {
     * pre-filter); one guarded arm per (b, r) factorization, exactly
     * one survives the scalar predicate (the signBandsAutoCte
     * pattern), then the shared pair/estimator tail. */
-  private val ddMinhashAutoSql: String = {
-    val bandArms = Seq((8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
-      s"SELECT doc_id, band, bucket FROM (${bandSelectsGen("minh", b, r)}) " +
-        s"WHERE (SELECT rr FROM arr) = $r"
-    }.mkString(" UNION ALL ")
-    s"WITH $minhashCteChain, " +
-      "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
+  /** autoBandRows restated as pure integer thresholds — shared by the
+    * auto blocker and the reband oracle. */
+  private val autoRowsCte: String =
+    "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
       "WHEN count(*) >= 100000000 THEN 8 WHEN count(*) >= 10000 THEN 4 " +
-      "ELSE 2 END AS rr FROM minh WHERE m0 IS NOT NULL), " +
-      s"bandtab AS ($bandArms), " +
-      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "ELSE 2 END AS rr FROM minh WHERE m0 IS NOT NULL)"
+
+  /** Distinct-pair + estimator tail over a prebuilt `bandtab`. */
+  private val minhashPairTailSql: String =
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
       "AND a.doc_id < b.doc_id), " +
       s"m AS (SELECT p.doc_a, p.doc_b, ($minhashMatches) AS n_matching " +
@@ -157,6 +156,27 @@ object ExtQueries {
       "SELECT doc_a, doc_b, n_matching, " +
       s"CAST(FLOOR(1000000.0 * n_matching / ${PH.MinhashK}) AS BIGINT) " +
       "AS est_jaccard_ppm FROM m ORDER BY doc_a, doc_b"
+
+  private val ddMinhashAutoSql: String = {
+    val bandArms = Seq((8, 2), (4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      s"SELECT doc_id, band, bucket FROM (${bandSelectsGen("minh", b, r)}) " +
+        s"WHERE (SELECT rr FROM arr) = $r"
+    }.mkString(" UNION ALL ")
+    s"WITH $minhashCteChain, $autoRowsCte, " +
+      s"bandtab AS ($bandArms), $minhashPairTailSql"
+  }
+
+  /** [[graft.operators.Dedup.minhashReband]]: from-scratch pairs at
+    * the MIGRATED banding — rows_per_band = least(2·autoBandRows, 16)
+    * — so the hash proves the half-band refinement with carried
+    * estimates exact (the sim_knn_reband pattern on the text side). */
+  private val ddMinhashRebandSql: String = {
+    val bandArms = Seq((4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      s"SELECT doc_id, band, bucket FROM (${bandSelectsGen("minh", b, r)}) " +
+        s"WHERE least(2 * (SELECT rr FROM arr), 16) = $r"
+    }.mkString(" UNION ALL ")
+    s"WITH $minhashCteChain, $autoRowsCte, " +
+      s"bandtab AS ($bandArms), $minhashPairTailSql"
   }
 
   /** [[graft.operators.Dedup.ophLsh]]: the one-permutation-hashing
@@ -4944,6 +4964,14 @@ object ExtQueries {
     // threshold LSH parameter rule) — the deployed blocker shape
     "dd_minhash_auto" -> ((s, d) =>
       Dedup.minhashLshAuto(Tables.documents(s, d))),
+    // r12: incremental store maintenance whose oracle is the
+    // from-scratch pair table — the hash proves the merge exact
+    "dd_lsh_upsert" -> ((s, d) =>
+      Dedup.minhashLshUpsert(Tables.documents(s, d))),
+    // r12: banding migration via half-band refinement; oracle is the
+    // from-scratch table at the migrated arm (exactness by hash)
+    "dd_minhash_reband" -> ((s, d) =>
+      Dedup.minhashReband(Tables.documents(s, d))),
     // LSH eval harness: recall/precision of banding vs exact truth
     "dd_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.documents(s, d))),
@@ -5512,6 +5540,9 @@ object ExtQueries {
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_minhash_auto" -> ddMinhashAutoSql,
+    // the upsert's oracle IS the from-scratch pair table
+    "dd_lsh_upsert" -> ddMinhashSql,
+    "dd_minhash_reband" -> ddMinhashRebandSql,
     "dd_lsh_recall" -> ddLshRecallSql,
     "sim_knn_bitsig" -> simKnnBitsigSql,
     "dd_oph" -> ddOphSql,

@@ -98,4 +98,40 @@ class KnnRebandSpec extends AnyFunSuite {
     // the branch itself needs a 2^16-occupancy corpus to reach
     assert(math.min(Similarity.autoBits(Long.MaxValue) + 1, 16) == 16)
   }
+
+  // ---- the TEXT-side store (r12): same laws, free refinement ------
+
+  test("minhash half-band refinement: pairs(4,4) ⊆ pairs(8,2), and " +
+    "reband == from-scratch at the migrated arm") {
+    val d = graft.relational.Tables.documents(spark, sf)
+    def pairsAt(b: Int, r: Int): Set[(Long, Long)] =
+      graft.operators.Dedup.minhashLsh(d, bands = b, rowsPerBand = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val narrow = pairsAt(8, 2)
+    val wide = pairsAt(4, 4)
+    assert(wide.nonEmpty && wide.subsetOf(narrow))
+    val migrated = graft.operators.Dedup.minhashReband(d).collect().toSeq
+    val scratch = graft.operators.Dedup
+      .minhashLsh(d, bands = 4, rowsPerBand = 4).collect().toSeq
+    assert(migrated == scratch)
+  }
+
+  test("text-store lifecycle: upsert at (8,2), reband to (4,4), " +
+    "upsert at (4,4) — every step equals its from-scratch twin") {
+    val d = graft.relational.Tables.documents(spark, sf)
+      .localCheckpoint(true)
+    val before = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      .localCheckpoint(true)
+    val D = graft.operators.Dedup
+    // (1) ingest into the (8,2) store: merge exact
+    assert(D.minhashLshUpsert(before, splitMod = 7).collect().toSeq ==
+      D.minhashLsh(before).collect().toSeq)
+    // (2) growth will cross the 10^4 arm boundary: migrate 8×2 → 4×4
+    assert(D.minhashReband(before).collect().toSeq ==
+      D.minhashLsh(before, bands = 4, rowsPerBand = 4).collect().toSeq)
+    // (3) ingest continues at the migrated arm: merge exact again
+    assert(D.minhashLshUpsert(d, bands = 4, rowsPerBand = 4,
+        splitMod = 10).collect().toSeq ==
+      D.minhashLsh(d, bands = 4, rowsPerBand = 4).collect().toSeq)
+  }
 }
