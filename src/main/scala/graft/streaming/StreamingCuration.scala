@@ -130,15 +130,31 @@ object StreamingCuration {
     * with fewer than `shingleN` words have no signature and are
     * ADMITTED (nothing to compare — the batch family drops them from
     * pairing for the same reason). Stream shape:
-    * (ts: timestamp, doc_id: bigint, text: string). */
+    * (ts: timestamp, doc_id: bigint, text: string).
+    *
+    * Banding (r12): `bandsOverride = None` derives (b, r) from the
+    * corpus snapshot count via the batch blocker's rule
+    * ([[graft.operators.Dedup.autoBandRows]]) — one count on the
+    * static side at stream-build time, the same move
+    * [[admitVectorStream]] makes with autoBits. A gate pinned at the
+    * hand-fixed 8×2 would probe 2-slot buckets long after the corpus
+    * crossed the 10⁴ boundary where the measured banding table says
+    * 4-slot buckets carry the same dup yield at a fraction of the
+    * candidate volume. An explicit Some(bands) remains for parity
+    * pinning against a fixed-banding batch twin. */
   def admitNearDupStream(docs: DataFrame, corpus: DataFrame,
                          shingleN: Int = 3,
-                         bands: Int = graft.operators.Dedup.DefaultBands,
-                         rowsPerBand: Int =
-                           graft.operators.Dedup.DefaultRowsPerBand,
+                         bandsOverride: Option[Int] = None,
                          minEstJaccardPpm: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.Column
     import graft.functions.{PortableHash => PH}
+    val bands = bandsOverride.getOrElse {
+      val n = corpus
+        .where(length(col("text")) - length(replace(col("text"), lit(" ")))
+          >= shingleN - 1).count()
+      PH.MinhashK / graft.operators.Dedup.autoBandRows(n)
+    }
+    val rowsPerBand = PH.MinhashK / bands
     require(bands * rowsPerBand == PH.MinhashK)
     def hasShingles(c: Column): Column =
       length(c) - length(replace(c, lit(" "))) >= shingleN - 1

@@ -196,6 +196,51 @@ class StreamingCurationSpec extends AnyFunSuite {
       admitted(big, Some(5), "vw_pin_b"))
   }
 
+  test("admitNearDupStream follows the batch banding rule at two " +
+    "corpus sizes (r12: the text gate tracks autoBandRows)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, when, length, replace}
+    def admitted(corpus: org.apache.spark.sql.DataFrame, nearText: String,
+                 bands: Option[Int], name: String): Set[Long] = {
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val q = StreamingCuration.admitNearDupStream(
+          mem.toDF().toDF("ts", "doc_id", "text"), corpus,
+          bandsOverride = bands)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData((ts(0), 9000L, nearText),
+          (ts(0), 9001L, "entirely novel arrival about glacier moraine " +
+            "sediment cores and isotope chronology methods"))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    // size 1: driver corpus (46 sig-bearing docs → the 8×2 point)
+    val small = graft.relational.Tables
+      .documents(spark, "/root/testdata/sf0.001").localCheckpoint(true)
+    assert(graft.operators.Dedup.autoBandRows(
+      small.where(length(col("text")) -
+        length(replace(col("text"), lit(" "))) >= 2).count()) == 2)
+    val smallNear = small.orderBy("doc_id").head().getAs[String]("text")
+    assert(admitted(small, smallNear, None, "nd_auto_s") ==
+      admitted(small, smallNear, Some(8), "nd_pin_s"))
+    // size 2: past the 10^4 boundary → the gate must follow the rule
+    // to (4, 4), not sit at the hand-fixed default
+    def w(p: String, c: org.apache.spark.sql.Column) = concat(lit(p), c)
+    val id = col("id")
+    val big = spark.range(10500).select(id.as("doc_id"),
+      when(id % 200 === 0, concat_ws(" ", w("f", id), w("g", id),
+        w("h", id), w("i", id), w("j", id), lit("tail one common")))
+        .otherwise(concat_ws(" ", w("a", id), w("b", id), w("c", id),
+          w("d", id), w("e", id))).as("text")).localCheckpoint(true)
+    assert(graft.operators.Dedup.autoBandRows(10500) == 4)
+    val bigNear = big.where(col("doc_id") === 200).head()
+      .getAs[String]("text")
+    assert(admitted(big, bigNear, None, "nd_auto_b") ==
+      admitted(big, bigNear, Some(4), "nd_pin_b"))
+  }
+
   test("admitNearDupStream drops syntactic near-dups of corpus docs, " +
     "admits novel and short docs; verdicts agree with batch ophLsh") {
     implicit val sqlCtx = spark.sqlContext
