@@ -1308,7 +1308,13 @@ object TextAnalysis {
     val pairCounts = spreadDocs
       .select(explode(TextOps.wordShinglesAll(col("text"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n_pair"))
-    val totals = pairCounts.agg(sum("n_pair").as("n_total"))
+    // n_total = Σ n_pair over bigram TYPES = total bigram occurrences
+    // = Σ_docs max(words − 1, 0): the identity replaces a second full
+    // bigram explode+aggregate with one row-local projection (r12 —
+    // the fix that pays for the broadcast-pruning chain below)
+    val totals = spreadDocs
+      .agg(sum(greatest(size(TextOps.words(col("text"))) - 1, lit(0))
+        .cast("long")).as("n_total"))
     // surviving pairs feed THREE consumers (the two endpoint-word
     // prunes and the PMI join) and sit behind a corpus-sized bigram
     // agg — materialize once (the multiply-referenced bounded
