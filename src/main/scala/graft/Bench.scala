@@ -84,6 +84,12 @@ object Bench {
     // legs; the driver and the committed closing record run with the
     // variable unset — the full surface, contract unchanged.
     val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "all")
+    // Only the two declared tiers are accepted: a typo ("Prod",
+    // "eval") would otherwise silently run the FULL surface yet
+    // record under a stray suffixed file invisible to the regression
+    // baseline — slow AND unrecorded. Fail loudly instead.
+    require(tier == "all" || tier == "prod",
+      s"SPARK_GRAFT_BENCH_TIER must be 'all' or 'prod', got '$tier'")
     val names = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       tier != "prod" || !SparkEntry.evalQueries.contains(n) }
     val calStart = calibrate(spark)

@@ -145,12 +145,25 @@ object Similarity {
     * not a third behavior. maxBits=16 is the embedding-dimension
     * ceiling (4 bands × 16 bits = 64 dims). The oracle derives the
     * same width with a scalar subquery over its base CTE
-    * (dd_semdedup_auto's √N pattern). */
+    * (dd_semdedup_auto's √N pattern).
+    *
+    * Stated in pure INTEGER arithmetic (r13, the autoBandRows
+    * convention): the smallest w with target·2^w ≥ N, via Long
+    * shifts. ⌈log₂⌉ through library transcendentals is not
+    * bit-specified across engines — at an exact power-of-two
+    * boundary (N = target·2^k) Math.log here and LOG2 in the oracle
+    * could round to opposite sides of the integer, shifting the
+    * width by one and failing the hash gate on a correct engine.
+    * The oracle's abits CTE mirrors the same comparison chain as a
+    * sum of (N > target·2^j) indicators — identical integer
+    * semantics, no shared rounding assumption. */
   def autoBits(n: Long, targetOccupancy: Long = 128L,
-               minBits: Int = 4, maxBits: Int = 16): Int =
-    math.max(minBits, math.min(maxBits,
-      math.ceil(math.log(math.max(1L, n).toDouble / targetOccupancy)
-        / math.log(2.0)).toInt))
+               minBits: Int = 4, maxBits: Int = 16): Int = {
+    val m = math.max(1L, n)
+    var w = 0
+    while (w < maxBits && (targetOccupancy << w) < m) w += 1
+    math.max(minBits, w)
+  }
 
   /** [[knnGraph]] with the band width derived from the corpus count
     * (declared sim_knn_graph_auto): N is read from the SAME

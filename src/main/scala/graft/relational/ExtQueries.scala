@@ -4405,11 +4405,18 @@ object ExtQueries {
 
   /** bits = clamp(⌈log₂(N/128)⌉, 4, 16) over the usable base — the
     * scalar-subquery twin of Similarity.autoBits (the
-    * dd_semdedup_auto √N pattern, applied to band width). */
-  private val autoBitsCte: String =
-    "abits AS (SELECT greatest(4, least(16, " +
-      "CAST(CEIL(LOG2(greatest(count(*), 1) / 128.0)) AS BIGINT))) AS ab " +
-      "FROM base)"
+    * dd_semdedup_auto √N pattern, applied to band width). Stated as
+    * a sum of integer (N > 128·2^j) indicators, NOT CEIL(LOG2(...)):
+    * the count of thresholds exceeded IS the smallest w with
+    * 128·2^w ≥ N, the exact comparison chain autoBits runs — no
+    * cross-engine transcendental rounding at power-of-two
+    * boundaries (r13). */
+  private val autoBitsCte: String = {
+    val terms = (0 until 16).map(j =>
+      s"(CASE WHEN count(*) > ${128L << j} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"abits AS (SELECT greatest(4, $terms) AS ab FROM base)"
+  }
 
   /** Sign-LSH bands CTE with the width picked at RUN time by the
     * abits scalar: one guarded arm per candidate width — exactly one

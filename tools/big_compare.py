@@ -40,8 +40,10 @@ def main(sf, out, names):
         if name not in oracles:
             n = con.execute("SELECT count(*) FROM (SELECT * FROM "
                             f"read_parquet('{dump}/*.parquet'))").fetchone()[0]
+            rc |= 0 if n > 0 else 1
             print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only, "
                   f"{n} rows")
+            con.close()
             continue
         cols = [d[0] for d in con.execute(
             f"SELECT * FROM read_parquet('{dump}/*.parquet') LIMIT 0"
