@@ -241,12 +241,22 @@ object Similarity {
     * |batch| × bucket occupancy — plus a |affected|-keyed re-top-k;
     * corpus-sized work appears only in the stored graph it reuses.
     * This is the vector-store ingest loop: pay per batch, not per
-    * corpus. */
+    * corpus.
+    *
+    * Band width is [[autoBits]] of the usable corpus (r13, the
+    * dd_lsh_upsert move mirrored): a store this size RUNS the auto
+    * width, so the declared upsert exercises it too — the exactness
+    * argument needs the width FIXED across store and batch, which
+    * it is within one upsert; crossing a width boundary is
+    * [[knnGraphReband]]'s job. The oracle derives the same width
+    * from its base CTE (the sim_knn_graph_auto abits scalar). */
   def knnGraphUpsert(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
-                     bitsPerBand: Int = 8,
-                     splitMod: Int = 10): DataFrame =
+                     targetOccupancy: Long = 128L,
+                     splitMod: Int = 10): DataFrame = {
+    val bits = autoBits(quantized(embeddings).count(), targetOccupancy)
     knnGraphUpsertWith(embeddings, k,
-      e => Dedup.vectorBands(e, nBands, bitsPerBand), splitMod)
+      e => Dedup.vectorBands(e, nBands, bits), splitMod)
+  }
 
   /** [[knnGraphUpsert]] parameterized on the band-table builder, so
     * the anchored-layout lifecycle (upsert → [[knnGraphReband]] →
@@ -261,11 +271,23 @@ object Similarity {
     val gOld = knnGraphFrom(quantized(existing), bandFn(existing), k)
       .localCheckpoint(true)
     val base = quantized(embeddings).localCheckpoint(true)
-    val banded = bandFn(embeddings)
     val newIds = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) === 0).select("vec_id")
-    val bandedNew = banded.join(newIds, "vec_id")
-    val pairs = bandedNew
+    graphMerge(gOld, newPairsScored(bandFn(embeddings), newIds, base), k)
+  }
+
+  /** The upsert's batch candidate join + exact scoring: normalized
+    * pairs with at least one endpoint in `newIds`, scored against
+    * the quantized base. |batch| × bucket occupancy — the
+    * maintenance cost itself, never a corpus self-join. The result
+    * is localCheckpointed: it is batch-sized and referenced by THREE
+    * downstream consumers (both union arms and, via affected, the
+    * anti-join) — without it the banded-join subtree re-executes per
+    * reference (measured: 36 corpus scans in the un-checkpointed
+    * plan). */
+  private def newPairsScored(banded: DataFrame, newIds: DataFrame,
+      base: DataFrame): DataFrame = {
+    val pairs = banded.join(newIds, "vec_id")
       .select(col("band"), col("bucket"), col("vec_id").as("va"))
       .join(banded.select(col("band"), col("bucket"),
         col("vec_id").as("vb")), Seq("band", "bucket"))
@@ -273,20 +295,16 @@ object Similarity {
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
       .distinct()
-    // batch-sized (|batch| × occupancy) and referenced by THREE
-    // downstream consumers (both union arms and, via affected, the
-    // anti-join) — materialize once or the banded-join subtree
-    // re-executes per reference (measured: 36 corpus scans in the
-    // un-checkpointed plan)
-    val scored = pairs
-      .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
-        col("qn").as("na")), "vec_a")
-      .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
-        col("qn").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
-          .as("cos_ppm"))
-      .localCheckpoint(true)
+    scorePairs(pairs, base).localCheckpoint(true)
+  }
+
+  /** The upsert MERGE tail: fold newly-scored edges into a stored
+    * graph — affected nodes (any endpoint of a new edge) re-top-k
+    * over (their stored edges ∪ new edges); unaffected nodes carried
+    * through an anti-join untouched. Exact by the displacement
+    * argument in [[knnGraphUpsert]]'s Scaladoc. */
+  private def graphMerge(gOld: DataFrame, scored: DataFrame,
+      k: Int): DataFrame = {
     val directedNew = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))
       .union(scored.select(col("vec_b").as("vec_id"),
@@ -374,13 +392,7 @@ object Similarity {
     // per-band candidate rows (band kept — the refinement key);
     // referenced once but the scored-pair build below re-reads it, so
     // materialize the one candidate fan-out
-    val pairBands = bandedOld
-      .select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
-      .join(bandedOld.select(col("band"), col("bucket"),
-        col("vec_id").as("vec_b")), Seq("band", "bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "band")
-      .localCheckpoint(true)
+    val pairBands = pairBandsFrom(bandedOld).localCheckpoint(true)
     val storedScores = scorePairs(
       pairBands.select("vec_a", "vec_b").distinct(), base)
       .localCheckpoint(true)
@@ -389,11 +401,7 @@ object Similarity {
     else {
       // each vector's extension bits [w, w') per band — a row-local
       // projection over the corpus, the only new corpus-sized read
-      val ext = embeddings.select(col("vec_id"),
-        posexplode(array((0 until nBands).map(b =>
-          V.signBucketAnchored(col("embedding"), b, extBits,
-            AnchorStride, offset = fromBits)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "ext")
+      val ext = extBitsOf(embeddings, nBands, fromBits, extBits)
       val survived = pairBands
         .join(ext.select(col("vec_id").as("vec_a"), col("band"),
           col("ext").as("ea")), Seq("vec_a", "band"))
@@ -403,6 +411,110 @@ object Similarity {
         .select("vec_a", "vec_b").distinct()
       graphFromScored(survived.join(storedScores, Seq("vec_a", "vec_b")), k)
     }
+  }
+
+  /** Normalized (vec_a < vec_b) candidate rows of a band table with
+    * the band kept — the store's refinement key. Within one band a
+    * pair co-buckets at most once, so rows are already distinct. */
+  private def pairBandsFrom(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vec_id").as("vec_b")), Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "band")
+
+  /** Per-vector extension bits [w, w') per anchored band — the
+    * row-local projection [[knnGraphReband]]'s refinement filter
+    * reads; the only corpus-sized work in a migration. */
+  private def extBitsOf(embeddings: DataFrame, nBands: Int,
+      fromBits: Int, extBits: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        V.signBucketAnchored(col("embedding"), b, extBits,
+          AnchorStride, offset = fromBits)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "ext")
+
+  /** The full vector-store LIFECYCLE as ONE oracle-checked composite
+    * (r13 — VERDICT r12 #2, the text twin is
+    * [[graft.operators.Dedup.minhashStoreLifecycle]]): BUILD the
+    * anchored store over an initial corpus at the width [[autoBits]]
+    * derives for it, UPSERT an arriving batch at that width, REBAND
+    * w → w+1 (the migration corpus growth is about to demand), then
+    * UPSERT a second batch at the migrated width. Folds are vec_id
+    * mod 3: fold 0 = initial corpus, fold 1 = first batch, fold 2 =
+    * second.
+    *
+    * The store maintained across stages is the shape the reband
+    * Scaladoc declares: the (pair, band) candidate rows, the exact
+    * scored pairs, and the graph view. Each stage consumes the
+    * previous stage's store — the build's scores seed the first
+    * merge, the upserted band rows + scores feed the migration's
+    * extension filter and carried scores, the migrated graph absorbs
+    * the final batch — so the declared oracle (the from-scratch
+    * ANCHORED graph SQL over the FULL corpus at the final width,
+    * width derived from the fold-0 count by the same integer
+    * comparisons) hash-proves the four-stage COMPOSITION exact.
+    *
+    * Scale shape = the sum of its parts': upserts cost |batch| ×
+    * occupancy, the migration one id-keyed extension join over the
+    * stored candidate rows — a rebuild-free store lifetime. */
+  def knnStoreLifecycle(embeddings: DataFrame, k: Int = 4,
+                        nBands: Int = 4,
+                        targetOccupancy: Long = 128L): DataFrame = {
+    val fold = pmod(col("vec_id"), lit(3))
+    val e0 = embeddings.where(fold === 0)
+    val e01 = embeddings.where(fold =!= 2)
+    val baseAll = quantized(embeddings).localCheckpoint(true)
+    val w1 = autoBits(baseAll.where(fold === 0).count(), targetOccupancy)
+    val w2 = math.min(w1 + 1, AnchorStride)
+    // (1) BUILD over the initial corpus at the auto width: band rows
+    // + exact scored pairs + the graph view, one candidate fan-out
+    val pairBands0 = pairBandsFrom(vectorBandsAnchored(e0, nBands, w1))
+      .localCheckpoint(true)
+    val scores0 = scorePairs(
+      pairBands0.select("vec_a", "vec_b").distinct(), baseAll)
+      .localCheckpoint(true)
+    val g0 = graphFromScored(scores0, k).localCheckpoint(true)
+    // (2) UPSERT batch 1 at w1: new candidates all touch the batch —
+    // band rows and scores extend by disjoint union, the graph by
+    // the affected-node merge
+    val banded01 = vectorBandsAnchored(e01, nBands, w1)
+    val new1 = e01.where(fold === 1).select("vec_id")
+    val newPB1 = banded01.join(new1, "vec_id")
+      .select(col("band"), col("bucket"), col("vec_id").as("va"))
+      .join(banded01.select(col("band"), col("bucket"),
+        col("vec_id").as("vb")), Seq("band", "bucket"))
+      .where(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("band"))
+      .distinct()
+      .localCheckpoint(true)
+    val scoresNew1 = scorePairs(
+      newPB1.select("vec_a", "vec_b").distinct(), baseAll)
+      .localCheckpoint(true)
+    val pairBands01 = pairBands0.unionByName(newPB1)
+    val scores01 = scores0.unionByName(scoresNew1).localCheckpoint(true)
+    val g1 = graphMerge(g0, scoresNew1, k).localCheckpoint(true)
+    // (3) REBAND w1 → w2: extension-bit agreement over the stored
+    // band rows, scores carried — no pair self-join, no re-scoring
+    val g2 =
+      if (w2 == w1) g1
+      else {
+        val ext = extBitsOf(e01, nBands, w1, w2 - w1)
+        val survived = pairBands01
+          .join(ext.select(col("vec_id").as("vec_a"), col("band"),
+            col("ext").as("ea")), Seq("vec_a", "band"))
+          .join(ext.select(col("vec_id").as("vec_b"), col("band"),
+            col("ext").as("eb")), Seq("vec_b", "band"))
+          .where(col("ea") === col("eb"))
+          .select("vec_a", "vec_b").distinct()
+        graphFromScored(survived.join(scores01, Seq("vec_a", "vec_b")), k)
+          .localCheckpoint(true)
+      }
+    // (4) UPSERT batch 2 at the migrated width
+    val bandedAll = vectorBandsAnchored(embeddings, nBands, w2)
+    val new2 = embeddings.where(fold === 2).select("vec_id")
+    graphMerge(g2, newPairsScored(bandedAll, new2, baseAll), k)
   }
 
   /** Vector-store BUILD pipeline (r10): the retrieval-side composite

@@ -179,6 +179,27 @@ object ExtQueries {
       s"bandtab AS ($bandArms), $minhashPairTailSql"
   }
 
+  /** [[graft.operators.Dedup.minhashStoreLifecycle]]: the oracle is
+    * the FROM-SCRATCH LSH over the FULL corpus at the lifecycle's
+    * final arm — rows_per_band = least(2·autoBandRows(|fold 0|), 16),
+    * fold 0 = the initial corpus the store was built over (doc_id %
+    * 3 = 0, counted over signature-bearing docs exactly as the Scala
+    * side counts them). The hash therefore proves the whole build →
+    * upsert → reband → upsert chain exact end-to-end. */
+  private val pipelineStoreTextSql: String = {
+    val arr0 =
+      "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
+        "WHEN count(*) >= 100000000 THEN 8 WHEN count(*) >= 10000 THEN 4 " +
+        "ELSE 2 END AS rr FROM minh " +
+        "WHERE m0 IS NOT NULL AND doc_id % 3 = 0)"
+    val bandArms = Seq((4, 4), (2, 8), (1, 16)).map { case (b, r) =>
+      s"SELECT doc_id, band, bucket FROM (${bandSelectsGen("minh", b, r)}) " +
+        s"WHERE least(2 * (SELECT rr FROM arr), 16) = $r"
+    }.mkString(" UNION ALL ")
+    s"WITH $minhashCteChain, $arr0, " +
+      s"bandtab AS ($bandArms), $minhashPairTailSql"
+  }
+
   /** [[graft.operators.Dedup.ophLsh]]: the one-permutation-hashing
     * signature restated — per-bin list minima (empty bin → NULL),
     * then rotation densification as a 16-way COALESCE with the
@@ -4411,12 +4432,14 @@ object ExtQueries {
     * 128·2^w ≥ N, the exact comparison chain autoBits runs — no
     * cross-engine transcendental rounding at power-of-two
     * boundaries (r13). */
-  private val autoBitsCte: String = {
+  private def autoBitsCteOver(where: String): String = {
     val terms = (0 until 16).map(j =>
       s"(CASE WHEN count(*) > ${128L << j} THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"abits AS (SELECT greatest(4, $terms) AS ab FROM base)"
+    s"abits AS (SELECT greatest(4, $terms) AS ab FROM base$where)"
   }
+
+  private val autoBitsCte: String = autoBitsCteOver("")
 
   /** Sign-LSH bands CTE with the width picked at RUN time by the
     * abits scalar: one guarded arm per candidate width — exactly one
@@ -4448,7 +4471,8 @@ object ExtQueries {
     * FROM-SCRATCH anchored graph at the migrated width, so the hash
     * proves the stored-pair refinement + carried-score migration
     * exact (the sim_knn_upsert oracle-exactness pattern). */
-  private def anchoredBandsAutoCte(nBands: Int): String = {
+  private def anchoredBandsAutoCte(nBands: Int,
+      abits: String = autoBitsCte): String = {
     val arms = (5 to 16).flatMap { bits =>
       (0 until nBands).map { b =>
         val bucket = (0 until bits).map { k =>
@@ -4459,11 +4483,22 @@ object ExtQueries {
           s"WHERE least((SELECT ab FROM abits) + 1, 16) = $bits"
       }
     }
-    s"$autoBitsCte, bands AS (${arms.mkString(" UNION ALL ")})"
+    s"$abits, bands AS (${arms.mkString(" UNION ALL ")})"
   }
 
   private val simKnnRebandSql: String =
     simKnnGraphSqlFrom(anchoredBandsAutoCte(4))
+
+  /** [[graft.operators.Similarity.knnStoreLifecycle]]: the oracle is
+    * the FROM-SCRATCH anchored graph over the FULL corpus at the
+    * lifecycle's final width — least(autoBits(|fold 0|) + 1, 16),
+    * fold 0 = the initial corpus the store was built over (vec_id %
+    * 3 = 0, counted over the usable quantized base exactly as the
+    * Scala side counts it). The hash therefore proves the whole
+    * build → upsert → reband → upsert chain exact end-to-end. */
+  private val pipelineStoreVecSql: String =
+    simKnnGraphSqlFrom(anchoredBandsAutoCte(4,
+      autoBitsCteOver(" WHERE vec_id % 3 = 0")))
 
   /** [[graft.operators.Dedup.embeddingNearDupAuto]]: dd_embed_neardup's
     * pair/verify tail over auto-width bands. */
@@ -5505,7 +5540,9 @@ object ExtQueries {
     "sim_knn_filtered" -> ((s, d) =>
       Similarity.knnFiltered(Tables.embeddings(s, d))),
     // r11: incremental graph maintenance whose oracle is the
-    // FROM-SCRATCH wide graph — the hash proves the merge exact
+    // FROM-SCRATCH graph at the store's width — the hash proves the
+    // merge exact; r13: the stored width is autoBits(N), what a
+    // store this size runs, so the oracle is the AUTO graph's SQL
     "sim_knn_upsert" -> ((s, d) =>
       Similarity.knnGraphUpsert(Tables.embeddings(s, d))),
     // r12: width migration for a growable store — anchored-layout
@@ -5513,6 +5550,14 @@ object ExtQueries {
     // anchored graph at the migrated width (exactness by hash)
     "sim_knn_reband" -> ((s, d) =>
       Similarity.knnGraphReband(Tables.embeddings(s, d))),
+    // r13: the store LIFECYCLE composites — build → upsert → reband
+    // → upsert chained on each modality; the oracle is the
+    // from-scratch result over the full corpus at the final
+    // arm/width, so the hash proves the COMPOSITION exact
+    "pipeline_store_text" -> ((s, d) =>
+      Dedup.minhashStoreLifecycle(Tables.documents(s, d))),
+    "pipeline_store_vec" -> ((s, d) =>
+      Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5548,7 +5593,9 @@ object ExtQueries {
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_minhash_auto" -> ddMinhashAutoSql,
     // the upsert's oracle IS the from-scratch pair table
-    "dd_lsh_upsert" -> ddMinhashSql,
+    // the upsert's stored arm is autoBandRows(|corpus|) (r13), so its
+    // from-scratch twin is the AUTO blocker's SQL, not the fixed 8×2
+    "dd_lsh_upsert" -> ddMinhashAutoSql,
     "dd_minhash_reband" -> ddMinhashRebandSql,
     "dd_lsh_recall" -> ddLshRecallSql,
     "sim_knn_bitsig" -> simKnnBitsigSql,
@@ -5574,10 +5621,12 @@ object ExtQueries {
     "sim_knn_graph_wide" -> simKnnGraphWideSql,
     // the upsert's oracle IS the from-scratch wide graph: the hash
     // proves the incremental merge exact
-    "sim_knn_upsert" -> simKnnGraphWideSql,
+    "sim_knn_upsert" -> simKnnGraphAutoSql,
     // the reband's oracle IS the from-scratch anchored graph at the
     // migrated width: the hash proves the migration exact
     "sim_knn_reband" -> simKnnRebandSql,
+    "pipeline_store_vec" -> pipelineStoreVecSql,
+    "pipeline_store_text" -> pipelineStoreTextSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

@@ -47,19 +47,28 @@ object StoreLaws {
 
     // ---- sim_knn_upsert law dumps ---------------------------------
     val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+    // the upsert's stored width is autoBits(N) since r13 — the law
+    // arms must be derived at the SAME width or the affected set and
+    // the stored graph describe a different store than the one the
+    // upsert maintained
+    val bits = Similarity.autoBits(emb
+      .where(graft.functions.VectorOps.qnorm2(
+        graft.functions.VectorOps.quantize(col("embedding"))) > 0)
+      .count())
+    System.err.println(s"[laws] autoBits width = $bits")
     time("upsert") {
       Similarity.knnGraphUpsert(emb)
         .write.mode("overwrite").parquet(s"$outDir/upsert")
     }
     time("stored") {
       Similarity.knnGraph(emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
-          k = 4, nBands = 4, bitsPerBand = 8)
+          k = 4, nBands = 4, bitsPerBand = bits)
         .write.mode("overwrite").parquet(s"$outDir/stored")
     }
     time("affected") {
       // the affected set, derived the way the merge derives it: every
       // endpoint of a candidate pair touching the batch
-      val banded = Dedup.vectorBands(emb, 4, 8)
+      val banded = Dedup.vectorBands(emb, 4, bits)
       val newIds = emb.where(pmod(col("vec_id"), lit(10)) === 0)
         .select("vec_id")
       val bn = banded.join(newIds, "vec_id")

@@ -77,6 +77,15 @@ class AutoBandingSpec extends AnyFunSuite {
     assert(auto == fixed)
   }
 
+  test("knnGraphUpsert derives the store width from the corpus (r13): " +
+    "auto == the fixed-width merge at the derived width") {
+    val e = Tables.embeddings(spark, sf)
+    val auto = Similarity.knnGraphUpsert(e).collect().toSeq
+    val fixed = Similarity.knnGraphUpsertWith(e, 4,
+      x => Dedup.vectorBands(x, 4, 4), 10).collect().toSeq
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("embeddingNearDupAuto == embeddingNearDup at the derived width") {
     val e = Tables.embeddings(spark, sf)
     val auto = Dedup.embeddingNearDupAuto(e).collect().toSeq

@@ -49,8 +49,8 @@ class BandingSweepSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding").withColumn("label", lit(0))
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    val inc = rows(Similarity.knnGraphUpsert(emb, k = 2, nBands = 1,
-      bitsPerBand = 2, splitMod = 10))
+    val inc = rows(Similarity.knnGraphUpsertWith(emb, 2,
+      e => graft.operators.Dedup.vectorBands(e, 1, 2), 10))
     val scratch = rows(Similarity.knnGraph(emb, k = 2, nBands = 1,
       bitsPerBand = 2))
     assert(inc == scratch)
@@ -65,8 +65,8 @@ class BandingSweepSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding").withColumn("label", lit(0))
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(rows(Similarity.knnGraphUpsert(emb, k = 2, nBands = 1,
-        bitsPerBand = 2, splitMod = 10)) ==
+    assert(rows(Similarity.knnGraphUpsertWith(emb, 2,
+        e => graft.operators.Dedup.vectorBands(e, 1, 2), 10)) ==
       rows(Similarity.knnGraph(emb, k = 2, nBands = 1, bitsPerBand = 2)))
   }
 

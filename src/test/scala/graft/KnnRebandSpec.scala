@@ -123,15 +123,35 @@ class KnnRebandSpec extends AnyFunSuite {
     val before = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
       .localCheckpoint(true)
     val D = graft.operators.Dedup
-    // (1) ingest into the (8,2) store: merge exact
-    assert(D.minhashLshUpsert(before, splitMod = 7).collect().toSeq ==
-      D.minhashLsh(before).collect().toSeq)
+    // (1) ingest into the store: the declared upsert now derives the
+    // stored arm from the corpus size (r13) — below the 10^4
+    // boundary autoBandRows = 2, so the auto store IS the (8,2)
+    // store and gate hashes are unchanged by construction
+    val up = D.minhashLshUpsert(before, splitMod = 7).collect().toSeq
+    assert(up == D.minhashLsh(before).collect().toSeq)
+    assert(up == D.minhashLshUpsertWith(before, splitMod = 7)
+      .collect().toSeq)
     // (2) growth will cross the 10^4 arm boundary: migrate 8×2 → 4×4
     assert(D.minhashReband(before).collect().toSeq ==
       D.minhashLsh(before, bands = 4, rowsPerBand = 4).collect().toSeq)
     // (3) ingest continues at the migrated arm: merge exact again
-    assert(D.minhashLshUpsert(d, bands = 4, rowsPerBand = 4,
+    assert(D.minhashLshUpsertWith(d, bands = 4, rowsPerBand = 4,
         splitMod = 10).collect().toSeq ==
       D.minhashLsh(d, bands = 4, rowsPerBand = 4).collect().toSeq)
+  }
+
+  test("lifecycle COMPOSITES (r13): the chained build → upsert → " +
+    "reband → upsert equals the from-scratch result over the full " +
+    "corpus at the final arm/width on both modalities") {
+    val D = graft.operators.Dedup
+    // text: fold 0 is < 10^4 docs ⇒ build at (8,2), migrate to (4,4)
+    val d = graft.relational.Tables.documents(spark, sf)
+    assert(D.minhashStoreLifecycle(d).collect().toSeq ==
+      D.minhashLsh(d, bands = 4, rowsPerBand = 4).collect().toSeq)
+    // vector: fold 0 clamps to the 4-bit floor ⇒ build at 4, migrate
+    // to 5 — the reband stage is NON-trivial at the gate by design
+    val e = Tables.embeddings(spark, sf)
+    assert(Similarity.knnStoreLifecycle(e).collect().toSeq ==
+      Similarity.knnGraphAnchored(e, 4, 4, 5).collect().toSeq)
   }
 }
