@@ -516,4 +516,199 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(got(2) == ((1L, 1000000L)))
     } finally q.stop()
   }
+
+  test("text gate LIFECYCLE across the banding boundary (r13, VERDICT " +
+    "r12 #1): kill at the 8×2 snapshot, re-derive 4×4 from the grown " +
+    "corpus, resume from the SAME checkpoint — restarted gate ≡ a " +
+    "fresh gate at the new banding, while-down arrivals exactly once") {
+    // Both admission gates derive banding from the corpus snapshot at
+    // stream-BUILD time; a long-lived stream's corpus GROWS past the
+    // 10⁴ arm boundary mid-deployment. The migration story is the
+    // reference's uncaught-exception contract
+    // (UncaughtExceptionHandlerConfig.java:19 — stop cleanly, resume
+    // without duplicates): kill the gate, re-derive (b, r) from the
+    // new snapshot, resume from checkpoint. The gate is STATELESS
+    // (stream-static joins only), so the plan swap is
+    // restart-compatible; carried offsets give exactly-once.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+    def w(p: String, c: org.apache.spark.sql.Column) = concat(lit(p), c)
+    def corpusOf(n: Long): DataFrame = spark.range(n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", w("a", col("id")), w("b", col("id")),
+          w("c", col("id")), w("d", col("id")), w("e", col("id")))
+          .as("text")).localCheckpoint(true)
+    def textOf(c: DataFrame, id: Long): String =
+      c.where(col("doc_id") === id).head().getAs[String]("text")
+    val small = corpusOf(500)   // autoBandRows = 2 → the 8×2 gate
+    val grown = corpusOf(15000) // past 10⁴ → the 4×4 gate
+    assert(graft.operators.Dedup.autoBandRows(500) == 2 &&
+      graft.operators.Dedup.autoBandRows(15000) == 4)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-gate-cp").toString
+    def start(corpus: DataFrame) = StreamingCuration
+      .admitNearDupStream(mem.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(1))
+        collected.synchronized { collected ++= rows }
+        ()
+      }.start()
+
+    // phase 1: the 8×2 gate over the small snapshot
+    val q1 = start(small)
+    try {
+      mem.addData(
+        (ts(0), 9001L, textOf(small, 42L)), // corpus dup → dropped
+        (ts(1), 9002L, "entirely novel arrival about glacier moraine " +
+          "sediment cores and isotope chronology"))
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill — clean-shutdown semantics
+    assert(collected.toSet == Set(9002L))
+    val phase1 = collected.size
+
+    // while DOWN: the corpus grew past the arm boundary; arrivals
+    // keep queueing at the source
+    mem.addData(
+      (ts(2), 9003L, textOf(grown, 12000L)), // dup only in the GROWN
+                                             // snapshot → dropped by
+                                             // the re-derived gate
+      (ts(3), 9004L, textOf(small, 7L)),     // still a dup
+      (ts(4), 9005L, "second novel document with wholly fresh " +
+        "vocabulary of tidal estuary sediments"))
+
+    // phase 2: re-derive from the grown snapshot, resume from the
+    // SAME checkpoint
+    val q2 = start(grown)
+    try {
+      q2.processAllAvailable()
+      mem.addData(
+        (ts(5), 9006L, textOf(grown, 14321L)), // dropped at 4×4
+        (ts(6), 9007L, "third novel document describing basalt " +
+          "column jointing and lava cooling rates"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // exactly-once across the restart: every arrival decided ONCE,
+    // verdicts per the gate active at processing time
+    val ids = collected.toSeq
+    assert(ids.size == ids.distinct.size, s"re-emission: $ids")
+    assert(ids.toSet == Set(9002L, 9005L, 9007L))
+
+    // restarted gate ≡ a FRESH gate built at the new banding: the
+    // same post-kill arrivals through a pinned-(4,4) gate on a fresh
+    // checkpoint admit exactly the same ids
+    val postKill = ids.drop(phase1).toSet
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val q3 = StreamingCuration.admitNearDupStream(
+        mem2.toDF().toDF("ts", "doc_id", "text"), grown,
+        bandsOverride = Some(4))
+      .writeStream.format("memory").queryName("gate_fresh_44")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(
+        (ts(2), 9003L, textOf(grown, 12000L)),
+        (ts(3), 9004L, textOf(small, 7L)),
+        (ts(4), 9005L, "second novel document with wholly fresh " +
+          "vocabulary of tidal estuary sediments"),
+        (ts(5), 9006L, textOf(grown, 14321L)),
+        (ts(6), 9007L, "third novel document describing basalt " +
+          "column jointing and lava cooling rates"))
+      q3.processAllAvailable()
+      val fresh = spark.table("gate_fresh_44").collect()
+        .map(_.getLong(1)).toSet
+      assert(fresh == postKill,
+        s"restarted gate diverged from fresh gate: $fresh vs $postKill")
+    } finally q3.stop()
+  }
+
+  test("vector gate LIFECYCLE across the width boundary (r13): kill " +
+    "at the 4-bit snapshot, re-derive 5 bits from the grown corpus, " +
+    "resume from checkpoint — restarted ≡ fresh at the new width, " +
+    "exactly-once across the restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, sequence, sin, transform => xform}
+    def corpusOf(n: Long): DataFrame = spark.range(n)
+      .select(col("id").as("vec_id"),
+        xform(sequence(lit(0), lit(63)), d =>
+          sin(col("id") * (d + lit(1))).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val small = corpusOf(500)  // autoBits = 4 (the floor)
+    val grown = corpusOf(3000) // past 128·2⁴ → 5 bits
+    assert(graft.operators.Similarity.autoBits(500) == 4 &&
+      graft.operators.Similarity.autoBits(3000) == 5)
+    def vecOf(c: DataFrame, id: Long): Seq[Float] =
+      c.where(col("vec_id") === id).head().getSeq[Float](1)
+    val zero = Seq.fill(64)(0.0f) // zero-norm → always admitted (r12
+                                  // law): the deterministic sentinel
+
+    val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-vgate-cp").toString
+    def start(corpus: DataFrame) = StreamingCuration
+      .admitVectorStream(
+        mem.toDF().toDF("ts", "vec_id", "embedding"), corpus)
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(1))
+        collected.synchronized { collected ++= rows }
+        ()
+      }.start()
+
+    // phase 1: the 4-bit gate
+    val q1 = start(small)
+    try {
+      mem.addData((ts(0), 9001L, vecOf(small, 123L)), // dup → dropped
+        (ts(1), 9002L, zero))                         // admitted
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(collected.toSet == Set(9002L))
+    val phase1 = collected.size
+
+    // while DOWN: corpus grows past the width boundary
+    mem.addData(
+      (ts(2), 9003L, vecOf(grown, 2500L)), // dup only in the GROWN
+                                           // snapshot → dropped
+      (ts(3), 9004L, zero))                // admitted
+
+    // phase 2: re-derived width, same checkpoint
+    val q2 = start(grown)
+    try {
+      q2.processAllAvailable()
+      mem.addData((ts(4), 9005L, vecOf(grown, 2999L)), // dropped
+        (ts(5), 9006L, zero))                          // admitted
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = collected.toSeq
+    assert(ids.size == ids.distinct.size, s"re-emission: $ids")
+    assert(ids.toSet == Set(9002L, 9004L, 9006L))
+
+    // restarted ≡ fresh at the new width (pinned Some(5), fresh cp)
+    val postKill = ids.drop(phase1).toSet
+    val mem2 = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val q3 = StreamingCuration.admitVectorStream(
+        mem2.toDF().toDF("ts", "vec_id", "embedding"), grown,
+        bitsPerBand = Some(5))
+      .writeStream.format("memory").queryName("vgate_fresh_5")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(
+        (ts(2), 9003L, vecOf(grown, 2500L)), (ts(3), 9004L, zero),
+        (ts(4), 9005L, vecOf(grown, 2999L)), (ts(5), 9006L, zero))
+      q3.processAllAvailable()
+      val fresh = spark.table("vgate_fresh_5").collect()
+        .map(_.getLong(1)).toSet
+      assert(fresh == postKill,
+        s"restarted gate diverged from fresh gate: $fresh vs $postKill")
+    } finally q3.stop()
+  }
 }
