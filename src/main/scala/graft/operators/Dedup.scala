@@ -238,7 +238,24 @@ object Dedup {
     * localCheckpoint the band explode reuses — one signature pass
     * plus a count over the cached table, the knnGraphAuto shape. No
     * hand-tuned (b, r) survives inside the flagship composites:
-    * [[graft.operators.CuratePipeline]] deploys THIS blocker. */
+    * [[graft.operators.CuratePipeline]] deploys THIS blocker.
+    *
+    * Signature family: K-AFFINE, by measured choice (r13, VERDICT
+    * r12 #4; tools/OphBench at the 10× probe, 50k docs, auto arm
+    * 4×4): whole-blocker wall 1.16 s affine vs 0.96 s OPH, signature
+    * slice 0.20 vs 0.15 s. The 17% gap is NOT kernel cost — it is
+    * OPH banding a different unbiased estimator whose candidate set
+    * is 10.6% smaller (306k vs 342k pairs) at a 0.13% LOWER dup
+    * yield (247,347 vs 247,667 pairs ≥ 750k ppm, 244,939 common):
+    * swapping families changes RESULTS near the threshold, where
+    * every measured operating point (dd_blocker_recall's recall
+    * rows, dd_minhash_calibration, the bands-sweep table) was
+    * derived on the affine family. The batch blocker keeps the
+    * family its measurements pin; OPH is deployed where signature
+    * cost IS the bottleneck — the per-arrival streaming admit gate
+    * ([[graft.streaming.StreamingCuration.admitNearDupStream]] signs
+    * with textNative.oph_sig) — and remains declared (dd_oph) with
+    * byte-exact oracle parity for corpora that want it. */
   def minhashLshAuto(docs: DataFrame, shingleN: Int = 3,
                      maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(docs, shingleN).localCheckpoint(true)

@@ -59,6 +59,17 @@ object OphBench {
       affPairs.unpersist(); ophPairs.unpersist()
       println(f"$sf,$nDocs,$tAff%.2f,$tOph%.2f,$nAff,$nOph," +
         s"$nAffDup,$nOphDup,$common")
+      // end-to-end blocker wall at the AUTO arm (r13, VERDICT r12
+      // #4): the flagship path signs with the K-affine family —
+      // measure whether swapping OPH in moves the whole-blocker wall
+      // or only the (small) signature slice of it
+      val r = Dedup.autoBandRows(Dedup.minhashSignatures(docs).count())
+      val k = graft.functions.PortableHash.MinhashK
+      val (tAffAuto, _) = timeIt(Dedup.minhashLshAuto(docs).count())
+      val (tOphAuto, _) = timeIt(
+        Dedup.ophLsh(docs, bands = k / r, rowsPerBand = r).count())
+      println(f"auto_arm,$sf,r=$r,affine_auto_s=$tAffAuto%.2f," +
+        f"oph_auto_s=$tOphAuto%.2f")
     }
     spark.stop()
   }
