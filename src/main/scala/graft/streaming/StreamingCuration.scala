@@ -227,8 +227,13 @@ object StreamingCuration {
                         nBands: Int = 4, bitsPerBand: Option[Int] = None,
                         minCosPpm: Long = 400000L): DataFrame = {
     import graft.functions.{VectorOps => V}
+    // width from the USABLE corpus (quantized norm > 0) — the same
+    // count every batch autoBits derivation uses (r13 alignment; a
+    // zero-norm-heavy corpus would otherwise run one bit wider than
+    // its batch twin at the boundary)
     val bitsPB = bitsPerBand.getOrElse(
-      graft.operators.Similarity.autoBits(corpus.count()))
+      graft.operators.Similarity.autoBits(corpus
+        .where(V.qnorm2(V.quantize(col("embedding"))) > 0).count()))
     val corpusQ = corpus
       .select(col("vec_id"), V.quantize(col("embedding")).as("qb"))
       .select(col("vec_id"), col("qb"), V.qnorm2(col("qb")).as("nb"))

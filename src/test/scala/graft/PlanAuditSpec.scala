@@ -44,6 +44,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("tx_top_terms").contains("TakeOrderedAndProject"))
   }
 
+  test("store lifecycle composites: the final upsert reads the MIGRATED " +
+    "store from a materialized checkpoint, not a recompute (r13)") {
+    // the lifecycle's scale claim is pay-per-stage: each stage's store
+    // is localCheckpoint'd, so the final plan must consume it as an
+    // ExistingRDD scan — if the checkpoint were dropped, the whole
+    // four-stage chain would re-derive inside one plan (and the band
+    // self-joins would re-execute once per downstream reference)
+    Seq("pipeline_store_text", "pipeline_store_vec").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q final stage must read the checkpointed store:\n$p")
+    }
+  }
+
   test("tx_dpo_render: the rank window and the pair collapse share ONE " +
     "hash exchange; the dimension join is broadcast") {
     val p = plan("tx_dpo_render")
