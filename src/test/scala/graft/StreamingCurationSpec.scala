@@ -711,4 +711,85 @@ class StreamingCurationSpec extends AnyFunSuite {
         s"restarted gate diverged from fresh gate: $fresh vs $postKill")
     } finally q3.stop()
   }
+
+  test("classifyStream MODEL-REFRESH lifecycle (r13): kill, swap in the " +
+    "re-fit model (same label set), resume from checkpoint — closed " +
+    "windows are not re-emitted, in-flight window STATE survives the " +
+    "swap, while-down arrivals score under the refreshed model") {
+    // The admit gates' lifecycle story extended to the STATEFUL
+    // serving stream: the batch-fit/stream-score loop refreshes the
+    // model offline, and the swap is restart-compatible iff the label
+    // SET is unchanged (the windowed agg's schema is one conditional
+    // sum per label, index-named over the sorted label list — same
+    // labels ⇒ same state schema; a GROWN label set changes the agg
+    // schema and needs a fresh checkpoint, the documented operational
+    // boundary). Each doc's score is computed whole in its arrival
+    // micro-batch, so a mid-window swap never mixes models within one
+    // document — only across documents, which is the semantics a
+    // rolling model deployment wants.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val model1 = Seq(
+      ("aa", "alpha", 500000L), ("bb", "alpha", 500000L),
+      ("cc", "beta", 500000L), ("dd", "beta", 500000L))
+      .toDF("w", "label", "weight_ppm").localCheckpoint(true)
+    // re-fit on the grown corpus: SAME labels, beta vocabulary moved
+    val model2 = Seq(
+      ("aa", "alpha", 500000L), ("bb", "alpha", 500000L),
+      ("ee", "beta", 500000L), ("ff", "beta", 500000L))
+      .toDF("w", "label", "weight_ppm").localCheckpoint(true)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-classify-cp").toString
+    def start(model: DataFrame) = StreamingCuration
+      .classifyStream(mem.toDF().toDF("ts", "doc_id", "text"), model,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(1), r.getString(2)))
+        collected.synchronized { collected ++= rows }
+        ()
+      }.start()
+
+    // run 1 under model1: window W0 fills and closes (the ts(5)
+    // arrival advances the watermark past W0's end); the flush doc's
+    // own window W5 stays OPEN — its state must survive the restart
+    val q1 = start(model1)
+    try {
+      mem.addData((ts(0), 100L, "aa bb aa"), (ts(0), 101L, "cc cc"))
+      q1.processAllAvailable()
+      mem.addData((ts(5), 999L, "flush"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(collected.toSet == Set((100L, "alpha"), (101L, "beta")))
+
+    // while DOWN: an arrival only the REFRESHED model recognizes —
+    // under model1 "ee ff ee" is a zero-hit (tie-break → alpha),
+    // under model2 it is clean beta vocabulary: the verdict observes
+    // which model scored it
+    mem.addData((ts(7), 200L, "ee ff ee"))
+
+    // run 2 under model2, same checkpoint; ts(12) closes W5 and W7
+    val q2 = start(model2)
+    try {
+      q2.processAllAvailable()
+      mem.addData((ts(12), 998L, "flush again"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val all = collected.toSeq
+    assert(all.size == all.distinct.size, s"re-emission: $all")
+    assert(all.toSet == Set(
+      (100L, "alpha"), (101L, "beta"),
+      // W5's state was built in run 1 and emitted in run 2: restored
+      // stateful window state, not a recompute ("flush" is zero-hit
+      // → the pinned alphabetically-first tie-break)
+      (999L, "alpha"),
+      // the while-down arrival scored under the REFRESHED model
+      (200L, "beta")))
+  }
 }
