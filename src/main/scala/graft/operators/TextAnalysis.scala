@@ -30,6 +30,92 @@ object TextAnalysis {
           .as("n_subword_tokens"))
       .orderBy("doc_id")
 
+  /** Number of hashed-feature buckets for [[dsirWeights]] — shared
+    * verbatim with the DuckDB oracle. */
+  val DsirBuckets: Int = 64
+
+  /** DSIR-style importance weights for target-domain data selection
+    * (Xie et al., NeurIPS'23 — Data Selection via Importance
+    * Resampling, restated in exact integers): hash every token into
+    * [[DsirBuckets]] buckets (the portable h31), fit the bucket
+    * distribution of the TARGET slice (`source = targetSource`) and
+    * of the whole corpus in ONE map-side-combinable aggregate (the
+    * target count is a conditional sum inside the same pass), then
+    * score each document with the likelihood-ratio form
+    *
+    *   weight_ppm = ⌊10⁶ · Σ_tokens (p_b+1) / Σ_tokens (q_b+1)⌋
+    *
+    * where p_b/q_b are the add-1-smoothed per-bucket ppm masses —
+    * the RATIO of tf-weighted bucket masses rather than DSIR's
+    * Σ log(p/q): logs are banned on hash-checked paths (library
+    * transcendentals are not bit-specified across engines), and the
+    * ratio form preserves the selection ORDER the resampler needs
+    * for docs of similar length while staying exact-integer end to
+    * end (numerator ≤ n_tokens·(10⁶+1) ≪ 2⁶³/10⁶). `selected`
+    * marks target-leaning docs (weight ≥ 10⁶ — scores above the
+    * corpus-typical mass ratio).
+    *
+    * Scale shape: the fit is ONE 64-row hash aggregate (partial
+    * combine on the bucket key), collected as a model-sized literal
+    * — scoring is then a row-local fold riding the scan with ZERO
+    * shuffles, exactly how production DSIR applies its hashed-ngram
+    * model to a 100 TB corpus. */
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0",
+                  buckets: Int = DsirBuckets): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(TextOps.words(col("text"))).as("wd"))
+      .select(col("source"),
+        pmod(PH.h31(col("wd")), lit(buckets.toLong)).as("b"))
+    val cnt = toks.groupBy("b").agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("n_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totAll = math.max(1L, cnt.map(_._2).sum)
+    val totTgt = math.max(1L, cnt.map(_._3).sum)
+    val p1 = Array.fill(buckets)(1L)
+    val q1 = Array.fill(buckets)(1L)
+    cnt.foreach { case (b, nAll, nTgt) =>
+      p1(b.toInt) = 1L + 1000000L * nTgt / totTgt
+      q1(b.toInt) = 1L + 1000000L * nAll / totAll
+    }
+    val pLit = typedLit(p1.toSeq)
+    val qLit = typedLit(q1.toSeq)
+    def mass(m: org.apache.spark.sql.Column) =
+      aggregate(TextOps.words(col("text")), lit(0L), (acc, w) =>
+        acc + element_at(m, (pmod(PH.h31(w), lit(buckets.toLong)) + 1)
+          .cast("int")))
+    Partitioning.spread(docs)
+      .select(col("doc_id"), mass(pLit).as("num"), mass(qLit).as("den"))
+      .select(col("doc_id"),
+        expr("(1000000 * num) div den").as("weight_ppm"))
+      .withColumn("selected", col("weight_ppm") >= 1000000L)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic importance RESAMPLING over [[dsirWeights]] (r13):
+    * the selection step DSIR's weights exist for — accept a doc with
+    * probability proportional to its importance weight, via the
+    * salted-hash gate the sampling family uses everywhere
+    * (`tx_sample_mix`'s rerun/order-stable alternative to rand()):
+    * keep iff h31('dsir:' ∥ doc_id) mod 2·10⁶ < weight_ppm — around
+    * the corpus-typical weight of 10⁶ that is ~50% acceptance,
+    * scaling up for target-leaning docs. Learned weights composed
+    * into the deterministic sampler: the mixture-rebalance shape
+    * with a MODEL instead of hand-set literal rates.
+    *
+    * Scale: [[dsirWeights]]' row-local scoring plus one more
+    * row-local hash compare — still zero shuffles after the 64-row
+    * fit. */
+  def dsirSample(docs: DataFrame, targetSource: String = "src0",
+                 buckets: Int = DsirBuckets): DataFrame =
+    dsirWeights(docs, targetSource, buckets)
+      .where(pmod(PH.h31(concat(lit("dsir:"),
+          col("doc_id").cast("string"))), lit(2000000L))
+        < col("weight_ppm"))
+      .select("doc_id", "weight_ppm")
+      .orderBy("doc_id")
+
   /** Literal retrieval queries for [[bm25]] — drawn from the corpus
     * vocabulary; the oracle's VALUES list is generated from this SAME
     * Seq so the two engines cannot diverge. */

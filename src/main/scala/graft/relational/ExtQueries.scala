@@ -114,6 +114,39 @@ object ExtQueries {
       s"g -> ${PH.h31Sql("g")}) AS hl FROM ws), " +
       s"minh AS (SELECT doc_id, $minhashCols FROM hs)"
 
+  /** [[graft.operators.TextAnalysis.dsirWeights]]: the hashed-bucket
+    * fit restated as CTEs (the oracle joins the 64-row dist table
+    * where Spark bakes it into a literal — same values), then the
+    * same integer likelihood-ratio score. */
+  private val txDsirSql: String = {
+    val b = graft.operators.TextAnalysis.DsirBuckets
+    "WITH ws2 AS (SELECT doc_id, source, string_split(text, ' ') AS w " +
+      "FROM documents), " +
+      "bk AS (SELECT doc_id, source, " +
+      s"${PH.h31Sql("wd")} % $b AS bb " +
+      "FROM (SELECT doc_id, source, unnest(w) AS wd FROM ws2)), " +
+      "cnt AS (SELECT bb, count(*) AS n_all, " +
+      "sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_tgt " +
+      "FROM bk GROUP BY bb), " +
+      "tot AS (SELECT greatest(sum(n_all), 1) AS ta, " +
+      "greatest(sum(n_tgt), 1) AS tt FROM cnt), " +
+      "dist AS (SELECT bb, " +
+      "1 + (1000000 * n_tgt) // (SELECT tt FROM tot) AS p1, " +
+      "1 + (1000000 * n_all) // (SELECT ta FROM tot) AS q1 FROM cnt), " +
+      "sc AS (SELECT doc_id, sum(p1) AS num, sum(q1) AS den " +
+      "FROM bk JOIN dist USING (bb) GROUP BY doc_id) " +
+      "SELECT doc_id, CAST((1000000 * num) // den AS BIGINT) " +
+      "AS weight_ppm, ((1000000 * num) // den) >= 1000000 AS selected " +
+      "FROM sc ORDER BY doc_id"
+  }
+
+  /** [[graft.operators.TextAnalysis.dsirSample]]: the weights SQL
+    * wrapped in the shared salted-hash acceptance gate. */
+  private val txDsirSampleSql: String =
+    s"SELECT doc_id, weight_ppm FROM ($txDsirSql) " +
+      s"WHERE ${PH.h31Sql("'dsir:' || CAST(doc_id AS VARCHAR)")} " +
+      "% 2000000 < weight_ppm ORDER BY doc_id"
+
   private val ddMinhashSql: String = {
     val matches = minhashMatches
     s"WITH $minhashCteChain, " +
@@ -5558,6 +5591,14 @@ object ExtQueries {
       Dedup.minhashStoreLifecycle(Tables.documents(s, d))),
     "pipeline_store_vec" -> ((s, d) =>
       Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
+    // r13: DSIR-style hashed-feature importance weights — 64-row fit
+    // collected as a literal, row-local integer likelihood-ratio score
+    "tx_dsir" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d))),
+    // r13: the resampling step the weights exist for — learned
+    // weights composed into the deterministic salted-hash sampler
+    "tx_dsir_sample" -> ((s, d) =>
+      TextAnalysis.dsirSample(Tables.documents(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5627,6 +5668,8 @@ object ExtQueries {
     "sim_knn_reband" -> simKnnRebandSql,
     "pipeline_store_vec" -> pipelineStoreVecSql,
     "pipeline_store_text" -> pipelineStoreTextSql,
+    "tx_dsir" -> txDsirSql,
+    "tx_dsir_sample" -> txDsirSampleSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

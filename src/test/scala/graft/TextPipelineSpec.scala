@@ -436,4 +436,30 @@ class TextPipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("degenerate"))
   }
+
+  test("dsirWeights (r13): on a vocabulary-separated corpus every " +
+    "target-vocab doc outranks every off-target doc, mixed docs land " +
+    "between, and weights are length-invariant for pure-vocab docs") {
+    import org.apache.spark.sql.functions.lit
+    // target docs speak {talpha, tbeta}; the rest speak {omega, opi};
+    // doc 90 mixes the two vocabularies half and half
+    val docs = ((0L until 10L).map(i =>
+        (i, "talpha tbeta talpha tbeta", "tgt")) ++
+      (10L until 50L).map(i => (i, "omega opi omega", "oth")) ++
+      Seq((90L, "talpha tbeta omega opi", "oth")))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val w = TextAnalysis.dsirWeights(docs, targetSource = "tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgtW = (0L until 10L).map(w)
+    val othW = (10L until 50L).map(w)
+    // pure-vocab docs of one side all score identically: the
+    // likelihood ratio is a per-token bucket-mass ratio, so document
+    // LENGTH cancels for single-vocabulary docs
+    assert(tgtW.distinct.size == 1 && othW.distinct.size == 1)
+    assert(tgtW.head > w(90L) && w(90L) > othW.head,
+      s"mixed doc must land between: ${tgtW.head} > ${w(90L)} > ${othW.head}")
+    // target vocab dominates the target distribution -> weight well
+    // above the 1e6 selection line; off-target well below
+    assert(tgtW.head > 1000000L && othW.head < 1000000L)
+  }
 }
