@@ -57,6 +57,26 @@ object Similarity {
         V.cosPpm(V.qdot(col("qq"), col("qe")), col("nq"), col("qn")).as("cos_ppm"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive / embedding-model training
+    * (r13): for each anchor (vec_id < nQueries), the top-k corpus
+    * vectors whose cosine lies in the HARD band [minPpm, maxPpm) —
+    * above random similarity (informative, not trivially separable)
+    * but BELOW the near-dup threshold the dedup family removes at
+    * minCosPpm = 400000 (a false negative that is actually a
+    * duplicate poisons the contrastive loss — the classic DPR/
+    * in-batch-negatives failure, which is why the band's upper edge
+    * is EXACTLY the dedup family's lower edge). Same exhaustive
+    * anchor contract as [[knnBrute]] (anchors broadcast, corpus
+    * streams once, one top-k window) — hard-negative mining runs
+    * over anchor BATCHES in production, so per-batch brute scoring
+    * is the deployed shape; band-filtering before the window keeps
+    * the ranked state at the band's density, not the corpus's. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8,
+                    k: Int = 5, minPpm: Long = 250000L,
+                    maxPpm: Long = 400000L): DataFrame =
+    cosTopK(bruteScored(embeddings, nQueries)
+      .where(col("cos_ppm") >= minPpm && col("cos_ppm") < maxPpm), k)
+
   /** Shared per-query top-k tail over a (query_id, neighbor_id,
     * cos_ppm) scored set — the contract every cosine rung emits. */
   private def cosTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -1230,6 +1230,22 @@ object ExtQueries {
       "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
       "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
 
+  /** [[graft.operators.Similarity.hardNegatives]]: the brute-scored
+    * chain with the hard band [250000, 400000) applied BEFORE the
+    * per-anchor rank — the upper edge is exactly the embedding
+    * dedup family's near-dup threshold. */
+  private val simHardNegSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      s"${cosPpmSql(dotSql("qs.qe", "b.qe"), "qs.n", "b.n")} AS cos_ppm " +
+      "FROM base qs JOIN base b ON b.vec_id <> qs.vec_id WHERE qs.vec_id < 8), " +
+      "r AS (SELECT query_id, neighbor_id, cos_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, " +
+      "neighbor_id ASC) AS rk FROM scored " +
+      "WHERE cos_ppm >= 250000 AND cos_ppm < 400000) " +
+      "SELECT query_id, CAST(rk AS BIGINT) AS \"rank\", neighbor_id, cos_ppm " +
+      "FROM r WHERE rk <= 5 ORDER BY query_id, rk"
+
   private val simKnnLshSql: String =
     s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
       "cand AS (SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id " +
@@ -5599,6 +5615,10 @@ object ExtQueries {
     // weights composed into the deterministic salted-hash sampler
     "tx_dsir_sample" -> ((s, d) =>
       TextAnalysis.dsirSample(Tables.documents(s, d))),
+    // r13: hard-negative mining — the contrastive-training band
+    // [random-similar, near-dup) per anchor
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
     "tx_sample_strat" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d))),
     "rel_distinct_users" -> ((s, d) => Tables.events(s, d)
@@ -5670,6 +5690,7 @@ object ExtQueries {
     "pipeline_store_text" -> pipelineStoreTextSql,
     "tx_dsir" -> txDsirSql,
     "tx_dsir_sample" -> txDsirSampleSql,
+    "sim_hard_negatives" -> simHardNegSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

@@ -133,4 +133,31 @@ class RetrievalSpec extends AnyFunSuite {
       assert(a % 13 != 0 && b % 13 != 0, "corrupt doc in a pair")
     }
   }
+
+  test("sim_hard_negatives (r13): every mined negative sits inside the " +
+    "hard band, ranks are dense, and NO negative is a near-dup of its " +
+    "anchor — the band's upper edge IS the dedup threshold") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.relational.Tables.embeddings(spark, sf)
+    val out = graft.operators.Similarity.hardNegatives(e).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length).toSeq, "ranks must be dense per anchor")
+    }
+    out.foreach { r =>
+      val cos = r.getLong(3)
+      assert(cos >= 250000L && cos < 400000L, s"outside the band: $cos")
+    }
+    // a contrastive negative that is actually a duplicate poisons the
+    // loss: the near-dup pair set (verify threshold 400000, the same
+    // constant) must not contain any (anchor, negative) pair
+    val dup = graft.operators.Dedup.embeddingNearDup(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (a, n) = (r.getLong(0), r.getLong(2))
+      assert(!dup.contains((math.min(a, n), math.max(a, n))),
+        s"near-dup leaked into the negatives: ($a, $n)")
+    }
+  }
 }
