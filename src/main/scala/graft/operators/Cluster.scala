@@ -165,6 +165,34 @@ object Cluster {
     kmeansFull(embeddings, k, iters, literalArgminMaxK)
       .select("vec_id", "cid").orderBy("vec_id")
 
+  /** Cluster-BALANCED sampling (r13): deterministic "n per cluster"
+    * over the LEARNED k-means cells — `tx_sample_strat`'s stratified
+    * protocol with a MODEL key instead of a metadata key. Metadata
+    * strata (lang, source) can't see that one source dominates one
+    * semantic region; sampling per CELL holds semantic coverage
+    * under any marginal skew — the diversity-balanced selection step
+    * of an embedding-aware curation pipeline. Within a cell the
+    * order is the salted portable hash (rerun/order-stable where a
+    * rand() reservoir is not), ties on vec_id; cells smaller than
+    * `perCluster` keep everything.
+    *
+    * Scale shape: the k-means fit/assign loop (tiny collected
+    * codebook, row-local argmin), then ONE window shuffle on cid —
+    * the same single-exchange shape as the stratified sampler; the
+    * sort payload is (hash, id), never the embedding. */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                    perCluster: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+      .orderBy(graft.functions.PortableHash.h31(
+        concat(lit("cs:"), col("vec_id").cast("string"))).asc,
+        col("vec_id").asc)
+    kmeansAssign(embeddings, k, iters)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .where(col("pick") <= perCluster)
+      .select("vec_id", "cid", "pick")
+      .orderBy("vec_id")
+  }
+
   /** [[semDedup]] with the production scaling rule applied: k = √N
     * (floored at 8), which holds E[cluster size] = √N and total
     * within-cluster pair volume ≈ N·√N/2 — near-linear, where a fixed

@@ -1184,6 +1184,16 @@ object ExtQueries {
     s"WITH ${kmeansCtes("8", 2)} " +
       "SELECT vec_id, cid FROM a3 ORDER BY vec_id"
 
+  /** [[graft.operators.Cluster.clusterSample]]: the final assignment
+    * CTE + one per-cid salted-hash rank ≤ 20. */
+  private val simClusterSampleSql: String =
+    s"WITH ${kmeansCtes("8", 2)}, " +
+      "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid " +
+      s"ORDER BY ${PH.h31Sql("'cs:' || CAST(vec_id AS VARCHAR)")} ASC, " +
+      "vec_id ASC) AS rn FROM a3) " +
+      "SELECT vec_id, cid, CAST(rn AS BIGINT) AS pick FROM r " +
+      "WHERE rn <= 20 ORDER BY vec_id"
+
   private def semdedupTail(kmeans: String): String =
     s"WITH $kmeans, " +
       "pp AS (SELECT y.vec_id AS vec_b, " +
@@ -5232,6 +5242,10 @@ object ExtQueries {
       graft.operators.Profile.expectations(Tables.lineitem(s, d),
         expectationChecks.map { case (n, bad) => (n, F.expr(bad)) })),
     "dd_kmeans" -> ((s, d) => Cluster.kmeansAssign(Tables.embeddings(s, d))),
+    // r13: cluster-balanced sampling — stratified "n per cell" over
+    // the LEARNED k-means cells (semantic-diversity selection)
+    "sim_cluster_sample" -> ((s, d) =>
+      Cluster.clusterSample(Tables.embeddings(s, d))),
     "dd_outliers" -> ((s, d) => Cluster.kmeansOutliers(Tables.embeddings(s, d))),
     "dd_paragraph" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
     "tx_sample_temp" -> ((s, d) =>
@@ -5691,6 +5705,7 @@ object ExtQueries {
     "tx_dsir" -> txDsirSql,
     "tx_dsir_sample" -> txDsirSampleSql,
     "sim_hard_negatives" -> simHardNegSql,
+    "sim_cluster_sample" -> simClusterSampleSql,
     "sim_knn_graph_auto" -> simKnnGraphAutoSql,
     "dd_embed_neardup_auto" -> ddEmbedNearDupAutoSql,
     "dd_yield_report" -> ddYieldReportSql,

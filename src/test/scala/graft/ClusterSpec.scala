@@ -107,4 +107,29 @@ class ClusterSpec extends AnyFunSuite {
     }
     assert(losers.nonEmpty, "corpus plants at least one semantic dup")
   }
+
+  test("clusterSample (r13): per-cell counts = min(n, |cell|), picks " +
+    "dense per cell, every cell represented, and the sample is " +
+    "rerun-stable") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val sample = Cluster.clusterSample(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellSizes = Cluster.kmeansAssign(e).collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+    val byCell = sample.groupBy(_._2)
+    // every learned cell contributes, capped at 20 picks
+    assert(byCell.keySet == cellSizes.keySet)
+    byCell.foreach { case (cid, rows) =>
+      assert(rows.length == math.min(20, cellSizes(cid)),
+        s"cell $cid: ${rows.length} of ${cellSizes(cid)}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cell $cid picks not dense")
+    }
+    // deterministic: a second run is byte-identical (the salted-hash
+    // order is the rerun-stable replacement for a rand() reservoir)
+    val again = Cluster.clusterSample(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sample.toSeq == again.toSeq)
+  }
 }
