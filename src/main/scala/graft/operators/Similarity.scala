@@ -281,13 +281,25 @@ object Similarity {
     * argument needs the width FIXED across store and batch, which
     * it is within one upsert; crossing a width boundary is
     * [[knnGraphReband]]'s job. The oracle derives the same width
-    * from its base CTE (the sim_knn_graph_auto abits scalar). */
+    * from its base CTE (the sim_knn_graph_auto abits scalar).
+    * Width from the COMBINED (post-batch) count, deliberately: this
+    * declared query models the steady state a store reaches AFTER
+    * absorbing the batch — the width its size now runs — and the
+    * oracle derives from the same full-corpus CTE. A store caught
+    * mid-growth at a width boundary is exactly the lifecycle case,
+    * and [[knnStoreLifecycle]] models that side (width from the
+    * pre-batch fold, migration via reband) — the two derivations
+    * differ by design, each matching its own oracle (r14, ADVICE).
+    * The quantized base is checkpointed ONCE here and reused for
+    * the width count AND the merge (r14, ADVICE: the count was a
+    * separate uncached quantize pass). */
   def knnGraphUpsert(embeddings: DataFrame, k: Int = 4, nBands: Int = 4,
                      targetOccupancy: Long = 128L,
                      splitMod: Int = 10): DataFrame = {
-    val bits = autoBits(quantized(embeddings).count(), targetOccupancy)
+    val base = quantized(embeddings).localCheckpoint(true)
+    val bits = autoBits(base.count(), targetOccupancy)
     knnGraphUpsertWith(embeddings, k,
-      e => Dedup.vectorBands(e, nBands, bits), splitMod)
+      e => Dedup.vectorBands(e, nBands, bits), splitMod, Some(base))
   }
 
   /** [[knnGraphUpsert]] parameterized on the band-table builder, so
@@ -297,12 +309,13 @@ object Similarity {
     * band key to be a fixed per-vector function — it holds for any
     * layout the builder pins. */
   private[graft] def knnGraphUpsertWith(embeddings: DataFrame, k: Int,
-      bandFn: DataFrame => DataFrame, splitMod: Int): DataFrame = {
+      bandFn: DataFrame => DataFrame, splitMod: Int,
+      baseOpt: Option[DataFrame] = None): DataFrame = {
     val existing = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) =!= 0)
     val gOld = knnGraphFrom(quantized(existing), bandFn(existing), k)
       .localCheckpoint(true)
-    val base = quantized(embeddings).localCheckpoint(true)
+    val base = baseOpt.getOrElse(quantized(embeddings).localCheckpoint(true))
     val newIds = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) === 0).select("vec_id")
     graphMerge(gOld, newPairsScored(bandFn(embeddings), newIds, base), k)
@@ -1359,7 +1372,19 @@ object Similarity {
     * production ladder (thousands of truth queries) pays the
     * exhaustive rungs once instead of twice — and the boundary
     * between shareable (content-only) and unshareable (corpus-
-    * dependent) rungs is now explicit in the code. */
+    * dependent) rungs is now explicit in the code.
+    *
+    * MEMORY ENVELOPE (r14, ADVICE): the four checkpointed scored
+    * tables are each ≤ nQueries × |candidates| rows of three longs
+    * (brute/bitsig/sq8 exactly nQueries·(N−1); lsh only the bucket
+    * candidates) — ~4·24·nQueries·N bytes pinned for the operator's
+    * lifetime. Every one of the four IS consumed by both halves
+    * (truth + an arm each), so none can be dropped without paying
+    * its scoring pass twice; at production scale (nQueries ~10³,
+    * N ~10⁹ ⇒ ~100 TB pinned) the localCheckpoint becomes a
+    * disk-backed `checkpoint`/parquet stage boundary — the shape
+    * (score once, restrict twice) is the scalable part, the storage
+    * tier is deployment config. */
   def recallLadderPostDedup(embeddings: DataFrame, nQueries: Int = 8,
                             k: Int = 5): DataFrame = {
     val losers = graft.operators.Dedup.embeddingNearDup(embeddings)

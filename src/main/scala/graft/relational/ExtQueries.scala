@@ -135,8 +135,11 @@ object ExtQueries {
       "1 + (1000000 * n_all) // (SELECT ta FROM tot) AS q1 FROM cnt), " +
       "sc AS (SELECT doc_id, sum(p1) AS num, sum(q1) AS den " +
       "FROM bk JOIN dist USING (bb) GROUP BY doc_id) " +
-      "SELECT doc_id, CAST((1000000 * num) // den AS BIGINT) " +
-      "AS weight_ppm, ((1000000 * num) // den) >= 1000000 AS selected " +
+      // HUGEINT widening mirrors the Spark side's decimal(38,0)
+      // ratio (r14 ADVICE: 10⁶·num wrapped Long past ~9.2M tokens)
+      "SELECT doc_id, CAST((1000000 * CAST(num AS HUGEINT)) // den " +
+      "AS BIGINT) AS weight_ppm, " +
+      "((1000000 * CAST(num AS HUGEINT)) // den) >= 1000000 AS selected " +
       "FROM sc ORDER BY doc_id"
   }
 

@@ -462,4 +462,39 @@ class TextPipelineSpec extends AnyFunSuite {
     // above the 1e6 selection line; off-target well below
     assert(tgtW.head > 1000000L && othW.head < 1000000L)
   }
+
+  test("dsirWeightsFrom (r14): the decimal-widened ratio is exact where " +
+    "the Long product 10^6*num would wrap, and the injectable fit " +
+    "composes weights + sample with zero aggregates in the scoring plan") {
+    import org.apache.spark.sql.functions.lit
+    // extreme fitted masses (p=10^6+1, q=1 after smoothing): num hits
+    // n_tokens*(10^6+1), which wrapped the old 10^6*num Long product
+    // at ~9.2e3 tokens already — a 16k-token doc crosses the boundary
+    val model = TextAnalysis.DsirModel(
+      Seq.fill(TextAnalysis.DsirBuckets)(1000001L),
+      Seq.fill(TextAnalysis.DsirBuckets)(1L))
+    val nTok = 16384
+    val docs = Seq((0L, Array.fill(nTok)("w").mkString(" "), "src0"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val w = TextAnalysis.dsirWeightsFrom(docs, model).collect()
+    // num = n*(10^6+1), den = n: ratio is exactly 10^6*(10^6+1)
+    assert(w.head.getLong(1) == 1000000L * 1000001L,
+      s"got ${w.head.getLong(1)} — the ratio must not wrap")
+    // composed weights+sample over ONE fit: both scoring plans are
+    // pure row-local projections — no HashAggregate anywhere (the
+    // 64-row fit aggregate ran once, outside both plans)
+    val corpus = Tables.documents(spark, sf)
+    val fit = TextAnalysis.dsirFit(corpus)
+    val pw = TextAnalysis.dsirWeightsFrom(corpus, fit)
+      .queryExecution.executedPlan.toString
+    val ps = TextAnalysis.dsirSampleFrom(corpus, fit)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Aggregate") && !ps.contains("Aggregate"),
+      "model application must stay aggregate-free")
+    // and the model-sharing path returns byte-identical results to
+    // the self-fitting declared queries
+    val a = TextAnalysis.dsirSample(corpus).collect().toSeq
+    val b = TextAnalysis.dsirSampleFrom(corpus, fit).collect().toSeq
+    assert(a == b)
+  }
 }
