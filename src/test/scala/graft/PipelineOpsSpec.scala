@@ -1855,4 +1855,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(n > 0 && mn >= 0 && av >= mn && av <= mx && sm >= mx)
     }
   }
+
+  test("curateMultimodal (r14): the pair rule is EITHER-side — survivors " +
+    "are exactly decode-ok ∩ quality-ok minus (image losers ∪ caption " +
+    "losers), and the render accounts vision patches + caption tokens") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.relational.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.CuratePipeline
+      .curateMultimodal(spark, docs).collect()
+    // recompose the survivor set from the component operators
+    val ph = graft.operators.Multimodal.imagePhashOriented(docs)(spark)
+      .localCheckpoint(true)
+    val decodeOk = ph.where(col("hash_hi") >= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val imgLosers = graft.operators.Dedup.imageNearDup(ph)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val qualityOk = graft.operators.TextAnalysis.qualityScore(docs)
+      .where(col("quality_ppm") >= 750000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val capLosers = graft.operators.Dedup.minhashLshAuto(docs)
+      .where(col("est_jaccard_ppm") >= 750000L)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val expected = (decodeOk & qualityOk) -- imgLosers -- capLosers
+    assert(out.map(_.getLong(0)).toSet == expected)
+    // the rule genuinely bites from BOTH sides on this corpus
+    assert((expected & imgLosers).isEmpty && (expected & capLosers).isEmpty)
+    assert(qualityOk.exists(imgLosers), "image side must drop someone")
+    assert(decodeOk.exists(capLosers), "caption side must drop someone")
+    assert(!decodeOk.contains(0L), "doc 0 is the truncated DLT arm (0 % 13)")
+    out.foreach { r =>
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      val patches = ((w + 3) / 4) * ((h + 3) / 4)
+      assert(r.getLong(3) == patches && r.getLong(6) == patches)
+      assert(r.getLong(5) == patches + r.getLong(4))
+      assert(r.getString(7).startsWith(s"<|image:${w}x$h|> "))
+    }
+  }
 }

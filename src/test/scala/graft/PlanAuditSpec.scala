@@ -58,6 +58,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curate_mm decodes the image payload exactly once (r14): " +
+    "the final plan reads the checkpointed phash table, never re-decodes") {
+    // the binary fixture decode is the one mapPartitions stage in the
+    // composite; localCheckpoint materializes it, so the curated plan
+    // (banded self-join + dims + DLT filter all consume phash) must
+    // show ZERO object-pipeline nodes and read ExistingRDD instead
+    val p = plan("pipeline_curate_mm")
+    assert(!p.contains("MapPartitions"),
+      s"image decode re-executes inside the curated plan:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"phash checkpoint not consumed:\n$p")
+  }
+
   test("tx_dpo_render: the rank window and the pair collapse share ONE " +
     "hash exchange; the dimension join is broadcast") {
     val p = plan("tx_dpo_render")
