@@ -290,7 +290,14 @@ object StreamingCuration {
     * SAME pinned tie-break as the batch classifier. Emits on window
     * close (append mode): (window, doc_id, predicted_source, score).
     * State: |docs in window| × |classes| conditional sums inside the
-    * watermark horizon — bounded, id-keyed, no text payload. */
+    * watermark horizon — bounded, id-keyed, no text payload.
+    * OPERATIONAL BOUNDARY: the per-label columns make the checkpoint
+    * state schema a function of the label SET — a model refresh that
+    * keeps the labels resumes in place (lifecycle spec), one that
+    * GROWS them cannot; deployments that refresh label sets run
+    * [[classifyStreamLong]] (labels as data, schema-stable across
+    * growth) and derive this argmax downstream via
+    * [[classifyArgmax]]. */
   def classifyStream(docs: DataFrame, model: DataFrame,
                      windowLen: String = "1 minute",
                      watermark: String = "1 hour"): DataFrame = {
@@ -324,6 +331,62 @@ object StreamingCuration {
     agg.select(col("window"), col("doc_id"),
       best.getField("label").as("predicted_source"),
       best.getField("score").as("score"))
+  }
+
+  /** Schema-stable LONG-format streaming classifier (r14, VERDICT
+    * r13 #2): [[classifyStream]]'s wide output is one conditional-sum
+    * column PER LABEL, so its checkpoint state schema is a function
+    * of the model's label SET — a refresh that GROWS the labels is a
+    * schema change the stream cannot resume across (the r13
+    * documented boundary). This variant closes it the way the
+    * banding boundaries were closed: labels are DATA, not columns —
+    * the stateful agg groups by (window, doc_id, label) and sums ONE
+    * value column, so the state schema is label-set-INDEPENDENT and
+    * a 3-label → 5-label model swap resumes from the same checkpoint
+    * (new labels are just new grouping-key values;
+    * StreamingCurationSpec drives the 3→5 refresh across a kill with
+    * exactly-once). Emits on window close:
+    * (window, doc_id, label, score_ppm); a token with no model hit
+    * keeps its doc present through the NULL-label arm (score 0) —
+    * the presence row [[classifyArgmax]] needs to reproduce the wide
+    * form's zero-hit tie-break downstream. State per window:
+    * |docs| × (|hit labels| + 1) sums inside the watermark horizon —
+    * bounded, id-keyed, no text payload. */
+  def classifyStreamLong(docs: DataFrame, model: DataFrame,
+                         windowLen: String = "1 minute",
+                         watermark: String = "1 hour"): DataFrame = {
+    val toks = docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+    toks.join(model, Seq("w"), "left")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"), col("label"))
+      .agg(coalesce(sum("weight_ppm"), lit(0L)).as("score_ppm"))
+  }
+
+  /** The argmax [[classifyStreamLong]]'s consumers derive DOWNSTREAM
+    * (batch over the landed long rows — the wide form's
+    * (score desc, label asc) tie-break reproduced exactly): absent
+    * labels score 0, so the zero-hit fallback is the alphabetically
+    * first MODEL label, injected as a synthetic candidate per
+    * present (window, doc_id) — any real candidate beating (0,
+    * firstLabel) under the shared order wins, exactly as it would
+    * among the wide form's zero-filled columns. Assumes nonnegative
+    * model weights (every trained model here emits floor-div ppm
+    * shares ≥ 0). Output schema = [[classifyStream]]'s. */
+  def classifyArgmax(scored: DataFrame, labels: Seq[String]): DataFrame = {
+    require(labels.nonEmpty, "classifyArgmax: empty label set")
+    val first = labels.sorted.head
+    val synthetic = scored.select(col("window"), col("doc_id")).distinct()
+      .select(col("window"), col("doc_id"), lit(first).as("label"),
+        lit(0L).as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window", "doc_id")
+      .orderBy(col("score_ppm").desc, col("label").asc)
+    scored.where(col("label").isNotNull).unionByName(synthetic)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("window"), col("doc_id"),
+        col("label").as("predicted_source"), col("score_ppm").as("score"))
   }
 
   /** Streaming drift monitor (r11): per (window, label), the cosine

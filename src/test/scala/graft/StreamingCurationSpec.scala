@@ -792,4 +792,111 @@ class StreamingCurationSpec extends AnyFunSuite {
       // the while-down arrival scored under the REFRESHED model
       (200L, "beta")))
   }
+
+  test("classifyStreamLong GROWN-label-set lifecycle (r14, VERDICT r13 " +
+    "#2): a 3-label → 5-label model refresh resumes from the SAME " +
+    "checkpoint with exactly-once — labels are data, so the state " +
+    "schema survives label-set growth the wide form cannot") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    // 3 labels
+    val model3 = Seq(
+      ("aa", "alpha", 500000L), ("bb", "alpha", 500000L),
+      ("cc", "beta", 500000L), ("gg", "gamma", 500000L))
+      .toDF("w", "label", "weight_ppm").localCheckpoint(true)
+    // refreshed on the grown taxonomy: GROWN to 5 labels (delta,
+    // epsilon are new; the wide form's agg schema would change here
+    // and refuse the old checkpoint)
+    val model5 = Seq(
+      ("aa", "alpha", 500000L), ("bb", "alpha", 500000L),
+      ("cc", "beta", 500000L), ("gg", "gamma", 500000L),
+      ("ee", "delta", 500000L), ("ff", "epsilon", 500000L))
+      .toDF("w", "label", "weight_ppm").localCheckpoint(true)
+    val labels5 = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val collected = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, Long)]
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-classify-long-cp").toString
+    def start(model: DataFrame) = StreamingCuration
+      .classifyStreamLong(mem.toDF().toDF("ts", "doc_id", "text"), model,
+        windowLen = "1 minute", watermark = "1 minute")
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(1), Option(r.getString(2)).getOrElse("∅"),
+            r.getLong(3)))
+        collected.synchronized { collected ++= rows }
+        ()
+      }.start()
+
+    // run 1 under the 3-label model: W0 closes; the flush doc's own
+    // window W5 stays open — its state must survive the restart
+    val q1 = start(model3)
+    try {
+      mem.addData((ts(0), 100L, "aa bb aa"), (ts(0), 101L, "cc xx"))
+      q1.processAllAvailable()
+      mem.addData((ts(5), 999L, "flush"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(collected.toSet == Set(
+      (100L, "alpha", 1500000L),          // 3 hits
+      (101L, "beta", 500000L), (101L, "∅", 0L))) // xx missed → null arm
+    val run1 = collected.size
+
+    // while DOWN: a doc only the GROWN label set can classify
+    mem.addData((ts(7), 200L, "ee ee ff"))
+
+    // run 2 under the 5-label model, SAME checkpoint — the wide form
+    // dies here; the long form resumes and the new labels appear as
+    // new grouping-key values
+    val q2 = start(model5)
+    try {
+      q2.processAllAvailable()
+      mem.addData((ts(12), 998L, "flush again"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val all = collected.toSeq
+    assert(all.size == all.distinct.size, s"re-emission: $all")
+    assert(all.drop(run1).toSet == Set(
+      (999L, "∅", 0L),                    // run-1 state, run-2 emit
+      (200L, "delta", 1000000L), (200L, "epsilon", 500000L)))
+
+    // argmax derivability: reducing the landed long rows reproduces
+    // the wide form's contract, incl. the zero-hit tie-break (999 →
+    // alphabetically-first model label)
+    val landed = all.map { case (id, l, s) =>
+      (id, if (l == "∅") null else l, s)
+    }.toDF("doc_id", "label", "score_ppm")
+      .withColumn("window", org.apache.spark.sql.functions
+        .lit("w")) // window identity is irrelevant to the reduce here
+    val pred = StreamingCuration.classifyArgmax(landed, labels5)
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(pred == Map(
+      100L -> ("alpha", 1500000L), 101L -> ("beta", 500000L),
+      999L -> ("alpha", 0L), 200L -> ("delta", 1000000L)))
+
+    // batch/stream parity at BOTH label sets: the same function over
+    // a STATIC frame (watermark is a no-op in batch) + the argmax
+    // equals the wide batch classifier row for row
+    for (m <- Seq(model3, model5)) {
+      val static = Seq((ts(0), 100L, "aa bb aa"), (ts(0), 101L, "cc xx"),
+        (ts(7), 200L, "ee ee ff")).toDF("ts", "doc_id", "text")
+      val ls = m.select("label").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val viaLong = StreamingCuration.classifyArgmax(
+        StreamingCuration.classifyStreamLong(static, m), ls)
+        .collect().map(r => (r.get(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+      val wide = StreamingCuration.classifyStream(static, m)
+        .collect().map(r => (r.get(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(viaLong == wide, s"long+argmax diverged from wide: $ls")
+    }
+  }
 }
