@@ -146,7 +146,6 @@ object StreamingCuration {
                          shingleN: Int = 3,
                          bandsOverride: Option[Int] = None,
                          minEstJaccardPpm: Long = 500000L): DataFrame = {
-    import org.apache.spark.sql.Column
     import graft.functions.{PortableHash => PH}
     val bands = bandsOverride.getOrElse {
       val n = corpus
@@ -154,18 +153,7 @@ object StreamingCuration {
           >= shingleN - 1).count()
       PH.MinhashK / graft.operators.Dedup.autoBandRows(n)
     }
-    val rowsPerBand = PH.MinhashK / bands
-    require(bands * rowsPerBand == PH.MinhashK)
-    def hasShingles(c: Column): Column =
-      length(c) - length(replace(c, lit(" "))) >= shingleN - 1
-    def bucketOf(sig: Column, b: Int): Column =
-      concat_ws(":", (0 until rowsPerBand).map(r =>
-        get(sig, lit(b * rowsPerBand + r)).cast("string")): _*)
-    def estPpm(a: Column, b: Column): Column =
-      floor(lit(1000000.0) * aggregate(zip_with(a, b, (x, y) =>
-        when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
-        / PH.MinhashK).cast("long")
-    val corpusSigs = corpus.where(hasShingles(col("text")))
+    val corpusSigs = corpus.where(hasShingles(col("text"), shingleN))
       .select(graft.functions.textNative
         .oph_sig(col("text"), shingleN).as("sig"))
     // persist: the corpus snapshot really is built ONCE (r9 review
@@ -173,26 +161,71 @@ object StreamingCuration {
     // re-executes the full corpus scan + md5-per-shingle signature
     // pass EVERY micro-batch; the cache lives for the streaming
     // query's lifetime, which is the snapshot's intended lifetime)
-    val corpusBuckets = corpusSigs.select(col("sig"),
+    val corpusBuckets = ophBucketsOf(corpusSigs, bands).persist()
+    val base = docs.withColumn("sig",
+      when(hasShingles(col("text"), shingleN),
+        graft.functions.textNative.oph_sig(col("text"), shingleN)))
+    ophAdmit(base, corpusBuckets, bands, minEstJaccardPpm)
+      .select("ts", "doc_id", "text")
+  }
+
+  /** ≥ shingleN words (so the doc has at least one shingle). */
+  private[graft] def hasShingles(c: org.apache.spark.sql.Column,
+      shingleN: Int): org.apache.spark.sql.Column =
+    length(c) - length(replace(c, lit(" "))) >= shingleN - 1
+
+  /** Band-b bucket key of an OPH signature: ':'-joined slot values —
+    * the [[graft.operators.Dedup.ophLsh]] banding. */
+  private[graft] def ophBucket(sig: org.apache.spark.sql.Column,
+      b: Int, rowsPerBand: Int): org.apache.spark.sql.Column =
+    concat_ws(":", (0 until rowsPerBand).map(r =>
+      get(sig, lit(b * rowsPerBand + r)).cast("string")): _*)
+
+  /** Signature-agreement MinHash Jaccard estimate in ppm. */
+  private[graft] def ophEstPpm(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.{PortableHash => PH}
+    floor(lit(1000000.0) * aggregate(zip_with(a, b, (x, y) =>
+      when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+      / PH.MinhashK).cast("long")
+  }
+
+  /** (band, bucket) → list<sig> lookup of a signature relation — the
+    * gate snapshot shape, shared with the maintained-store loop
+    * ([[StoreMaintenance]], which aggregates it from persisted band
+    * rows instead of re-signing a corpus). */
+  private[graft] def ophBucketsOf(sigs: DataFrame,
+      bands: Int): DataFrame = {
+    import graft.functions.{PortableHash => PH}
+    val rowsPerBand = PH.MinhashK / bands
+    require(bands * rowsPerBand == PH.MinhashK)
+    sigs.select(col("sig"),
         posexplode(array((0 until bands).map(b =>
-          bucketOf(col("sig"), b)): _*)))
+          ophBucket(col("sig"), b, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .groupBy("band", "bucket")
       .agg(collect_list(col("sig")).as("cands"))
-      .persist()
-    val base = docs.withColumn("sig",
-      when(hasShingles(col("text")),
-        graft.functions.textNative.oph_sig(col("text"), shingleN)))
+  }
+
+  /** The shared OPH admission core: per-band stream-static LEFT joins
+    * of `base` (must carry a nullable `sig` column; sigless rows are
+    * ADMITTED) against a (band, bucket, cands) lookup, then the
+    * row-local signature-agreement verify. Returns base's columns. */
+  private[graft] def ophAdmit(base: DataFrame, corpusBuckets: DataFrame,
+      bands: Int, minEstJaccardPpm: Long): DataFrame = {
+    import graft.functions.{PortableHash => PH}
+    val rowsPerBand = PH.MinhashK / bands
+    val outCols = base.columns.toSeq
     val joined = (0 until bands).foldLeft(base) { (df, b) =>
       df.join(corpusBuckets.where(col("band") === b)
           .select(col("bucket").as(s"bk$b"), col("cands").as(s"cands$b")),
-        bucketOf(col("sig"), b) === col(s"bk$b"), "left")
+        ophBucket(col("sig"), b, rowsPerBand) === col(s"bk$b"), "left")
     }
     val matched = (0 until bands).map { b =>
       coalesce(exists(col(s"cands$b"), c =>
-        estPpm(col("sig"), c) >= minEstJaccardPpm), lit(false))
+        ophEstPpm(col("sig"), c) >= minEstJaccardPpm), lit(false))
     }.reduce(_ || _)
-    joined.where(!matched).select("ts", "doc_id", "text")
+    joined.where(!matched).select(outCols.map(col): _*)
   }
 
   /** Streaming VECTOR admit (r5) — the streaming twin of
@@ -256,22 +289,34 @@ object StreamingCuration {
     val base = vecs.select(col("ts"), col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qa"))
       .withColumn("na", V.qnorm2(col("qa")))
+    vecAdmit(base, corpusBuckets, nBands, bitsPB, minCosPpm)
+      .select("ts", "vec_id", "embedding")
+  }
+
+  /** The shared vector admission core: per-band LEFT joins of `base`
+    * (must carry `embedding`, quantized `qa` and its norm `na`)
+    * against a (band, bucket, cands:list<(qb, nb)>) lookup, then the
+    * row-local exact quantized-cosine verify. A zero-norm arrival has
+    * no cosine to any candidate — ADMIT it without the verify (cosPpm
+    * would divide by zero; the batch family excludes zero-norm rows
+    * from pairing the same way — found by the r12 width-parity spec's
+    * sin-generated vec 0). Returns base's columns. */
+  private[graft] def vecAdmit(base: DataFrame, corpusBuckets: DataFrame,
+      nBands: Int, bitsPB: Int, minCosPpm: Long): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    val outCols = base.columns.toSeq
     val joined = (0 until nBands).foldLeft(base) { (df, b) =>
       df.join(corpusBuckets.where(col("band") === b)
           .select(col("bucket").as(s"bk$b"), col("cands").as(s"cands$b")),
         V.signBucket(col("embedding"), b, bitsPB) === col(s"bk$b"),
         "left")
     }
-    // a zero-norm arrival has no cosine to any candidate — ADMIT it
-    // without the verify (cosPpm would divide by zero; the batch
-    // family excludes zero-norm rows from pairing the same way —
-    // found by the r12 width-parity spec's sin-generated vec 0)
     val matched = col("na") > 0 && (0 until nBands).map { b =>
       coalesce(exists(col(s"cands$b"), c =>
         V.cosPpm(V.qdot(col("qa"), c.getField("qb")), col("na"),
           c.getField("nb")) >= minCosPpm), lit(false))
     }.reduce(_ || _)
-    joined.where(!matched).select("ts", "vec_id", "embedding")
+    joined.where(!matched).select(outCols.map(col): _*)
   }
 
   /** Streaming model application (r11): score arriving docs with a
