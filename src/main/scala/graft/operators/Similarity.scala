@@ -458,6 +458,46 @@ object Similarity {
     }
   }
 
+  /** CHAINED width migrations (r14, VERDICT r13 #5 — the vector twin
+    * of [[graft.operators.Dedup.minhashRebandChain]]): build the
+    * anchored store at w = autoBits(N), then apply `steps` successive
+    * w → w+1 migrations. Each step's extension-bit filter consumes
+    * the PREVIOUS step's band rows (the anchored refinement is
+    * closed: surviving rows at w+1 are the same (pair, band) shape),
+    * and the stored scores are carried through every boundary —
+    * re-scored NEVER, because pairs(w') ⊆ pairs(w) at every step.
+    * Per-step cost: one row-local extension projection over the
+    * corpus + one id-keyed join over the (shrinking) stored rows.
+    * KnnRebandSpec proves the chain ≡ the from-scratch anchored
+    * graph at the FINAL width at two gate SFs; the probe leg is
+    * recorded in BASELINE.md. */
+  private[graft] def knnGraphRebandChain(embeddings: DataFrame,
+      steps: Int = 2, k: Int = 4, nBands: Int = 4,
+      targetOccupancy: Long = 128L): DataFrame = {
+    val base = quantized(embeddings).localCheckpoint(true)
+    val w0 = autoBits(base.count(), targetOccupancy)
+    var pb = pairBandsFrom(vectorBandsAnchored(embeddings, nBands, w0))
+      .localCheckpoint(true)
+    val scores = scorePairs(
+      pb.select("vec_a", "vec_b").distinct(), base).localCheckpoint(true)
+    var w = w0
+    var i = 0
+    while (i < steps && w < AnchorStride) {
+      val ext = extBitsOf(embeddings, nBands, w, 1)
+      pb = pb
+        .join(ext.select(col("vec_id").as("vec_a"), col("band"),
+          col("ext").as("ea")), Seq("vec_a", "band"))
+        .join(ext.select(col("vec_id").as("vec_b"), col("band"),
+          col("ext").as("eb")), Seq("vec_b", "band"))
+        .where(col("ea") === col("eb"))
+        .select("vec_a", "vec_b", "band")
+        .localCheckpoint(true)
+      w += 1; i += 1
+    }
+    graphFromScored(pb.select("vec_a", "vec_b").distinct()
+      .join(scores, Seq("vec_a", "vec_b")), k)
+  }
+
   /** Normalized (vec_a < vec_b) candidate rows of a band table with
     * the band kept — the store's refinement key. Within one band a
     * pair co-buckets at most once, so rows are already distinct. */

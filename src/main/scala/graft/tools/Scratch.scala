@@ -133,7 +133,52 @@ object Scratch {
     spark.stop()
   }
 
+  /** r14 probe leg for the DOUBLE store migration (VERDICT r13 #5):
+    * chain two banding/width migrations at the 10× probe and verify
+    * byte-equality against the from-scratch result at the FINAL
+    * arm/width, timing both sides. `runMain graft.tools.Scratch
+    * chain [sfDir]`. */
+  private def chainMain(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val D = graft.operators.Dedup
+    val S = graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nSig = D.minhashSignatures(docs).count()
+    val r0 = D.autoBandRows(nSig)
+    val rFinal = math.min(4 * r0, graft.functions.PortableHash.MinhashK)
+    println(s"[chain] text: n=$nSig r0=$r0 chain to $rFinal")
+    val chainT = time("text chain r0→4r0")(
+      D.minhashRebandChain(docs, steps = 2).collect().toSeq)
+    val freshT = time("text from-scratch at 4r0")(
+      D.minhashLsh(docs,
+        bands = graft.functions.PortableHash.MinhashK / rFinal,
+        rowsPerBand = rFinal).collect().toSeq)
+    println(s"[chain] text equal=${chainT == freshT} rows=${chainT.size}")
+    val w0 = S.autoBits(embs.count())
+    println(s"[chain] vec: w0=$w0 chain to ${w0 + 2}")
+    val chainV = time("vec chain w0→w0+2")(
+      S.knnGraphRebandChain(embs, steps = 2).collect().toSeq)
+    val freshV = time("vec from-scratch at w0+2")(
+      S.knnGraphAnchored(embs, 4, 4, w0 + 2).collect().toSeq)
+    println(s"[chain] vec equal=${chainV == freshV} rows=${chainV.size}")
+    spark.stop()
+    if (chainT != freshT || chainV != freshV) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("chain")) {
+      chainMain(args.lift(1).getOrElse("target/probe/sf1full"))
+      return
+    }
     if (args.headOption.contains("codedup")) {
       codeDupMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return

@@ -154,4 +154,27 @@ class KnnRebandSpec extends AnyFunSuite {
     assert(Similarity.knnStoreLifecycle(e).collect().toSeq ==
       Similarity.knnGraphAnchored(e, 4, 4, 5).collect().toSeq)
   }
+
+  test("DOUBLE migration (r14, VERDICT r13 #5): two chained boundary " +
+    "crossings — r→2r→4r and w→w+1→w+2 — still equal the from-scratch " +
+    "result at the FINAL arm/width, at two gate SFs: the refinement " +
+    "really COMPOUNDS (each step consumes the previous step's store, " +
+    "scores carried through both boundaries)") {
+    val D = graft.operators.Dedup
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      // text: auto arm r0 = 2 at both gate SFs → chain 2 → 4 → 8;
+      // oracle = from-scratch blocker at (K/4r0, 4r0) = (2, 8)
+      val d = Tables.documents(spark, dir)
+      assert(D.minhashRebandChain(d, steps = 2).collect().toSeq ==
+        D.minhashLsh(d, bands = 2, rowsPerBand = 8).collect().toSeq,
+        s"text chain diverged at $dir")
+      // vector: auto width floor w0 = 4 → chain 4 → 5 → 6; oracle =
+      // from-scratch anchored graph at 6
+      val e2 = Tables.embeddings(spark, dir)
+      assert(Similarity.knnGraphRebandChain(e2, steps = 2)
+        .collect().toSeq ==
+        Similarity.knnGraphAnchored(e2, 4, 4, 6).collect().toSeq,
+        s"vector chain diverged at $dir")
+    }
+  }
 }
