@@ -1385,76 +1385,41 @@ object Similarity {
     * actually indexes. Two corpora, one protocol — the delta between
     * the halves is the duplicate-induced distortion.
     *
-    * Shared candidate generation (r13, VERDICT r12 #5 audit): the
-    * four CONTENT-ONLY rungs (brute truth, bitsig, sq8, lsh-bucketed
-    * — signatures, codes and bucket keys are per-vector functions of
-    * the embedding alone) score the corpus ONCE; the dedup half's
-    * rung output is exactly the raw scored set RESTRICTED to
-    * surviving endpoints, re-top-k'd — an endpoint semi-join over
-    * the checkpointed scored table instead of a second scoring pass
-    * (CodeAssemblySpec pins row-for-row equality with the
-    * two-independent-ladders definition). The IVF family is NOT
-    * shared: its centroid/codebook fit is a function of WHICH corpus
-    * is indexed, so the survivor half legitimately re-fits those
-    * three rungs. Truth protocol unchanged: each half's truth is its
-    * own corpus's exact top-k (restriction-then-top-k IS knnBrute of
-    * the survivor corpus, because cosines are pairwise content
-    * functions).
-    *
-    * MEASURED audit outcome (TimeQuery, best-of-3): wall PARITY at
-    * the driver SFs (sf0.1 10.4 → 11.0 s, 10× probe 23.8 → 25.2 s,
-    * both within shared-host noise) — at nQueries = 8 the candidate
-    * scoring this shares is a vanishing slice; the wall is the parts
-    * that CANNOT be shared (the near-dup survivor chain, the per-
-    * corpus IVF/PQ fits, per-rung fixed costs). The shared structure
-    * is kept because it is the shape that scales: all-pairs scoring
-    * grows as nQueries × N while the unshareable parts do not, so a
-    * production ladder (thousands of truth queries) pays the
-    * exhaustive rungs once instead of twice — and the boundary
-    * between shareable (content-only) and unshareable (corpus-
-    * dependent) rungs is now explicit in the code.
-    *
-    * MEMORY ENVELOPE (r14, ADVICE): the four checkpointed scored
-    * tables are each ≤ nQueries × |candidates| rows of three longs
-    * (brute/bitsig/sq8 exactly nQueries·(N−1); lsh only the bucket
-    * candidates) — ~4·24·nQueries·N bytes pinned for the operator's
-    * lifetime. Every one of the four IS consumed by both halves
-    * (truth + an arm each), so none can be dropped without paying
-    * its scoring pass twice; at production scale (nQueries ~10³,
-    * N ~10⁹ ⇒ ~100 TB pinned) the localCheckpoint becomes a
-    * disk-backed `checkpoint`/parquet stage boundary — the shape
-    * (score once, restrict twice) is the scalable part, the storage
-    * tier is deployment config. */
+    * IMPLEMENTATION HISTORY — measured, then simplified BACK (r14,
+    * VERDICT r13 #4): r13 restructured this to share the four
+    * content-only rungs (score once, checkpoint, endpoint-restrict
+    * for the dedup half) on the argument that shared scoring scales
+    * as nQueries × N while the unshareable parts do not. The r14
+    * measurement at production nQueries (Scratch ladder, interleaved
+    * best-of-2, shared vs this two-independent-ladders form) REFUTED
+    * it at scale: 10× probe (20k vecs) nq=8 29.3 vs 24.8 s, nq=64
+    * 33.5 vs 29.8, nq=256 71.1 vs 53.8 — the independent form wins
+    * everywhere and the gap GROWS with nQueries, because the shared
+    * form's localCheckpoint materialization of four nQueries×N
+    * scored tables (write + re-read + the pinned storage) costs MORE
+    * than the quantized-integer re-scoring it saves, and that
+    * materialization scales with the same nQueries × N. (At sf0.1,
+    * N=2k, the shared form edged ahead only at nq=256: 34.7 vs
+    * 37.3 — a constant-factor trade that inverts as N grows, i.e.
+    * exactly the wrong direction for production.) Per the r13
+    * verdict's own decision rule — "if the shared form doesn't win
+    * by nQueries = 256, simplify back" — this is the simple form
+    * again: one full [[recallLadder]] per corpus, each rung's
+    * scoring pipelined straight into its top-k with nothing
+    * materialized. CodeAssemblySpec's definitional pin (raw + surv
+    * ladders) is unchanged — the r13 form was proven row-identical
+    * to this one, so declared hashes are identical too; walls in
+    * BASELINE.md "r14 verdict-item ledger" #4. */
   def recallLadderPostDedup(embeddings: DataFrame, nQueries: Int = 8,
                             k: Int = 5): DataFrame = {
     val losers = graft.operators.Dedup.embeddingNearDup(embeddings)
       .select(col("vec_b").as("vec_id")).distinct()
     val surv = embeddings.join(losers, Seq("vec_id"), "left_anti")
-    val survIds = surv.select("vec_id").localCheckpoint(true)
-    val sBrute = bruteScored(embeddings, nQueries).localCheckpoint(true)
-    val sBit = bitsigScored(embeddings, nQueries).localCheckpoint(true)
-    val sSq8 = sq8Scored(embeddings, nQueries).localCheckpoint(true)
-    val sLsh = lshScored(embeddings, nQueries, 4, 4).localCheckpoint(true)
-    def restrict(scored: DataFrame): DataFrame = scored
-      .join(survIds.select(col("vec_id").as("query_id")),
-        Seq("query_id"), "left_semi")
-      .join(survIds.select(col("vec_id").as("neighbor_id")),
-        Seq("neighbor_id"), "left_semi")
-    def half(tag: String, filt: DataFrame => DataFrame,
-             corpus: DataFrame): DataFrame = {
-      val truth = cosTopK(filt(sBrute), k)
-        .select("query_id", "neighbor_id").localCheckpoint(true)
-      val arms: Seq[(String, DataFrame)] = Seq(
-        "bitsig" -> hamTopK(filt(sBit), k),
-        "ivf" -> knnIvf(corpus, nQueries, k),
-        "ivfpq" -> knnIvfPq(corpus, nQueries, k),
-        "ivfsq" -> knnIvfSq8(corpus, nQueries, k),
-        "lsh" -> cosTopK(filt(sLsh), k),
-        "sq8" -> cosTopK(filt(sSq8), k))
-      ladderReduce(arms, truth).select(lit(tag).as("corpus"), col("*"))
-    }
-    half("raw", identity, embeddings)
-      .unionByName(half("dedup", restrict, surv))
+      .localCheckpoint(true)
+    recallLadder(embeddings, nQueries, k)
+      .select(lit("raw").as("corpus"), col("*"))
+      .unionByName(recallLadder(surv, nQueries, k)
+        .select(lit("dedup").as("corpus"), col("*")))
       .orderBy("corpus", "method")
   }
 

@@ -174,7 +174,61 @@ object Scratch {
     if (chainT != freshT || chainV != freshV) sys.exit(1)
   }
 
+  /** r14 measurement for the shared-ladder claim (VERDICT r13 #4):
+    * recallLadderPostDedup's r13 restructure shares the content-only
+    * rungs on the argument that shared scoring scales as nQueries × N
+    * while the unshareable parts do not — measured only at
+    * nQueries = 8 (wall parity). This times the SHARED form against
+    * the two-independent-ladders definition at nQueries ∈ {8, 64,
+    * 256}; the crossover goes into BASELINE.md. `runMain
+    * graft.tools.Scratch ladder [sfDir]`. */
+  private def ladderMain(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.operators.Similarity
+    val D = graft.operators.Dedup
+    // NOT checkpointed: clean() unpersists every block between runs,
+    // which would kill a shared checkpoint the next run still reads
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def clean(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def independent(nq: Int): Unit = {
+      val losers = D.embeddingNearDup(e)
+        .select(col("vec_b").as("vec_id")).distinct()
+      val surv = e.join(losers, Seq("vec_id"), "left_anti")
+      S.recallLadder(e, nq).union(S.recallLadder(surv, nq)).collect()
+      ()
+    }
+    for (nq <- Seq(8, 64, 256)) {
+      // interleaved best-of-2 per shape (shared-host discipline)
+      var bestS = Double.MaxValue; var bestI = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        S.recallLadderPostDedup(e, nq).collect()
+        bestS = math.min(bestS, (System.nanoTime() - t0) / 1e9)
+        clean()
+        val t1 = System.nanoTime()
+        independent(nq)
+        bestI = math.min(bestI, (System.nanoTime() - t1) / 1e9)
+        clean()
+      }
+      println(f"[ladder] nq=$nq%3d shared=$bestS%.2fs independent=$bestI%.2fs")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ladder")) {
+      ladderMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      return
+    }
     if (args.headOption.contains("chain")) {
       chainMain(args.lift(1).getOrElse("target/probe/sf1full"))
       return
