@@ -218,6 +218,43 @@ object CuratePipeline {
       .orderBy("doc_id")
   }
 
+  /** Multimodal ASSEMBLY composite (r14): [[curateMultimodal]]'s
+    * survivors packed into context windows and reduced to the shard
+    * MANIFEST a VLM training launch consumes — the [[assemble]]
+    * discipline with the pair grain's token accounting: a pair costs
+    * `total_tokens` = vision patches + caption tokens, so the packer
+    * bills the image against the context budget exactly as the
+    * model's sequence layout will. Packing is PARTITIONED by
+    * language (the tokenPackBy rule: an unpartitioned running-sum
+    * window is the tx_pack weak anchor, never a composite's shape);
+    * the manifest reports per-(lang, shard) pair count, vision/
+    * caption/total token sums and the doc-id range.
+    *
+    * Plan shape: the curation chain's shuffles + ONE lang-partitioned
+    * window + a \|lang × shards\|-bounded map-side-combinable agg;
+    * the lang lookup is a doc-keyed join against the narrow source
+    * projection. */
+  def assembleMultimodal(spark: SparkSession, docs: DataFrame,
+                         shardTokens: Long = 4096L): DataFrame = {
+    val cur = curateMultimodal(spark, docs)
+      .select("doc_id", "n_patches", "caption_tokens", "total_tokens")
+    val withLang = cur.join(docs.select("doc_id", "lang"), "doc_id")
+    val before = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withLang
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("total_tokens")).over(before), lit(0L))
+          / shardTokens).cast("long"))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n_patches").as("vision_tokens"),
+        sum("caption_tokens").as("text_tokens"),
+        sum("total_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "shard_id")
+  }
+
   /** Dataset-card report (r11): the per-source summary a training-run
     * decision reads before any curation runs — docs, whitespace
     * tokens, exact-duplicate rate, mean quality, language spread and

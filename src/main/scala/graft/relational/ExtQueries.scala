@@ -2960,6 +2960,27 @@ object ExtQueries {
       "AND NOT EXISTS (SELECT 1 FROM cap_losers cl WHERE cl.doc_id = d.doc_id) " +
       "ORDER BY d.doc_id"
 
+  /** [[graft.operators.CuratePipeline.assembleMultimodal]] (r14): the
+    * mm curation chain reused verbatim as a CTE, the lang-partitioned
+    * packing window over the PAIR token cost (vision patches +
+    * caption tokens), then the manifest aggregate — the
+    * [[pipelineAssembleSql]] pattern at pair grain. */
+  private val pipelineAssembleMmSql: String =
+    "WITH cur AS (" + pipelineCurateMmSql + "), " +
+      "p AS (SELECT c.doc_id, d.lang, c.n_patches, c.caption_tokens, " +
+      "c.total_tokens, " +
+      "CAST(FLOOR(COALESCE(sum(c.total_tokens) OVER " +
+      "(PARTITION BY d.lang ORDER BY c.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "/ 4096.0) AS BIGINT) AS shard_id " +
+      "FROM cur c JOIN documents d ON d.doc_id = c.doc_id) " +
+      "SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(sum(n_patches) AS BIGINT) AS vision_tokens, " +
+      "CAST(sum(caption_tokens) AS BIGINT) AS text_tokens, " +
+      "CAST(sum(total_tokens) AS BIGINT) AS n_tokens, " +
+      "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+      "FROM p GROUP BY 1, 2 ORDER BY lang, shard_id"
+
   // ---------------------------------------------------------------
   // relational scale demos
   // ---------------------------------------------------------------
@@ -5668,6 +5689,10 @@ object ExtQueries {
     // accounting (the VLM training-row shape)
     "pipeline_curate_mm" -> ((s, d) =>
       CuratePipeline.curateMultimodal(s, Tables.documents(s, d))),
+    // r14: the curated pairs packed into context windows (vision
+    // patches billed against the budget) -> per-(lang, shard) manifest
+    "pipeline_assemble_mm" -> ((s, d) =>
+      CuratePipeline.assembleMultimodal(s, Tables.documents(s, d))),
     // r13: DSIR-style hashed-feature importance weights — 64-row fit
     // collected as a literal, row-local integer likelihood-ratio score
     "tx_dsir" -> ((s, d) =>
@@ -5750,6 +5775,7 @@ object ExtQueries {
     "pipeline_store_vec" -> pipelineStoreVecSql,
     "pipeline_store_text" -> pipelineStoreTextSql,
     "pipeline_curate_mm" -> pipelineCurateMmSql,
+    "pipeline_assemble_mm" -> pipelineAssembleMmSql,
     "tx_dsir" -> txDsirSql,
     "tx_dsir_sample" -> txDsirSampleSql,
     "sim_hard_negatives" -> simHardNegSql,
