@@ -236,7 +236,7 @@ object Similarity {
 
   /** Mirror + per-node top-k tail over an already-scored undirected
     * pair set — shared by from-scratch, auto, and reband builds. */
-  private def graphFromScored(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def graphFromScored(scored: DataFrame, k: Int): DataFrame = {
     val directed = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))
       .union(scored.select(col("vec_b").as("vec_id"),
@@ -348,7 +348,7 @@ object Similarity {
     * over (their stored edges ∪ new edges); unaffected nodes carried
     * through an anti-join untouched. Exact by the displacement
     * argument in [[knnGraphUpsert]]'s Scaladoc. */
-  private def graphMerge(gOld: DataFrame, scored: DataFrame,
+  private[graft] def graphMerge(gOld: DataFrame, scored: DataFrame,
       k: Int): DataFrame = {
     val directedNew = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))

@@ -183,4 +183,90 @@ object StoreMaintenance {
         foldVecBatch(b, id, storeDir, nBands, bitsPerBand, minCosPpm)
         ()
       }
+
+  // ----- maintained k-NN GRAPH (the INDEX artifact, not just the
+  // ----- admission snapshot) --------------------------------------
+
+  private def graphDir(storeDir: String, batchId: Long): String =
+    s"$storeDir/graph/b$batchId"
+
+  /** The current maintained graph: the snapshot written by the LAST
+    * committed fold. (vec_id, rank, neighbor_id, cos_ppm). */
+  def knnGraphCurrent(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    committedBatches(storeDir).lastOption
+      .map(i => spark.read.parquet(graphDir(storeDir, i)))
+
+  /** One transactional k-NN graph fold
+    * ([[graft.operators.Similarity.knnGraphUpsert]]'s merge under the
+    * streaming engine): every new candidate pair touches the batch
+    * (band keys are per-vector content functions at a FIXED width),
+    * so the fold joins the batch's band rows against the stored ∪
+    * batch rows, scores only those pairs (stored rows carry qe/qn —
+    * the corpus is never re-quantized), and merges via the affected-
+    * node re-top-k whose exactness the upsert Scaladoc proves. The
+    * graph snapshot is written BEFORE the band rows' `_SUCCESS`, so
+    * a committed batch always has its graph; a crash between the two
+    * replays deterministically (the graph dir is overwritten from
+    * the same committed-store state). Zero-norm vectors carry no
+    * candidate rows and no edges (the batch family's pairing rule).
+    * Width boundaries are the reband migration's job, offline, as
+    * with the admission stores. */
+  def foldKnnGraphBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                        k: Int = 4, nBands: Int = 4,
+                        bitsPerBand: Int = 4): Unit = {
+    if (isCommitted(storeDir, batchId)) return
+    val spark = batch.sparkSession
+    val S = graft.operators.Similarity
+    val batchRows = batch
+      .select(col("vec_id"), col("embedding"),
+        V.quantize(col("embedding")).as("qe"))
+      .withColumn("qn", V.qnorm2(col("qe")))
+      .where(col("qn") > 0)
+      .select(col("vec_id"), col("qe"), col("qn"),
+        posexplode(array((0 until nBands).map(b =>
+          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select("vec_id", "band", "bucket", "qe", "qn")
+      .localCheckpoint(true)
+    val allRows = readCommitted(spark, storeDir, rowsDir) match {
+      case None => batchRows
+      case Some(stored) => stored.unionByName(batchRows)
+    }
+    val pairs = batchRows.select(col("band"), col("bucket"),
+        col("vec_id").as("va"))
+      .join(allRows.select(col("band"), col("bucket"),
+        col("vec_id").as("vb")), Seq("band", "bucket"))
+      .where(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"))
+      .distinct()
+    val base = allRows.select("vec_id", "qe", "qn").distinct()
+    val scoredNew = pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
+        col("qn").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
+        col("qn").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_ppm"))
+      .localCheckpoint(true)
+    val merged = knnGraphCurrent(spark, storeDir) match {
+      case None => S.graphFromScored(scoredNew, k)
+      case Some(gOld) => S.graphMerge(gOld, scoredNew, k)
+    }
+    // graph snapshot first; the band rows' _SUCCESS commits the batch
+    merged.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
+    batchRows.write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
+  }
+
+  /** The maintained k-NN graph ingest sink — the index-maintenance
+    * loop a vector store runs behind its admission gate. */
+  def maintainKnnGraph(vecs: DataFrame, storeDir: String,
+                       k: Int = 4, nBands: Int = 4,
+                       bitsPerBand: Int = 4): DataStreamWriter[Row] =
+    vecs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldKnnGraphBatch(b, id, storeDir, k, nBands, bitsPerBand)
+        ()
+      }
 }

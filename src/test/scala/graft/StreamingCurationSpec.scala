@@ -1051,4 +1051,62 @@ class StreamingCurationSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(rowIds == Set(1L, 2L, 4L, 7L))
   }
+
+  test("maintained k-NN GRAPH (r14): each micro-batch folds into the " +
+    "persisted graph via the upsert merge; after three batches (incl. a " +
+    "kill/resume) the current graph ≡ the from-scratch knnGraph of all " +
+    "arrivals, and replayed batchIds are no-ops") {
+    import graft.streaming.StoreMaintenance
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-knn-store").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-knn-store-cp").toString
+    // the REAL corpus, arriving as three residue-class batches — the
+    // lifecycle fold convention, so the equality is over a corpus
+    // with genuine cross-batch neighborhoods (incl. its zero-norm vec)
+    val all = graft.relational.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val batches = (0 until 3).map(m => all
+      .where(org.apache.spark.sql.functions
+        .pmod(col("vec_id"), org.apache.spark.sql.functions.lit(3)) === m)
+      .collect().map(r => (ts(m), r.getLong(0), r.getSeq[Float](1))).toSeq)
+
+    val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+    def start() = StoreMaintenance
+      .maintainKnnGraph(mem.toDF().toDF("ts", "vec_id", "embedding"), store)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try {
+      mem.addData(batches(0): _*); q1.processAllAvailable()
+      mem.addData(batches(1): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    mem.addData(batches(2): _*) // while down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def graphRows() = StoreMaintenance.knnGraphCurrent(spark, store).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val got = graphRows()
+    val fresh = graft.operators.Similarity.knnGraph(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(got == fresh,
+      "stream-maintained graph diverged from the from-scratch build")
+
+    // replay safety: committed batchId → no-op, even with content that
+    // would change every neighborhood
+    StoreMaintenance.foldKnnGraphBatch(
+      batches(0).map { case (t, id, e) => (t, id + 9000L, e) }
+        .toDF("ts", "vec_id", "embedding"), 0L, store)
+    assert(graphRows() == fresh)
+    // crash-before-commit replay: deterministic rewrite
+    val lastId = StoreMaintenance.committedBatches(store).max
+    new java.io.File(s"$store/rows/b$lastId/_SUCCESS").delete()
+    StoreMaintenance.foldKnnGraphBatch(
+      batches(2).toDF("ts", "vec_id", "embedding"), lastId, store)
+    assert(graphRows() == fresh)
+  }
 }
