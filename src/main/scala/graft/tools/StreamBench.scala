@@ -100,7 +100,86 @@ object StreamBench {
     spark.stop()
   }
 
+  /** r14 maintained-store fold cost (VERDICT r13 #3 evidence row):
+    * per-batch wall of [[graft.streaming.StoreMaintenance]]'s text
+    * and k-NN-graph folds as the persisted store GROWS — the claim
+    * under test is pay-per-batch: the fold should cost |batch| ×
+    * bucket occupancy, with occupancy (and so per-batch wall)
+    * growing only linearly in the store at a fixed arm/width (the
+    * boundary where that stops being acceptable is exactly when the
+    * offline reband migration runs). Direct fold calls (no
+    * MemoryStream in front) so the row measures the MAINTENANCE
+    * cost itself. `runMain graft.tools.StreamBench maintain`; env
+    * STREAMBENCH_BATCHES (default 8), STREAMBENCH_ROWS_PER_BATCH
+    * (default 2500). */
+  private def maintainMain(): Unit = {
+    val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "8").toInt
+    val perBatch =
+      sys.env.getOrElse("STREAMBENCH_ROWS_PER_BATCH", "2500").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.StoreMaintenance
+    def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
+    println("mode,batch,rows_in,store_rows_before,wall_s,admitted")
+    // ---- text store fold ----
+    val tDir = java.nio.file.Files
+      .createTempDirectory("sb-maintain-text").toString
+    // wide-stride vocab so distinct docs share ~no shingles (the
+    // admitStream generator's small arithmetic-progression vocab
+    // makes EVERYTHING a near-dup of something — here the store must
+    // actually GROW for the cost-vs-store-size trend to mean
+    // anything); 20% exact dups of earlier docs exercise the drop arm
+    def text(i: Int): String = {
+      val base = if (i % 10 < 2) i / 2 else i
+      (0 until 24).map(t => s"w${(base * 9973 + t * 131) % 99991}")
+        .mkString(" ") + s" d$base"
+    }
+    (0 until batches).foreach { b =>
+      val rows = (0 until perBatch).map { j =>
+        val i = b * perBatch + j; (ts(b), i.toLong, text(i))
+      }.toDF("ts", "doc_id", "text")
+      val before = StoreMaintenance.textStoreRows(spark, tDir)
+        .map(_.count()).getOrElse(0L)
+      val t0 = System.nanoTime()
+      StoreMaintenance.foldTextBatch(rows, b.toLong, tDir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.parquet(s"$tDir/docs/b$b").count()
+      println(f"text_fold,$b,$perBatch,$before,$wall%.2f,$admitted")
+    }
+    // ---- k-NN graph fold ----
+    val gDir = java.nio.file.Files
+      .createTempDirectory("sb-maintain-knn").toString
+    def vec(i: Int): Seq[Float] = {
+      val base = if (i % 10 < 2) i / 2 else i // 20% exact dups
+      (0 until 64).map(d => math.sin((base + 1) * (d + 1)).toFloat)
+    }
+    (0 until batches).foreach { b =>
+      val rows = (0 until perBatch).map { j =>
+        val i = b * perBatch + j; (ts(b), i.toLong, vec(i))
+      }.toDF("ts", "vec_id", "embedding")
+      val before = StoreMaintenance.committedBatches(gDir).size.toLong
+      val t0 = System.nanoTime()
+      // width 8 = what autoBits runs at this store scale (~10-20k)
+      StoreMaintenance.foldKnnGraphBatch(rows, b.toLong, gDir,
+        bitsPerBand = 8)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val edges = StoreMaintenance.knnGraphCurrent(spark, gDir)
+        .map(_.count()).getOrElse(0L)
+      println(f"knn_fold,$b,$perBatch,$before,$wall%.2f,$edges")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("maintain")) { maintainMain(); return }
     if (args.headOption.contains("statewall")) { statewallMain(); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nText = sys.env.getOrElse("STREAMBENCH_TEXT_ROWS", "200000").toInt
