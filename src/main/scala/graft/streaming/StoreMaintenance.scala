@@ -60,25 +60,109 @@ object StoreMaintenance {
   private def docsDir(storeDir: String, batchId: Long): String =
     s"$storeDir/docs/b$batchId"
 
-  private def isCommitted(storeDir: String, batchId: Long): Boolean =
-    new File(rowsDir(storeDir, batchId), "_SUCCESS").exists
-
-  /** Committed batch ids, ascending — a batch is committed iff its
-    * band-row directory carries the `_SUCCESS` marker (written LAST,
-    * so it is the transaction boundary). */
-  def committedBatches(storeDir: String): Seq[Long] = {
-    val d = new File(s"$storeDir/rows")
+  /** Committed per-batch segment dirs under `storeDir/<kind>`:
+    * `b<id>` (one fold's output) or `c<id>` (a [[compactStore]]
+    * rewrite consolidating every batch ≤ id). */
+  private def segDirs(storeDir: String, kind: String): Seq[File] = {
+    val d = new File(s"$storeDir/$kind")
     if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        new File(f, "_SUCCESS").exists)
-      .map(_.getName.drop(1).toLong).sorted
+    else d.listFiles().toSeq.filter(f => f.isDirectory &&
+      (f.getName.startsWith("b") || f.getName.startsWith("c")) &&
+      new File(f, "_SUCCESS").exists).sortBy(_.getName.drop(1).toLong)
+  }
+
+  /** Batch ids a compaction segment covers (its `COVERED` manifest,
+    * one id per line — written before the covered `b` dirs are
+    * removed, so a batch id stays committed across the rewrite). */
+  private def coveredIds(storeDir: String): Set[Long] =
+    segDirs(storeDir, "rows").filter(_.getName.startsWith("c"))
+      .flatMap { f =>
+        val m = new File(f, "_COVERED")
+        if (!m.exists) Seq.empty
+        else java.nio.file.Files.readAllLines(m.toPath)
+          .toArray(Array.empty[String]).toSeq
+          .filter(_.nonEmpty).map(_.toLong)
+      }.toSet
+
+  private def isCommitted(storeDir: String, batchId: Long): Boolean =
+    new File(rowsDir(storeDir, batchId), "_SUCCESS").exists ||
+      coveredIds(storeDir).contains(batchId)
+
+  /** All committed batch ids, ascending — live `b` dirs plus every
+    * id a compaction manifest covers. */
+  def committedBatches(storeDir: String): Seq[Long] = {
+    val live = segDirs(storeDir, "rows")
+      .filter(_.getName.startsWith("b"))
+      .map(_.getName.drop(1).toLong)
+    (live ++ coveredIds(storeDir)).distinct.sorted
+  }
+
+  /** The segment dirs a reader consumes: compaction segments plus
+    * live `b` dirs NOT covered by one. A crash window where a
+    * covered `b` dir still lingers double-counts its rows — harmless
+    * by construction: every consumer has idempotent candidate
+    * semantics (`exists` verifies, `distinct` pair/base sets), which
+    * CompactionSpec pins. */
+  private def readerDirs(storeDir: String, kind: String): Seq[String] = {
+    val covered = coveredIds(storeDir)
+    segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") ||
+      !covered.contains(f.getName.drop(1).toLong)).map(_.getPath)
   }
 
   private def readCommitted(spark: SparkSession, storeDir: String,
       dir: (String, Long) => String): Option[DataFrame] = {
-    val parts = committedBatches(storeDir).map(dir(storeDir, _))
+    val kind = new File(dir(storeDir, 0L)).getParentFile.getName
+    val parts = readerDirs(storeDir, kind)
     if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+  }
+
+  /** COMPACT a maintained store (r14): consolidate every live
+    * per-batch dir into one `c<maxId>` segment per kind (rows, docs,
+    * and the latest graph snapshot when present), so a year of
+    * micro-batches doesn't leave a year of directories for every
+    * fold to list and read. Crash-safe by ordering, with NO
+    * correctness window:
+    *  1. the consolidated parquet segments land first (`_SUCCESS`
+    *     from the write) — until the manifest exists they merely
+    *     DOUBLE-COUNT with the live dirs, which the idempotent
+    *     candidate semantics absorb;
+    *  2. the `COVERED` manifest commits the compaction — covered ids
+    *     stay committed (replay no-ops) even after their dirs go;
+    *  3. the covered `b` dirs are deleted last (a crash mid-delete
+    *     just leaves harmless double-counted leftovers for the next
+    *     compaction to remove).
+    * At table-format scale this is the same protocol the format's
+    * OPTIMIZE/rewrite op runs; here it is spelled out on parquet
+    * dirs. Returns the number of batch dirs consolidated. */
+  def compactStore(spark: SparkSession, storeDir: String): Int = {
+    val live = segDirs(storeDir, "rows").filter(_.getName.startsWith("b"))
+      .map(_.getName.drop(1).toLong)
+    if (live.size <= 1) return 0
+    val last = live.max
+    val kinds = Seq("rows", "docs", "graph").filter(k =>
+      segDirs(storeDir, k).nonEmpty)
+    kinds.foreach { kind =>
+      val src =
+        if (kind == "graph") Seq(s"$storeDir/graph/b$last") // snapshot
+        else readerDirs(storeDir, kind)
+      spark.read.parquet(src: _*).write.mode("overwrite")
+        .parquet(s"$storeDir/$kind/c$last")
+    }
+    val manifest = (coveredIds(storeDir) ++ live).toSeq.sorted
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$storeDir/rows/c$last/_COVERED"), manifest)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    kinds.foreach { kind =>
+      live.foreach(i => rm(new File(s"$storeDir/$kind/b$i")))
+      // a previous compaction's c dir is superseded by the new one
+      segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") &&
+        f.getName.drop(1).toLong < last).foreach(rm)
+    }
+    live.size
   }
 
   /** The committed admitted corpus of a text store:
@@ -191,10 +275,18 @@ object StoreMaintenance {
     s"$storeDir/graph/b$batchId"
 
   /** The current maintained graph: the snapshot written by the LAST
-    * committed fold. (vec_id, rank, neighbor_id, cos_ppm). */
+    * committed fold (or its compaction rewrite — `c` wins over `b`
+    * at the same id). A `b` graph snapshot counts only if its batch
+    * COMMITTED (the rows `_SUCCESS` / covered manifest) — the graph
+    * is written BEFORE the commit marker, so a crash-orphaned
+    * snapshot must be invisible to the replay that rebuilds it.
+    * (vec_id, rank, neighbor_id, cos_ppm). */
   def knnGraphCurrent(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    committedBatches(storeDir).lastOption
-      .map(i => spark.read.parquet(graphDir(storeDir, i)))
+    segDirs(storeDir, "graph")
+      .filter(f => f.getName.startsWith("c") ||
+        isCommitted(storeDir, f.getName.drop(1).toLong))
+      .sortBy(f => (f.getName.drop(1).toLong, f.getName.startsWith("c")))
+      .lastOption.map(f => spark.read.parquet(f.getPath))
 
   /** One transactional k-NN graph fold
     * ([[graft.operators.Similarity.knnGraphUpsert]]'s merge under the

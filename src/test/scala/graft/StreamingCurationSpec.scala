@@ -1109,4 +1109,80 @@ class StreamingCurationSpec extends AnyFunSuite {
       batches(2).toDF("ts", "vec_id", "embedding"), lastId, store)
     assert(graphRows() == fresh)
   }
+
+  test("store COMPACTION (r14): consolidating per-batch dirs changes " +
+    "NOTHING observable — subsequent folds admit identically, covered " +
+    "batchIds stay committed (replays no-op), the maintained graph is " +
+    "preserved, and a lingering covered dir (the crash window) is a " +
+    "harmless double-count") {
+    import graft.streaming.StoreMaintenance
+    import org.apache.spark.sql.functions.col
+    def textBatch(b: Int) = (0 until 40).map { j =>
+      val i = b * 40 + j
+      val base = if (i % 5 == 0) i / 2 else i
+      (ts(b), i.toLong,
+        (0 until 8).map(t => s"w${base * 977 + t * 131}").mkString(" "))
+    }.toDF("ts", "doc_id", "text")
+    def docsOf(s: String) = StoreMaintenance.textStoreDocs(spark, s).get
+      .collect().map(_.getLong(1)).toSet
+    def rowsOf(s: String) = StoreMaintenance.textStoreRows(spark, s).get
+      .select("doc_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // twin stores: A stays per-batch, B compacts after 3 folds
+    val sA = java.nio.file.Files.createTempDirectory("graft-cmp-a").toString
+    val sB = java.nio.file.Files.createTempDirectory("graft-cmp-b").toString
+    for (b <- 0 until 3; s <- Seq(sA, sB))
+      StoreMaintenance.foldTextBatch(textBatch(b), b.toLong, s)
+    // keep a covered dir aside to simulate the crash-window leftover
+    val aside = java.nio.file.Files.createTempDirectory("graft-cmp-keep")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    copyTree(java.nio.file.Paths.get(s"$sB/rows/b1"), aside)
+    assert(StoreMaintenance.compactStore(spark, sB) == 3)
+    // one segment left, every id still committed, payload identical
+    assert(new java.io.File(s"$sB/rows").listFiles().map(_.getName).toSeq
+      == Seq("c2"))
+    assert(StoreMaintenance.committedBatches(sB) == Seq(0L, 1L, 2L))
+    assert(docsOf(sB) == docsOf(sA) && rowsOf(sB) == rowsOf(sA))
+    // a replayed covered batchId is STILL a no-op after its dir is gone
+    StoreMaintenance.foldTextBatch(
+      Seq((ts(9), 7777L, "w1 w2 w3 w4")).toDF("ts", "doc_id", "text"),
+      1L, sB)
+    assert(docsOf(sB) == docsOf(sA))
+    // the crash window: restore a covered b dir alongside the c segment
+    // -> rows double-count, but admission semantics are idempotent
+    copyTree(aside, java.nio.file.Paths.get(s"$sB/rows/b1"))
+    for (s <- Seq(sA, sB))
+      StoreMaintenance.foldTextBatch(textBatch(3), 3L, s)
+    assert(docsOf(sB) == docsOf(sA),
+      "post-compaction fold diverged from the uncompacted twin")
+
+    // graph store: compaction preserves the maintained graph and the
+    // next fold lands identically
+    def vec(i: Int) = (0 until 64).map(d =>
+      math.sin((i + 1) * (d + 1)).toFloat)
+    def vecBatch(b: Int) = (0 until 30).map { j =>
+      val i = b * 30 + j; (ts(b), i.toLong, vec(if (i % 6 == 0) i / 2 else i))
+    }.toDF("ts", "vec_id", "embedding")
+    val gA = java.nio.file.Files.createTempDirectory("graft-cmpg-a").toString
+    val gB = java.nio.file.Files.createTempDirectory("graft-cmpg-b").toString
+    for (b <- 0 until 3; s <- Seq(gA, gB))
+      StoreMaintenance.foldKnnGraphBatch(vecBatch(b), b.toLong, s)
+    def g(s: String) = StoreMaintenance.knnGraphCurrent(spark, s).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(StoreMaintenance.compactStore(spark, gB) == 3)
+    assert(g(gB) == g(gA))
+    for (s <- Seq(gA, gB))
+      StoreMaintenance.foldKnnGraphBatch(vecBatch(3), 3L, s)
+    assert(g(gB) == g(gA),
+      "post-compaction graph fold diverged from the uncompacted twin")
+  }
 }
