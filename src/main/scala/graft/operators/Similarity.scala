@@ -224,7 +224,7 @@ object Similarity {
     * candidate pair set against the quantized base — the expensive
     * half of graph construction, split out so [[knnGraphReband]] can
     * SKIP it (migrated pairs carry their stored scores). */
-  private def scorePairs(pairs: DataFrame, base: DataFrame): DataFrame =
+  private[graft] def scorePairs(pairs: DataFrame, base: DataFrame): DataFrame =
     pairs
       .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
         col("qn").as("na")), "vec_a")
@@ -311,11 +311,15 @@ object Similarity {
   private[graft] def knnGraphUpsertWith(embeddings: DataFrame, k: Int,
       bandFn: DataFrame => DataFrame, splitMod: Int,
       baseOpt: Option[DataFrame] = None): DataFrame = {
+    val base = baseOpt.getOrElse(quantized(embeddings).localCheckpoint(true))
     val existing = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) =!= 0)
-    val gOld = knnGraphFrom(quantized(existing), bandFn(existing), k)
-      .localCheckpoint(true)
-    val base = baseOpt.getOrElse(quantized(embeddings).localCheckpoint(true))
+    // the stored graph's base is the checkpointed full base FILTERED
+    // (quantized() commutes with the id filter) — not a second
+    // corpus-sized quantize pass (r14 review finding)
+    val gOld = knnGraphFrom(
+      base.where(pmod(col("vec_id"), lit(splitMod)) =!= 0),
+      bandFn(existing), k).localCheckpoint(true)
     val newIds = embeddings
       .where(pmod(col("vec_id"), lit(splitMod)) === 0).select("vec_id")
     graphMerge(gOld, newPairsScored(bandFn(embeddings), newIds, base), k)

@@ -98,20 +98,26 @@ object StoreMaintenance {
   }
 
   /** The segment dirs a reader consumes: compaction segments plus
-    * live `b` dirs NOT covered by one. A crash window where a
-    * covered `b` dir still lingers double-counts its rows — harmless
-    * by construction: every consumer has idempotent candidate
-    * semantics (`exists` verifies, `distinct` pair/base sets), which
-    * CompactionSpec pins. */
+    * live `b` dirs whose BATCH committed (the rows `_SUCCESS` / a
+    * covering manifest — NOT the kind's own marker: docs and graph
+    * land before the transaction commits, so an orphaned docs/bN
+    * must stay invisible until the rows marker exists) and that no
+    * manifest covers. A crash window where a covered `b` dir still
+    * lingers double-counts its rows — harmless by construction:
+    * every consumer has idempotent candidate semantics (`exists`
+    * verifies, `distinct` pair/base sets), which the compaction spec
+    * pins. */
   private def readerDirs(storeDir: String, kind: String): Seq[String] = {
     val covered = coveredIds(storeDir)
-    segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") ||
-      !covered.contains(f.getName.drop(1).toLong)).map(_.getPath)
+    segDirs(storeDir, kind).filter { f =>
+      val id = f.getName.drop(1).toLong
+      if (f.getName.startsWith("c")) true
+      else !covered.contains(id) && isCommitted(storeDir, id)
+    }.map(_.getPath)
   }
 
   private def readCommitted(spark: SparkSession, storeDir: String,
-      dir: (String, Long) => String): Option[DataFrame] = {
-    val kind = new File(dir(storeDir, 0L)).getParentFile.getName
+      kind: String): Option[DataFrame] = {
     val parts = readerDirs(storeDir, kind)
     if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
   }
@@ -134,13 +140,30 @@ object StoreMaintenance {
     * At table-format scale this is the same protocol the format's
     * OPTIMIZE/rewrite op runs; here it is spelled out on parquet
     * dirs. Returns the number of batch dirs consolidated. */
+  private def rm(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(); ()
+  }
+
   def compactStore(spark: SparkSession, storeDir: String): Int = {
+    val kindsAll = Seq("rows", "docs", "graph")
+    // RECOVERY first: a `c` dir with no `_COVERED` manifest in its
+    // rows twin is a crash leftover from an interrupted compaction
+    // (parquet landed, manifest didn't). Remove it before reading —
+    // both so a retry's overwrite target is never in its own read
+    // set (Spark refuses to overwrite a path it reads from) and so
+    // the leftover's duplicated rows don't get BAKED into the new
+    // segment permanently.
+    kindsAll.foreach { kind =>
+      segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") &&
+          !new File(s"$storeDir/rows/${f.getName}/_COVERED").exists)
+        .foreach(rm)
+    }
     val live = segDirs(storeDir, "rows").filter(_.getName.startsWith("b"))
       .map(_.getName.drop(1).toLong)
     if (live.size <= 1) return 0
     val last = live.max
-    val kinds = Seq("rows", "docs", "graph").filter(k =>
-      segDirs(storeDir, k).nonEmpty)
+    val kinds = kindsAll.filter(k => segDirs(storeDir, k).nonEmpty)
     kinds.foreach { kind =>
       val src =
         if (kind == "graph") Seq(s"$storeDir/graph/b$last") // snapshot
@@ -152,10 +175,6 @@ object StoreMaintenance {
       .mkString("", "\n", "\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$storeDir/rows/c$last/_COVERED"), manifest)
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
     kinds.foreach { kind =>
       live.foreach(i => rm(new File(s"$storeDir/$kind/b$i")))
       // a previous compaction's c dir is superseded by the new one
@@ -168,17 +187,17 @@ object StoreMaintenance {
   /** The committed admitted corpus of a text store:
     * (ts, doc_id, text). */
   def textStoreDocs(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    readCommitted(spark, storeDir, docsDir)
+    readCommitted(spark, storeDir, "docs")
 
   /** The committed band rows of a text store:
     * (doc_id, band, bucket, sig). */
   def textStoreRows(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    readCommitted(spark, storeDir, rowsDir)
+    readCommitted(spark, storeDir, "rows")
 
   /** The committed admitted vectors of a vector store:
     * (ts, vec_id, embedding). */
   def vecStoreVecs(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    readCommitted(spark, storeDir, docsDir)
+    readCommitted(spark, storeDir, "docs")
 
   /** One transactional text-store fold: admit `batch` against the
     * committed store, append the admitted docs + their band rows.
@@ -238,7 +257,7 @@ object StoreMaintenance {
     val base = batch.select(col("ts"), col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qa"))
       .withColumn("na", V.qnorm2(col("qa")))
-    val admitted = readCommitted(spark, storeDir, rowsDir) match {
+    val admitted = readCommitted(spark, storeDir, "rows") match {
       case None => base
       case Some(stored) =>
         val buckets = stored.groupBy("band", "bucket")
@@ -309,7 +328,23 @@ object StoreMaintenance {
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
     val S = graft.operators.Similarity
-    val batchRows = batch
+    val storedOpt = readCommitted(spark, storeDir, "rows")
+    // ids are IMMUTABLE once ingested: drop within-batch duplicate
+    // vec_ids and any id the store already holds — an at-least-once
+    // source redelivering a vector would otherwise regenerate pairs
+    // that duplicate stored edges and break graphMerge's disjointness
+    // precondition (the same neighbor lands at two ranks, displacing
+    // the true k-th edge). The admission-gated stores self-protect
+    // (a redelivered row near-dups itself); the graph has no gate, so
+    // the fold enforces it.
+    val arrivals0 = batch.select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
+    val arrivals = storedOpt match {
+      case None => arrivals0
+      case Some(st) => arrivals0.join(st.select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    }
+    val batchRows = arrivals
       .select(col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qe"))
       .withColumn("qn", V.qnorm2(col("qe")))
@@ -320,7 +355,7 @@ object StoreMaintenance {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select("vec_id", "band", "bucket", "qe", "qn")
       .localCheckpoint(true)
-    val allRows = readCommitted(spark, storeDir, rowsDir) match {
+    val allRows = storedOpt match {
       case None => batchRows
       case Some(stored) => stored.unionByName(batchRows)
     }
@@ -332,15 +367,8 @@ object StoreMaintenance {
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"))
       .distinct()
-    val base = allRows.select("vec_id", "qe", "qn").distinct()
-    val scoredNew = pairs
-      .join(base.select(col("vec_id").as("vec_a"), col("qe").as("qa"),
-        col("qn").as("na")), "vec_a")
-      .join(base.select(col("vec_id").as("vec_b"), col("qe").as("qb"),
-        col("qn").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        V.cosPpm(V.qdot(col("qa"), col("qb")), col("na"), col("nb"))
-          .as("cos_ppm"))
+    val scoredNew = S.scorePairs(pairs,
+      allRows.select("vec_id", "qe", "qn").distinct())
       .localCheckpoint(true)
     val merged = knnGraphCurrent(spark, storeDir) match {
       case None => S.graphFromScored(scoredNew, k)

@@ -1108,6 +1108,13 @@ class StreamingCurationSpec extends AnyFunSuite {
     StoreMaintenance.foldKnnGraphBatch(
       batches(2).toDF("ts", "vec_id", "embedding"), lastId, store)
     assert(graphRows() == fresh)
+    // redelivery guard (r14 review finding): the same vectors arriving
+    // under a NEW batchId fold to nothing — ids are immutable once
+    // ingested, so no stored edge is ever duplicated into a top-k
+    StoreMaintenance.foldKnnGraphBatch(
+      batches(0).toDF("ts", "vec_id", "embedding"), 99L, store)
+    assert(graphRows() == fresh,
+      "a redelivered vec_id must not duplicate stored edges")
   }
 
   test("store COMPACTION (r14): consolidating per-batch dirs changes " +
