@@ -111,7 +111,11 @@ object StoreMaintenance {
     val covered = coveredIds(storeDir)
     segDirs(storeDir, kind).filter { f =>
       val id = f.getName.drop(1).toLong
-      if (f.getName.startsWith("c")) true
+      // a c segment counts only once its rows twin carries the
+      // manifest — the compaction/reband COMMIT point (a manifest-less
+      // c dir is an interrupted rewrite's leftover)
+      if (f.getName.startsWith("c"))
+        new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
       else !covered.contains(id) && isCommitted(storeDir, id)
     }.map(_.getPath)
   }
@@ -145,20 +149,23 @@ object StoreMaintenance {
     f.delete(); ()
   }
 
-  def compactStore(spark: SparkSession, storeDir: String): Int = {
-    val kindsAll = Seq("rows", "docs", "graph")
-    // RECOVERY first: a `c` dir with no `_COVERED` manifest in its
-    // rows twin is a crash leftover from an interrupted compaction
-    // (parquet landed, manifest didn't). Remove it before reading —
-    // both so a retry's overwrite target is never in its own read
-    // set (Spark refuses to overwrite a path it reads from) and so
-    // the leftover's duplicated rows don't get BAKED into the new
-    // segment permanently.
-    kindsAll.foreach { kind =>
+  /** Remove crash leftovers of an interrupted [[compactStore]]: a `c`
+    * dir with no `_COVERED` manifest in its rows twin is parquet that
+    * landed without its commit. Clearing it keeps a retry's overwrite
+    * target out of its own read set (Spark refuses to overwrite a
+    * path it reads from) and stops the leftover's duplicated rows
+    * being BAKED into the next segment permanently. */
+  private def compactRecovery(storeDir: String): Unit =
+    Seq("rows", "docs", "graph").foreach { kind =>
       segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") &&
           !new File(s"$storeDir/rows/${f.getName}/_COVERED").exists)
         .foreach(rm)
     }
+
+  def compactStore(spark: SparkSession, storeDir: String): Int = {
+    recoverReband(storeDir)
+    compactRecovery(storeDir)
+    val kindsAll = Seq("rows", "docs", "graph")
     val live = segDirs(storeDir, "rows").filter(_.getName.startsWith("b"))
       .map(_.getName.drop(1).toLong)
     if (live.size <= 1) return 0
@@ -184,6 +191,92 @@ object StoreMaintenance {
     live.size
   }
 
+  private def tmpRebandDir(storeDir: String, kind: String): String =
+    s"$storeDir/$kind/.tmp_reband"
+
+  /** Finish or roll back an interrupted [[rebandTextStore]]: the rows
+    * tmp segment is the COMMIT journal — complete (parquet `_SUCCESS`
+    * + `_COVERED` + `_TARGET`) means the migration is authoritative,
+    * so remove any stale targets and rename both kinds forward;
+    * incomplete means roll both tmps back. Every store entry point
+    * calls this; it is a bare File.exists when nothing is pending. */
+  private def recoverReband(storeDir: String): Unit = {
+    val rowsTmp = new File(tmpRebandDir(storeDir, "rows"))
+    val docsTmp = new File(tmpRebandDir(storeDir, "docs"))
+    if (!rowsTmp.isDirectory && !docsTmp.isDirectory) return
+    val tgtFile = new File(rowsTmp, "_TARGET")
+    val complete = new File(rowsTmp, "_SUCCESS").exists &&
+      new File(rowsTmp, "_COVERED").exists && tgtFile.exists
+    if (!complete) { rm(rowsTmp); rm(docsTmp); return }
+    val name = java.nio.file.Files.readString(tgtFile.toPath).trim
+    Seq("rows" -> rowsTmp, "docs" -> docsTmp).foreach { case (kind, tmp) =>
+      if (tmp.isDirectory) {
+        val target = new File(s"$storeDir/$kind/$name")
+        if (target.exists) rm(target)
+        require(tmp.renameTo(target),
+          s"reband recovery: rename $tmp -> $target failed")
+      }
+    }
+  }
+
+  /** Offline ARM MIGRATION of a persisted text store (r14): the
+    * maintained store runs a FIXED arm, and corpus growth eventually
+    * demands a wider one (the [[graft.operators.Dedup.autoBandRows]]
+    * rule). Because the stored band rows CARRY the full signature,
+    * the migration is a pure rewrite — re-derive every bucket at the
+    * new arm from the stored sigs (r slots → 2r slots per band), no
+    * text re-sign, no corpus re-read beyond the store itself — run
+    * between streaming generations (no concurrent folds, the
+    * [[graft.operators.Dedup.minhashReband]] contract under the
+    * persisted layout). The arm is self-described by the data
+    * ([[storeArm]]), so subsequent folds pick the new arm up with no
+    * sink reconfiguration.
+    *
+    * Two-phase commit: both kinds land in dot-prefixed tmp segments
+    * (invisible to readers), the rows tmp's `_COVERED` + `_TARGET`
+    * files complete the journal, [[recoverReband]] renames forward —
+    * a crash anywhere either rolls back (store untouched at the old
+    * arm) or completes on the next store entry. Returns the new
+    * arm (bands). */
+  def rebandTextStore(spark: SparkSession, storeDir: String,
+                      toBands: Option[Int] = None): Int = {
+    recoverReband(storeDir)
+    compactRecovery(storeDir)
+    val armOpt = storeArm(spark, storeDir)
+    if (armOpt.isEmpty) return 0 // empty store: nothing to migrate
+    val arm = armOpt.get
+    val newArm = toBands.getOrElse(arm / 2) // r doubles, bands halve
+    require(newArm >= 1 && PH.MinhashK % newArm == 0,
+      s"reband: invalid target arm $newArm")
+    if (newArm == arm) return arm
+    val rowsPerBand = PH.MinhashK / newArm
+    val committed = committedBatches(storeDir)
+    val last = committed.max
+    // docs consolidate unchanged; rows re-band from the carried sigs
+    spark.read.parquet(readerDirs(storeDir, "docs"): _*)
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    readCommitted(spark, storeDir, "rows").get
+      .select("doc_id", "sig").distinct()
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until newArm).map(b =>
+          StreamingCuration.ophBucket(col("sig"), b, rowsPerBand)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select("doc_id", "band", "bucket", "sig")
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
+    val tmp = java.nio.file.Paths.get(tmpRebandDir(storeDir, "rows"))
+    java.nio.file.Files.writeString(tmp.resolve("_COVERED"),
+      committed.mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(tmp.resolve("_TARGET"), s"c$last")
+    recoverReband(storeDir) // the rename — commit is already durable
+    Seq("rows", "docs").foreach { kind =>
+      segDirs(storeDir, kind).filter { f =>
+        f.getName != s"c$last" && (f.getName.startsWith("b") ||
+          f.getName.drop(1).toLong < last)
+      }.foreach(rm)
+    }
+    newArm
+  }
+
   /** The committed admitted corpus of a text store:
     * (ts, doc_id, text). */
   def textStoreDocs(spark: SparkSession, storeDir: String): Option[DataFrame] =
@@ -199,16 +292,34 @@ object StoreMaintenance {
   def vecStoreVecs(spark: SparkSession, storeDir: String): Option[DataFrame] =
     readCommitted(spark, storeDir, "docs")
 
+  /** The arm a text store RUNS, self-described by its data: the slot
+    * count of any stored bucket string (r slots ⇒ K/r bands) from the
+    * LATEST committed segment — no metadata file, so there is no
+    * metadata/data crash window for [[rebandTextStore]] to manage.
+    * None for an empty (or all-sigless) store. */
+  def storeArm(spark: SparkSession, storeDir: String): Option[Int] = {
+    readerDirs(storeDir, "rows").reverseIterator.flatMap { p =>
+      spark.read.parquet(p).select("bucket").limit(1)
+        .collect().headOption.map(r =>
+          PH.MinhashK / (r.getString(0).count(_ == ':') + 1))
+    }.nextOption()
+  }
+
   /** One transactional text-store fold: admit `batch` against the
     * committed store, append the admitted docs + their band rows.
-    * Idempotent per batchId (replay no-op / deterministic rewrite). */
+    * Idempotent per batchId (replay no-op / deterministic rewrite).
+    * `bands` is the arm a NEW store is created at; an existing store
+    * folds at ITS OWN arm ([[storeArm]] — which a [[rebandTextStore]]
+    * migration may have moved since the sink was configured). */
   def foldTextBatch(batch: DataFrame, batchId: Long, storeDir: String,
                     bands: Int = 8, shingleN: Int = 3,
                     minEstJaccardPpm: Long = 500000L): Unit = {
+    recoverReband(storeDir)
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
-    val rowsPerBand = PH.MinhashK / bands
-    require(bands * rowsPerBand == PH.MinhashK)
+    val arm = storeArm(spark, storeDir).getOrElse(bands)
+    val rowsPerBand = PH.MinhashK / arm
+    require(arm * rowsPerBand == PH.MinhashK)
     val base = batch.withColumn("sig",
       when(StreamingCuration.hasShingles(col("text"), shingleN),
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
@@ -217,7 +328,7 @@ object StoreMaintenance {
       case Some(stored) =>
         val buckets = stored.groupBy("band", "bucket")
           .agg(collect_list(col("sig")).as("cands"))
-        StreamingCuration.ophAdmit(base, buckets, bands, minEstJaccardPpm)
+        StreamingCuration.ophAdmit(base, buckets, arm, minEstJaccardPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
     // docs first; the band rows' _SUCCESS commits the transaction
@@ -225,7 +336,7 @@ object StoreMaintenance {
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
     admittedC.where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
+        posexplode(array((0 until arm).map(b =>
           StreamingCuration.ophBucket(col("sig"), b, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select("doc_id", "band", "bucket", "sig")

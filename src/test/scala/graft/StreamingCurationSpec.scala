@@ -1192,4 +1192,80 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(g(gB) == g(gA),
       "post-compaction graph fold diverged from the uncompacted twin")
   }
+
+  test("persisted-store ARM migration (r14): rebandTextStore rewrites " +
+    "the store at the doubled rows-per-band from the CARRIED sigs (no " +
+    "re-sign), subsequent folds pick the new arm up from the data, the " +
+    "whole chain equals the arm-switching batch-fold oracle, and both " +
+    "crash arms of the two-phase rename recover") {
+    import graft.streaming.{StoreMaintenance, StreamingCuration}
+    import org.apache.spark.sql.functions.col
+    def batchOf(b: Int) = (0 until 40).map { j =>
+      val i = b * 40 + j
+      val base = if (i % 5 == 0) i / 2 else i
+      (ts(b), i.toLong,
+        (0 until 10).map(t => s"w${base * 977 + t * 131}").mkString(" "))
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-reband-store").toString
+    // two folds at arm 8 (r = 2), MIGRATE to arm 4 (r = 4), two more
+    for (b <- 0 until 2)
+      StoreMaintenance.foldTextBatch(batchOf(b).toDF("ts", "doc_id", "text"),
+        b.toLong, store)
+    assert(StoreMaintenance.storeArm(spark, store).contains(8))
+    assert(StoreMaintenance.rebandTextStore(spark, store) == 4)
+    assert(StoreMaintenance.storeArm(spark, store).contains(4))
+    // stored rows ≡ from-scratch banding of the admitted docs at the
+    // new arm — the carried-signature migration cannot drift
+    val fromScratch = StoreMaintenance.textStoreDocs(spark, store).get
+      .select(col("doc_id"), graft.functions.textNative
+        .oph_sig(col("text"), 3).as("sig"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.array((0 until 4).map(b =>
+          StreamingCuration.ophBucket(col("sig"), b, 4)): _*)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(StoreMaintenance.textStoreRows(spark, store).get
+      .select("doc_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet == fromScratch)
+    for (b <- 2 until 4)
+      StoreMaintenance.foldTextBatch(batchOf(b).toDF("ts", "doc_id", "text"),
+        b.toLong, store)
+    assert(StoreMaintenance.committedBatches(store) == Seq(0L, 1L, 2L, 3L))
+    // oracle: the sequential batch fold whose static gate switches arm
+    // at the same point
+    var corpus = Seq.empty[(Timestamp, Long, String)]
+    for (b <- 0 until 4) {
+      val admitted = StreamingCuration.admitNearDupStream(
+        batchOf(b).toDF("ts", "doc_id", "text"),
+        corpus.toDF("ts", "doc_id", "text"),
+        bandsOverride = Some(if (b < 2) 8 else 4))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      corpus ++= admitted
+    }
+    assert(StoreMaintenance.textStoreDocs(spark, store).get
+      .collect().map(_.getLong(1)).toSet == corpus.map(_._2).toSet,
+      "rebanded store diverged from the arm-switching batch-fold oracle")
+
+    // crash rollback: an INCOMPLETE reband journal (no _TARGET) must
+    // roll back on the next store entry, leaving folds unaffected
+    val rowsTmp = new java.io.File(s"$store/rows/.tmp_reband")
+    rowsTmp.mkdirs()
+    java.nio.file.Files.writeString(
+      rowsTmp.toPath.resolve("_SUCCESS"), "")
+    StoreMaintenance.foldTextBatch(
+      batchOf(4).toDF("ts", "doc_id", "text"), 4L, store)
+    assert(!rowsTmp.exists, "incomplete reband tmp must roll back")
+    // (the COMPLETE-journal arm is the normal commit path: every
+    // successful reband goes journal → recoverReband rename)
+    val docsAfter = StoreMaintenance.textStoreDocs(spark, store).get
+      .collect().map(_.getLong(1)).toSet
+    // round-trip migration back to arm 8 preserves the corpus record
+    assert(StoreMaintenance.rebandTextStore(spark, store,
+      toBands = Some(8)) == 8)
+    assert(StoreMaintenance.storeArm(spark, store).contains(8))
+    assert(StoreMaintenance.textStoreDocs(spark, store).get
+      .collect().map(_.getLong(1)).toSet == docsAfter,
+      "round-trip reband must preserve the corpus record")
+  }
 }
