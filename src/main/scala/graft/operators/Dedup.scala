@@ -153,7 +153,7 @@ object Dedup {
     * with 10k members means the band carries no discrimination).
     * The window count shuffles on the SAME (band, bucket) key the
     * subsequent self-join uses, so the exchange is reused. */
-  private[operators] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+  private[graft] def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
         val w = org.apache.spark.sql.expressions.Window

@@ -97,25 +97,45 @@ object StoreMaintenance {
     (live ++ coveredIds(storeDir)).distinct.sorted
   }
 
-  /** The segment dirs a reader consumes: compaction segments plus
-    * live `b` dirs whose BATCH committed (the rows `_SUCCESS` / a
-    * covering manifest — NOT the kind's own marker: docs and graph
-    * land before the transaction commits, so an orphaned docs/bN
-    * must stay invisible until the rows marker exists) and that no
-    * manifest covers. A crash window where a covered `b` dir still
-    * lingers double-counts its rows — harmless by construction:
-    * every consumer has idempotent candidate semantics (`exists`
-    * verifies, `distinct` pair/base sets), which the compaction spec
-    * pins. */
+  /** The newest manifested compaction/reband segment id — the ONLY
+    * `c` segment readers consume. An older manifested `c` dir can
+    * linger across [[compactStore]]/[[rebandTextStore]]'s crash
+    * window between the new manifest landing and the superseded dir's
+    * delete; its id set is provably a subset of the newest manifest
+    * (every compaction's manifest is coveredIds ∪ live at write
+    * time), so reading ONLY the newest is lossless — and reading
+    * both would double-count docs forever (r14 ADVICE). */
+  private def maxManifestedC(storeDir: String): Option[Long] =
+    segDirs(storeDir, "rows").filter(f => f.getName.startsWith("c") &&
+        new File(f, "_COVERED").exists)
+      .map(_.getName.drop(1).toLong) match {
+      case Seq() => None
+      case ids => Some(ids.max)
+    }
+
+  /** The segment dirs a reader consumes: the NEWEST manifested
+    * compaction segment plus live `b` dirs whose BATCH committed
+    * (the rows `_SUCCESS` / a covering manifest — NOT the kind's own
+    * marker: docs and graph land before the transaction commits, so
+    * an orphaned docs/bN must stay invisible until the rows marker
+    * exists) and that no manifest covers. A crash window where a
+    * covered `b` dir still lingers double-counts its rows — harmless
+    * by construction: every consumer has idempotent candidate
+    * semantics (`exists` verifies, `distinct` pair/base sets), which
+    * the compaction spec pins. A lingering SUPERSEDED `c` dir is NOT
+    * harmless the same way (its doc rows would double-count through
+    * every later rewrite), so those are excluded here and reaped by
+    * [[compactRecovery]]. */
   private def readerDirs(storeDir: String, kind: String): Seq[String] = {
     val covered = coveredIds(storeDir)
+    val newestC = maxManifestedC(storeDir)
     segDirs(storeDir, kind).filter { f =>
       val id = f.getName.drop(1).toLong
       // a c segment counts only once its rows twin carries the
       // manifest — the compaction/reband COMMIT point (a manifest-less
-      // c dir is an interrupted rewrite's leftover)
-      if (f.getName.startsWith("c"))
-        new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
+      // c dir is an interrupted rewrite's leftover) — and only the
+      // NEWEST such segment (older ones are superseded subsets)
+      if (f.getName.startsWith("c")) newestC.contains(id)
       else !covered.contains(id) && isCommitted(storeDir, id)
     }.map(_.getPath)
   }
@@ -149,18 +169,29 @@ object StoreMaintenance {
     f.delete(); ()
   }
 
-  /** Remove crash leftovers of an interrupted [[compactStore]]: a `c`
-    * dir with no `_COVERED` manifest in its rows twin is parquet that
-    * landed without its commit. Clearing it keeps a retry's overwrite
-    * target out of its own read set (Spark refuses to overwrite a
-    * path it reads from) and stops the leftover's duplicated rows
-    * being BAKED into the next segment permanently. */
-  private def compactRecovery(storeDir: String): Unit =
+  /** Remove crash leftovers of an interrupted [[compactStore]] /
+    * [[rebandTextStore]]: (a) a `c` dir with no `_COVERED` manifest
+    * in its rows twin is parquet that landed without its commit —
+    * clearing it keeps a retry's overwrite target out of its own
+    * read set (Spark refuses to overwrite a path it reads from) and
+    * stops the leftover's duplicated rows being BAKED into the next
+    * segment permanently; (b) a manifested `c` dir OLDER than the
+    * newest manifested one was superseded by a later rewrite whose
+    * delete didn't finish (the r14-ADVICE crash window between the
+    * new manifest landing and the old dir's removal) — readers
+    * already ignore it ([[readerDirs]]), this reaps it. */
+  private def compactRecovery(storeDir: String): Unit = {
+    val newestC = maxManifestedC(storeDir)
     Seq("rows", "docs", "graph").foreach { kind =>
-      segDirs(storeDir, kind).filter(f => f.getName.startsWith("c") &&
-          !new File(s"$storeDir/rows/${f.getName}/_COVERED").exists)
-        .foreach(rm)
+      segDirs(storeDir, kind).filter { f =>
+        f.getName.startsWith("c") && {
+          val manifested =
+            new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
+          !manifested || newestC.exists(_ > f.getName.drop(1).toLong)
+        }
+      }.foreach(rm)
     }
+  }
 
   def compactStore(spark: SparkSession, storeDir: String): Int = {
     recoverReband(storeDir)
@@ -263,6 +294,19 @@ object StoreMaintenance {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select("doc_id", "band", "bucket", "sig")
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
+    commitReband(storeDir, committed, last)
+    newArm
+  }
+
+  /** The shared reband COMMIT tail: journal the tmp rows segment
+    * (`_COVERED` + `_TARGET` complete it), [[recoverReband]] renames
+    * both kinds forward, then the superseded segments are deleted —
+    * a crash anywhere after the journal completes is healed by the
+    * next store entry ([[recoverReband]] finishes the rename,
+    * [[compactRecovery]]/[[readerDirs]] reap/ignore superseded
+    * segments). */
+  private def commitReband(storeDir: String, committed: Seq[Long],
+                           last: Long): Unit = {
     val tmp = java.nio.file.Paths.get(tmpRebandDir(storeDir, "rows"))
     java.nio.file.Files.writeString(tmp.resolve("_COVERED"),
       committed.mkString("", "\n", "\n"))
@@ -274,7 +318,56 @@ object StoreMaintenance {
           f.getName.drop(1).toLong < last)
       }.foreach(rm)
     }
-    newArm
+  }
+
+  /** Offline WIDTH MIGRATION of a persisted vector store (r15,
+    * VERDICT r14 #3 — the vector twin of [[rebandTextStore]], closing
+    * the growth boundary the [[foldVecBatch]] Scaladoc deferred to a
+    * migration that didn't exist): the maintained store runs a FIXED
+    * (nBands, bitsPerBand), and corpus growth eventually demands more
+    * bits per band ([[graft.operators.Similarity.autoBits]]'s rule).
+    * The stored rows CARRY qb/nb, so quantization is NEVER re-run;
+    * the new sign buckets are re-derived from the store's own docs
+    * record (the embeddings it admitted) — a pure store rewrite, no
+    * corpus re-read, run between streaming generations. Zero-norm
+    * vectors stay in the docs record and keep contributing no
+    * candidate rows (the inner join back to the carried rows drops
+    * them from the rewrite, exactly as every fold did). The new
+    * width is self-described by the data ([[vecStoreWidth]] reads the
+    * `bits` column), so subsequent folds pick it up with no sink
+    * reconfiguration. Same two-phase tmp + journal protocol as the
+    * text twin — both crash arms recover via [[recoverReband]].
+    * Returns the new bitsPerBand. */
+  def rebandVecStore(spark: SparkSession, storeDir: String,
+                     toBits: Option[Int] = None): Int = {
+    recoverReband(storeDir)
+    compactRecovery(storeDir)
+    val widthOpt = vecStoreWidth(spark, storeDir)
+    if (widthOpt.isEmpty) return 0 // empty/rowless store
+    val (nBands, bits) = widthOpt.get
+    val newBits = toBits.getOrElse(bits + 1)
+    require(newBits >= 1 && nBands * newBits <= 64,
+      s"rebandVecStore: invalid target width $newBits ($nBands bands over 64 dims)")
+    if (newBits == bits) return bits
+    val committed = committedBatches(storeDir)
+    val last = committed.max
+    // docs consolidate unchanged; rows re-bucket from the stored
+    // embeddings with the CARRIED quantization
+    spark.read.parquet(readerDirs(storeDir, "docs"): _*)
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    val carried = readCommitted(spark, storeDir, "rows").get
+      .select("vec_id", "qb", "nb").distinct()
+    readCommitted(spark, storeDir, "docs").get
+      .select("vec_id", "embedding").join(carried, "vec_id")
+      .select(col("vec_id"), col("qb"), col("nb"),
+        posexplode(array((0 until nBands).map(b =>
+          V.signBucket(col("embedding"), b, newBits)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("vec_id"), col("band"), col("bucket"), col("qb"),
+        col("nb"), lit(newBits).as("bits"))
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
+    commitReband(storeDir, committed, last)
+    newBits
   }
 
   /** The committed admitted corpus of a text store:
@@ -310,25 +403,76 @@ object StoreMaintenance {
     * Idempotent per batchId (replay no-op / deterministic rewrite).
     * `bands` is the arm a NEW store is created at; an existing store
     * folds at ITS OWN arm ([[storeArm]] — which a [[rebandTextStore]]
-    * migration may have moved since the sink was configured). */
+    * migration may have moved since the sink was configured).
+    *
+    * Scale shape (r15, VERDICT r14 #1): the stored band rows are
+    * semi-joined down to the batch's PROBED (band, bucket) keys —
+    * |batch| × arm keys, broadcast — BEFORE the candidate-list
+    * aggregate, so per-fold shuffle/aggregate cost is
+    * O(|batch| × bucket occupancy), never O(|store|) (buckets the
+    * batch never probes cannot affect [[StreamingCuration.ophAdmit]]'s
+    * per-band equi-joins — the pruning is exact, spec-pinned against
+    * the unpruned form). The pruned lookup is batch-bounded, so it is
+    * checkpointed once and broadcast into all `arm` band joins instead
+    * of re-running the store read per band. `maxBucketSize` caps a
+    * degenerate stored bucket with the batch family's semantics
+    * ([[graft.operators.Dedup.capBuckets]]: occupancy > cap ⇒ the
+    * bucket is skipped, its arrivals admit) — the cap is applied
+    * AFTER pruning but counts true occupancy (pruning keeps whole
+    * buckets), and as a window count, so the unbounded candidate
+    * array is never materialized.
+    *
+    * Redelivery guard (r15, ADVICE): a SIGLESS doc (< shingleN words)
+    * is admitted unconditionally, so an at-least-once source
+    * redelivering it under a NEW batchId would duplicate its doc
+    * record — sigful docs self-protect (a redelivered row near-dups
+    * itself at est 10⁶ ppm). When the batch carries sigless rows,
+    * their ids are anti-joined against the stored doc ids (ids are
+    * immutable once ingested — the k-NN fold's convention); the
+    * store-side id scan only runs on such batches. */
   def foldTextBatch(batch: DataFrame, batchId: Long, storeDir: String,
                     bands: Int = 8, shingleN: Int = 3,
-                    minEstJaccardPpm: Long = 500000L): Unit = {
+                    minEstJaccardPpm: Long = 500000L,
+                    maxBucketSize: Option[Int] = None): Unit = {
     recoverReband(storeDir)
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
     val arm = storeArm(spark, storeDir).getOrElse(bands)
     val rowsPerBand = PH.MinhashK / arm
     require(arm * rowsPerBand == PH.MinhashK)
-    val base = batch.withColumn("sig",
+    val batchC = batch.localCheckpoint(true)
+    val base0 = batchC.withColumn("sig",
       when(StreamingCuration.hasShingles(col("text"), shingleN),
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
+    val hasSigless = !batchC
+      .where(!StreamingCuration.hasShingles(col("text"), shingleN)).isEmpty
+    val base = textStoreDocs(spark, storeDir) match {
+      case Some(docs0) if hasSigless =>
+        val unprotected = base0.where(col("sig").isNull)
+          .select("doc_id").distinct()
+        val storedDup = docs0.select("doc_id")
+          .join(broadcast(unprotected), Seq("doc_id"), "left_semi")
+        base0.join(broadcast(storedDup), Seq("doc_id"), "left_anti")
+      case _ => base0
+    }
     val admitted = textStoreRows(spark, storeDir) match {
       case None => base
       case Some(stored) =>
-        val buckets = stored.groupBy("band", "bucket")
+        val probed = base.where(col("sig").isNotNull)
+          .select(posexplode(array((0 until arm).map(b =>
+            StreamingCuration.ophBucket(col("sig"), b, rowsPerBand)): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bucket")
+          .select("band", "bucket").distinct()
+        val pruned = stored
+          .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+        val buckets = graft.operators.Dedup
+          .capBuckets(pruned, maxBucketSize)
+          .groupBy("band", "bucket")
           .agg(collect_list(col("sig")).as("cands"))
-        StreamingCuration.ophAdmit(base, buckets, arm, minEstJaccardPpm)
+          .localCheckpoint(true)
+        StreamingCuration.ophAdmit(base, broadcast(buckets), arm,
+          minEstJaccardPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
     // docs first; the band rows' _SUCCESS commits the transaction
@@ -343,59 +487,139 @@ object StoreMaintenance {
       .write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }
 
+  /** Live `b` segment dirs (not yet consolidated by a compaction). */
+  private def liveBatchDirs(storeDir: String): Int =
+    segDirs(storeDir, "rows").count(_.getName.startsWith("b"))
+
+  /** In-generation auto-compaction (r15, VERDICT r14 #5): after a
+    * fold, consolidate once the live per-batch dirs exceed
+    * `compactEvery` — so a long-running sink never accumulates an
+    * unbounded directory count for every fold to list and read.
+    * Runs INSIDE the foreachBatch serialization (batches are
+    * sequential per sink), so no concurrent-fold window opens; a
+    * kill landing mid-compaction is exactly the crash arm
+    * [[compactStore]]'s recovery already covers, and the resumed
+    * sink's next fold reads an equivalent store either way
+    * (spec-pinned ≡ the never-compacted twin). */
+  private def maybeCompact(spark: SparkSession, storeDir: String,
+                           compactEvery: Option[Int]): Unit =
+    compactEvery.foreach { n =>
+      require(n >= 2, s"compactEvery must be >= 2, got $n")
+      if (liveBatchDirs(storeDir) >= n) { compactStore(spark, storeDir); () }
+    }
+
   /** The maintained-store ingest sink for text: each micro-batch is
     * admitted against — and folded into — the persisted store. Start
-    * with `.option("checkpointLocation", …).start()`. */
+    * with `.option("checkpointLocation", …).start()`. `compactEvery`
+    * = Some(n) consolidates segment dirs whenever n live per-batch
+    * dirs accumulate ([[maybeCompact]]). */
   def maintainTextStore(docs: DataFrame, storeDir: String,
                         bands: Int = 8, shingleN: Int = 3,
-                        minEstJaccardPpm: Long = 500000L): DataStreamWriter[Row] =
+                        minEstJaccardPpm: Long = 500000L,
+                        maxBucketSize: Option[Int] = None,
+                        compactEvery: Option[Int] = None): DataStreamWriter[Row] =
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        foldTextBatch(b, id, storeDir, bands, shingleN, minEstJaccardPpm)
-        ()
+        foldTextBatch(b, id, storeDir, bands, shingleN, minEstJaccardPpm,
+          maxBucketSize)
+        maybeCompact(b.sparkSession, storeDir, compactEvery)
       }
+
+  /** The width a vector store RUNS, self-described by its data —
+    * (nBands, bitsPerBand) read from the latest committed rows
+    * segment that has any row (a zero-norm-only batch leaves an empty
+    * segment): nBands = max band index + 1, bits from the stored
+    * `bits` column every row carries. No metadata file, so there is
+    * no metadata/data crash window for [[rebandVecStore]] to manage —
+    * the [[storeArm]] design. None for an empty/rowless store. */
+  def vecStoreWidth(spark: SparkSession, storeDir: String): Option[(Int, Int)] =
+    readerDirs(storeDir, "rows").reverseIterator.flatMap { p =>
+      spark.read.parquet(p).agg(max(col("band")), max(col("bits")))
+        .collect().headOption.filter(!_.isNullAt(0))
+        .map(r => (r.getInt(0) + 1, r.getInt(1)))
+    }.nextOption()
 
   /** One transactional vector-store fold — the
     * [[StreamingCuration.admitVectorStream]] math against stored
     * (band, bucket, qb, nb) rows. Zero-norm arrivals are admitted
     * but contribute no candidate rows (the gate's corpusQ nb > 0
-    * filter, carried into the store). */
+    * filter, carried into the store). `nBands`/`bitsPerBand` create a
+    * NEW store; an existing store folds at ITS OWN width
+    * ([[vecStoreWidth]] — which a [[rebandVecStore]] migration may
+    * have moved since the sink was configured). Scale shape and
+    * `maxBucketSize` semantics as [[foldTextBatch]] (r15: stored rows
+    * pruned to the batch's probed buckets before the aggregate; cap
+    * as a window count). Redelivery guard (r15, ADVICE): zero-norm
+    * arrivals are admitted without the cosine verify, so a cross-batch
+    * redelivery would duplicate their record — non-zero vectors
+    * self-protect (cos 10⁶ ppm to themselves); batches carrying
+    * zero-norm rows anti-join those ids against the stored vec ids. */
   def foldVecBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    nBands: Int = 4, bitsPerBand: Int = 4,
-                   minCosPpm: Long = 400000L): Unit = {
+                   minCosPpm: Long = 400000L,
+                   maxBucketSize: Option[Int] = None): Unit = {
+    recoverReband(storeDir)
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
-    val base = batch.select(col("ts"), col("vec_id"), col("embedding"),
+    val (bandsRun, bitsRun) =
+      vecStoreWidth(spark, storeDir).getOrElse((nBands, bitsPerBand))
+    val base0 = batch.localCheckpoint(true)
+      .select(col("ts"), col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qa"))
       .withColumn("na", V.qnorm2(col("qa")))
+    val hasZeroNorm = !base0.where(col("na") <= 0).isEmpty
+    val base = vecStoreVecs(spark, storeDir) match {
+      case Some(vecs0) if hasZeroNorm =>
+        val unprotected = base0.where(col("na") <= 0)
+          .select("vec_id").distinct()
+        val storedDup = vecs0.select("vec_id")
+          .join(broadcast(unprotected), Seq("vec_id"), "left_semi")
+        base0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
+      case _ => base0
+    }
     val admitted = readCommitted(spark, storeDir, "rows") match {
       case None => base
       case Some(stored) =>
-        val buckets = stored.groupBy("band", "bucket")
+        val probed = base
+          .select(posexplode(array((0 until bandsRun).map(b =>
+            V.signBucket(col("embedding"), b, bitsRun)): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bucket")
+          .select("band", "bucket").distinct()
+        val pruned = stored
+          .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+        val buckets = graft.operators.Dedup
+          .capBuckets(pruned, maxBucketSize)
+          .groupBy("band", "bucket")
           .agg(collect_list(struct(col("qb"), col("nb"))).as("cands"))
-        StreamingCuration.vecAdmit(base, buckets, nBands, bitsPerBand,
-          minCosPpm)
+          .localCheckpoint(true)
+        StreamingCuration.vecAdmit(base, broadcast(buckets), bandsRun,
+          bitsRun, minCosPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
     admittedC.select("ts", "vec_id", "embedding")
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
     admittedC.where(col("na") > 0)
       .select(col("vec_id"), col("qa").as("qb"), col("na").as("nb"),
-        posexplode(array((0 until nBands).map(b =>
-          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+        posexplode(array((0 until bandsRun).map(b =>
+          V.signBucket(col("embedding"), b, bitsRun)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .select("vec_id", "band", "bucket", "qb", "nb")
+      .select(col("vec_id"), col("band"), col("bucket"), col("qb"),
+        col("nb"), lit(bitsRun).as("bits"))
       .write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }
 
   /** The maintained-store ingest sink for vectors. */
   def maintainVecStore(vecs: DataFrame, storeDir: String,
                        nBands: Int = 4, bitsPerBand: Int = 4,
-                       minCosPpm: Long = 400000L): DataStreamWriter[Row] =
+                       minCosPpm: Long = 400000L,
+                       maxBucketSize: Option[Int] = None,
+                       compactEvery: Option[Int] = None): DataStreamWriter[Row] =
     vecs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        foldVecBatch(b, id, storeDir, nBands, bitsPerBand, minCosPpm)
-        ()
+        foldVecBatch(b, id, storeDir, nBands, bitsPerBand, minCosPpm,
+          maxBucketSize)
+        maybeCompact(b.sparkSession, storeDir, compactEvery)
       }
 
   // ----- maintained k-NN GRAPH (the INDEX artifact, not just the
@@ -431,25 +655,45 @@ object StoreMaintenance {
     * replays deterministically (the graph dir is overwritten from
     * the same committed-store state). Zero-norm vectors carry no
     * candidate rows and no edges (the batch family's pairing rule).
-    * Width boundaries are the reband migration's job, offline, as
-    * with the admission stores. */
+    * Width boundary: the graph store persists band rows + the graph
+    * snapshot but NOT the embeddings, and a top-k graph is not
+    * recoverable under a bucket refinement (a node's new top-k can
+    * need pairs below its old top-k), so crossing a width boundary
+    * here means replaying the vector history into a fresh store at
+    * the new width — deployments that need in-place migration run
+    * the admission store ([[foldVecBatch]] + [[rebandVecStore]])
+    * beside this index and rebuild the graph generation from its
+    * docs record. An existing store folds at ITS OWN width
+    * ([[vecStoreWidth]]), like the admission folds. */
   def foldKnnGraphBatch(batch: DataFrame, batchId: Long, storeDir: String,
                         k: Int = 4, nBands: Int = 4,
-                        bitsPerBand: Int = 4): Unit = {
+                        bitsPerBand: Int = 4,
+                        maxBucketSize: Option[Int] = None): Unit = {
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
     val S = graft.operators.Similarity
+    val (bandsRun, bitsRun) =
+      vecStoreWidth(spark, storeDir).getOrElse((nBands, bitsPerBand))
     val storedOpt = readCommitted(spark, storeDir, "rows")
     // ids are IMMUTABLE once ingested: drop within-batch duplicate
     // vec_ids and any id the store already holds — an at-least-once
     // source redelivering a vector would otherwise regenerate pairs
     // that duplicate stored edges and break graphMerge's disjointness
     // precondition (the same neighbor lands at two ranks, displacing
-    // the true k-th edge). The admission-gated stores self-protect
-    // (a redelivered row near-dups itself); the graph has no gate, so
-    // the fold enforces it.
+    // the true k-th edge). The sigful/non-zero rows of the
+    // admission-gated stores self-protect (a redelivered row near-dups
+    // itself); the graph has no gate, so the fold enforces it. The
+    // within-batch representative for a repeated vec_id with DIFFERENT
+    // embeddings is deterministic — min by an embedding content hash,
+    // not partition order (r15, ADVICE: a crash-before-commit replay
+    // must recompute the SAME admitted set, and dropDuplicates picks
+    // whichever partition arrives first).
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(xxhash64(col("embedding")).asc, hash(col("embedding")).asc)
     val arrivals0 = batch.select("vec_id", "embedding")
-      .dropDuplicates("vec_id")
+      .withColumn("rn", row_number().over(wDup))
+      .where(col("rn") === 1).drop("rn")
     val arrivals = storedOpt match {
       case None => arrivals0
       case Some(st) => arrivals0.join(st.select("vec_id").distinct(),
@@ -461,14 +705,26 @@ object StoreMaintenance {
       .withColumn("qn", V.qnorm2(col("qe")))
       .where(col("qn") > 0)
       .select(col("vec_id"), col("qe"), col("qn"),
-        posexplode(array((0 until nBands).map(b =>
-          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+        posexplode(array((0 until bandsRun).map(b =>
+          V.signBucket(col("embedding"), b, bitsRun)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .select("vec_id", "band", "bucket", "qe", "qn")
+      .select(col("vec_id"), col("band"), col("bucket"), col("qe"),
+        col("qn"), lit(bitsRun).as("bits"))
       .localCheckpoint(true)
-    val allRows = storedOpt match {
+    // r15 (VERDICT r14 #1): prune the stored band rows to the batch's
+    // probed buckets BEFORE the pair join and the scoring base — the
+    // fold's join/score cost becomes O(|batch| × occupancy); buckets
+    // the batch never probes cannot produce a pair. The pruned set is
+    // batch-bounded, so checkpoint it once for both consumers.
+    val storedPruned = storedOpt.map { stored =>
+      graft.operators.Dedup.capBuckets(
+        stored.join(broadcast(batchRows.select("band", "bucket").distinct()),
+          Seq("band", "bucket"), "left_semi"), maxBucketSize)
+        .localCheckpoint(true)
+    }
+    val allRows = storedPruned match {
       case None => batchRows
-      case Some(stored) => stored.unionByName(batchRows)
+      case Some(sp) => sp.unionByName(batchRows)
     }
     val pairs = batchRows.select(col("band"), col("bucket"),
         col("vec_id").as("va"))
@@ -494,10 +750,13 @@ object StoreMaintenance {
     * loop a vector store runs behind its admission gate. */
   def maintainKnnGraph(vecs: DataFrame, storeDir: String,
                        k: Int = 4, nBands: Int = 4,
-                       bitsPerBand: Int = 4): DataStreamWriter[Row] =
+                       bitsPerBand: Int = 4,
+                       maxBucketSize: Option[Int] = None,
+                       compactEvery: Option[Int] = None): DataStreamWriter[Row] =
     vecs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        foldKnnGraphBatch(b, id, storeDir, k, nBands, bitsPerBand)
-        ()
+        foldKnnGraphBatch(b, id, storeDir, k, nBands, bitsPerBand,
+          maxBucketSize)
+        maybeCompact(b.sparkSession, storeDir, compactEvery)
       }
 }

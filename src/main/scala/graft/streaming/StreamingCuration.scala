@@ -145,7 +145,8 @@ object StreamingCuration {
   def admitNearDupStream(docs: DataFrame, corpus: DataFrame,
                          shingleN: Int = 3,
                          bandsOverride: Option[Int] = None,
-                         minEstJaccardPpm: Long = 500000L): DataFrame = {
+                         minEstJaccardPpm: Long = 500000L,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.{PortableHash => PH}
     val bands = bandsOverride.getOrElse {
       val n = corpus
@@ -161,7 +162,8 @@ object StreamingCuration {
     // re-executes the full corpus scan + md5-per-shingle signature
     // pass EVERY micro-batch; the cache lives for the streaming
     // query's lifetime, which is the snapshot's intended lifetime)
-    val corpusBuckets = ophBucketsOf(corpusSigs, bands).persist()
+    val corpusBuckets = ophBucketsOf(corpusSigs, bands, maxBucketSize)
+      .persist()
     val base = docs.withColumn("sig",
       when(hasShingles(col("text"), shingleN),
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
@@ -193,16 +195,25 @@ object StreamingCuration {
   /** (band, bucket) → list<sig> lookup of a signature relation — the
     * gate snapshot shape, shared with the maintained-store loop
     * ([[StoreMaintenance]], which aggregates it from persisted band
-    * rows instead of re-signing a corpus). */
-  private[graft] def ophBucketsOf(sigs: DataFrame,
-      bands: Int): DataFrame = {
+    * rows instead of re-signing a corpus). `maxBucketSize` caps a
+    * degenerate bucket with the batch family's semantics
+    * ([[graft.operators.Dedup.capBuckets]]: occupancy > cap ⇒ the
+    * bucket is dropped whole — it carries no discrimination signal,
+    * and ONE crawl-scale boilerplate bucket would otherwise become
+    * one unbounded candidate-array row = executor OOM, r15 VERDICT
+    * r14 #2). The cap is a window count over the SAME (band, bucket)
+    * key the aggregate shuffles on — the exchange is reused and the
+    * oversized array is never materialized. */
+  private[graft] def ophBucketsOf(sigs: DataFrame, bands: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.{PortableHash => PH}
     val rowsPerBand = PH.MinhashK / bands
     require(bands * rowsPerBand == PH.MinhashK)
-    sigs.select(col("sig"),
+    val banded = sigs.select(col("sig"),
         posexplode(array((0 until bands).map(b =>
           ophBucket(col("sig"), b, rowsPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    graft.operators.Dedup.capBuckets(banded, maxBucketSize)
       .groupBy("band", "bucket")
       .agg(collect_list(col("sig")).as("cands"))
   }
@@ -237,9 +248,11 @@ object StreamingCuration {
     * unsupported stream-stream join) are avoided by inverting the
     * layout:
     *  - the corpus is pre-aggregated ONCE per snapshot into a
-    *    (band, bucket) → list<(qe, norm)> lookup table (bounded by
-    *    bucket occupancy — cap degenerate buckets exactly like the
-    *    batch LSH family);
+    *    (band, bucket) → list<(qe, norm)> lookup table, with
+    *    `maxBucketSize` capping degenerate buckets exactly like the
+    *    batch LSH family (occupancy > cap ⇒ bucket dropped whole,
+    *    via a window count so the oversized array never builds —
+    *    r15, the cap this Scaladoc promised before it was plumbed);
     *  - each arriving vector computes its `nBands` bucket keys as
     *    plain columns and takes one stream-static LEFT join per band;
     *  - the verify is a row-local `exists` over the joined candidate
@@ -258,7 +271,8 @@ object StreamingCuration {
     * for parity pinning against a fixed-width batch twin. */
   def admitVectorStream(vecs: DataFrame, corpus: DataFrame,
                         nBands: Int = 4, bitsPerBand: Option[Int] = None,
-                        minCosPpm: Long = 400000L): DataFrame = {
+                        minCosPpm: Long = 400000L,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.{VectorOps => V}
     // width from the USABLE corpus (quantized norm > 0) — the same
     // count every batch autoBits derivation uses (r13 alignment; a
@@ -279,11 +293,13 @@ object StreamingCuration {
     // md5-per-shingle pass gains +18% from its persist. Rebuild-per-
     // batch is the right trade when the snapshot build is cheaper
     // than the strategy distortion.
-    val corpusBuckets = corpus.select(col("vec_id"),
+    val corpusBanded = corpus.select(col("vec_id"),
         posexplode(array((0 until nBands).map(b =>
           V.signBucket(col("embedding"), b, bitsPB)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .join(corpusQ, "vec_id")
+    val corpusBuckets = graft.operators.Dedup
+      .capBuckets(corpusBanded, maxBucketSize)
       .groupBy("band", "bucket")
       .agg(collect_list(struct(col("qb"), col("nb"))).as("cands"))
     val base = vecs.select(col("ts"), col("vec_id"), col("embedding"),

@@ -1,0 +1,377 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StoreMaintenance, StreamingCuration}
+
+/** r15 store-maintenance hardening (VERDICT r14 #1/#2/#3/#5 + all
+  * three ADVICE items): fold pruning to batch-probed buckets,
+  * degenerate-bucket caps, the persisted vector store's width
+  * migration, in-generation auto-compaction, the superseded-`c`
+  * crash window, cross-batch redelivery of gate-invisible rows, and
+  * the deterministic within-batch representative. */
+class StoreMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp((10000 + minute) * 60000L)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def vec(seed: Int): Seq[Float] =
+    (0 until 64).map(d => math.sin((seed + 1) * (d + 1)).toFloat)
+  private val zeroVec = Seq.fill(64)(0.0f)
+
+  private def docIds(store: String): Seq[Long] =
+    StoreMaintenance.textStoreDocs(spark, store).get
+      .collect().map(_.getLong(1)).toSeq
+  private def vecIds(store: String): Seq[Long] =
+    StoreMaintenance.vecStoreVecs(spark, store).get
+      .collect().map(_.getLong(1)).toSeq
+
+  test("superseded-c crash window (r15, ADVICE): a manifested older c " +
+    "segment lingering past a later rewrite is IGNORED by readers (no " +
+    "double-counted docs) and reaped by the next compaction entry") {
+    def textBatch(b: Int) = (0 until 30).map { j =>
+      val i = b * 30 + j
+      (ts(b), i.toLong,
+        (0 until 8).map(t => s"w${i * 977 + t * 131}").mkString(" "))
+    }.toDF("ts", "doc_id", "text")
+    val store = tmp("graft-supc")
+    for (b <- 0 until 3)
+      StoreMaintenance.foldTextBatch(textBatch(b), b.toLong, store)
+    assert(StoreMaintenance.compactStore(spark, store) == 3) // -> c2
+    // keep the manifested c2 aside, then advance and compact again
+    val aside = java.nio.file.Files.createTempDirectory("graft-supc-keep")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    copyTree(java.nio.file.Paths.get(s"$store/rows/c2"),
+      aside.resolve("rows"))
+    copyTree(java.nio.file.Paths.get(s"$store/docs/c2"),
+      aside.resolve("docs"))
+    for (b <- 3 until 5)
+      StoreMaintenance.foldTextBatch(textBatch(b), b.toLong, store)
+    assert(StoreMaintenance.compactStore(spark, store) == 2) // -> c4
+    val cleanIds = docIds(store)
+    assert(cleanIds.size == cleanIds.distinct.size)
+    // CRASH WINDOW: the new c4 manifest landed but the superseded c2
+    // delete didn't — restore c2 alongside c4
+    copyTree(aside.resolve("rows"), java.nio.file.Paths.get(s"$store/rows/c2"))
+    copyTree(aside.resolve("docs"), java.nio.file.Paths.get(s"$store/docs/c2"))
+    // readers must see the SAME store — c2's docs are a subset of c4's
+    // and would double-count every one of them if read
+    val ids = docIds(store)
+    assert(ids.sorted == cleanIds.sorted,
+      "a superseded manifested c segment double-counted its docs")
+    assert(StoreMaintenance.committedBatches(store) == (0L to 4L),
+      "committed ids must survive the lingering superseded manifest")
+    // a fold against the lingering state admits identically
+    StoreMaintenance.foldTextBatch(textBatch(5), 5L, store)
+    assert(docIds(store).size == docIds(store).distinct.size)
+    // the next compaction entry reaps the superseded dirs
+    StoreMaintenance.compactStore(spark, store)
+    assert(!new java.io.File(s"$store/rows/c2").exists &&
+      !new java.io.File(s"$store/docs/c2").exists,
+      "compactRecovery must reap superseded manifested c dirs")
+  }
+
+  test("cross-batch redelivery of gate-invisible rows (r15, ADVICE): a " +
+    "SIGLESS doc / ZERO-NORM vector redelivered under a NEW batchId is " +
+    "not duplicated — the stored-id guard covers what the near-dup gate " +
+    "cannot see") {
+    val store = tmp("graft-redeliver-text")
+    val b0 = Seq((ts(0), 1L, "alpha beta gamma delta epsilon"),
+      (ts(0), 9L, "hi")).toDF("ts", "doc_id", "text") // 9 sigless
+    StoreMaintenance.foldTextBatch(b0, 0L, store)
+    assert(docIds(store).sorted == Seq(1L, 9L))
+    // at-least-once redelivery under a NEW batchId: doc 1 self-gates
+    // (near-dups itself), doc 9 has no signature — only the id guard
+    // protects it
+    StoreMaintenance.foldTextBatch(b0, 1L, store)
+    assert(docIds(store).sorted == Seq(1L, 9L),
+      s"redelivered batch duplicated rows: ${docIds(store).sorted}")
+    // a genuinely new sigless doc still admits
+    StoreMaintenance.foldTextBatch(
+      Seq((ts(2), 10L, "yo")).toDF("ts", "doc_id", "text"), 2L, store)
+    assert(docIds(store).sorted == Seq(1L, 9L, 10L))
+
+    val vstore = tmp("graft-redeliver-vec")
+    val v0 = Seq((ts(0), 1L, vec(1)), (ts(0), 5L, zeroVec))
+      .toDF("ts", "vec_id", "embedding")
+    StoreMaintenance.foldVecBatch(v0, 0L, vstore)
+    assert(vecIds(vstore).sorted == Seq(1L, 5L))
+    StoreMaintenance.foldVecBatch(v0, 1L, vstore)
+    assert(vecIds(vstore).sorted == Seq(1L, 5L),
+      s"redelivered zero-norm vector duplicated: ${vecIds(vstore).sorted}")
+    StoreMaintenance.foldVecBatch(
+      Seq((ts(2), 6L, zeroVec)).toDF("ts", "vec_id", "embedding"),
+      2L, vstore)
+    assert(vecIds(vstore).sorted == Seq(1L, 5L, 6L))
+  }
+
+  test("deterministic within-batch representative (r15, ADVICE): a " +
+    "vec_id repeated with DIFFERENT embeddings picks the content-hash " +
+    "minimum regardless of row order, so a crash-before-commit replay " +
+    "rebuilds the identical graph") {
+    val rows = Seq((ts(0), 10L, vec(1)), (ts(0), 10L, vec(2)),
+      (ts(0), 20L, vec(5)), (ts(0), 30L, vec(6)))
+    def graphOf(data: Seq[(Timestamp, Long, Seq[Float])]): Seq[(Long, Long, Long, Long)] = {
+      val s = tmp("graft-rep")
+      StoreMaintenance.foldKnnGraphBatch(
+        data.toDF("ts", "vec_id", "embedding").repartition(7), 0L, s)
+      StoreMaintenance.knnGraphCurrent(spark, s).get
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+    }
+    val g1 = graphOf(rows)
+    val g2 = graphOf(rows.reverse)
+    assert(g1 == g2, "representative depended on arrival order")
+    // the pick is the xxhash64-minimum embedding, pinned
+    val picked = Seq(("a", vec(1)), ("b", vec(2))).toDF("tag", "e")
+      .orderBy(xxhash64(col("e")).asc, hash(col("e")).asc)
+      .limit(1).collect().head.getString(0)
+    val expected = if (picked == "a") vec(1) else vec(2)
+    val qeExpected = Seq(Tuple1(expected)).toDF("e")
+      .select(graft.functions.VectorOps.quantize(col("e")))
+      .collect().head.getSeq[Long](0)
+    val s3 = tmp("graft-rep3")
+    StoreMaintenance.foldKnnGraphBatch(
+      rows.toDF("ts", "vec_id", "embedding"), 0L, s3)
+    val storedQe = spark.read.parquet(s"$s3/rows/b0")
+      .where(col("vec_id") === 10L).select("qe")
+      .collect().head.getSeq[Long](0)
+    assert(storedQe == qeExpected)
+  }
+
+  test("fold pruning is exact and the bucket cap has batch-family " +
+    "semantics (r15, VERDICT #1/#2): pruned folds equal the UNPRUNED " +
+    "lookup's admissions on a dense corpus; a degenerate bucket under " +
+    "the cap stops gating (its arrivals admit) while healthy buckets " +
+    "still gate") {
+    // dense corpus: 120 docs in 4 batches, every 5th a near-dup of an
+    // earlier doc — admissions exercise many buckets per fold
+    def textBatch(b: Int) = (0 until 30).map { j =>
+      val i = b * 30 + j
+      val base = if (i % 5 == 0 && i > 0) i - 5 else i
+      (ts(b), i.toLong,
+        (0 until 8).map(t => s"w${base * 977 + t * 131}").mkString(" "))
+    }
+    val store = tmp("graft-pruned")
+    var corpus = Seq.empty[(Timestamp, Long, String)]
+    for (b <- 0 until 4) {
+      val batch = textBatch(b)
+      StoreMaintenance.foldTextBatch(
+        batch.toDF("ts", "doc_id", "text"), b.toLong, store)
+      // the UNPRUNED form: the full-corpus lookup aggregate the r14
+      // fold built — ophBucketsOf over ALL admitted signatures
+      val sigs = corpus.toDF("ts", "doc_id", "text")
+        .where(StreamingCuration.hasShingles(col("text"), 3))
+        .select(graft.functions.textNative.oph_sig(col("text"), 3).as("sig"))
+      val lookup = StreamingCuration.ophBucketsOf(sigs, 8)
+      val base = batch.toDF("ts", "doc_id", "text").withColumn("sig",
+        when(StreamingCuration.hasShingles(col("text"), 3),
+          graft.functions.textNative.oph_sig(col("text"), 3)))
+      val admitted = StreamingCuration.ophAdmit(base, lookup, 8, 500000L)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      corpus ++= admitted
+    }
+    assert(docIds(store).toSet == corpus.map(_._2).toSet,
+      "bucket-pruned fold diverged from the unpruned lookup")
+
+    // cap semantics, vector side: 6 all-positive vectors co-bucket in
+    // every band (the degenerate boilerplate bucket); vec(40)/vec(41)
+    // live in healthy buckets
+    def posVec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => (0.1f + ((seed * 31 + d * 7) % 89) / 100.0f))
+    val corpusV = ((0 until 6).map(i => (ts(0), i.toLong, posVec(i))) :+
+      (ts(0), 40L, vec(40))).toDF("ts", "vec_id", "embedding")
+    val arrivals = Seq((ts(1), 100L, posVec(2)), // dup inside degenerate bucket
+      (ts(1), 101L, vec(40)), // dup of a healthy-bucket vector
+      (ts(1), 102L, vec(55))) // genuinely new
+      .toDF("ts", "vec_id", "embedding")
+    val uncapped = StreamingCuration.admitVectorStream(arrivals, corpusV,
+      bitsPerBand = Some(4)).collect().map(_.getLong(1)).toSet
+    assert(uncapped == Set(102L))
+    val capped = StreamingCuration.admitVectorStream(arrivals, corpusV,
+      bitsPerBand = Some(4), maxBucketSize = Some(5))
+      .collect().map(_.getLong(1)).toSet
+    // the degenerate bucket (occupancy 6 > 5) stops gating -> 100
+    // admits; the healthy bucket still gates -> 101 still dropped
+    assert(capped == Set(100L, 102L),
+      s"cap semantics wrong: $capped")
+    // capped == uncapped on a healthy corpus (cap above any occupancy)
+    val cappedHigh = StreamingCuration.admitVectorStream(arrivals, corpusV,
+      bitsPerBand = Some(4), maxBucketSize = Some(100))
+      .collect().map(_.getLong(1)).toSet
+    assert(cappedHigh == uncapped)
+
+    // text gate twin: 6 docs with identical text co-bucket everywhere
+    val corpusT = ((0 until 6).map(i =>
+      (ts(0), i.toLong, "alpha beta gamma delta epsilon")) :+
+      (ts(0), 40L, "one two three four five"))
+      .toDF("ts", "doc_id", "text")
+    val arrivalsT = Seq((ts(1), 100L, "alpha beta gamma delta epsilon"),
+      (ts(1), 101L, "one two three four five"),
+      (ts(1), 102L, "red orange yellow green blue"))
+      .toDF("ts", "doc_id", "text")
+    def admitT(cap: Option[Int]) = StreamingCuration.admitNearDupStream(
+      arrivalsT, corpusT, bandsOverride = Some(8), maxBucketSize = cap)
+      .collect().map(_.getLong(1)).toSet
+    assert(admitT(None) == Set(102L))
+    assert(admitT(Some(5)) == Set(100L, 102L))
+    assert(admitT(Some(100)) == Set(102L))
+
+    // and through the persisted fold: the capped store admits the
+    // degenerate-bucket dup, still gates the healthy one
+    val storeCap = tmp("graft-capfold")
+    StoreMaintenance.foldTextBatch(corpusT, 0L, storeCap,
+      maxBucketSize = Some(5))
+    StoreMaintenance.foldTextBatch(arrivalsT, 1L, storeCap,
+      maxBucketSize = Some(5))
+    assert(docIds(storeCap).toSet ==
+      (0L until 6L).toSet + 40L + 100L + 102L)
+  }
+
+  test("rebandVecStore (r15, VERDICT #3): the persisted vector store " +
+    "migrates to a wider band from its own docs record with CARRIED " +
+    "quantization, subsequent folds pick the new width up from the " +
+    "data, the chain equals the width-switching batch-fold oracle, and " +
+    "the incomplete-journal crash arm rolls back") {
+    import graft.functions.{VectorOps => V}
+    def vecBatch(b: Int): Seq[(Timestamp, Long, Seq[Float])] =
+      (0 until 20).map { j =>
+        val i = b * 20 + j
+        (ts(b), i.toLong, vec(if (i % 4 == 0 && i > 0) i - 4 else i))
+      } ++ (if (b == 0) Seq((ts(0), 900L, zeroVec)) else Seq.empty)
+    val store = tmp("graft-vreband")
+    for (b <- 0 until 2)
+      StoreMaintenance.foldVecBatch(
+        vecBatch(b).toDF("ts", "vec_id", "embedding"), b.toLong, store)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 4)))
+    assert(StoreMaintenance.rebandVecStore(spark, store) == 5)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 5)))
+    // rows ≡ from-scratch banding of the admitted vectors at 5 bits,
+    // quantization carried (zero-norm 900 stays docs-only)
+    val fromScratch = StoreMaintenance.vecStoreVecs(spark, store).get
+      .where(col("vec_id") =!= 900L)
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(b =>
+          V.signBucket(col("embedding"), b, 5)): _*)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(StoreMaintenance.textStoreRows(spark, store).get
+      .select("vec_id", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet == fromScratch)
+    // folds continue at the migrated width with NO sink reconfig
+    for (b <- 2 until 4)
+      StoreMaintenance.foldVecBatch(
+        vecBatch(b).toDF("ts", "vec_id", "embedding"), b.toLong, store)
+    assert(StoreMaintenance.committedBatches(store) == (0L to 3L))
+    assert(spark.read.parquet(s"$store/rows/b3")
+      .select(max(col("bits"))).collect().head.getInt(0) == 5,
+      "post-migration folds must band at the stored width")
+    // oracle: the sequential batch fold whose static gate switches
+    // width at the same point
+    var corpus = Seq.empty[(Timestamp, Long, Seq[Float])]
+    for (b <- 0 until 4) {
+      val admitted = StreamingCuration.admitVectorStream(
+        vecBatch(b).toDF("ts", "vec_id", "embedding"),
+        corpus.toDF("ts", "vec_id", "embedding"),
+        bitsPerBand = Some(if (b < 2) 4 else 5))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getSeq[Float](2)))
+      corpus ++= admitted
+    }
+    assert(vecIds(store).toSet == corpus.map(_._2).toSet,
+      "rebanded vec store diverged from the width-switching oracle")
+    // crash rollback: an INCOMPLETE journal rolls back on next entry
+    val rowsTmp = new java.io.File(s"$store/rows/.tmp_reband")
+    rowsTmp.mkdirs()
+    java.nio.file.Files.writeString(rowsTmp.toPath.resolve("_SUCCESS"), "")
+    StoreMaintenance.foldVecBatch(
+      vecBatch(4).toDF("ts", "vec_id", "embedding"), 4L, store)
+    assert(!rowsTmp.exists, "incomplete reband tmp must roll back")
+    // a zero-norm-only batch leaves an empty rows segment; the width
+    // read falls through to the last segment with rows
+    StoreMaintenance.foldVecBatch(
+      Seq((ts(9), 901L, zeroVec)).toDF("ts", "vec_id", "embedding"),
+      5L, store)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 5)))
+    // round-trip back to 4 preserves the corpus record
+    val before = vecIds(store).toSet
+    assert(StoreMaintenance.rebandVecStore(spark, store,
+      toBits = Some(4)) == 4)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 4)))
+    assert(vecIds(store).toSet == before)
+  }
+
+  test("in-generation auto-compaction (r15, VERDICT #5): a maintained " +
+    "sink with compactEvery consolidates its own segments inside the " +
+    "foreachBatch serialization and stays ≡ the never-compacted twin " +
+    "across a kill/resume") {
+    implicit val sqlCtx = spark.sqlContext
+    def textRows(b: Int) = (0 until 15).map { j =>
+      val i = b * 15 + j
+      val base = if (i % 5 == 0 && i > 0) i - 5 else i
+      (ts(b), i.toLong,
+        (0 until 8).map(t => s"w${base * 977 + t * 131}").mkString(" "))
+    }
+    val sPlain = tmp("graft-autoc-plain")
+    for (b <- 0 until 6)
+      StoreMaintenance.foldTextBatch(
+        textRows(b).toDF("ts", "doc_id", "text"), b.toLong, sPlain)
+
+    val sAuto = tmp("graft-autoc-auto")
+    val cp = tmp("graft-autoc-cp")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def start() = StoreMaintenance
+      .maintainTextStore(mem.toDF().toDF("ts", "doc_id", "text"), sAuto,
+        compactEvery = Some(3))
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try {
+      for (b <- 0 until 3) {
+        mem.addData(textRows(b): _*); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    // a kill landing mid-compaction: the parquet landed (_SUCCESS) but
+    // the _COVERED manifest never committed — readers must ignore the
+    // leftover and the next compaction entry reaps it
+    val orphan = new java.io.File(s"$sAuto/rows/c99")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("_SUCCESS"), "")
+    mem.addData(textRows(3): _*) // while down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      for (b <- 4 until 6) {
+        mem.addData(textRows(b): _*); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(docIds(sAuto).sorted == docIds(sPlain).sorted,
+      "auto-compacted store diverged from the never-compacted twin")
+    assert(!orphan.exists,
+      "an interrupted compaction's manifest-less leftover must be reaped")
+    // the directory count stays bounded: compaction ran (a c segment
+    // exists) and live b dirs never exceed compactEvery
+    val names = new java.io.File(s"$sAuto/rows").listFiles()
+      .map(_.getName).filter(n => n.startsWith("b") || n.startsWith("c"))
+    assert(names.exists(_.startsWith("c")), s"no compaction ran: ${names.toSeq}")
+    assert(names.count(_.startsWith("b")) < 3,
+      s"live segment dirs unbounded: ${names.toSeq}")
+  }
+}
