@@ -1026,12 +1026,22 @@ object Dedup {
     * BASELINE.md. */
   def containmentBlocked(docs: DataFrame, shingleN: Int = 3,
                          minContainPpm: Long = 600000L,
-                         bottomK: Int = 4): DataFrame = {
+                         bottomK: Int = 4, maxKeyDf: Int = 50): DataFrame = {
     val sh = shingles(docs, shingleN).localCheckpoint(true)
     val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(PH.h31(col("sh")), col("sh"))
-    val keys = sh.withColumn("rk", row_number().over(wd))
-      .where(col("rk") <= bottomK).select("doc_id", "sh")
+    // hot-key guard (r15, VERDICT r14 #4): a boilerplate shingle that
+    // is the bottom-k of s docs contributes s² candidate rows — the
+    // one quadratic shape this operator had left (and where its probe
+    // heat lived). A key shared by > maxKeyDf docs carries no blocking
+    // discrimination, so it is dropped WHOLE ([[dfCapShingles]], the
+    // containmentCapped/winnow discipline); the high-containment pairs
+    // the blocker exists for share RARE runs whose bottom-k keys
+    // survive. The oracle restates the cap on its keys CTE;
+    // pair-set invariance at the gate SFs is spec-pinned.
+    val keys = dfCapShingles(
+      sh.withColumn("rk", row_number().over(wd))
+        .where(col("rk") <= bottomK).select("doc_id", "sh"), maxKeyDf)
     val cand = keys.select(col("doc_id").as("doc_a"), col("sh"))
       .join(keys.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .where(col("doc_a") < col("doc_b"))

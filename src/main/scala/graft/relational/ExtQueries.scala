@@ -469,9 +469,13 @@ object ExtQueries {
     * hash. */
   private val ddContainmentBlockedSql: String =
     s"WITH ${shinglesCte(3)}, " +
-      "keys AS (SELECT doc_id, sh FROM (SELECT doc_id, sh, " +
+      "keys0 AS (SELECT doc_id, sh FROM (SELECT doc_id, sh, " +
       s"row_number() OVER (PARTITION BY doc_id ORDER BY ${PH.h31Sql("sh")}, sh) " +
       "AS rk FROM sh) WHERE rk <= 4), " +
+      // r15: the blocking-key df cap (Dedup.containmentBlocked's
+      // maxKeyDf = 50 hot-key guard, restated)
+      "keys AS (SELECT doc_id, sh FROM (SELECT doc_id, sh, " +
+      "count(*) OVER (PARTITION BY sh) AS df FROM keys0) WHERE df <= 50), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM keys a JOIN keys b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +

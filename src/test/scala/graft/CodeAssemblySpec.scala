@@ -372,6 +372,42 @@ class CodeAssemblySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"bottom-k recall collapsed: $recall%.3f")
   }
 
+  test("containmentBlocked blocking-key df cap (r15): pair-set INVARIANT " +
+    "at the gate SF (no bottom-k key is that hot here), and a planted " +
+    "boilerplate key is dropped whole without losing rare-run pairs") {
+    import spark.implicits._
+    // invariance on the real corpus: capped ≡ effectively-uncapped
+    def pairs(maxKeyDf: Int) = Dedup
+      .containmentBlocked(docs, maxKeyDf = maxKeyDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(pairs(50) == pairs(1000000),
+      "the df-50 cap changed the gate-SF pair set — a key is hotter " +
+        "than the invariance assumption")
+    // planted hot key: 60 docs of 3 shingles each — the 2 shared ones
+    // are in EVERY doc's bottom-4 (df = 60 > maxKeyDf), the third is
+    // unique — plus one genuine containment pair sharing a RARE run.
+    // Uncapped, the boiler docs all pair (2/3 shared = 666,666 ppm);
+    // capped, their only blocking keys are the unique shingles, so
+    // the quadratic hot key produces ZERO candidates while the rare
+    // pair survives.
+    val boiler = (0 until 60).map { i =>
+      (1000L + i, s"common legal boilerplate header unique$i")
+    }
+    val rare = Seq(
+      (2000L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"),
+      (2001L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 extra trailing words here"))
+    val planted = (boiler ++ rare).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentBlocked(planted, maxKeyDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a >= 1000L && b < 2000L },
+      "sanity: the planted hot key must pair uncapped")
+    val out = Dedup.containmentBlocked(planted, maxKeyDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2000L, 2001L)), "rare-run pair lost to the cap")
+    assert(!out.exists { case (a, b) => a >= 1000L && b < 2000L },
+      "boilerplate hot-key candidates survived the cap")
+  }
+
   test("minhashCalibration: both families reported, estimator error inside " +
     "the K=16 concentration envelope") {
     val rows = Dedup.minhashCalibration(docs).collect()
