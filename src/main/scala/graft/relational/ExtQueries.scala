@@ -222,6 +222,47 @@ object ExtQueries {
     * 3 = 0, counted over signature-bearing docs exactly as the Scala
     * side counts them). The hash therefore proves the whole build →
     * upsert → reband → upsert chain exact end-to-end. */
+  /** [[graft.streaming.StoreMaintenance.maintainedTextStoreReplay]]:
+    * the sequential gated admission restated — batch 0 admits whole,
+    * batch b drops any doc sharing a band bucket with a previously-
+    * ADMITTED doc at ≥ 8/16 agreeing slots (est ≥ 500,000 ppm at
+    * K=16, the exact integer threshold), then the from-scratch OPH
+    * banding of the admitted set; sigless docs (NULL m0 — empty
+    * shingle list) admit unconditionally and surface as the (-1, '')
+    * sentinel. NULL bucket strings (sigless) never join, mirroring
+    * the engine's empty-probe convention. */
+  private val pipelineStoreMaintainedSql: String = {
+    val matches = minhashMatches
+    def dropCte(b: Int, admSrc: String): String =
+      s"drop$b AS (SELECT DISTINCT a.doc_id FROM bt a " +
+        "JOIN bt s ON s.band = a.band AND s.bucket = a.bucket " +
+        s"JOIN $admSrc p ON p.doc_id = s.doc_id " +
+        "JOIN minh x ON x.doc_id = a.doc_id " +
+        "JOIN minh y ON y.doc_id = s.doc_id " +
+        s"WHERE a.doc_id % 3 = $b AND ($matches) >= 8)"
+    s"WITH $ophMinhChain, " +
+      s"bt AS (${bandSelectsGen("minh", 8, 2)}), " +
+      "adm0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0), " +
+      dropCte(1, "adm0") + ", " +
+      "adm1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM drop1)), " +
+      "adm01 AS (SELECT doc_id FROM adm0 " +
+      "UNION ALL SELECT doc_id FROM adm1), " +
+      dropCte(2, "adm01") + ", " +
+      "adm2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM drop2)), " +
+      "adm AS (SELECT doc_id FROM adm01 " +
+      "UNION ALL SELECT doc_id FROM adm2) " +
+      "SELECT t.doc_id, CAST(t.band AS BIGINT) AS band, t.bucket " +
+      "FROM bt t JOIN adm p ON p.doc_id = t.doc_id " +
+      "JOIN minh m ON m.doc_id = t.doc_id WHERE m.m0 IS NOT NULL " +
+      "UNION ALL " +
+      "SELECT m.doc_id, CAST(-1 AS BIGINT) AS band, '' AS bucket " +
+      "FROM minh m JOIN adm p ON p.doc_id = m.doc_id " +
+      "WHERE m.m0 IS NULL " +
+      "ORDER BY doc_id, band, bucket"
+  }
+
   private val pipelineStoreTextSql: String = {
     val arr0 =
       "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
@@ -243,7 +284,10 @@ object ExtQueries {
     * as the K-affine oracle. A densification desync (wrong rotation
     * direction, missing offset, truncating mod) changes bucket
     * strings and fails the pair set. */
-  private val ddOphSql: String = {
+  /** ws/hs/bins/minh CTE chain for the ONE-PERMUTATION-HASHING
+    * signature (per-bin list minima, rotation densification) — shared
+    * by dd_oph and the maintained-store replay oracle. */
+  private lazy val ophMinhChain: String = {
     val k = PH.MinhashK
     val binCols = (0 until k).map { b =>
       s"list_min(list_filter(hl, h -> h % $k = $b)) AS mb$b"
@@ -254,12 +298,16 @@ object ExtQueries {
       }.mkString(", ")
       s"COALESCE($arms) AS m$j"
     }.mkString(", ")
-    val matches = minhashMatches
-    s"WITH ws AS ($wordsCte), " +
+    s"ws AS ($wordsCte), " +
       s"hs AS (SELECT doc_id, list_transform(${shingleList(3)}, " +
       s"g -> ${PH.h31Sql("g")}) AS hl FROM ws), " +
       s"bins AS (SELECT doc_id, $binCols FROM hs), " +
-      s"minh AS (SELECT doc_id, $slotCols FROM bins), " +
+      s"minh AS (SELECT doc_id, $slotCols FROM bins)"
+  }
+
+  private val ddOphSql: String = {
+    val matches = minhashMatches
+    s"WITH $ophMinhChain, " +
       s"bandtab AS (${bandSelectsFrom("minh")}), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM bandtab a JOIN bandtab b ON a.band = b.band AND a.bucket = b.bucket " +
@@ -5686,6 +5734,13 @@ object ExtQueries {
     // arm/width, so the hash proves the COMPOSITION exact
     "pipeline_store_text" -> ((s, d) =>
       Dedup.minhashStoreLifecycle(Tables.documents(s, d))),
+    // r15: the PERSISTED maintenance loop under the driver gate —
+    // residue batches replayed through the real foldTextBatch
+    // transactions, final store hashed vs the sequential-admission
+    // oracle (VERDICT r14 #7)
+    "pipeline_store_maintained" -> ((s, d) =>
+      graft.streaming.StoreMaintenance.maintainedTextStoreReplay(
+        Tables.documents(s, d))),
     "pipeline_store_vec" -> ((s, d) =>
       Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
     // r14: the image<->caption PAIR curation composite — either-side
@@ -5778,6 +5833,7 @@ object ExtQueries {
     "sim_knn_reband" -> simKnnRebandSql,
     "pipeline_store_vec" -> pipelineStoreVecSql,
     "pipeline_store_text" -> pipelineStoreTextSql,
+    "pipeline_store_maintained" -> pipelineStoreMaintainedSql,
     "pipeline_curate_mm" -> pipelineCurateMmSql,
     "pipeline_assemble_mm" -> pipelineAssembleMmSql,
     "tx_dsir" -> txDsirSql,
