@@ -111,11 +111,15 @@ object StreamBench {
     * MemoryStream in front) so the row measures the MAINTENANCE
     * cost itself. `runMain graft.tools.StreamBench maintain`; env
     * STREAMBENCH_BATCHES (default 8), STREAMBENCH_ROWS_PER_BATCH
-    * (default 2500). */
+    * (default 2500), STREAMBENCH_KIND (text|vec|knn|all, default all
+    * — r15: the probe-scale slope legs run one kind at a time so the
+    * text store can grow to 10⁶ band rows without waiting on the
+    * quadratically-busier knn leg at the same N). */
   private def maintainMain(): Unit = {
     val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "8").toInt
     val perBatch =
       sys.env.getOrElse("STREAMBENCH_ROWS_PER_BATCH", "2500").toInt
+    val kind = sys.env.getOrElse("STREAMBENCH_KIND", "all")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -130,6 +134,7 @@ object StreamBench {
     def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
     println("mode,batch,rows_in,store_rows_before,wall_s,admitted")
     // ---- text store fold ----
+    if (kind == "all" || kind == "text") {
     val tDir = java.nio.file.Files
       .createTempDirectory("sb-maintain-text").toString
     // wide-stride vocab so distinct docs share ~no shingles (the
@@ -137,9 +142,12 @@ object StreamBench {
     // makes EVERYTHING a near-dup of something — here the store must
     // actually GROW for the cost-vs-store-size trend to mean
     // anything); 20% exact dups of earlier docs exercise the drop arm
+    // vocab space 10⁷ (r15; the r14 run's 10⁵ vocab saturated near 4k
+    // docs — every late doc near-dupped something, so the store never
+    // grew past ~100k band rows and the slope leg measured nothing)
     def text(i: Int): String = {
       val base = if (i % 10 < 2) i / 2 else i
-      (0 until 24).map(t => s"w${(base * 9973 + t * 131) % 99991}")
+      (0 until 24).map(t => s"w${(base * 9973 + t * 131) % 9999991}")
         .mkString(" ") + s" d$base"
     }
     (0 until batches).foreach { b =>
@@ -154,13 +162,49 @@ object StreamBench {
       val admitted = spark.read.parquet(s"$tDir/docs/b$b").count()
       println(f"text_fold,$b,$perBatch,$before,$wall%.2f,$admitted")
     }
-    // ---- k-NN graph fold ----
-    val gDir = java.nio.file.Files
-      .createTempDirectory("sb-maintain-knn").toString
+    }
+    // hash-spread vectors (r15; the sin generator's vectors correlate
+    // so strongly that the vector gate dropped EVERY post-batch-0
+    // arrival — the store never grew and the slope leg measured
+    // nothing): splitmix-mixed, near-uniform in [-1, 1]
+    def mix(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27); z
+    }
     def vec(i: Int): Seq[Float] = {
       val base = if (i % 10 < 2) i / 2 else i // 20% exact dups
-      (0 until 64).map(d => math.sin((base + 1) * (d + 1)).toFloat)
+      (0 until 64).map { d =>
+        (((mix(base * 64L + d) & 0x7fffffffL) % 2001L) - 1000L) / 1000.0f
+      }
     }
+    // ---- vector ADMISSION store fold (r15: the third fold shape) --
+    if (kind == "all" || kind == "vec") {
+      val vDir = java.nio.file.Files
+        .createTempDirectory("sb-maintain-vec").toString
+      (0 until batches).foreach { b =>
+        val rows = (0 until perBatch).map { j =>
+          val i = b * perBatch + j; (ts(b), i.toLong, vec(i))
+        }.toDF("ts", "vec_id", "embedding")
+        val before = StoreMaintenance.textStoreRows(spark, vDir)
+          .map(_.count()).getOrElse(0L)
+        val t0 = System.nanoTime()
+        // width 8 = what autoBits runs at this scale; gate pinned at
+        // 0.9 so only the exact-dup arm drops — candidates sharing an
+        // 8-bit sign band have their cos conditioned UP (~+0.09 for
+        // uniform vectors), and at the default 0.4 that drops most
+        // arrivals; the slope leg measures fold COST on a growing
+        // store, so the threshold is pinned where semantics demand
+        StoreMaintenance.foldVecBatch(rows, b.toLong, vDir,
+          bitsPerBand = 8, minCosPpm = 900000L)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val admitted = spark.read.parquet(s"$vDir/docs/b$b").count()
+        println(f"vec_fold,$b,$perBatch,$before,$wall%.2f,$admitted")
+      }
+    }
+    // ---- k-NN graph fold ----
+    if (kind == "all" || kind == "knn") {
+    val gDir = java.nio.file.Files
+      .createTempDirectory("sb-maintain-knn").toString
     (0 until batches).foreach { b =>
       val rows = (0 until perBatch).map { j =>
         val i = b * perBatch + j; (ts(b), i.toLong, vec(i))
@@ -174,6 +218,7 @@ object StreamBench {
       val edges = StoreMaintenance.knnGraphCurrent(spark, gDir)
         .map(_.count()).getOrElse(0L)
       println(f"knn_fold,$b,$perBatch,$before,$wall%.2f,$edges")
+    }
     }
     spark.stop()
   }
