@@ -232,15 +232,16 @@ object StoreMaintenance {
     * incomplete means roll both tmps back. Every store entry point
     * calls this; it is a bare File.exists when nothing is pending. */
   private def recoverReband(storeDir: String): Unit = {
-    val rowsTmp = new File(tmpRebandDir(storeDir, "rows"))
-    val docsTmp = new File(tmpRebandDir(storeDir, "docs"))
-    if (!rowsTmp.isDirectory && !docsTmp.isDirectory) return
+    val tmps = Seq("rows", "docs", "graph")
+      .map(k => k -> new File(tmpRebandDir(storeDir, k)))
+    if (!tmps.exists(_._2.isDirectory)) return
+    val rowsTmp = tmps.head._2
     val tgtFile = new File(rowsTmp, "_TARGET")
     val complete = new File(rowsTmp, "_SUCCESS").exists &&
       new File(rowsTmp, "_COVERED").exists && tgtFile.exists
-    if (!complete) { rm(rowsTmp); rm(docsTmp); return }
+    if (!complete) { tmps.foreach(t => rm(t._2)); return }
     val name = java.nio.file.Files.readString(tgtFile.toPath).trim
-    Seq("rows" -> rowsTmp, "docs" -> docsTmp).foreach { case (kind, tmp) =>
+    tmps.foreach { case (kind, tmp) =>
       if (tmp.isDirectory) {
         val target = new File(s"$storeDir/$kind/$name")
         if (target.exists) rm(target)
@@ -312,7 +313,7 @@ object StoreMaintenance {
       committed.mkString("", "\n", "\n"))
     java.nio.file.Files.writeString(tmp.resolve("_TARGET"), s"c$last")
     recoverReband(storeDir) // the rename — commit is already durable
-    Seq("rows", "docs").foreach { kind =>
+    Seq("rows", "docs", "graph").foreach { kind =>
       segDirs(storeDir, kind).filter { f =>
         f.getName != s"c$last" && (f.getName.startsWith("b") ||
           f.getName.drop(1).toLong < last)
@@ -637,8 +638,14 @@ object StoreMaintenance {
     * (vec_id, rank, neighbor_id, cos_ppm). */
   def knnGraphCurrent(spark: SparkSession, storeDir: String): Option[DataFrame] =
     segDirs(storeDir, "graph")
-      .filter(f => f.getName.startsWith("c") ||
-        isCommitted(storeDir, f.getName.drop(1).toLong))
+      .filter { f =>
+        // a c graph counts only once its rows twin carries the
+        // manifest (r15 — an orphaned mid-crash compaction copy or a
+        // superseded rewrite must never shadow the live snapshot)
+        if (f.getName.startsWith("c"))
+          new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
+        else isCommitted(storeDir, f.getName.drop(1).toLong)
+      }
       .sortBy(f => (f.getName.drop(1).toLong, f.getName.startsWith("c")))
       .lastOption.map(f => spark.read.parquet(f.getPath))
 
@@ -654,21 +661,20 @@ object StoreMaintenance {
     * a committed batch always has its graph; a crash between the two
     * replays deterministically (the graph dir is overwritten from
     * the same committed-store state). Zero-norm vectors carry no
-    * candidate rows and no edges (the batch family's pairing rule).
-    * Width boundary: the graph store persists band rows + the graph
-    * snapshot but NOT the embeddings, and a top-k graph is not
-    * recoverable under a bucket refinement (a node's new top-k can
-    * need pairs below its old top-k), so crossing a width boundary
-    * here means replaying the vector history into a fresh store at
-    * the new width — deployments that need in-place migration run
-    * the admission store ([[foldVecBatch]] + [[rebandVecStore]])
-    * beside this index and rebuild the graph generation from its
-    * docs record. An existing store folds at ITS OWN width
-    * ([[vecStoreWidth]]), like the admission folds. */
+    * candidate rows and no edges (the batch family's pairing rule) —
+    * but they ARE ingested into the docs record, so the id guard
+    * covers their redelivery too (r15, the ADVICE hole). The fold
+    * persists the admitted (ts, vec_id, embedding) docs record
+    * (r15), which makes the store SELF-CONTAINED for its width
+    * boundary: [[rebandKnnGraphStore]] migrates it offline as a
+    * store rewrite. An existing store folds at ITS OWN width
+    * ([[vecStoreWidth]]), so a migration is picked up with no sink
+    * reconfiguration. */
   def foldKnnGraphBatch(batch: DataFrame, batchId: Long, storeDir: String,
                         k: Int = 4, nBands: Int = 4,
                         bitsPerBand: Int = 4,
                         maxBucketSize: Option[Int] = None): Unit = {
+    recoverReband(storeDir)
     if (isCommitted(storeDir, batchId)) return
     val spark = batch.sparkSession
     val S = graft.operators.Similarity
@@ -690,15 +696,23 @@ object StoreMaintenance {
     // whichever partition arrives first).
     val wDup = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id")
-      .orderBy(xxhash64(col("embedding")).asc, hash(col("embedding")).asc)
-    val arrivals0 = batch.select("vec_id", "embedding")
+      .orderBy(xxhash64(col("embedding")).asc, hash(col("embedding")).asc,
+        col("ts").asc) // ts tie-break: same-embedding repeats must
+                       // yield a deterministic docs-record ts too
+    val arrivals0 = batch.select("ts", "vec_id", "embedding")
       .withColumn("rn", row_number().over(wDup))
       .where(col("rn") === 1).drop("rn")
-    val arrivals = storedOpt match {
+    // the guard reads the DOCS record (every ingested id, zero-norm
+    // included — band rows miss those), semi-joined down to the
+    // batch's ids first so the anti-join side is batch-bounded
+    val arrivals = (readCommitted(spark, storeDir, "docs") match {
       case None => arrivals0
-      case Some(st) => arrivals0.join(st.select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti")
-    }
+      case Some(docs0) =>
+        val storedDup = docs0.select("vec_id")
+          .join(broadcast(arrivals0.select("vec_id").distinct()),
+            Seq("vec_id"), "left_semi")
+        arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
+    }).localCheckpoint(true)
     val batchRows = arrivals
       .select(col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qe"))
@@ -741,9 +755,69 @@ object StoreMaintenance {
       case None => S.graphFromScored(scoredNew, k)
       case Some(gOld) => S.graphMerge(gOld, scoredNew, k)
     }
-    // graph snapshot first; the band rows' _SUCCESS commits the batch
+    // docs first (the self-contained record a width migration rebuilds
+    // from — r15), then the graph snapshot; the band rows' _SUCCESS
+    // commits the batch, so neither is readable before the commit
+    arrivals.select("ts", "vec_id", "embedding")
+      .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
     merged.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
     batchRows.write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
+  }
+
+  /** Offline WIDTH MIGRATION of a persisted k-NN graph store (r15):
+    * unlike the admission stores, a top-k graph is NOT recoverable
+    * under a bucket refinement (a node's new top-k can need pairs
+    * below its old top-k), so this is a store REWRITE, not a filter:
+    * band rows re-bucket at the new width from the store's own docs
+    * record with CARRIED qe/qn (quantization never re-runs), and the
+    * graph is rebuilt from the rewritten rows' pair join + the
+    * carried quantization — no corpus re-read, the pair join at the
+    * WIDER width (smaller occupancy than any fold ever paid at the
+    * old width), run between streaming generations. The result is
+    * exactly the from-scratch graph at the new width, so subsequent
+    * folds (which pick the width up from the data, [[vecStoreWidth]])
+    * continue the upsert-merge exactness chain. Same two-phase
+    * journal as the other migrations, graph tmp included. Returns the
+    * new bitsPerBand. */
+  def rebandKnnGraphStore(spark: SparkSession, storeDir: String,
+                          toBits: Option[Int] = None, k: Int = 4): Int = {
+    recoverReband(storeDir)
+    compactRecovery(storeDir)
+    val S = graft.operators.Similarity
+    val widthOpt = vecStoreWidth(spark, storeDir)
+    if (widthOpt.isEmpty) return 0
+    val (nBands, bits) = widthOpt.get
+    val newBits = toBits.getOrElse(bits + 1)
+    require(newBits >= 1 && nBands * newBits <= 64,
+      s"rebandKnnGraphStore: invalid target width $newBits")
+    if (newBits == bits) return bits
+    val committed = committedBatches(storeDir)
+    val last = committed.max
+    spark.read.parquet(readerDirs(storeDir, "docs"): _*)
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    val carried = readCommitted(spark, storeDir, "rows").get
+      .select("vec_id", "qe", "qn").distinct()
+    spark.read.parquet(readerDirs(storeDir, "docs"): _*)
+      .select("vec_id", "embedding").join(carried, "vec_id")
+      .select(col("vec_id"), col("qe"), col("qn"),
+        posexplode(array((0 until nBands).map(b =>
+          V.signBucket(col("embedding"), b, newBits)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("vec_id"), col("band"), col("bucket"), col("qe"),
+        col("qn"), lit(newBits).as("bits"))
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
+    val newRows = spark.read.parquet(tmpRebandDir(storeDir, "rows"))
+    val pairs = newRows.select(col("band"), col("bucket"),
+        col("vec_id").as("va"))
+      .join(newRows.select(col("band"), col("bucket"),
+        col("vec_id").as("vb")), Seq("band", "bucket"))
+      .where(col("va") < col("vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"))
+      .distinct()
+    S.graphFromScored(S.scorePairs(pairs, carried), k)
+      .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "graph"))
+    commitReband(storeDir, committed, last)
+    newBits
   }
 
   /** Declared driver-gate composite (r15, VERDICT r14 #7 — makes the

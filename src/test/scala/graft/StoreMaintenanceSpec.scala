@@ -318,6 +318,69 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(vecIds(store).toSet == before)
   }
 
+  test("rebandKnnGraphStore (r15): the graph store is self-contained — " +
+    "its persisted docs record + carried qe/qn rebuild the graph at a " +
+    "wider band as a store rewrite (no corpus re-read, no re-quantize); " +
+    "subsequent folds pick the width up and the chain stays ≡ the " +
+    "from-scratch graph at the new width; zero-norm redelivery guarded") {
+    import graft.operators.Similarity
+    def vecBatch(b: Int): Seq[(Timestamp, Long, Seq[Float])] =
+      (0 until 20).map { j =>
+        val i = b * 20 + j
+        (ts(b), i.toLong, vec(if (i % 4 == 0 && i > 0) i - 4 else i))
+      } ++ (if (b == 0) Seq((ts(0), 900L, zeroVec)) else Seq.empty)
+    val store = tmp("graft-greband")
+    for (b <- 0 until 3)
+      StoreMaintenance.foldKnnGraphBatch(
+        vecBatch(b).toDF("ts", "vec_id", "embedding"), b.toLong, store)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 4)))
+    def graphOf(s: String) = StoreMaintenance.knnGraphCurrent(spark, s).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    def freshAt(bits: Int, upTo: Int) = Similarity.knnGraph(
+      (0 until upTo).flatMap(vecBatch).toDF("ts", "vec_id", "embedding")
+        .select("vec_id", "embedding").dropDuplicates("vec_id"),
+      bitsPerBand = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(graphOf(store) == freshAt(4, 3))
+    // zero-norm vec 900 is ingested into the DOCS record (edge-less);
+    // its redelivery under a NEW batchId folds to nothing (the r15
+    // docs-id guard — band rows alone cannot see it)
+    val docsBefore = spark.read.parquet(
+      s"$store/docs/b0", s"$store/docs/b1", s"$store/docs/b2")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(docsBefore.contains(900L) &&
+      docsBefore.size == docsBefore.distinct.size)
+    StoreMaintenance.foldKnnGraphBatch(
+      vecBatch(0).toDF("ts", "vec_id", "embedding"), 50L, store)
+    val docsAfter = StoreMaintenance.committedBatches(store)
+      .flatMap(i => spark.read.parquet(s"$store/docs/b$i")
+        .collect().map(_.getLong(1))).sorted
+    assert(docsAfter == docsBefore,
+      "redelivered batch (incl. zero-norm) must ingest nothing")
+    // MIGRATE 4 -> 5 bits: rewrite ≡ the from-scratch graph at 5 bits
+    assert(StoreMaintenance.rebandKnnGraphStore(spark, store) == 5)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 5)))
+    assert(graphOf(store) == freshAt(5, 3),
+      "migrated graph diverged from the from-scratch build at the new width")
+    // folds continue at the migrated width, upsert chain intact
+    StoreMaintenance.foldKnnGraphBatch(
+      vecBatch(3).toDF("ts", "vec_id", "embedding"), 51L, store)
+    assert(spark.read.parquet(s"$store/rows/b51")
+      .select(max(col("bits"))).collect().head.getInt(0) == 5)
+    assert(graphOf(store) == freshAt(5, 4),
+      "post-migration fold diverged from the from-scratch build")
+    // incomplete-journal crash arm rolls back on the next entry
+    val rowsTmp = new java.io.File(s"$store/rows/.tmp_reband")
+    rowsTmp.mkdirs()
+    java.nio.file.Files.writeString(rowsTmp.toPath.resolve("_SUCCESS"), "")
+    StoreMaintenance.foldKnnGraphBatch(
+      vecBatch(4).toDF("ts", "vec_id", "embedding"), 52L, store)
+    assert(!rowsTmp.exists, "incomplete reband tmp must roll back")
+    assert(graphOf(store) == freshAt(5, 5))
+  }
+
   test("in-generation auto-compaction (r15, VERDICT #5): a maintained " +
     "sink with compactEvery consolidates its own segments inside the " +
     "foreachBatch serialization and stays ≡ the never-compacted twin " +
