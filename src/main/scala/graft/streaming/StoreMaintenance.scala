@@ -179,16 +179,23 @@ object StoreMaintenance {
     * newest manifested one was superseded by a later rewrite whose
     * delete didn't finish (the r14-ADVICE crash window between the
     * new manifest landing and the old dir's removal) — readers
-    * already ignore it ([[readerDirs]]), this reaps it. */
+    * already ignore it ([[readerDirs]]), this reaps it; (c) a `b` dir
+    * a manifest COVERS is the same window one step earlier (its id
+    * stays committed through the manifest) — reaping it here keeps a
+    * compaction RETRY from recomputing `last` as the id of the very
+    * `c` segment it would then read AND overwrite (r15 review: that
+    * shape crash-looped the auto-compacting sink on every restart). */
   private def compactRecovery(storeDir: String): Unit = {
     val newestC = maxManifestedC(storeDir)
+    val covered = coveredIds(storeDir)
     Seq("rows", "docs", "graph").foreach { kind =>
       segDirs(storeDir, kind).filter { f =>
-        f.getName.startsWith("c") && {
+        val id = f.getName.drop(1).toLong
+        if (f.getName.startsWith("c")) {
           val manifested =
             new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
-          !manifested || newestC.exists(_ > f.getName.drop(1).toLong)
-        }
+          !manifested || newestC.exists(_ > id)
+        } else covered.contains(id)
       }.foreach(rm)
     }
   }
@@ -232,10 +239,16 @@ object StoreMaintenance {
     * incomplete means roll both tmps back. Every store entry point
     * calls this; it is a bare File.exists when nothing is pending. */
   private def recoverReband(storeDir: String): Unit = {
-    val tmps = Seq("rows", "docs", "graph")
+    val rowsTmp = new File(tmpRebandDir(storeDir, "rows"))
+    // rows LAST: the rows tmp IS the journal, and its rename is the
+    // commit point — renaming it first would destroy the journal
+    // while docs/graph still sit in tmps, so a crash between the
+    // renames would roll those tmps back on the next entry while the
+    // already-renamed rows manifest covers every batch id, erasing
+    // the docs record permanently (r15 review finding)
+    val tmps = Seq("docs", "graph", "rows")
       .map(k => k -> new File(tmpRebandDir(storeDir, k)))
     if (!tmps.exists(_._2.isDirectory)) return
-    val rowsTmp = tmps.head._2
     val tgtFile = new File(rowsTmp, "_TARGET")
     val complete = new File(rowsTmp, "_SUCCESS").exists &&
       new File(rowsTmp, "_COVERED").exists && tgtFile.exists
@@ -365,7 +378,7 @@ object StoreMaintenance {
           V.signBucket(col("embedding"), b, newBits)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("vec_id"), col("band"), col("bucket"), col("qb"),
-        col("nb"), lit(newBits).as("bits"))
+        col("nb"), lit(newBits).as("bits"), lit(nBands).as("nbands"))
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
     commitReband(storeDir, committed, last)
     newBits
@@ -445,8 +458,13 @@ object StoreMaintenance {
     val base0 = batchC.withColumn("sig",
       when(StreamingCuration.hasShingles(col("text"), shingleN),
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
+    // coalesce: hasShingles is NULL for a null text payload, and a
+    // null-text doc IS admitted unconditionally (sig null) — the
+    // guard trigger must see it as gate-invisible too (r15 review)
     val hasSigless = !batchC
-      .where(!StreamingCuration.hasShingles(col("text"), shingleN)).isEmpty
+      .where(!coalesce(
+        StreamingCuration.hasShingles(col("text"), shingleN), lit(false)))
+      .isEmpty
     val base = textStoreDocs(spark, storeDir) match {
       case Some(docs0) if hasSigless =>
         val unprotected = base0.where(col("sig").isNull)
@@ -467,13 +485,18 @@ object StoreMaintenance {
           .select("band", "bucket").distinct()
         val pruned = stored
           .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+        // checkpointed, NOT broadcast-hinted: the pruned lookup is
+        // batch-bounded in KEYS but a degenerate uncapped bucket can
+        // still be row-heavy — Spark sizes the checkpointed relation
+        // and broadcasts exactly when it is actually small (r15
+        // review: a forced hint would pull a boilerplate bucket
+        // through the driver)
         val buckets = graft.operators.Dedup
           .capBuckets(pruned, maxBucketSize)
           .groupBy("band", "bucket")
           .agg(collect_list(col("sig")).as("cands"))
           .localCheckpoint(true)
-        StreamingCuration.ophAdmit(base, broadcast(buckets), arm,
-          minEstJaccardPpm)
+        StreamingCuration.ophAdmit(base, buckets, arm, minEstJaccardPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
     // docs first; the band rows' _SUCCESS commits the transaction
@@ -527,17 +550,24 @@ object StoreMaintenance {
       }
 
   /** The width a vector store RUNS, self-described by its data —
-    * (nBands, bitsPerBand) read from the latest committed rows
-    * segment that has any row (a zero-norm-only batch leaves an empty
-    * segment): nBands = max band index + 1, bits from the stored
-    * `bits` column every row carries. No metadata file, so there is
-    * no metadata/data crash window for [[rebandVecStore]] to manage —
-    * the [[storeArm]] design. None for an empty/rowless store. */
+    * (nBands, bitsPerBand) from the `nbands`/`bits` columns every
+    * stored row carries, read as ONE row of the latest committed
+    * rows segment that has any (a zero-norm-only batch leaves an
+    * empty segment). No metadata file, so there is no metadata/data
+    * crash window for [[rebandVecStore]] to manage — the [[storeArm]]
+    * design; a limit(1) read, not a segment scan, so the per-fold
+    * width lookup stays O(1) even after a compaction consolidates
+    * the whole store into one segment (r15 review). None for an
+    * empty/rowless store, and None for a store written before these
+    * columns existed (such a store folds at the sink's configured
+    * width — the pre-migration behavior it was built with). */
   def vecStoreWidth(spark: SparkSession, storeDir: String): Option[(Int, Int)] =
     readerDirs(storeDir, "rows").reverseIterator.flatMap { p =>
-      spark.read.parquet(p).agg(max(col("band")), max(col("bits")))
-        .collect().headOption.filter(!_.isNullAt(0))
-        .map(r => (r.getInt(0) + 1, r.getInt(1)))
+      val df = spark.read.parquet(p)
+      if (!df.columns.contains("nbands") || !df.columns.contains("bits"))
+        None
+      else df.select(col("nbands"), col("bits")).limit(1)
+        .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
     }.nextOption()
 
   /** One transactional vector-store fold — the
@@ -568,10 +598,14 @@ object StoreMaintenance {
       .select(col("ts"), col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qa"))
       .withColumn("na", V.qnorm2(col("qa")))
-    val hasZeroNorm = !base0.where(col("na") <= 0).isEmpty
+    // !(na > 0) via coalesce: a NULL embedding has NULL na, fails the
+    // band-row filter (admitted, edge/candidate-less) and must be
+    // guard-covered exactly like zero-norm (r15 review)
+    val gateInvisible = !coalesce(col("na") > 0, lit(false))
+    val hasZeroNorm = !base0.where(gateInvisible).isEmpty
     val base = vecStoreVecs(spark, storeDir) match {
       case Some(vecs0) if hasZeroNorm =>
-        val unprotected = base0.where(col("na") <= 0)
+        val unprotected = base0.where(gateInvisible)
           .select("vec_id").distinct()
         val storedDup = vecs0.select("vec_id")
           .join(broadcast(unprotected), Seq("vec_id"), "left_semi")
@@ -589,12 +623,13 @@ object StoreMaintenance {
           .select("band", "bucket").distinct()
         val pruned = stored
           .join(broadcast(probed), Seq("band", "bucket"), "left_semi")
+        // checkpointed, not broadcast-hinted — see foldTextBatch
         val buckets = graft.operators.Dedup
           .capBuckets(pruned, maxBucketSize)
           .groupBy("band", "bucket")
           .agg(collect_list(struct(col("qb"), col("nb"))).as("cands"))
           .localCheckpoint(true)
-        StreamingCuration.vecAdmit(base, broadcast(buckets), bandsRun,
+        StreamingCuration.vecAdmit(base, buckets, bandsRun,
           bitsRun, minCosPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
@@ -606,7 +641,7 @@ object StoreMaintenance {
           V.signBucket(col("embedding"), b, bitsRun)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("vec_id"), col("band"), col("bucket"), col("qb"),
-        col("nb"), lit(bitsRun).as("bits"))
+        col("nb"), lit(bitsRun).as("bits"), lit(bandsRun).as("nbands"))
       .write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }
 
@@ -704,11 +739,17 @@ object StoreMaintenance {
       .where(col("rn") === 1).drop("rn")
     // the guard reads the DOCS record (every ingested id, zero-norm
     // included — band rows miss those), semi-joined down to the
-    // batch's ids first so the anti-join side is batch-bounded
-    val arrivals = (readCommitted(spark, storeDir, "docs") match {
+    // batch's ids first so the anti-join side is batch-bounded; a
+    // store written before the docs record existed falls back to the
+    // rows ids (the pre-r15 guard — no zero-norm coverage, exactly
+    // what that store always had)
+    val guardIds = readCommitted(spark, storeDir, "docs")
+      .map(_.select("vec_id"))
+      .orElse(storedOpt.map(_.select("vec_id").distinct()))
+    val arrivals = (guardIds match {
       case None => arrivals0
-      case Some(docs0) =>
-        val storedDup = docs0.select("vec_id")
+      case Some(ids0) =>
+        val storedDup = ids0
           .join(broadcast(arrivals0.select("vec_id").distinct()),
             Seq("vec_id"), "left_semi")
         arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
@@ -723,7 +764,7 @@ object StoreMaintenance {
           V.signBucket(col("embedding"), b, bitsRun)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("vec_id"), col("band"), col("bucket"), col("qe"),
-        col("qn"), lit(bitsRun).as("bits"))
+        col("qn"), lit(bitsRun).as("bits"), lit(bandsRun).as("nbands"))
       .localCheckpoint(true)
     // r15 (VERDICT r14 #1): prune the stored band rows to the batch's
     // probed buckets BEFORE the pair join and the scoring base — the
@@ -804,7 +845,7 @@ object StoreMaintenance {
           V.signBucket(col("embedding"), b, newBits)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("vec_id"), col("band"), col("bucket"), col("qe"),
-        col("qn"), lit(newBits).as("bits"))
+        col("qn"), lit(newBits).as("bits"), lit(nBands).as("nbands"))
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
     val newRows = spark.read.parquet(tmpRebandDir(storeDir, "rows"))
     val pairs = newRows.select(col("band"), col("bucket"),
@@ -851,9 +892,16 @@ object StoreMaintenance {
       .select(col("doc_id"), col("band").cast("long").as("band"),
         col("bucket"))
     val sigless = textStoreDocs(spark, dir).get
-      .where(!StreamingCuration.hasShingles(col("text"), 3))
+      .where(!coalesce(
+        StreamingCuration.hasShingles(col("text"), 3), lit(false)))
       .select(col("doc_id"), lit(-1L).as("band"), lit("").as("bucket"))
-    rows.unionByName(sigless).orderBy("doc_id", "band", "bucket")
+    // materialize, then reap the replay's temp store — the driver
+    // gate and bench run this query repeatedly, and each run would
+    // otherwise leak a full store copy into /tmp (r15 review)
+    val out = rows.unionByName(sigless)
+      .orderBy("doc_id", "band", "bucket").localCheckpoint(true)
+    rm(new java.io.File(dir))
+    out
   }
 
   /** The maintained k-NN graph ingest sink — the index-maintenance

@@ -88,6 +88,64 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       "compactRecovery must reap superseded manifested c dirs")
   }
 
+  test("compaction-retry and partial-rename crash arms (r15 review): a " +
+    "retry after crash-mid-deletion must not read+overwrite its own c " +
+    "segment (covered b leftovers are reaped first), and a reband crash " +
+    "between the docs and rows renames completes forward — the docs " +
+    "record survives") {
+    def textBatch(b: Int) = (0 until 20).map { j =>
+      val i = b * 20 + j
+      (ts(b), i.toLong,
+        (0 until 8).map(t => s"w${i * 977 + t * 131}").mkString(" "))
+    }.toDF("ts", "doc_id", "text")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    // --- compaction retry: crash after the c2 manifest landed but
+    // before the covered b dirs were deleted; the retry used to pick
+    // last == 2 again and overwrite rows/c2 while reading it
+    val store = tmp("graft-cretry")
+    for (b <- 0 until 3)
+      StoreMaintenance.foldTextBatch(textBatch(b), b.toLong, store)
+    val keep = java.nio.file.Files.createTempDirectory("graft-cretry-keep")
+    for (k <- Seq("rows", "docs"))
+      copyTree(java.nio.file.Paths.get(s"$store/$k/b1"), keep.resolve(k))
+    assert(StoreMaintenance.compactStore(spark, store) == 3) // -> c2
+    val before = docIds(store).sorted
+    for (k <- Seq("rows", "docs")) // the crash leftover
+      copyTree(keep.resolve(k), java.nio.file.Paths.get(s"$store/$k/b1"))
+    // the retry (what the auto-compacting sink runs on restart) must
+    // neither throw nor lose data, and must reap the covered leftover
+    StoreMaintenance.compactStore(spark, store)
+    assert(docIds(store).sorted == before)
+    assert(!new java.io.File(s"$store/rows/b1").exists,
+      "covered b leftover must be reaped by the retry")
+    assert(StoreMaintenance.committedBatches(store) == (0L to 2L))
+
+    // --- partial-rename reband crash: docs renamed forward, rows tmp
+    // (the journal) still pending — recovery must complete FORWARD,
+    // never roll the docs record back
+    assert(StoreMaintenance.rebandTextStore(spark, store) == 4)
+    val last = StoreMaintenance.committedBatches(store).max
+    // reconstruct the mid-state: rows/c<last> (journal inside) back
+    // into the pending tmp position
+    val cDir = new java.io.File(s"$store/rows/c$last")
+    val tmpDir = new java.io.File(s"$store/rows/.tmp_reband")
+    assert(cDir.renameTo(tmpDir))
+    StoreMaintenance.foldTextBatch(textBatch(9), 9L, store)
+    assert(new java.io.File(s"$store/rows/c$last").exists &&
+      !tmpDir.exists, "recovery must rename the pending rows forward")
+    val ids = docIds(store)
+    assert(ids.size == ids.distinct.size && ids.toSet.size >= 60,
+      s"docs record lost across the partial-rename recovery: ${ids.size}")
+  }
+
   test("cross-batch redelivery of gate-invisible rows (r15, ADVICE): a " +
     "SIGLESS doc / ZERO-NORM vector redelivered under a NEW batchId is " +
     "not duplicated — the stored-id guard covers what the near-dup gate " +
