@@ -31,12 +31,15 @@ import graft.functions.{PortableHash => PH, VectorOps => V}
   * the sequential batch-fold oracle after N micro-batches, across a
   * kill/resume, and fold-replay idempotence.
   *
-  * Scale shape per batch: ONE |batch|-sized signature projection
-  * (row-local), one (band, bucket) aggregate over the stored band
-  * rows (at warehouse scale this lookup would be bucketed parquet /
-  * a table format so the groupBy is exchange-free — the store IS
-  * written banded), |bands| broadcastable joins, and a |admitted|-
-  * sized append. Corpus-sized work never re-executes: signatures are
+  * Scale shape per batch (r15): ONE |batch|-sized signature
+  * projection (row-local), a broadcast semi-join that prunes the
+  * stored band rows to the batch's PROBED (band, bucket) keys
+  * BEFORE the candidate aggregate — so the per-fold shuffle and
+  * aggregate are O(|batch| × bucket occupancy), never O(|store|)
+  * (at warehouse scale the banded store layout makes that pruned
+  * read partition-prunable too) — |bands| joins against the ONE
+  * checkpointed batch-bounded lookup, and a |admitted|-sized
+  * append. Corpus-sized work never re-executes: signatures are
   * computed once, on admission, and carried by the store — the
   * [[graft.operators.Dedup.minhashLshUpsert]] pay-per-batch argument
   * under the streaming engine. Within-batch self-duplicates are NOT
