@@ -263,6 +263,44 @@ object ExtQueries {
       "ORDER BY doc_id, band, bucket"
   }
 
+  /** [[graft.streaming.StoreMaintenance.maintainedVecStoreReplay]]:
+    * the vector twin — batch b drops a non-zero vector iff a
+    * previously-admitted NON-ZERO vector shares a 4×4 sign bucket at
+    * quantized cos ≥ 400,000 ppm; zero-norm vectors admit
+    * unconditionally (absent from `base`, which carries n > 0 only)
+    * and surface as the (-1, -1) sentinel. */
+  private val pipelineStoreMaintainedVecSql: String = {
+    def dropCte(b: Int, admSrc: String): String =
+      s"drop$b AS (SELECT DISTINCT a.vec_id FROM bands a " +
+        "JOIN bands s ON s.band = a.band AND s.bucket = a.bucket " +
+        s"JOIN $admSrc p ON p.vec_id = s.vec_id " +
+        "JOIN base x ON x.vec_id = a.vec_id " +
+        "JOIN base y ON y.vec_id = s.vec_id " +
+        s"WHERE a.vec_id % 3 = $b AND " +
+        s"${cosPpmSql(dotSql("x.qe", "y.qe"), "x.n", "y.n")} >= 400000)"
+    s"WITH $quantCte, ${signBandsCte(4, 4)}, " +
+      "adm0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0), " +
+      dropCte(1, "adm0") + ", " +
+      "adm1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1 " +
+      "AND vec_id NOT IN (SELECT vec_id FROM drop1)), " +
+      "adm01 AS (SELECT vec_id FROM adm0 " +
+      "UNION ALL SELECT vec_id FROM adm1), " +
+      dropCte(2, "adm01") + ", " +
+      "adm2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 2 " +
+      "AND vec_id NOT IN (SELECT vec_id FROM drop2)), " +
+      "adm AS (SELECT vec_id FROM adm01 " +
+      "UNION ALL SELECT vec_id FROM adm2) " +
+      "SELECT t.vec_id, CAST(t.band AS BIGINT) AS band, t.bucket " +
+      "FROM bands t JOIN adm p ON p.vec_id = t.vec_id " +
+      "JOIN base bb ON bb.vec_id = t.vec_id " +
+      "UNION ALL " +
+      "SELECT e.vec_id, CAST(-1 AS BIGINT) AS band, " +
+      "CAST(-1 AS BIGINT) AS bucket " +
+      "FROM embeddings e JOIN adm p ON p.vec_id = e.vec_id " +
+      "WHERE e.vec_id NOT IN (SELECT vec_id FROM base) " +
+      "ORDER BY vec_id, band, bucket"
+  }
+
   private val pipelineStoreTextSql: String = {
     val arr0 =
       "arr AS (SELECT CASE WHEN count(*) >= 10000000000000000 THEN 16 " +
@@ -5741,6 +5779,11 @@ object ExtQueries {
     "pipeline_store_maintained" -> ((s, d) =>
       graft.streaming.StoreMaintenance.maintainedTextStoreReplay(
         Tables.documents(s, d))),
+    // r15: the vector twin — the foldVecBatch admission loop replayed
+    // under the same gate
+    "pipeline_store_maintained_vec" -> ((s, d) =>
+      graft.streaming.StoreMaintenance.maintainedVecStoreReplay(
+        Tables.embeddings(s, d))),
     "pipeline_store_vec" -> ((s, d) =>
       Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
     // r14: the image<->caption PAIR curation composite — either-side
@@ -5834,6 +5877,7 @@ object ExtQueries {
     "pipeline_store_vec" -> pipelineStoreVecSql,
     "pipeline_store_text" -> pipelineStoreTextSql,
     "pipeline_store_maintained" -> pipelineStoreMaintainedSql,
+    "pipeline_store_maintained_vec" -> pipelineStoreMaintainedVecSql,
     "pipeline_curate_mm" -> pipelineCurateMmSql,
     "pipeline_assemble_mm" -> pipelineAssembleMmSql,
     "tx_dsir" -> txDsirSql,

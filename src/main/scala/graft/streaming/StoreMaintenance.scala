@@ -907,6 +907,39 @@ object StoreMaintenance {
     out
   }
 
+  /** The VECTOR twin of [[maintainedTextStoreReplay]] (r15): replay
+    * the embeddings relation as residue batches through the REAL
+    * [[foldVecBatch]] transactions, read the final store back as its
+    * band rows (zero-norm admitted vectors — docs-only, candidate-
+    * less — as the (-1, -1) sentinel). The oracle restates the
+    * sequential quantized-cosine admission (batch b drops a non-zero
+    * vector iff a previously-admitted non-zero vector shares a sign
+    * bucket at cos ≥ 400,000 ppm) + the from-scratch banding of the
+    * admitted set. */
+  def maintainedVecStoreReplay(vecs: DataFrame, nBatches: Int = 3,
+                               nBands: Int = 4,
+                               bitsPerBand: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintained-vec-replay").toString
+    val base = vecs.select(
+      to_timestamp(lit("2020-01-01 00:00:00")).as("ts"),
+      col("vec_id"), col("embedding"))
+    for (b <- 0 until nBatches)
+      foldVecBatch(base.where(pmod(col("vec_id"), lit(nBatches)) === b),
+        b.toLong, dir, nBands, bitsPerBand)
+    val rows = textStoreRows(spark, dir).get
+      .select(col("vec_id"), col("band").cast("long").as("band"),
+        col("bucket"))
+    val rowless = vecStoreVecs(spark, dir).get.select("vec_id")
+      .join(rows.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1L).as("band"), lit(-1L).as("bucket"))
+    val out = rows.unionByName(rowless)
+      .orderBy("vec_id", "band", "bucket").localCheckpoint(true)
+    rm(new java.io.File(dir))
+    out
+  }
+
   /** The maintained k-NN graph ingest sink — the index-maintenance
     * loop a vector store runs behind its admission gate. */
   def maintainKnnGraph(vecs: DataFrame, storeDir: String,
