@@ -1023,7 +1023,22 @@ object Dedup {
     * big doc's size. Candidate volume ≤ occupancy per sketch key
     * (bottom-k keys of near-uniform hashes spread like random keys);
     * recall < 1 by design and measured against the exact anchor in
-    * BASELINE.md. */
+    * BASELINE.md.
+    *
+    * CONTRACT of the `maxKeyDf` hot-key cap (r16, ADVICE — it is ON
+    * by default, unlike the family's opt-in `maxBucketSize`, because
+    * without it a single boilerplate key is a quadratic bomb — 55.3 s
+    * of the operator's 69 s wall at the 10× probe before r15): a
+    * sketch key shared by more than `maxKeyDf` docs is dropped WHOLE,
+    * so a pair whose ONLY shared bottom-k keys are such hot keys is
+    * NOT emitted. That is a recall trade, not a free optimization —
+    * accepted because a key at df > 50 carries ~no blocking
+    * discrimination (its survivors are dominated by coincidental
+    * boilerplate, and the high-containment pairs the blocker exists
+    * for share RARE runs whose keys survive); measured at the gate
+    * SFs the pair set is invariant (spec-pinned), and the probe-scale
+    * recall cost is recorded in BASELINE.md. Raise it (or pass
+    * Int.MaxValue) for a corpus where hot-key pairs must be kept. */
   def containmentBlocked(docs: DataFrame, shingleN: Int = 3,
                          minContainPpm: Long = 600000L,
                          bottomK: Int = 4, maxKeyDf: Int = 50): DataFrame = {

@@ -5784,6 +5784,13 @@ object ExtQueries {
     "pipeline_store_maintained_vec" -> ((s, d) =>
       graft.streaming.StoreMaintenance.maintainedVecStoreReplay(
         Tables.embeddings(s, d))),
+    // r16: the GRAPH twin — residue batches through the real
+    // foldKnnGraphBatch transactions; the final maintained snapshot's
+    // oracle is the from-scratch graph at the store's width (the
+    // upsert-merge ≡ from-scratch law under the persisted lifecycle)
+    "pipeline_store_maintained_knn" -> ((s, d) =>
+      graft.streaming.StoreMaintenance.maintainedKnnGraphReplay(
+        Tables.embeddings(s, d))),
     "pipeline_store_vec" -> ((s, d) =>
       Similarity.knnStoreLifecycle(Tables.embeddings(s, d))),
     // r14: the image<->caption PAIR curation composite — either-side
@@ -5878,6 +5885,10 @@ object ExtQueries {
     "pipeline_store_text" -> pipelineStoreTextSql,
     "pipeline_store_maintained" -> pipelineStoreMaintainedSql,
     "pipeline_store_maintained_vec" -> pipelineStoreMaintainedVecSql,
+    // the maintained graph's oracle IS the from-scratch graph at the
+    // store's fixed width: the hash proves the whole persisted fold
+    // lifecycle (id guard, pruning, merge, snapshot) exact
+    "pipeline_store_maintained_knn" -> simKnnGraphSql,
     "pipeline_curate_mm" -> pipelineCurateMmSql,
     "pipeline_assemble_mm" -> pipelineAssembleMmSql,
     "tx_dsir" -> txDsirSql,

@@ -39,8 +39,12 @@ import graft.functions.{PortableHash => PH, VectorOps => V}
   * (at warehouse scale the banded store layout makes that pruned
   * read partition-prunable too) — |bands| joins against the ONE
   * checkpointed batch-bounded lookup, and a |admitted|-sized
-  * append. Corpus-sized work never re-executes: signatures are
-  * computed once, on admission, and carried by the store — the
+  * append. The redelivery guard — the one remaining store-sized read
+  * of the r15 shape — is digest-pruned since r16 ([[writeIdBloom]]):
+  * per-segment id blooms are probed first and the store is read only
+  * on a possible hit, so a no-redelivery fold performs ZERO
+  * store-sized work. Corpus-sized work never re-executes: signatures
+  * are computed once, on admission, and carried by the store — the
   * [[graft.operators.Dedup.minhashLshUpsert]] pay-per-batch argument
   * under the streaming engine. Within-batch self-duplicates are NOT
   * gated (the stream-gate convention: the gate checks arrivals
@@ -146,8 +150,87 @@ object StoreMaintenance {
   private def readCommitted(spark: SparkSession, storeDir: String,
       kind: String): Option[DataFrame] = {
     val parts = readerDirs(storeDir, kind)
-    if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+    if (parts.isEmpty) None
+    // mergeSchema (r16, ADVICE): a legacy store (pre-r15 rows without
+    // bits/nbands) mixed with new-fold segments must not let one
+    // file's footer pick the schema — merged, legacy rows carry null
+    // width columns (never consulted: vecStoreWidth reads per-dir and
+    // skips null rows) instead of a consolidation silently DROPPING
+    // the columns. Segment count is bounded by compactEvery, so the
+    // footer merge is a constant-cost read option, not a scan.
+    else Some(spark.read.option("mergeSchema", "true").parquet(parts: _*))
   }
+
+  /** Per-segment committed-id DIGEST (r16, VERDICT r15 #2 — removes
+    * the redelivery guard's O(|store|) docs scan, the fold loop's
+    * last store-sized read): every docs segment carries an `_IDBLOOM`
+    * sidecar — a Bloom filter over the segment's id column (1% FPR,
+    * sized to the segment) written AFTER the segment's parquet and
+    * BEFORE the batch's commit marker, so a committed segment always
+    * has its digest and an overwrite replay rewrites both. The guard
+    * probes digests first and scans ONLY segments whose digest might
+    * contain a batch id: a Bloom filter has no false negatives, so
+    * the guard's RESULT is identical to the scanning form (spec-
+    * pinned across a compaction and a migration) — a false positive
+    * merely scans one segment for nothing. Steady state (no
+    * redelivery): O(segments) digest probes per fold, ZERO store
+    * reads. A segment without a sidecar (a store written before r16)
+    * is always scanned — exactly the behavior that store was built
+    * with. Digest memory is ~10 bits per committed id, read
+    * per-segment on the driver; at warehouse scale the sidecar rides
+    * the same segment lifecycle as the data (compaction and the
+    * reband migrations rebuild it with their rewrite, below). */
+  private def writeIdBloom(ids: DataFrame, idCol: String,
+                           dir: String): Unit = {
+    val n = ids.count()
+    // an EMPTY segment (a fully-redelivered batch admits nothing)
+    // gets an explicit contains-nothing filter — the stat aggregate
+    // returns a null buffer over zero rows
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L)
+      else ids.stat.bloomFilter(idCol, n, 0.01)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, "_IDBLOOM"))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def readIdBloom(dir: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = new File(dir, "_IDBLOOM")
+    if (!f.exists) None
+    else {
+      val in = java.nio.file.Files.newInputStream(f.toPath)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** The stored ids that might collide with `probeIds`, digest-pruned
+    * to suspect segments ([[writeIdBloom]]). None ⇔ every committed
+    * docs segment's digest rules the whole batch out — the guard
+    * reads NOTHING. `probeIds` is the same batch-distinct id set the
+    * guard's anti-join already broadcasts (driver-scale by the
+    * existing contract); the probe short-circuits per segment at the
+    * first possible hit. */
+  private def storedIdsFor(spark: SparkSession, storeDir: String,
+      idCol: String, probeIds: Array[Long]): Option[DataFrame] = {
+    val suspect = readerDirs(storeDir, "docs").filter { d =>
+      readIdBloom(d) match {
+        case Some(bf) => probeIds.exists(bf.mightContainLong)
+        case None => true // legacy segment: no digest, must scan
+      }
+    }
+    if (suspect.isEmpty) None
+    else Some(spark.read.parquet(suspect: _*).select(idCol))
+  }
+
+  /** The collected probe ids back as a 1-partition relation — the
+    * broadcast side of the guard's joins (same driver-scale set the
+    * digests were probed with). */
+  private def idsDf(spark: SparkSession, ids: Array[Long],
+                    idCol: String): DataFrame =
+    spark.createDataset(ids.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF(idCol)
 
   /** COMPACT a maintained store (r14): consolidate every live
     * per-batch dir into one `c<maxId>` segment per kind (rows, docs,
@@ -216,8 +299,18 @@ object StoreMaintenance {
       val src =
         if (kind == "graph") Seq(s"$storeDir/graph/b$last") // snapshot
         else readerDirs(storeDir, kind)
-      spark.read.parquet(src: _*).write.mode("overwrite")
-        .parquet(s"$storeDir/$kind/c$last")
+      // mergeSchema: legacy segments consolidated with new-fold ones
+      // must not drop the width columns (r16, ADVICE)
+      spark.read.option("mergeSchema", "true").parquet(src: _*)
+        .write.mode("overwrite").parquet(s"$storeDir/$kind/c$last")
+      if (kind == "docs") {
+        // the consolidated segment's id digest, recomputed from the
+        // rewrite (covers legacy inputs that never had one) — landed
+        // before the manifest, so a manifested c always has it
+        val c = spark.read.parquet(s"$storeDir/docs/c$last")
+        val idCol = if (c.columns.contains("doc_id")) "doc_id" else "vec_id"
+        writeIdBloom(c.select(idCol), idCol, s"$storeDir/docs/c$last")
+      }
     }
     val manifest = (coveredIds(storeDir) ++ live).toSeq.sorted
       .mkString("", "\n", "\n")
@@ -303,6 +396,8 @@ object StoreMaintenance {
     // docs consolidate unchanged; rows re-band from the carried sigs
     spark.read.parquet(readerDirs(storeDir, "docs"): _*)
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    writeIdBloom(spark.read.parquet(tmpRebandDir(storeDir, "docs"))
+      .select("doc_id"), "doc_id", tmpRebandDir(storeDir, "docs"))
     readCommitted(spark, storeDir, "rows").get
       .select("doc_id", "sig").distinct()
       .select(col("doc_id"), col("sig"),
@@ -372,6 +467,8 @@ object StoreMaintenance {
     // embeddings with the CARRIED quantization
     spark.read.parquet(readerDirs(storeDir, "docs"): _*)
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    writeIdBloom(spark.read.parquet(tmpRebandDir(storeDir, "docs"))
+      .select("vec_id"), "vec_id", tmpRebandDir(storeDir, "docs"))
     val carried = readCommitted(spark, storeDir, "rows").get
       .select("vec_id", "qb", "nb").distinct()
     readCommitted(spark, storeDir, "docs").get
@@ -439,14 +536,16 @@ object StoreMaintenance {
     * buckets), and as a window count, so the unbounded candidate
     * array is never materialized.
     *
-    * Redelivery guard (r15, ADVICE): a SIGLESS doc (< shingleN words)
-    * is admitted unconditionally, so an at-least-once source
-    * redelivering it under a NEW batchId would duplicate its doc
-    * record — sigful docs self-protect (a redelivered row near-dups
-    * itself at est 10⁶ ppm). When the batch carries sigless rows,
-    * their ids are anti-joined against the stored doc ids (ids are
-    * immutable once ingested — the k-NN fold's convention); the
-    * store-side id scan only runs on such batches. */
+    * Redelivery guard (r15, ADVICE; digest-pruned r16): a SIGLESS doc
+    * (< shingleN words) is admitted unconditionally, so an
+    * at-least-once source redelivering it under a NEW batchId would
+    * duplicate its doc record — sigful docs self-protect (a
+    * redelivered row near-dups itself at est 10⁶ ppm). When the batch
+    * carries sigless rows, their ids are anti-joined against the
+    * stored doc ids (ids are immutable once ingested — the k-NN
+    * fold's convention), and the stored side is pruned by the
+    * per-segment id digests ([[writeIdBloom]]) to the segments that
+    * might hold a batch id — no redelivery ⇒ no store read at all. */
   def foldTextBatch(batch: DataFrame, batchId: Long, storeDir: String,
                     bands: Int = 8, shingleN: Int = 3,
                     minEstJaccardPpm: Long = 500000L,
@@ -468,14 +567,19 @@ object StoreMaintenance {
       .where(!coalesce(
         StreamingCuration.hasShingles(col("text"), shingleN), lit(false)))
       .isEmpty
-    val base = textStoreDocs(spark, storeDir) match {
-      case Some(docs0) if hasSigless =>
-        val unprotected = base0.where(col("sig").isNull)
-          .select("doc_id").distinct()
-        val storedDup = docs0.select("doc_id")
-          .join(broadcast(unprotected), Seq("doc_id"), "left_semi")
-        base0.join(broadcast(storedDup), Seq("doc_id"), "left_anti")
-      case _ => base0
+    val base = if (!hasSigless) base0 else {
+      // digest-pruned guard (r16): probe the per-segment id blooms
+      // with the batch's sigless ids; only suspect segments are read
+      val probeIds = base0.where(col("sig").isNull)
+        .select("doc_id").distinct().collect().map(_.getLong(0))
+      storedIdsFor(spark, storeDir, "doc_id", probeIds) match {
+        case None => base0
+        case Some(stored) =>
+          val storedDup = stored
+            .join(broadcast(idsDf(spark, probeIds, "doc_id")),
+              Seq("doc_id"), "left_semi")
+          base0.join(broadcast(storedDup), Seq("doc_id"), "left_anti")
+      }
     }
     val admitted = textStoreRows(spark, storeDir) match {
       case None => base
@@ -502,9 +606,12 @@ object StoreMaintenance {
         StreamingCuration.ophAdmit(base, buckets, arm, minEstJaccardPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
-    // docs first; the band rows' _SUCCESS commits the transaction
+    // docs first (+ their id digest); the band rows' _SUCCESS commits
+    // the transaction, so a crash replay rewrites both
     admittedC.select("ts", "doc_id", "text")
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
+    writeIdBloom(admittedC.select("doc_id"), "doc_id",
+      docsDir(storeDir, batchId))
     admittedC.where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until arm).map(b =>
@@ -569,7 +676,11 @@ object StoreMaintenance {
       val df = spark.read.parquet(p)
       if (!df.columns.contains("nbands") || !df.columns.contains("bits"))
         None
-      else df.select(col("nbands"), col("bits")).limit(1)
+      // isNotNull: a mergeSchema compaction of a legacy store leaves
+      // the width columns present but NULL on pre-migration rows —
+      // such rows must not elect the width (r16, ADVICE)
+      else df.select(col("nbands"), col("bits"))
+        .where(col("bits").isNotNull && col("nbands").isNotNull).limit(1)
         .collect().headOption.map(r => (r.getInt(0), r.getInt(1)))
     }.nextOption()
 
@@ -587,7 +698,8 @@ object StoreMaintenance {
     * arrivals are admitted without the cosine verify, so a cross-batch
     * redelivery would duplicate their record — non-zero vectors
     * self-protect (cos 10⁶ ppm to themselves); batches carrying
-    * zero-norm rows anti-join those ids against the stored vec ids. */
+    * zero-norm rows anti-join those ids against the stored vec ids,
+    * digest-pruned to suspect segments (r16, [[writeIdBloom]]). */
   def foldVecBatch(batch: DataFrame, batchId: Long, storeDir: String,
                    nBands: Int = 4, bitsPerBand: Int = 4,
                    minCosPpm: Long = 400000L,
@@ -606,14 +718,18 @@ object StoreMaintenance {
     // guard-covered exactly like zero-norm (r15 review)
     val gateInvisible = !coalesce(col("na") > 0, lit(false))
     val hasZeroNorm = !base0.where(gateInvisible).isEmpty
-    val base = vecStoreVecs(spark, storeDir) match {
-      case Some(vecs0) if hasZeroNorm =>
-        val unprotected = base0.where(gateInvisible)
-          .select("vec_id").distinct()
-        val storedDup = vecs0.select("vec_id")
-          .join(broadcast(unprotected), Seq("vec_id"), "left_semi")
-        base0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
-      case _ => base0
+    val base = if (!hasZeroNorm) base0 else {
+      // digest-pruned guard (r16) — see foldTextBatch
+      val probeIds = base0.where(gateInvisible)
+        .select("vec_id").distinct().collect().map(_.getLong(0))
+      storedIdsFor(spark, storeDir, "vec_id", probeIds) match {
+        case None => base0
+        case Some(stored) =>
+          val storedDup = stored
+            .join(broadcast(idsDf(spark, probeIds, "vec_id")),
+              Seq("vec_id"), "left_semi")
+          base0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
+      }
     }
     val admitted = readCommitted(spark, storeDir, "rows") match {
       case None => base
@@ -638,6 +754,8 @@ object StoreMaintenance {
     val admittedC = admitted.localCheckpoint(true)
     admittedC.select("ts", "vec_id", "embedding")
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
+    writeIdBloom(admittedC.select("vec_id"), "vec_id",
+      docsDir(storeDir, batchId))
     admittedC.where(col("na") > 0)
       .select(col("vec_id"), col("qa").as("qb"), col("na").as("nb"),
         posexplode(array((0 until bandsRun).map(b =>
@@ -740,23 +858,32 @@ object StoreMaintenance {
     val arrivals0 = batch.select("ts", "vec_id", "embedding")
       .withColumn("rn", row_number().over(wDup))
       .where(col("rn") === 1).drop("rn")
-    // the guard reads the DOCS record (every ingested id, zero-norm
-    // included — band rows miss those), semi-joined down to the
-    // batch's ids first so the anti-join side is batch-bounded; a
-    // store written before the docs record existed falls back to the
-    // rows ids (the pre-r15 guard — no zero-norm coverage, exactly
-    // what that store always had)
-    val guardIds = readCommitted(spark, storeDir, "docs")
-      .map(_.select("vec_id"))
-      .orElse(storedOpt.map(_.select("vec_id").distinct()))
-    val arrivals = (guardIds match {
-      case None => arrivals0
-      case Some(ids0) =>
-        val storedDup = ids0
-          .join(broadcast(arrivals0.select("vec_id").distinct()),
-            Seq("vec_id"), "left_semi")
-        arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
-    }).localCheckpoint(true)
+    // the guard consults the DOCS record (every ingested id, zero-norm
+    // included — band rows miss those) through its per-segment id
+    // digests (r16, VERDICT r15 #2): the batch's distinct ids — the
+    // same driver-scale set the anti-join broadcasts — probe each
+    // segment's bloom, and only suspect segments are read, so the
+    // every-batch guard does ZERO store reads unless a redelivery (or
+    // a 1% FPR hit) is actually present. A store written before the
+    // docs record existed falls back to the rows ids (the pre-r15
+    // guard — no zero-norm coverage, exactly what that store always
+    // had).
+    val arrivals = {
+      val guardIds: Option[DataFrame] =
+        if (readerDirs(storeDir, "docs").nonEmpty) {
+          val probeIds = arrivals0.select("vec_id").distinct()
+            .collect().map(_.getLong(0))
+          storedIdsFor(spark, storeDir, "vec_id", probeIds)
+        } else storedOpt.map(_.select("vec_id").distinct())
+      (guardIds match {
+        case None => arrivals0
+        case Some(ids0) =>
+          val storedDup = ids0
+            .join(broadcast(arrivals0.select("vec_id").distinct()),
+              Seq("vec_id"), "left_semi")
+          arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
+      }).localCheckpoint(true)
+    }
     val batchRows = arrivals
       .select(col("vec_id"), col("embedding"),
         V.quantize(col("embedding")).as("qe"))
@@ -804,6 +931,8 @@ object StoreMaintenance {
     // commits the batch, so neither is readable before the commit
     arrivals.select("ts", "vec_id", "embedding")
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
+    writeIdBloom(arrivals.select("vec_id"), "vec_id",
+      docsDir(storeDir, batchId))
     merged.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
     batchRows.write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }
@@ -821,10 +950,17 @@ object StoreMaintenance {
     * exactly the from-scratch graph at the new width, so subsequent
     * folds (which pick the width up from the data, [[vecStoreWidth]])
     * continue the upsert-merge exactness chain. Same two-phase
-    * journal as the other migrations, graph tmp included. Returns the
-    * new bitsPerBand. */
+    * journal as the other migrations, graph tmp included.
+    * `maxBucketSize` (r16, ADVICE) caps the rebuild's self-join with
+    * the fold family's [[graft.operators.Dedup.capBuckets]] semantics
+    * — a boilerplate bucket that is sign-identical across all dims
+    * stays degenerate at ANY width, and the uncapped rewrite would
+    * pay its s² pairs even when every fold ran capped; a store
+    * maintained with a cap should migrate with the same cap. Returns
+    * the new bitsPerBand. */
   def rebandKnnGraphStore(spark: SparkSession, storeDir: String,
-                          toBits: Option[Int] = None, k: Int = 4): Int = {
+                          toBits: Option[Int] = None, k: Int = 4,
+                          maxBucketSize: Option[Int] = None): Int = {
     recoverReband(storeDir)
     compactRecovery(storeDir)
     val S = graft.operators.Similarity
@@ -839,6 +975,8 @@ object StoreMaintenance {
     val last = committed.max
     spark.read.parquet(readerDirs(storeDir, "docs"): _*)
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "docs"))
+    writeIdBloom(spark.read.parquet(tmpRebandDir(storeDir, "docs"))
+      .select("vec_id"), "vec_id", tmpRebandDir(storeDir, "docs"))
     val carried = readCommitted(spark, storeDir, "rows").get
       .select("vec_id", "qe", "qn").distinct()
     spark.read.parquet(readerDirs(storeDir, "docs"): _*)
@@ -850,7 +988,8 @@ object StoreMaintenance {
       .select(col("vec_id"), col("band"), col("bucket"), col("qe"),
         col("qn"), lit(newBits).as("bits"), lit(nBands).as("nbands"))
       .write.mode("overwrite").parquet(tmpRebandDir(storeDir, "rows"))
-    val newRows = spark.read.parquet(tmpRebandDir(storeDir, "rows"))
+    val newRows = graft.operators.Dedup.capBuckets(
+      spark.read.parquet(tmpRebandDir(storeDir, "rows")), maxBucketSize)
     val pairs = newRows.select(col("band"), col("bucket"),
         col("vec_id").as("va"))
       .join(newRows.select(col("band"), col("bucket"),
@@ -936,6 +1075,94 @@ object StoreMaintenance {
       .select(col("vec_id"), lit(-1L).as("band"), lit(-1L).as("bucket"))
     val out = rows.unionByName(rowless)
       .orderBy("vec_id", "band", "bucket").localCheckpoint(true)
+    rm(new java.io.File(dir))
+    out
+  }
+
+  /** [[storeAdvisor]]'s verdict on a live maintained store: the
+    * arm/width its CURRENT size would be BUILT at, against what it
+    * runs. `current`/`recommended` are bands for a text store
+    * ([[storeArm]]) and bitsPerBand for a vector/graph store
+    * ([[vecStoreWidth]]); `migrate` ⇔ they differ (the matching
+    * [[rebandTextStore]]/[[rebandVecStore]]/[[rebandKnnGraphStore]]
+    * call closes the gap between streaming generations). */
+  final case class StoreAdvice(kind: String, storedN: Long,
+      current: Int, recommended: Int, migrate: Boolean, reason: String)
+
+  /** WHEN to migrate (r16, VERDICT r15 #5): apply the growth rules
+    * the batch builders mechanize — [[graft.operators.Dedup
+    * .autoBandRows]] for text, [[graft.operators.Similarity
+    * .autoBits]] for vectors — to a LIVE store's own committed state:
+    * N from its docs record (the admitted corpus; a pre-r15 graph
+    * store without one falls back to the distinct rows ids), the
+    * running arm/width self-described by the data. The stores run a
+    * FIXED arm/width by design (the folds' exactness argument), so
+    * crossing a rule boundary is an operator decision this makes
+    * mechanical: run the advisor between streaming generations and
+    * migrate when it says so. Kind is detected from the rows schema
+    * (text rows carry `sig`; vector/graph rows carry the width
+    * columns). None for an empty store — nothing to advise.
+    * `targetOccupancy`/`invS2` are the rules' own knobs, passed
+    * through so a deployment (or the threshold-flip spec) can pin
+    * its own boundary. */
+  def storeAdvisor(spark: SparkSession, storeDir: String,
+                   targetOccupancy: Long = 128L,
+                   invS2: Long = graft.operators.Dedup.AutoInvS2)
+      : Option[StoreAdvice] = {
+    recoverReband(storeDir)
+    val rowsCols = readerDirs(storeDir, "rows").lastOption
+      .map(p => spark.read.parquet(p).columns.toSet)
+      .getOrElse(Set.empty)
+    def storedN: Long = readCommitted(spark, storeDir, "docs")
+      .map(_.count())
+      .orElse(readCommitted(spark, storeDir, "rows")
+        .map(_.select("vec_id").distinct().count()))
+      .getOrElse(0L)
+    if (rowsCols.contains("sig")) storeArm(spark, storeDir).map { arm =>
+      val n = storedN
+      val recArm = PH.MinhashK / graft.operators.Dedup.autoBandRows(n, invS2)
+      StoreAdvice("text", n, arm, recArm, recArm != arm,
+        s"autoBandRows(N=$n, invS2=$invS2) -> r=${PH.MinhashK / recArm} " +
+          s"(bands=$recArm) vs stored bands=$arm")
+    } else vecStoreWidth(spark, storeDir).map { case (nBands, bits) =>
+      val n = storedN
+      val recBits = graft.operators.Similarity.autoBits(n, targetOccupancy)
+      StoreAdvice("vector", n, bits, recBits, recBits != bits,
+        s"autoBits(N=$n, occupancy=$targetOccupancy) = $recBits " +
+          s"vs stored $bits ($nBands bands)")
+    }
+  }
+
+  /** The GRAPH twin of [[maintainedTextStoreReplay]] (r16, VERDICT
+    * r15 #1 — the last maintained artifact the driver gate could not
+    * see): replay the embeddings relation as residue batches through
+    * the REAL [[foldKnnGraphBatch]] transactions — pair join against
+    * the pruned stored rows, [[graft.operators.Similarity.graphMerge]]
+    * re-top-k, per-batch graph snapshot, `_SUCCESS` commits — into a
+    * fresh persisted store, and return the FINAL maintained graph.
+    * The oracle is the from-scratch k-NN graph at the store's fixed
+    * width (`sim_knn_graph`'s SQL): the graph fold has no admission
+    * gate, so after N batches the maintained snapshot must equal the
+    * graph built from the whole relation in one shot — that is
+    * exactly the upsert-merge ≡ from-scratch law KnnRebandSpec pins
+    * per merge, here composed across the persisted lifecycle (id
+    * guard, segment visibility, snapshot protocol) and proved by
+    * hash. Deterministic by construction; the temp store is reaped
+    * after materialization (the replay-family convention). */
+  def maintainedKnnGraphReplay(vecs: DataFrame, nBatches: Int = 3,
+                               k: Int = 4, nBands: Int = 4,
+                               bitsPerBand: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintained-knn-replay").toString
+    val base = vecs.select(
+      to_timestamp(lit("2020-01-01 00:00:00")).as("ts"),
+      col("vec_id"), col("embedding"))
+    for (b <- 0 until nBatches)
+      foldKnnGraphBatch(base.where(pmod(col("vec_id"), lit(nBatches)) === b),
+        b.toLong, dir, k, nBands, bitsPerBand)
+    val out = knnGraphCurrent(spark, dir).get
+      .orderBy("vec_id", "rank").localCheckpoint(true)
     rm(new java.io.File(dir))
     out
   }

@@ -439,6 +439,185 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(graphOf(store) == freshAt(5, 5))
   }
 
+  test("digest-pruned redelivery guard (r16, VERDICT r15 #2): every " +
+    "committed docs segment carries _IDBLOOM; guard results ≡ the " +
+    "scanning form with planted redelivery across a compaction AND a " +
+    "migration; deleting the digests (legacy store) changes nothing") {
+    val store = tmp("graft-digest-text")
+    def b(m: Int, docs: (Long, String)*) =
+      docs.map { case (i, t) => (ts(m), i, t) }.toDF("ts", "doc_id", "text")
+    StoreMaintenance.foldTextBatch(
+      b(0, 1L -> "alpha beta gamma delta epsilon", 2L -> "hi"), 0L, store)
+    StoreMaintenance.foldTextBatch(
+      b(1, 3L -> "one two three four five", 4L -> "yo"), 1L, store)
+    assert(Seq("b0", "b1").forall(n =>
+      new java.io.File(s"$store/docs/$n/_IDBLOOM").exists),
+      "every committed docs segment must carry its id digest")
+    StoreMaintenance.compactStore(spark, store)
+    assert(new java.io.File(s"$store/docs/c1/_IDBLOOM").exists,
+      "a compaction rewrite must carry the consolidated digest")
+    assert(StoreMaintenance.rebandTextStore(spark, store) == 4)
+    val cDocs = new java.io.File(s"$store/docs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c"))
+    assert(cDocs.nonEmpty && cDocs.forall(d =>
+      new java.io.File(d, "_IDBLOOM").exists),
+      "a migration rewrite must carry the consolidated digest")
+    // planted redelivery ACROSS compaction + migration: sigless id 2
+    // redelivered under a new batchId must not duplicate
+    StoreMaintenance.foldTextBatch(b(2, 2L -> "hi", 5L -> "sup"), 5L, store)
+    assert(docIds(store).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // ≡ the scanning form: strip EVERY digest (the legacy store) —
+    // the guard falls back to the scan and admits identically
+    java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      .filter(_.getFileName.toString == "_IDBLOOM")
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    StoreMaintenance.foldTextBatch(b(3, 4L -> "yo", 6L -> "ey"), 6L, store)
+    assert(docIds(store).sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "digest-less (legacy) guard must scan and admit identically")
+    assert(new java.io.File(s"$store/docs/b6/_IDBLOOM").exists,
+      "new folds must re-digest their own segment")
+
+    // knn: the every-batch guard across a compaction (zero-norm incl.)
+    val g = tmp("graft-digest-knn")
+    def vb(m: Int, ids: Range) = (ids.map(i => (ts(m), i.toLong, vec(i))) :+
+      (ts(m), 90L, zeroVec)).toDF("ts", "vec_id", "embedding")
+    StoreMaintenance.foldKnnGraphBatch(vb(0, 0 until 8), 0L, g)
+    StoreMaintenance.foldKnnGraphBatch(
+      (8 until 16).map(i => (ts(1), i.toLong, vec(i)))
+        .toDF("ts", "vec_id", "embedding"), 1L, g)
+    StoreMaintenance.compactStore(spark, g)
+    val before = vecIds(g).sorted
+    StoreMaintenance.foldKnnGraphBatch(vb(7, 0 until 8), 7L, g)
+    assert(vecIds(g).sorted == before,
+      "redelivery across a compaction must ingest nothing")
+  }
+
+  test("legacy-store consolidation keeps the width columns (r16, " +
+    "ADVICE): a pre-r15 rows segment (no bits/nbands) mixed with " +
+    "new-fold segments compacts under mergeSchema — the width survives " +
+    "and null-width legacy rows never elect it") {
+    val store = tmp("graft-legacy-vec")
+    def vb(m: Int, ids: Range) = ids.map(i => (ts(m), i.toLong, vec(i)))
+      .toDF("ts", "vec_id", "embedding")
+    StoreMaintenance.foldVecBatch(vb(0, 0 until 10), 0L, store)
+    // rewrite b0 as a LEGACY segment: drop the width columns
+    val legacy = spark.read.parquet(s"$store/rows/b0")
+      .drop("bits", "nbands").localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$store/rows/b0"))
+    legacy.write.parquet(s"$store/rows/b0")
+    assert(StoreMaintenance.vecStoreWidth(spark, store).isEmpty,
+      "a legacy store self-describes no width")
+    // a new fold lands width columns; mixed-schema reads must keep them
+    StoreMaintenance.foldVecBatch(vb(1, 100 until 110), 1L, store)
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 4)))
+    val n0 = vecIds(store).size
+    StoreMaintenance.compactStore(spark, store)
+    val c = spark.read.parquet(s"$store/rows/c1")
+    assert(c.columns.contains("bits") && c.columns.contains("nbands"),
+      "compaction dropped the width columns from a mixed-schema store")
+    assert(StoreMaintenance.vecStoreWidth(spark, store).contains((4, 4)),
+      "null-width legacy rows must not elect the width")
+    assert(vecIds(store).size == n0)
+    // and the store keeps folding
+    StoreMaintenance.foldVecBatch(vb(2, 200 until 205), 2L, store)
+    assert(StoreMaintenance.committedBatches(store) == (0L to 2L))
+  }
+
+  test("rebandKnnGraphStore honors maxBucketSize (r16, ADVICE): the " +
+    "migration's rebuild pair join caps degenerate buckets with the " +
+    "fold family's semantics — capped ≡ the capped from-scratch graph " +
+    "at the new width") {
+    import graft.operators.Similarity
+    def posVec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => (0.1f + ((seed * 31 + d * 7) % 89) / 100.0f))
+    val rows = (0 until 6).map(i => (ts(0), i.toLong, posVec(i))) ++
+      (40 until 45).map(i => (ts(0), i.toLong, vec(i)))
+    def freshAt(bits: Int, cap: Option[Int]) = Similarity.knnGraph(
+      rows.toDF("ts", "vec_id", "embedding").select("vec_id", "embedding"),
+      bitsPerBand = bits, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    def graphOf(s: String) = StoreMaintenance.knnGraphCurrent(spark, s).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val capped = tmp("graft-grebandcap")
+    StoreMaintenance.foldKnnGraphBatch(
+      rows.toDF("ts", "vec_id", "embedding"), 0L, capped)
+    assert(StoreMaintenance.rebandKnnGraphStore(spark, capped,
+      maxBucketSize = Some(5)) == 5)
+    assert(graphOf(capped) == freshAt(5, Some(5)),
+      "capped migration diverged from the capped from-scratch graph")
+    val uncapped = tmp("graft-grebanduncap")
+    StoreMaintenance.foldKnnGraphBatch(
+      rows.toDF("ts", "vec_id", "embedding"), 0L, uncapped)
+    assert(StoreMaintenance.rebandKnnGraphStore(spark, uncapped) == 5)
+    assert(graphOf(uncapped) == freshAt(5, None))
+  }
+
+  test("storeAdvisor (r16, VERDICT r15 #5): the recommendation flips " +
+    "exactly at the growth rules' N-thresholds on the store's own " +
+    "committed state, for both kinds; acting on it satisfies it") {
+    // text: invS2=2 ⇒ r flips 2→4 (bands 8→4) exactly at N=16
+    val tstore = tmp("graft-advise-text")
+    def doc(i: Int) =
+      (0 until 8).map(t => s"w${i * 977 + t * 131}").mkString(" ")
+    StoreMaintenance.foldTextBatch(
+      (0 until 15).map(i => (ts(0), i.toLong, doc(i)))
+        .toDF("ts", "doc_id", "text"), 0L, tstore)
+    val a15 = StoreMaintenance.storeAdvisor(spark, tstore, invS2 = 2L).get
+    assert(a15.kind == "text" && a15.storedN == 15 && a15.current == 8 &&
+      a15.recommended == 8 && !a15.migrate, s"below threshold: $a15")
+    StoreMaintenance.foldTextBatch(
+      Seq((ts(1), 15L, doc(15))).toDF("ts", "doc_id", "text"), 1L, tstore)
+    val a16 = StoreMaintenance.storeAdvisor(spark, tstore, invS2 = 2L).get
+    assert(a16.storedN == 16 && a16.recommended == 4 && a16.migrate,
+      s"at threshold: $a16")
+    // vector/graph: occupancy=2 ⇒ bits flips 4→5 exactly at N=33
+    val g = tmp("graft-advise-knn")
+    StoreMaintenance.foldKnnGraphBatch(
+      (0 until 32).map(i => (ts(0), i.toLong, vec(i)))
+        .toDF("ts", "vec_id", "embedding"), 0L, g)
+    val v32 = StoreMaintenance.storeAdvisor(spark, g,
+      targetOccupancy = 2L).get
+    assert(v32.kind == "vector" && v32.storedN == 32 && v32.current == 4 &&
+      v32.recommended == 4 && !v32.migrate, s"below threshold: $v32")
+    StoreMaintenance.foldKnnGraphBatch(
+      Seq((ts(1), 32L, vec(32))).toDF("ts", "vec_id", "embedding"), 1L, g)
+    val v33 = StoreMaintenance.storeAdvisor(spark, g,
+      targetOccupancy = 2L).get
+    assert(v33.storedN == 33 && v33.recommended == 5 && v33.migrate,
+      s"at threshold: $v33")
+    assert(StoreMaintenance.rebandKnnGraphStore(spark, g,
+      toBits = Some(v33.recommended)) == 5)
+    assert(!StoreMaintenance.storeAdvisor(spark, g,
+      targetOccupancy = 2L).get.migrate,
+      "the advisor must be satisfied after its own migration")
+    // an empty store: nothing to advise
+    assert(StoreMaintenance.storeAdvisor(spark, tmp("graft-advise-empty"))
+      .isEmpty)
+  }
+
+  test("maintainedKnnGraphReplay (r16, VERDICT r15 #1): the declared " +
+    "replay equals the from-scratch graph at the store width for any " +
+    "batch split (the upsert-merge law under the persisted lifecycle), " +
+    "zero-norm vectors edge-less, temp store reaped") {
+    import graft.operators.Similarity
+    val vecs = ((0 until 37).map(i =>
+      (i.toLong, vec(if (i % 5 == 0 && i > 0) i - 5 else i))) :+
+      (90L, zeroVec)).toDF("vec_id", "embedding")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val fresh = rows(Similarity.knnGraph(vecs))
+    assert(fresh.nonEmpty && !fresh.exists(_._1 == 90L))
+    for (n <- Seq(1, 3, 5))
+      assert(rows(StoreMaintenance.maintainedKnnGraphReplay(vecs, n)) ==
+        fresh, s"replay at nBatches=$n diverged from the from-scratch graph")
+  }
+
   test("in-generation auto-compaction (r15, VERDICT #5): a maintained " +
     "sink with compactEvery consolidates its own segments inside the " +
     "foreachBatch serialization and stays ≡ the never-compacted twin " +
