@@ -61,6 +61,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** 1-minute /proc/loadavg, read around every timed sample (r16,
+    * VERDICT r15 #3 — make host-regime adjudication machine-checkable
+    * instead of narrative): with the calibration pair this puts the
+    * load CONTEXT of each per-query minimum into the committed record,
+    * so "uniform host shift vs real regression" is decided from the
+    * record, not from prose. -1 when unreadable (non-Linux). */
+  private def loadavg(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ').head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -112,22 +124,34 @@ object Bench {
       }
       dropLeftoverBlocks(spark)
     }
-    val samples = collection.mutable.Map[String, List[Double]]()
-      .withDefaultValue(Nil)
+    // per sample: (wall s, loadavg before, loadavg after) — the load
+    // pair travels with its sample so the committed record can show
+    // the min-wall sample's host context (r16, VERDICT r15 #3)
+    val samples =
+      collection.mutable.Map[String, List[(Double, Double, Double)]]()
+        .withDefaultValue(Nil)
     for (_ <- 1 to 3) {
       names.foreach { case (name, fn) =>
+        val l0 = loadavg()
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
         }
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        val wall = (System.nanoTime() - t0) / 1e9
+        samples(name) = (wall, l0, loadavg()) :: samples(name)
         // untimed: block cleanup is harness bookkeeping, not query work
         dropLeftoverBlocks(spark)
       }
     }
     val calEnd = calibrate(spark)
-    val results = names.map { case (name, _) => name -> samples(name).min }
+    val results = names.map { case (name, _) =>
+      name -> samples(name).map(_._1).min }
+    // the min-wall sample's (load before, load after) per query
+    val minLoads: Map[String, (Double, Double)] = names.map { case (name, _) =>
+      val best = samples(name).minBy(_._1)
+      name -> (best._2, best._3)
+    }.toMap
     // Diagnostics on stderr: all three samples per query + the
     // calibration pair (stdout stays exactly the one-line contract).
     System.err.println("[bench-cal] " +
@@ -135,7 +159,9 @@ object Bench {
       f"ratio=${calEnd / calStart}%.2f")
     results.foreach { case (name, _) =>
       System.err.println(s"[bench-runs] $name " +
-        samples(name).reverse.map(t => f"$t%.2f").mkString(","))
+        samples(name).reverse
+          .map { case (t, l0, l1) => f"$t%.2f@$l0%.1f-$l1%.1f" }
+          .mkString(","))
     }
     // Per-query regression gate (r8, VERDICT r7 #3): diff against the
     // PREVIOUS committed full record before overwriting it, and name
@@ -151,7 +177,8 @@ object Bench {
     // (the diff above still works: it only inspects queries present
     // in the current run).
     writeFullRecord(results, sfDir,
-      if (tier == "all") "" else s"_$tier")
+      if (tier == "all") "" else s"_$tier",
+      (calStart, calEnd), minLoads)
     println(formatLine(results, sfDir))
     spark.stop()
   }
@@ -213,16 +240,31 @@ object Bench {
   }
 
   private def writeFullRecord(results: Seq[(String, Double)],
-      sfDir: String, suffix: String = ""): Unit = {
+      sfDir: String, suffix: String = "",
+      cal: (Double, Double) = (-1.0, -1.0),
+      minLoads: Map[String, (Double, Double)] = Map.empty): Unit = {
     val sf = sfDir.split('/').last + suffix
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def f2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // host-context fields (r16, VERDICT r15 #3): the fixed-work
+    // calibration pair and each query's min-wall-sample loadavg pair,
+    // AFTER "queries" so parseQueriesMap's substring parse is
+    // untouched. These make regime adjudication mechanical: a uniform
+    // carried-ratio shift with cal ratio ≈ the shift and loads ≫ 32
+    // is the box; a single query moving on idle loads is the engine.
+    val loads = minLoads.toSeq.sortBy(_._1).map { case (k, (l0, l1)) =>
+      "\"" + k + "\":[" + f2(l0) + "," + f2(l1) + "]"
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""tiers":${tiersJson(results, f3)},"queries":$qs,"sf":"$sf"}"""
+        s""""tiers":${tiersJson(results, f3)},"queries":$qs,""" +
+        s""""cal":{"start":${f2(cal._1)},"end":${f2(cal._2)}},""" +
+        s""""qload":$loads,"sf":"$sf"}"""
     try {
       val p = java.nio.file.Paths.get(s"bench_full_$sf.json")
       java.nio.file.Files.write(p,

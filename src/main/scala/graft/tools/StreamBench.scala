@@ -114,7 +114,11 @@ object StreamBench {
     * (default 2500), STREAMBENCH_KIND (text|vec|knn|all, default all
     * — r15: the probe-scale slope legs run one kind at a time so the
     * text store can grow to 10⁶ band rows without waiting on the
-    * quadratically-busier knn leg at the same N). */
+    * quadratically-busier knn leg at the same N).
+    * STREAMBENCH_SIGLESS=1 (r16) makes one doc per text batch sigless
+    * ("hi dN"), so the redelivery GUARD fires on every fold — the leg
+    * that shows the digest-pruned guard's cost flat vs docs-record
+    * growth (VERDICT r15 #2's evidence row). */
   private def maintainMain(): Unit = {
     val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "8").toInt
     val perBatch =
@@ -145,11 +149,15 @@ object StreamBench {
     // vocab space 10⁷ (r15; the r14 run's 10⁵ vocab saturated near 4k
     // docs — every late doc near-dupped something, so the store never
     // grew past ~100k band rows and the slope leg measured nothing)
-    def text(i: Int): String = {
-      val base = if (i % 10 < 2) i / 2 else i
-      (0 until 24).map(t => s"w${(base * 9973 + t * 131) % 9999991}")
-        .mkString(" ") + s" d$base"
-    }
+    val sigless = sys.env.get("STREAMBENCH_SIGLESS").contains("1")
+    def text(i: Int): String =
+      // one sigless (< 3-word) doc per batch when the guard leg is on
+      if (sigless && i % perBatch == 0) s"hi d$i"
+      else {
+        val base = if (i % 10 < 2) i / 2 else i
+        (0 until 24).map(t => s"w${(base * 9973 + t * 131) % 9999991}")
+          .mkString(" ") + s" d$base"
+      }
     (0 until batches).foreach { b =>
       val rows = (0 until perBatch).map { j =>
         val i = b * perBatch + j; (ts(b), i.toLong, text(i))
@@ -223,8 +231,147 @@ object StreamBench {
     spark.stop()
   }
 
+  /** r16 (VERDICT r15 #5): a full store GENERATION cycle —
+    * fold → [[graft.streaming.StoreMaintenance.storeAdvisor]] →
+    * migrate per its advice → fold — on the k-NN graph store (the
+    * fold whose cost actually grows with occupancy at fixed width),
+    * measuring the occupancy reset the migration buys. Env:
+    * STREAMBENCH_BATCHES per generation (default 6),
+    * STREAMBENCH_ROWS_PER_BATCH (default 2500). */
+  private def cycleMain(): Unit = {
+    val batches = sys.env.getOrElse("STREAMBENCH_BATCHES", "6").toInt
+    val perBatch =
+      sys.env.getOrElse("STREAMBENCH_ROWS_PER_BATCH", "2500").toInt
+    val spark = benchSession()
+    import spark.implicits._
+    import graft.streaming.StoreMaintenance
+    def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
+    def mix(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27); z
+    }
+    def vec(i: Int): Seq[Float] = (0 until 64).map { d =>
+      (((mix(i * 64L + d) & 0x7fffffffL) % 2001L) - 1000L) / 1000.0f
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("sb-cycle-knn").toString
+    println("mode,phase,batch,store_n,bits,wall_s")
+    var next = 0L
+    def fold(phase: String, b: Int): Unit = {
+      val rows = (0 until perBatch).map { j =>
+        val i = next * perBatch + j
+        (ts(b), i.toLong, vec(i.toInt))
+      }.toDF("ts", "vec_id", "embedding")
+      val n = next * perBatch
+      val bits = StoreMaintenance.vecStoreWidth(spark, dir)
+        .map(_._2).getOrElse(4)
+      val t0 = System.nanoTime()
+      StoreMaintenance.foldKnnGraphBatch(rows, next, dir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"cycle,$phase,$next,$n,$bits,$wall%.2f")
+      next += 1
+    }
+    (0 until batches).foreach(b => fold("gen1", b))
+    val advice = StoreMaintenance.storeAdvisor(spark, dir).get
+    println(s"cycle,advise,-,${advice.storedN},${advice.recommended}," +
+      s"0.00  # ${advice.reason}")
+    if (advice.migrate) {
+      val t0 = System.nanoTime()
+      StoreMaintenance.rebandKnnGraphStore(spark, dir,
+        toBits = Some(advice.recommended))
+      println(f"cycle,migrate,-,${advice.storedN},${advice.recommended}," +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    (0 until batches).foreach(b => fold("gen2", b))
+    spark.stop()
+  }
+
+  /** r16 (VERDICT r15 #6): the degenerate-bucket cap measured at
+    * PROBE scale — plant a boilerplate bucket of S members (all-
+    * positive vectors co-bucket in every band) in the store, fold an
+    * arrival batch that probes it, capped vs uncapped, recording wall
+    * and max task peakExecutionMemory. Env: STREAMBENCH_BUCKET
+    * (comma list of S, default "1000,10000,100000"),
+    * STREAMBENCH_CAP (default 1000). */
+  private def bucketcapMain(): Unit = {
+    val sizes = sys.env.getOrElse("STREAMBENCH_BUCKET",
+      "1000,10000,100000").split(',').map(_.trim.toInt).toSeq
+    val cap = sys.env.getOrElse("STREAMBENCH_CAP", "1000").toInt
+    val spark = benchSession()
+    import spark.implicits._
+    import graft.streaming.StoreMaintenance
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory)); ()
+          }
+        }
+      })
+    def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
+    def mix(x: Long): Long = {
+      var z = x * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27); z
+    }
+    // boilerplate member: strictly positive in every dim — all such
+    // vectors share EVERY sign bucket at any width
+    def posVec(i: Long): Seq[Float] = (0 until 64).map { d =>
+      (1L + ((mix(i * 64L + d) & 0x7fffffffL) % 999L)) / 1000.0f
+    }
+    def spreadVec(i: Long): Seq[Float] = (0 until 64).map { d =>
+      (((mix(i * 64L + d) & 0x7fffffffL) % 2001L) - 1000L) / 1000.0f
+    }
+    println("mode,bucket_s,arm,wall_s,peak_task_mb,admitted")
+    sizes.foreach { s =>
+      // the arrival batch: 24 probes into the boilerplate bucket +
+      // 476 spread rows (the healthy-path ballast)
+      val arrivals = ((0 until 24).map(j =>
+        (ts(1), 2000000L + j, posVec(5000000L + j))) ++
+        (24 until 500).map(j => (ts(1), 2000000L + j, spreadVec(j))))
+        .toDF("ts", "vec_id", "embedding")
+      Seq(None, Some(cap)).foreach { capOpt =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"sb-bucketcap-$s").toString
+        // batch 0 on an empty store ingests unconditionally: S
+        // boilerplate members -> an S-occupancy bucket in every band
+        val store = (0 until s).map(i =>
+          (ts(0), i.toLong, posVec(i))).toDF("ts", "vec_id", "embedding")
+        StoreMaintenance.foldVecBatch(store, 0L, dir,
+          minCosPpm = 999999L, maxBucketSize = capOpt)
+        peak.set(0L)
+        val t0 = System.nanoTime()
+        StoreMaintenance.foldVecBatch(arrivals, 1L, dir,
+          minCosPpm = 999999L, maxBucketSize = capOpt)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val admitted = spark.read.parquet(s"$dir/docs/b1").count()
+        val arm = capOpt.map(c => s"cap$c").getOrElse("uncapped")
+        println(f"bucketcap,$s,$arm,$wall%.2f," +
+          f"${peak.get / (1024.0 * 1024.0)}%.1f,$admitted")
+      }
+    }
+    spark.stop()
+  }
+
+  private def benchSession(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("maintain")) { maintainMain(); return }
+    if (args.headOption.contains("cycle")) { cycleMain(); return }
+    if (args.headOption.contains("bucketcap")) { bucketcapMain(); return }
     if (args.headOption.contains("statewall")) { statewallMain(); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nText = sys.env.getOrElse("STREAMBENCH_TEXT_ROWS", "200000").toInt
