@@ -5886,9 +5886,11 @@ object ExtQueries {
     "pipeline_store_maintained" -> pipelineStoreMaintainedSql,
     "pipeline_store_maintained_vec" -> pipelineStoreMaintainedVecSql,
     // the maintained graph's oracle IS the from-scratch graph at the
-    // store's fixed width: the hash proves the whole persisted fold
-    // lifecycle (id guard, pruning, merge, snapshot) exact
-    "pipeline_store_maintained_knn" -> simKnnGraphSql,
+    // store's width — the AUTO width the corpus runs, which both
+    // sides derive from the same n>0-filtered count: the hash proves
+    // the whole persisted fold lifecycle (id guard, pruning, merge,
+    // snapshot) exact
+    "pipeline_store_maintained_knn" -> simKnnGraphAutoSql,
     "pipeline_curate_mm" -> pipelineCurateMmSql,
     "pipeline_assemble_mm" -> pipelineAssembleMmSql,
     "tx_dsir" -> txDsirSql,

@@ -1140,8 +1140,18 @@ object StoreMaintenance {
     * the pruned stored rows, [[graft.operators.Similarity.graphMerge]]
     * re-top-k, per-batch graph snapshot, `_SUCCESS` commits — into a
     * fresh persisted store, and return the FINAL maintained graph.
-    * The oracle is the from-scratch k-NN graph at the store's fixed
-    * width (`sim_knn_graph`'s SQL): the graph fold has no admission
+    * The store is CREATED at the width its corpus runs —
+    * [[graft.operators.Similarity.autoBits]] of the usable
+    * (non-zero-norm) corpus count, the sink-configuration decision an
+    * operator makes once when standing a store up for a corpus this
+    * size (the sim_knn_upsert convention; a fixed NARROW width over a
+    * 100x corpus is exactly the degenerate-occupancy shape the
+    * advisor/reband lifecycle exists to prevent, and its oracle would
+    * be a 5-billion-pair join neither engine should run) — and every
+    * fold then runs at the store's own self-described width. The
+    * oracle is the from-scratch k-NN graph at the SAME auto width
+    * (`sim_knn_graph_auto`'s SQL, whose abits CTE derives the width
+    * from the same filtered count): the graph fold has no admission
     * gate, so after N batches the maintained snapshot must equal the
     * graph built from the whole relation in one shot — that is
     * exactly the upsert-merge ≡ from-scratch law KnnRebandSpec pins
@@ -1151,16 +1161,22 @@ object StoreMaintenance {
     * after materialization (the replay-family convention). */
   def maintainedKnnGraphReplay(vecs: DataFrame, nBatches: Int = 3,
                                k: Int = 4, nBands: Int = 4,
-                               bitsPerBand: Int = 4): DataFrame = {
+                               targetOccupancy: Long = 128L): DataFrame = {
     val spark = vecs.sparkSession
     val dir = java.nio.file.Files
       .createTempDirectory("graft-maintained-knn-replay").toString
     val base = vecs.select(
       to_timestamp(lit("2020-01-01 00:00:00")).as("ts"),
-      col("vec_id"), col("embedding"))
+      col("vec_id"), col("embedding")).localCheckpoint(true)
+    // the usable-corpus count -- the same n>0-filtered base the
+    // oracle's abits CTE counts
+    val usable = base
+      .where(V.qnorm2(V.quantize(col("embedding"))) > 0).count()
+    val bits =
+      graft.operators.Similarity.autoBits(usable, targetOccupancy)
     for (b <- 0 until nBatches)
       foldKnnGraphBatch(base.where(pmod(col("vec_id"), lit(nBatches)) === b),
-        b.toLong, dir, k, nBands, bitsPerBand)
+        b.toLong, dir, k, nBands, bits)
     val out = knnGraphCurrent(spark, dir).get
       .orderBy("vec_id", "rank").localCheckpoint(true)
     rm(new java.io.File(dir))

@@ -611,11 +611,20 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq.sorted
+    // at this N the auto width is the 4-bit floor — ≡ knnGraph(4×4)
     val fresh = rows(Similarity.knnGraph(vecs))
     assert(fresh.nonEmpty && !fresh.exists(_._1 == 90L))
     for (n <- Seq(1, 3, 5))
       assert(rows(StoreMaintenance.maintainedKnnGraphReplay(vecs, n)) ==
         fresh, s"replay at nBatches=$n diverged from the from-scratch graph")
+    // across a width boundary (occupancy=2 ⇒ autoBits(37)=5): the
+    // store is CREATED at the corpus's auto width and the replay
+    // equals the auto builder at the same knob
+    val freshAuto = rows(Similarity.knnGraphAuto(vecs, targetOccupancy = 2L))
+    assert(freshAuto != fresh, "width boundary not exercised")
+    assert(rows(StoreMaintenance.maintainedKnnGraphReplay(vecs, 3,
+      targetOccupancy = 2L)) == freshAuto,
+      "auto-width replay diverged from the auto from-scratch graph")
   }
 
   test("in-generation auto-compaction (r15, VERDICT #5): a maintained " +
