@@ -180,6 +180,16 @@ object StoreMaintenance {
     * per-segment on the driver; at warehouse scale the sidecar rides
     * the same segment lifecycle as the data (compaction and the
     * reband migrations rebuild it with their rewrite, below). */
+  /** Per-ID digest FPR. The guard probes a segment with the batch's
+    * WHOLE distinct-id set, so the per-segment false-suspect rate
+    * COMPOSITES: P(suspect) = 1 − (1−fpp)^B ≈ B·fpp. At 1e-2 a
+    * 2,000-id batch would flag every segment on every fold (the scan
+    * the digest exists to avoid — r16 self-review finding); at 1e-6
+    * it is ~0.2% per segment at B=2,000 and ~0.75% at B=7,500 —
+    * about one spurious segment scan per few hundred folds — for
+    * ~29 bits/id of sidecar (3.6 bytes/id, vs 1.2 at 1%). */
+  private val IdBloomFpp = 1e-6
+
   private def writeIdBloom(ids: DataFrame, idCol: String,
                            dir: String): Unit = {
     val n = ids.count()
@@ -188,21 +198,27 @@ object StoreMaintenance {
     // returns a null buffer over zero rows
     val bf =
       if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L)
-      else ids.stat.bloomFilter(idCol, n, 0.01)
+      else ids.stat.bloomFilter(idCol, n, IdBloomFpp)
     val out = java.nio.file.Files.newOutputStream(
       java.nio.file.Paths.get(dir, "_IDBLOOM"))
     try bf.writeTo(out) finally out.close()
   }
 
+  /** A MISSING sidecar means "always scan this segment" (the legacy
+    * fallback) — and so does a CORRUPT one (r16 self-review: a power
+    * loss can leave a truncated sidecar beside an otherwise-committed
+    * segment, and nothing ever rewrites a committed segment's
+    * sidecar, so throwing here would wedge the sink permanently;
+    * degrading to the exact scan is always correct). */
   private def readIdBloom(dir: String)
       : Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = new File(dir, "_IDBLOOM")
     if (!f.exists) None
-    else {
+    else try {
       val in = java.nio.file.Files.newInputStream(f.toPath)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
-    }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** The stored ids that might collide with `probeIds`, digest-pruned
@@ -869,18 +885,23 @@ object StoreMaintenance {
     // guard — no zero-norm coverage, exactly what that store always
     // had).
     val arrivals = {
-      val guardIds: Option[DataFrame] =
+      // (stored ids to anti-join against, the batch-id relation) —
+      // in the digest branch the collected probe ids are handed back
+      // via idsDf instead of recomputing the window-dedup'd arrivals0
+      // a second time (r16 self-review)
+      val guard: Option[(DataFrame, DataFrame)] =
         if (readerDirs(storeDir, "docs").nonEmpty) {
           val probeIds = arrivals0.select("vec_id").distinct()
             .collect().map(_.getLong(0))
           storedIdsFor(spark, storeDir, "vec_id", probeIds)
-        } else storedOpt.map(_.select("vec_id").distinct())
-      (guardIds match {
+            .map(stored => (stored, idsDf(spark, probeIds, "vec_id")))
+        } else storedOpt.map(s => (s.select("vec_id").distinct(),
+          arrivals0.select("vec_id").distinct()))
+      (guard match {
         case None => arrivals0
-        case Some(ids0) =>
-          val storedDup = ids0
-            .join(broadcast(arrivals0.select("vec_id").distinct()),
-              Seq("vec_id"), "left_semi")
+        case Some((stored, batchIds)) =>
+          val storedDup = stored
+            .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
           arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
       }).localCheckpoint(true)
     }

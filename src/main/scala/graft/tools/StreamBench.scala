@@ -124,15 +124,7 @@ object StreamBench {
     val perBatch =
       sys.env.getOrElse("STREAMBENCH_ROWS_PER_BATCH", "2500").toInt
     val kind = sys.env.getOrElse("STREAMBENCH_KIND", "all")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = benchSession()
     import spark.implicits._
     import graft.streaming.StoreMaintenance
     def ts(minute: Int) = new Timestamp((100000 + minute) * 60000L)
