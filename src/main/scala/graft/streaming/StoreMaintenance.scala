@@ -218,7 +218,13 @@ object StoreMaintenance {
       val in = java.nio.file.Files.newInputStream(f.toPath)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: a TRUNCATED buffer surfaces
+      // as BufferUnderflowException, garbage as IllegalArgumentException
+      // (the spec plants the truncation — catching IOException alone
+      // left the wedge the fix claimed to close)
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** The stored ids that might collide with `probeIds`, digest-pruned

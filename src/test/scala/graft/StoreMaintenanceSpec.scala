@@ -477,6 +477,17 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(new java.io.File(s"$store/docs/b6/_IDBLOOM").exists,
       "new folds must re-digest their own segment")
 
+    // a CORRUPT sidecar degrades to the scan like a missing one —
+    // never throws, never skips the guard (r16 self-review #2: a
+    // truncated digest beside a committed segment would otherwise
+    // wedge the sink permanently)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/docs/b6/_IDBLOOM"),
+      Array[Byte](1, 2, 3))
+    StoreMaintenance.foldTextBatch(b(4, 6L -> "ey", 7L -> "ok"), 7L, store)
+    assert(docIds(store).sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "corrupt sidecar must scan-fallback: redelivered 6 guarded, 7 admitted")
+
     // knn: the every-batch guard across a compaction (zero-norm incl.)
     val g = tmp("graft-digest-knn")
     def vb(m: Int, ids: Range) = (ids.map(i => (ts(m), i.toLong, vec(i))) :+
