@@ -352,24 +352,38 @@ object Similarity {
     * over (their stored edges ∪ new edges); unaffected nodes carried
     * through an anti-join untouched. Exact by the displacement
     * argument in [[knnGraphUpsert]]'s Scaladoc. */
-  private[graft] def graphMerge(gOld: DataFrame, scored: DataFrame,
-      k: Int): DataFrame = {
+  /** The AFFECTED-node half of [[graphMerge]] (r16): the re-top-k of
+    * (the affected nodes' old rows ∪ the new directed edges) — only
+    * these nodes' rows can change under a merge, so this IS the
+    * graph DELTA a persisted store needs to write per batch.
+    * `gOldRows` only needs to CONTAIN the affected nodes' old rows
+    * (the inner join prunes anything else), which is what lets the
+    * streaming fold feed it a store read pruned to the affected ids
+    * instead of the whole graph. */
+  private[graft] def graphMergeDelta(gOldRows: DataFrame,
+      scored: DataFrame, k: Int): DataFrame = {
     val directedNew = scored.select(col("vec_a").as("vec_id"),
         col("vec_b").as("neighbor_id"), col("cos_ppm"))
       .union(scored.select(col("vec_b").as("vec_id"),
         col("vec_a").as("neighbor_id"), col("cos_ppm")))
     val affected = directedNew.select("vec_id").distinct()
-    val merged = gOld.select("vec_id", "neighbor_id", "cos_ppm")
+    val merged = gOldRows.select("vec_id", "neighbor_id", "cos_ppm")
       .join(affected, "vec_id")
       .unionByName(directedNew)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_ppm").desc, col("neighbor_id").asc)
-    val recomputed = merged
+    merged
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "cos_ppm")
+  }
+
+  private[graft] def graphMerge(gOld: DataFrame, scored: DataFrame,
+      k: Int): DataFrame = {
+    val affected = scored.select(col("vec_a").as("vec_id"))
+      .union(scored.select(col("vec_b").as("vec_id"))).distinct()
     gOld.join(affected, Seq("vec_id"), "left_anti")
-      .unionByName(recomputed)
+      .unionByName(graphMergeDelta(gOld, scored, k))
       .orderBy("vec_id", "rank")
   }
 

@@ -318,20 +318,27 @@ object StoreMaintenance {
     val last = live.max
     val kinds = kindsAll.filter(k => segDirs(storeDir, k).nonEmpty)
     kinds.foreach { kind =>
-      val src =
-        if (kind == "graph") Seq(s"$storeDir/graph/b$last") // snapshot
-        else readerDirs(storeDir, kind)
-      // mergeSchema: legacy segments consolidated with new-fold ones
-      // must not drop the width columns (r16, ADVICE)
-      spark.read.option("mergeSchema", "true").parquet(src: _*)
-        .write.mode("overwrite").parquet(s"$storeDir/$kind/c$last")
-      if (kind == "docs") {
-        // the consolidated segment's id digest, recomputed from the
-        // rewrite (covers legacy inputs that never had one) — landed
-        // before the manifest, so a manifested c always has it
-        val c = spark.read.parquet(s"$storeDir/docs/c$last")
-        val idCol = if (c.columns.contains("doc_id")) "doc_id" else "vec_id"
-        writeIdBloom(c.select(idCol), idCol, s"$storeDir/docs/c$last")
+      if (kind == "graph") {
+        // the consolidated graph is the RESOLVED current graph (r16:
+        // per-batch graph segments are DELTAS, so no single dir is
+        // the whole graph any more); the c segment is total, so it
+        // shadows every covered delta per node
+        knnGraphCurrent(spark, storeDir).foreach(_.write.mode("overwrite")
+          .parquet(s"$storeDir/graph/c$last"))
+      } else {
+        val src = readerDirs(storeDir, kind)
+        // mergeSchema: legacy segments consolidated with new-fold ones
+        // must not drop the width columns (r16, ADVICE)
+        spark.read.option("mergeSchema", "true").parquet(src: _*)
+          .write.mode("overwrite").parquet(s"$storeDir/$kind/c$last")
+        if (kind == "docs") {
+          // the consolidated segment's id digest, recomputed from the
+          // rewrite (covers legacy inputs that never had one) — landed
+          // before the manifest, so a manifested c always has it
+          val c = spark.read.parquet(s"$storeDir/docs/c$last")
+          val idCol = if (c.columns.contains("doc_id")) "doc_id" else "vec_id"
+          writeIdBloom(c.select(idCol), idCol, s"$storeDir/docs/c$last")
+        }
       }
     }
     val manifest = (coveredIds(storeDir) ++ live).toSeq.sorted
@@ -807,25 +814,63 @@ object StoreMaintenance {
   private def graphDir(storeDir: String, batchId: Long): String =
     s"$storeDir/graph/b$batchId"
 
-  /** The current maintained graph: the snapshot written by the LAST
-    * committed fold (or its compaction rewrite — `c` wins over `b`
-    * at the same id). A `b` graph snapshot counts only if its batch
-    * COMMITTED (the rows `_SUCCESS` / covered manifest) — the graph
-    * is written BEFORE the commit marker, so a crash-orphaned
-    * snapshot must be invisible to the replay that rebuilds it.
-    * (vec_id, rank, neighbor_id, cos_ppm). */
+  /** The current maintained graph, RESOLVED from per-batch DELTA
+    * segments (r16 — the fold's last store-sized WRITE removed): each
+    * fold writes only its AFFECTED nodes' recomputed rows
+    * ([[graft.operators.Similarity.graphMergeDelta]]), so the current
+    * graph is, per node, the rows of the NEWEST committed segment
+    * that contains it. Exact because a merge can only change affected
+    * nodes (the upsert law — everything else is carried), an affected
+    * node's delta rows are its COMPLETE new state (so newest-segment
+    * shadowing is total per node), and a node's edge set never
+    * empties once it has an edge (re-top-k only improves, so a node
+    * can never need to DISAPPEAR — the one case latest-containing
+    * resolution could not express). A legacy FULL snapshot, a
+    * compaction consolidation, and a reband rewrite are the special
+    * case that contains every node and shadows everything older. A
+    * `b` segment counts only if its batch COMMITTED (the graph is
+    * written BEFORE the commit marker, so a crash-orphaned delta is
+    * invisible to the replay that rewrites it); a `c` only once its
+    * rows twin carries the manifest, with a newer segment of either
+    * kind shadowing per-node anything a lingering superseded dir
+    * still holds. (vec_id, rank, neighbor_id, cos_ppm). */
   def knnGraphCurrent(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    graphResolve(spark, storeDir, None)
+
+  /** Committed graph segments as (path, resolution ordinal) — `c`
+    * outranks `b` at the same id. */
+  private def committedGraphSegs(storeDir: String): Seq[(String, Long)] =
     segDirs(storeDir, "graph")
       .filter { f =>
-        // a c graph counts only once its rows twin carries the
-        // manifest (r15 — an orphaned mid-crash compaction copy or a
-        // superseded rewrite must never shadow the live snapshot)
         if (f.getName.startsWith("c"))
           new File(s"$storeDir/rows/${f.getName}/_COVERED").exists
         else isCommitted(storeDir, f.getName.drop(1).toLong)
       }
-      .sortBy(f => (f.getName.drop(1).toLong, f.getName.startsWith("c")))
-      .lastOption.map(f => spark.read.parquet(f.getPath))
+      .map(f => (f.getPath, f.getName.drop(1).toLong * 2 +
+        (if (f.getName.startsWith("c")) 1L else 0L)))
+
+  /** Latest-per-node resolution over the committed graph segments,
+    * optionally PRUNED to `onlyIds` (semi-join per segment BEFORE the
+    * union — the fold's merge base reads only the affected ids'
+    * rows; at warehouse scale a node-bucketed segment layout makes
+    * that pruned read partition-prunable too). No broadcast hint:
+    * the ids side is batch × occupancy-bounded, and Spark sizes it. */
+  private def graphResolve(spark: SparkSession, storeDir: String,
+      onlyIds: Option[DataFrame]): Option[DataFrame] = {
+    val segs = committedGraphSegs(storeDir)
+    if (segs.isEmpty) None
+    else {
+      val parts = segs.map { case (p, ord) =>
+        val df = spark.read.parquet(p)
+        onlyIds.map(ids => df.join(ids, Seq("vec_id"), "left_semi"))
+          .getOrElse(df).withColumn("_seg", lit(ord))
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      Some(parts.reduce(_ unionByName _)
+        .withColumn("_mx", max(col("_seg")).over(w))
+        .where(col("_seg") === col("_mx")).drop("_seg", "_mx"))
+    }
+  }
 
   /** One transactional k-NN graph fold
     * ([[graft.operators.Similarity.knnGraphUpsert]]'s merge under the
@@ -833,9 +878,13 @@ object StoreMaintenance {
     * (band keys are per-vector content functions at a FIXED width),
     * so the fold joins the batch's band rows against the stored ∪
     * batch rows, scores only those pairs (stored rows carry qe/qn —
-    * the corpus is never re-quantized), and merges via the affected-
-    * node re-top-k whose exactness the upsert Scaladoc proves. The
-    * graph snapshot is written BEFORE the band rows' `_SUCCESS`, so
+    * the corpus is never re-quantized), and recomputes ONLY the
+    * affected nodes via the re-top-k whose exactness the upsert
+    * Scaladoc proves — written as the batch's graph DELTA segment
+    * (r16; [[knnGraphCurrent]] resolves latest-per-node), with the
+    * merge base read from the stored graph PRUNED to the affected
+    * ids, so the fold neither reads nor writes the O(N·k) graph.
+    * The graph delta is written BEFORE the band rows' `_SUCCESS`, so
     * a committed batch always has its graph; a crash between the two
     * replays deterministically (the graph dir is overwritten from
     * the same committed-store state). Zero-norm vectors carry no
@@ -949,18 +998,26 @@ object StoreMaintenance {
     val scoredNew = S.scorePairs(pairs,
       allRows.select("vec_id", "qe", "qn").distinct())
       .localCheckpoint(true)
-    val merged = knnGraphCurrent(spark, storeDir) match {
+    // the batch's graph DELTA (r16): only the affected nodes' rows
+    // are recomputed and written — the merge base is the stored
+    // graph resolved FOR those ids only, so the fold neither reads
+    // nor writes the full O(N·k) graph (the last store-sized
+    // read/write pair this fold had)
+    val affectedIds = scoredNew.select(col("vec_a").as("vec_id"))
+      .union(scoredNew.select(col("vec_b").as("vec_id"))).distinct()
+      .localCheckpoint(true)
+    val delta = graphResolve(spark, storeDir, Some(affectedIds)) match {
       case None => S.graphFromScored(scoredNew, k)
-      case Some(gOld) => S.graphMerge(gOld, scoredNew, k)
+      case Some(gAff) => S.graphMergeDelta(gAff, scoredNew, k)
     }
     // docs first (the self-contained record a width migration rebuilds
-    // from — r15), then the graph snapshot; the band rows' _SUCCESS
+    // from — r15), then the graph delta; the band rows' _SUCCESS
     // commits the batch, so neither is readable before the commit
     arrivals.select("ts", "vec_id", "embedding")
       .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
     writeIdBloom(arrivals.select("vec_id"), "vec_id",
       docsDir(storeDir, batchId))
-    merged.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
+    delta.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
     batchRows.write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }
 

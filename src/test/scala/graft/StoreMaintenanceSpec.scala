@@ -611,6 +611,55 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("graph DELTA segments (r16): a fold writes ONLY its affected " +
+    "nodes' rows, latest-per-node resolution reconstructs the full " +
+    "graph, and a knn compaction consolidates to the resolved graph") {
+    import graft.operators.Similarity
+    def posVec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => (0.1f + ((seed * 31 + d * 7) % 89) / 100.0f))
+    def negVec(seed: Int): Seq[Float] = posVec(seed).map(-_)
+    val store = tmp("graft-delta-knn")
+    // group A (all-positive) and group B (all-negative) never share a
+    // sign bucket, so batch 1 (B only) cannot affect A's nodes
+    val b0 = Seq((ts(0), 1L, posVec(1)), (ts(0), 2L, posVec(2)),
+      (ts(0), 10L, negVec(10)), (ts(0), 11L, negVec(11)))
+    val b1 = Seq((ts(1), 12L, negVec(12)), (ts(1), 13L, negVec(13)))
+    StoreMaintenance.foldKnnGraphBatch(
+      b0.toDF("ts", "vec_id", "embedding"), 0L, store)
+    StoreMaintenance.foldKnnGraphBatch(
+      b1.toDF("ts", "vec_id", "embedding"), 1L, store)
+    val seg1Ids = spark.read.parquet(s"$store/graph/b1")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!seg1Ids.contains(1L) && !seg1Ids.contains(2L),
+      s"unaffected nodes must not be rewritten into the delta: $seg1Ids")
+    assert(seg1Ids == Set(10L, 11L, 12L, 13L), s"affected set: $seg1Ids")
+    def graphOf(s: String) = StoreMaintenance.knnGraphCurrent(spark, s).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val fresh = Similarity.knnGraph((b0 ++ b1)
+      .toDF("ts", "vec_id", "embedding").select("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(graphOf(store) == fresh,
+      "delta resolution diverged from the from-scratch graph")
+    // compaction consolidates to the RESOLVED graph (total segment)
+    assert(StoreMaintenance.compactStore(spark, store) == 2)
+    assert(graphOf(store) == fresh, "compaction changed the graph")
+    val cIds = spark.read.parquet(s"$store/graph/c1")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cIds == Set(1L, 2L, 10L, 11L, 12L, 13L),
+      s"the consolidated graph segment must be total: $cIds")
+    // and folds continue on the compacted store
+    StoreMaintenance.foldKnnGraphBatch(
+      Seq((ts(2), 3L, posVec(3))).toDF("ts", "vec_id", "embedding"),
+      2L, store)
+    val fresh2 = Similarity.knnGraph((b0 ++ b1 :+ (ts(2), 3L, posVec(3)))
+      .toDF("ts", "vec_id", "embedding").select("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(graphOf(store) == fresh2)
+  }
+
   test("maintainedKnnGraphReplay (r16, VERDICT r15 #1): the declared " +
     "replay equals the from-scratch graph at the store width for any " +
     "batch split (the upsert-merge law under the persisted lifecycle), " +
