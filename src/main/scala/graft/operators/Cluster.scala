@@ -28,16 +28,23 @@ import graft.functions.{vectorNative, VectorOps => V}
   */
 object Cluster {
 
-  /** Above this k, the assign stage switches from k plan-literal
-    * per-centroid expressions (`least()` over structs — elegant and
-    * oracle-exact, but generated-code size grows linearly with k and
-    * trips JVM 64 KB method limits / codegen fallback around k ≈ 10³)
-    * to ONE native [[graft.functions.CentroidArgmin]] whose codebook
-    * is a single broadcast reference object — O(1) plan size at any
-    * k, same exact-integer (dist, cid) ranking. k = √N (SemDedup's
-    * production rule) reaches 10⁴–10⁵ at 100 TB, far past the
-    * literal form's ceiling. Both paths are oracle-checked; specs
-    * force the native path at small k to pin parity. */
+  /** Ceiling of the plan-literal argmin form (k per-centroid
+    * expressions, `least()` over structs): generated-code size grows
+    * linearly with k and trips JVM 64 KB method limits / codegen
+    * fallback around k ≈ 10³, where the native
+    * [[graft.functions.CentroidArgmin]] (codebook = ONE reference
+    * object) has O(1) plan size at any k with the same exact-integer
+    * (dist, cid) ranking. r16 measurement: the native form wins at
+    * EVERY k, not just past the ceiling — the literal form's
+    * per-centroid dot is `aggregate(zip_with(...))`, and Spark's
+    * higher-order functions are CodegenFallback (interpreted per row
+    * per centroid), while its k literal subtrees are re-analyzed by
+    * the driver on every run (sim_knn_ivfpq 2.25 → 0.85 s at sf0.1,
+    * ~60% of the before-wall was driver planning of a 134 kB plan —
+    * OPTIMIZATION_r16.md). Every default is therefore the native
+    * path (litMaxK = 0); this constant remains as the spec knob that
+    * forces the literal form to pin bit-parity of the two
+    * implementations, and as documentation of that form's ceiling. */
   val LiteralArgminMaxK: Int = 512
 
   /** (vec_id, qe, qn, cid) after `iters` Lloyd rounds + final assign. */
@@ -133,7 +140,7 @@ object Cluster {
     * is exact double in both engines. */
   def kmeansOutliers(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                      keepFrac: Double = 0.9,
-                     literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame = {
+                     literalArgminMaxK: Int = 0): DataFrame = {
     val base = Similarity.quantized(embeddings).localCheckpoint(true)
     val (assign, cents) = kmeansFit(base, k, iters, literalArgminMaxK)
     val spark = embeddings.sparkSession
@@ -161,7 +168,7 @@ object Cluster {
     * [[LiteralArgminMaxK]]); pass 0 to force the native-codebook
     * path at any k. */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
-                   literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame =
+                   literalArgminMaxK: Int = 0): DataFrame =
     kmeansFull(embeddings, k, iters, literalArgminMaxK)
       .select("vec_id", "cid").orderBy("vec_id")
 
@@ -205,7 +212,7 @@ object Cluster {
     * base CTE); the fixed-k dd_semdedup stays as the pinned anchor. */
   def semDedupAuto(embeddings: DataFrame, iters: Int = 2,
                    minCosPpm: Long = 450000L,
-                   literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame = {
+                   literalArgminMaxK: Int = 0): DataFrame = {
     val base = Similarity.quantized(embeddings).localCheckpoint(true)
     val k = math.max(8, math.sqrt(base.count().toDouble).toInt)
     semDedupFromAssign(kmeansFromBase(base, k, iters, literalArgminMaxK),
@@ -221,7 +228,7 @@ object Cluster {
     * E[cluster] constant — SemDedup runs k ≈ √N). */
   def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                minCosPpm: Long = 450000L,
-               literalArgminMaxK: Int = LiteralArgminMaxK): DataFrame =
+               literalArgminMaxK: Int = 0): DataFrame =
     semDedupFromAssign(kmeansFull(embeddings, k, iters, literalArgminMaxK),
       minCosPpm)
 

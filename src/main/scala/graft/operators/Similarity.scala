@@ -656,14 +656,10 @@ object Similarity {
       .select("vec_id", "qe", "qn").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .toSeq.sortBy(_._1)
-    val distStructs = cents.map { case (cid, ce, cn) =>
-      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
-        lit(0L), (a, v) => a + v)
-      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
-    }
-    val byDist = array_sort(array(distStructs: _*))
+    // native argmin on the every-row assign (r16, the knnIvf change)
     surv.select(col("vec_id"),
-        element_at(byDist, 1).getField("cid").as("cid"))
+        vectorNative.centroid_argmin(col("qe"), col("qn"),
+          cents.map(_._1), cents.map(_._2.toSeq)).as("cid"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"),
         max("vec_id").as("max_vec_id"))
@@ -691,13 +687,9 @@ object Similarity {
       .select("vec_id", "qe", "qn").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .toSeq.sortBy(_._1)
-    val distStructs = cents.map { case (cid, ce, cn) =>
-      val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
-        lit(0L), (a, v) => a + v)
-      struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
-    }
-    val byDist = array_sort(array(distStructs: _*))
-    base.select(element_at(byDist, 1).getField("cid").as("cid"))
+    // native argmin on the every-row assign (r16, the knnIvf change)
+    base.select(vectorNative.centroid_argmin(col("qe"), col("qn"),
+      cents.map(_._1), cents.map(_._2.toSeq)).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
       .crossJoin(broadcast(base.agg(count(lit(1)).as("total"))))
       .select(col("cid"), col("n_vectors"),
@@ -817,14 +809,23 @@ object Similarity {
       .select("vec_id", "qe", "qn").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .toSeq.sortBy(_._1)
+    // assign runs on EVERY corpus row: the native argmin (one
+    // codegen'd reference-object expression) replaces the r6 form
+    // element_at(array_sort(array(k structs with aggregate/zip_with
+    // dots)), 1) — higher-order functions are CodegenFallback, so
+    // that form interpreted k dots per row (r16; same (dist, cid)
+    // ranking, parity pinned in VectorNativeSpec). The sorted struct
+    // array survives below ONLY for the probe lists, evaluated on
+    // the nQueries-row filter.
+    val assign = base.select(col("vec_id"), col("qe"), col("qn"),
+      vectorNative.centroid_argmin(col("qe"), col("qn"),
+        cents.map(_._1), cents.map(_._2.toSeq)).as("cid"))
     val distStructs = cents.map { case (cid, ce, cn) =>
       val dot = aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
         lit(0L), (a, v) => a + v)
       struct((col("qn") + cn - lit(2L) * dot).as("dist"), lit(cid).as("cid"))
     }
     val byDist = array_sort(array(distStructs: _*))
-    val assign = base.select(col("vec_id"), col("qe"), col("qn"),
-      element_at(byDist, 1).getField("cid").as("cid"))
     val probes = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(transform(slice(byDist, 1, nProbe), s => s.getField("cid")))
@@ -875,7 +876,7 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
                nCentroids: Int = 8, nProbe: Int = 2,
                nSub: Int = 8, nCodes: Int = 16,
-               literalArgminMaxK: Int = Cluster.LiteralArgminMaxK): DataFrame = {
+               literalArgminMaxK: Int = 0): DataFrame = {
     val base = quantized(embeddings)
     // collect through nQueries too: `queries` in ivfPqSearch is sliced
     // from this same collect, and collecting only max(nCentroids,
@@ -908,7 +909,7 @@ object Similarity {
                       nCentroids: Int = 8, nProbe: Int = 2,
                       nSub: Int = 8, nCodes: Int = 16,
                       iters: Int = 2,
-                      literalArgminMaxK: Int = Cluster.LiteralArgminMaxK): DataFrame = {
+                      literalArgminMaxK: Int = 0): DataFrame = {
     // the fit iterates over the quantized base: materialize it once
     val base = quantized(embeddings).localCheckpoint(true)
     // nQueries included for the same reason as knnIvfPq: the query
@@ -1308,10 +1309,13 @@ object Similarity {
     }
     val byDist = array_sort(array(distStructs: _*))
     // the cell's stored representation IS the code: reconstruct once
-    // per stored vector, full-precision column never read again
+    // per stored vector, full-precision column never read again.
+    // Native argmin on the every-row assign (r16, the knnIvf change);
+    // byDist survives for the nQueries-row probe lists only.
     val assign = base
       .select(col("vec_id"), col("qe"),
-        element_at(byDist, 1).getField("cid").as("cid"))
+        vectorNative.centroid_argmin(col("qe"), col("qn"),
+          cents.map(_._1), cents.map(_._2.toSeq)).as("cid"))
       .withColumn("mn", array_min(col("qe")))
       .withColumn("mx", array_max(col("qe")))
       .withColumn("recon", expr(
@@ -1489,13 +1493,10 @@ object Similarity {
     def centDot(ce: Seq[Long]): Column =
       aggregate(zip_with(col("qe"), typedLit(ce), (x, y) => x * y),
         lit(0L), (a, v) => a + v)
-    val distStructs = cents.map { case (cid, ce, cn) =>
-      struct((col("qn") + cn - lit(2L) * centDot(ce)).as("dist"),
-        lit(cid).as("cid"))
-    }
-    val byDist = array_sort(array(distStructs: _*))
+    // native argmin on the every-row assign (r16, the knnIvf change)
     val assign = base.select(col("vec_id"), col("qe"),
-      element_at(byDist, 1).getField("cid").as("cid"))
+      vectorNative.centroid_argmin(col("qe"), col("qn"),
+        cents.map(_._1), cents.map(_._2.toSeq)).as("cid"))
     // probe ranking: (-dot, cid) ascending == dot descending, ties
     // to the lowest cid — the array_sort trick [[knnIvf]] uses for
     // L2, negated for inner product

@@ -99,7 +99,9 @@ object JobProfile {
         once()
         val wall = (System.nanoTime() - t0) / 1e9
         // drain listener-bus stragglers before reading the maps
-        spark.sparkContext.listenerBus.waitUntilEmpty()
+        // (listenerBus is private[spark]; a short sleep suffices for
+        // a dev tool — job-end events land within milliseconds)
+        Thread.sleep(300)
         collecting = false
         println(f"%n[jobprofile] $name rep $rep wall=$wall%.2fs " +
           s"jobs=${jobs.size}")

@@ -74,19 +74,22 @@ class ClusterSpec extends AnyFunSuite {
   }
 
   test("native-codebook argmin path == literal path (kmeans, semdedup_auto, ivfpq)") {
-    // literalArgminMaxK = 0 forces the CentroidArgmin reference-object
-    // form (the k > 512 scale path) at small k, pinning bit-parity of
-    // the two assign/encode implementations on the real corpus
+    // The default is the native CentroidArgmin reference-object form
+    // (r16 — see Cluster.LiteralArgminMaxK); passing the ceiling as
+    // literalArgminMaxK forces the k-plan-literal `least()` form at
+    // small k, pinning bit-parity of the two assign/encode
+    // implementations on the real corpus.
+    val lit = Cluster.LiteralArgminMaxK
     val emb = Tables.embeddings(spark, sf)
     assert(Cluster.kmeansAssign(emb).collect().toSeq ==
-      Cluster.kmeansAssign(emb, literalArgminMaxK = 0).collect().toSeq)
+      Cluster.kmeansAssign(emb, literalArgminMaxK = lit).collect().toSeq)
     assert(Cluster.semDedupAuto(emb).collect().toSeq ==
-      Cluster.semDedupAuto(emb, literalArgminMaxK = 0).collect().toSeq)
+      Cluster.semDedupAuto(emb, literalArgminMaxK = lit).collect().toSeq)
     assert(graft.operators.Similarity.knnIvfPq(emb).collect().toSeq ==
-      graft.operators.Similarity.knnIvfPq(emb, literalArgminMaxK = 0)
+      graft.operators.Similarity.knnIvfPq(emb, literalArgminMaxK = lit)
         .collect().toSeq)
     assert(graft.operators.Similarity.knnIvfPqTrained(emb).collect().toSeq ==
-      graft.operators.Similarity.knnIvfPqTrained(emb, literalArgminMaxK = 0)
+      graft.operators.Similarity.knnIvfPqTrained(emb, literalArgminMaxK = lit)
         .collect().toSeq)
   }
 
