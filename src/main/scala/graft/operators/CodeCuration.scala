@@ -128,7 +128,12 @@ object CodeCuration {
     * (r10: the bind + slice shape took the sf0.1 gram build from
     * 2.3 s to ~0.3 s). */
   def codeGramTable(docs: DataFrame, n: Int = 4): DataFrame =
-    Partitioning.spread(renderCode(docs))
+    // spread the RAW docs, render after the exchange (r16): the
+    // render chain is indexed-lambda HOFs (interpreted), so it must
+    // run at cluster parallelism, and the spread shuffle then carries
+    // raw doc rows, not the ~4.5x larger rendered string (JobProfile:
+    // 0.63 s single-task render feeding a 3.7 MB exchange before)
+    renderCode(Partitioning.spread(docs))
       .select(col("doc_id"),
         explode(array(stmtLines(normalizeCode(col("code"))))).as("stmts"))
       .select(col("doc_id"), explode(stmtGrams(col("stmts"), n)).as("sh"))
@@ -139,7 +144,7 @@ object CodeCuration {
     * finds nothing (CodeAssemblySpec asserts zero pairs); only the
     * normalization pass recovers the structural similarity. */
   private[graft] def codeGramTableRaw(docs: DataFrame, n: Int = 4): DataFrame =
-    Partitioning.spread(renderCode(docs))
+    renderCode(Partitioning.spread(docs)) // r16: see codeGramTable
       .select(col("doc_id"),
         explode(array(stmtLines(col("code")))).as("stmts"))
       .select(col("doc_id"), explode(stmtGrams(col("stmts"), n)).as("sh"))
@@ -152,7 +157,7 @@ object CodeCuration {
   def codeMeta(docs: DataFrame): DataFrame = {
     val code = col("code")
     val lines = split(code, "\n")
-    renderCode(docs).select(
+    renderCode(Partitioning.spread(docs)).select( // r16: see codeGramTable
       col("doc_id"),
       size(lines).cast("long").as("n_lines"),
       length(code).cast("long").as("n_chars"),

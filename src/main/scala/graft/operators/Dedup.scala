@@ -1148,7 +1148,11 @@ object Dedup {
     * on blocking, not the verify, is what keeps 100 TB feasible. */
   def editVerified(docs: DataFrame, snipLen: Int = 96, gramLen: Int = 16,
                    maxDf: Int = 16, maxDist: Int = 24): DataFrame = {
-    val snip = docs
+    // spread BEFORE the gram explode (r16): single-row-group bench
+    // parquet arrives as one partition, so the explode + substr ran
+    // single-threaded (JobProfile: 0.5 s on 1 task feeding a 5.4 MB
+    // exchange) — the same hygiene every other gram builder applies
+    val snip = graft.functions.Partitioning.spread(docs)
       .where(length(col("text")) >= gramLen)
       .select(col("doc_id"), substring(col("text"), 1, snipLen).as("sn"))
     val grams = snip.select(col("doc_id"),
@@ -1161,6 +1165,23 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
+      // Pin the verify stage to cluster parallelism (r16): its cost
+      // is CPU per PAIR (a banded DP over snipLen×maxDist cells),
+      // which AQE's byte-based partition coalescing cannot see — at
+      // sf0.1 it folded the verify onto 2 tasks (~2.4 MB of pairs)
+      // and the banded DP ran 2-way on a 32-core box (JobProfile:
+      // 1.19 s wall / 2 tasks on the verify job). A user repartition
+      // is exempt from AQE coalescing; it must key on doc_a ALONE —
+      // (doc_a, doc_b) would reproduce the distinct's partitioning
+      // exactly and be removed as redundant, putting the verify back
+      // on the coalescible ENSURE_REQUIREMENTS exchange. Keying one
+      // side is safe: per-doc_a pair fan-out is bounded by the
+      // df-cap (≤ maxDf per shared gram). The exchange carries only
+      // the pair ids; the snippet joins below preserve its
+      // partitioning, so the DP runs at cluster parallelism — the
+      // FLOOR a CPU-dense kernel wants at any scale.
+      .repartition(snip.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"))
       .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
       .join(snip.select(col("doc_id").as("doc_b"), col("sn").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -13,14 +13,19 @@ object TimeQuery {
     val names = args(1).split(',').toSeq
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B config experiments (dev tool): semicolon-separated k=v list
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
