@@ -1696,7 +1696,12 @@ object Dedup {
   }
 
   /** Sign-LSH band table for vectors — shared by the self-join, the
-    * incremental probe, and the bucketed snapshot writer. */
+    * incremental probe, and the bucketed snapshot writer. Measured
+    * and deliberately NOT spread (r16): the explode + exchange write
+    * do ride the bench parquet's single scan partition (~0.4 s), but
+    * a spread first was a wall wash at sf0.1 — the 32-way explode
+    * pays ~0.25 s/task of fixed stage cost — and adds an exchange
+    * the well-split production scan never needs. */
   private[graft] def vectorBands(embeddings: DataFrame, nBands: Int,
       bitsPerBand: Int): DataFrame =
     embeddings.select(col("vec_id"),

@@ -217,6 +217,13 @@ object Graph {
       when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
       when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
       when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+    // Measured and deliberately NOT repartitioned (r16): pinning the
+    // wedge join to cluster parallelism (the rel_basket fix) left its
+    // wall unchanged here — the stage's cost is ~0.36 s of fixed
+    // per-task setup (two broadcast degree tables), so 32 tasks cost
+    // 32× the CPU of 3 tasks for the same wall. rel_basket's pair
+    // stage, with one broadcast and a heavier per-row aggregate, DID
+    // win from the same change (1.99 → 1.40 s).
     val wedges = arcs.as("x")
       .join(arcs.as("y"), col("x.src") === col("y.src"))
       .where((col("x.ddst") < col("y.ddst")) ||

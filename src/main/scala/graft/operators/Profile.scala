@@ -27,6 +27,14 @@ object Profile {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
       countDistinct(col(c)).as(s"nd_$c")))
+    // Measured and deliberately NOT spread (r16): the Expand's
+    // partial phase runs 3-way here (row-group-split-bound), but a
+    // round-robin spread first COSTS more than it parallelizes —
+    // 1.35 → 1.69 s at sf0.1 — because the partial multi-distinct
+    // aggregate riding the pruned vectorized scan is far cheaper per
+    // row than the same partials over shuffled rows (plus the
+    // keyless repartition's sort-before-repartition pass). At scale
+    // the scan has real splits and the question disappears.
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
     one.selectExpr("n_rows",

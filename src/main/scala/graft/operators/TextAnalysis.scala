@@ -1086,12 +1086,29 @@ object TextAnalysis {
   /** [[ngramLm]] without the deterministic output sort, for
     * composition ([[lmBuckets]] re-partitions by lang anyway). */
   def ngramLmRaw(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    // spread before the bigram explode (r16): `pairs` feeds THREE
+    // aggregate branches (c12, c1, the scoring join), each replaying
+    // the tokenize+explode — on the bench parquet's single scan
+    // partition all three replays ran single-threaded (JobProfile:
+    // 3 × ~0.4 s one-task jobs in tx_lm_buckets). No-op on
+    // well-split input; the corpus-sized pairs stream itself stays
+    // un-materialized by design (rescans are storage-parallel).
+    // Bigrams via the slice/zip_with shape, NOT an indexed lambda
+    // (r16): higher-order lambdas are interpreted, and
+    // transform(sequence(…), i -> struct(w[i], w[i+1])) pays the
+    // per-element dispatch twice per bigram — the same trap
+    // TextOps.wordShinglesHof documents (~10× there). The two
+    // shifted slices are plain array reads; the word array is
+    // Generate-BOUND so project-collapse cannot re-inline the
+    // split() into each slice reference.
     val pairs = docs
-      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array(TextOps.words(col("text")))).as("w"))
       .where(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), " +
-          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))

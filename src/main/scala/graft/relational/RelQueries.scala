@@ -1932,8 +1932,17 @@ object RelQueries {
       .filter(col("n_item") >= minItemSupport)
     val totals = baskets.agg(
       countDistinct(col("okey")).as("n_orders"))
+    // User repartition on the join key (r16): the self-join's input
+    // exchange was ENSURE_REQUIREMENTS, which AQE coalesced to 5
+    // tasks at sf0.1 (6 MB of pruned baskets) while the pair
+    // fan-out + aggregate are CPU-dense (JobProfile: 2.4 s of task
+    // time on 5 tasks). A user repartition is exempt from
+    // coalescing, and both self-join sides still reuse this ONE
+    // exchange. Scale-adaptive (cluster parallelism), same key the
+    // join needs — no extra shuffle at any scale.
     val pruned = baskets.join(broadcast(itemCnt), "pkey")
       .select(col("okey"), col("pkey"), col("n_item"))
+      .repartition(spark.sparkContext.defaultParallelism, col("okey"))
     val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
       .groupBy(col("a.pkey").as("p1"), col("b.pkey").as("p2"),
