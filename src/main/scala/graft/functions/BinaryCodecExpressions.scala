@@ -37,11 +37,19 @@ case class BigEndianInt4Decode(child: Expression)
     else ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff)
   }
 
+  // Static-helper call, NOT inlined bit arithmetic (r16): janino
+  // misparses `(($c[1] & 0xff) << 16)` when `$c` is a mutable-state
+  // array reference (a binary-literal child gets hoisted to
+  // `project_mutableStateArray_0[0]`, and janino then reads the
+  // parenthesized operand of `<<` as a cast type — "Expression …
+  // is not a type"), failing whole-stage compilation and silently
+  // dropping the stage to interpreted execution. The helper-call
+  // pattern every other expression here uses sidesteps the parser
+  // bug and keeps the decode inside codegen in every shape.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       if ($c.length == 4) {
-        ${ev.value} = ((($c[0] & 0xff) << 24) | (($c[1] & 0xff) << 16)
-          | (($c[2] & 0xff) << 8) | ($c[3] & 0xff));
+        ${ev.value} = graft.functions.GraftExprs.beInt4($c);
       } else {
         ${ev.isNull} = true;
       }""")
@@ -107,6 +115,11 @@ case class RandLowercase(left: Expression, right: Expression)
 
 /** Static helpers callable from generated Java code. */
 object GraftExprs {
+  /** Big-endian 4-byte decode (callers check length == 4). */
+  def beInt4(b: Array[Byte]): Int =
+    ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+      ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+
   /** xorshift64-based [a-z] string; null for negative length. */
   def randLowercase(seed: Long, len: Int): UTF8String = {
     if (len < 0) return null

@@ -35,6 +35,30 @@ class CodecSpec extends AnyFunSuite {
     assert(rows.collect().forall(_.isNullAt(0)))
   }
 
+  test("decode codegen compiles in the literal/hoisted-child shape (no fallback)") {
+    // r16: janino misparses `((c[1] & 0xff) << 16)` when the child is
+    // a mutable-state array reference (binary-literal children get
+    // hoisted), so the inlined-arithmetic doGenCode failed whole-stage
+    // compilation and the stage silently ran interpreted. Disabling
+    // the fallback makes that failure FATAL, so this test fails on the
+    // inlined form and passes on the static-helper form. The driving
+    // plan is the flagship entry at sf0.001 — the exact shape that
+    // logged `CodeGenerator: Failed to compile` in the r16 test run —
+    // plus a direct literal-child decode.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val branches = graft.SparkEntry.entry(spark).collect()
+      assert(branches.nonEmpty)
+      val lits = spark.range(1).select(
+        codecs.be_int4_decode(lit(Array[Byte](0, 0, 1, 0))).as("a"),
+        codecs.be_int4_decode(codecs.be_int4_encode(lit(-7))).as("b"))
+        .collect().head
+      assert(lits.getInt(0) == 256 && lits.getInt(1) == -7)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("decode is big-endian (matches java.nio / Kafka IntegerDeserializer)") {
     val ns = Seq.fill(200)(rng.nextInt())
     ns.foreach { n =>
