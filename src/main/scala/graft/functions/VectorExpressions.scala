@@ -47,6 +47,27 @@ object VectorNative {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** Count of agreeing slots between two signature arrays — the
+    * native form of the HOF estimator
+    * `aggregate(zip_with(a, b, (x,y) => when(x===y,1L).otherwise(0L)),
+    *            0L, _+_)`.
+    * Bit-identical semantics: zip_with pads the shorter side with
+    * nulls and `when(null === y, …)` falls to the 0 branch, so a
+    * length mismatch or a null element contributes 0 (NOT null) and
+    * the count never nulls out — unlike [[qdot]]. Asserted equal to
+    * the HOF form in VectorNativeSpec. */
+  def sigAgree(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        acc += 1L
+      i += 1
+    }
+    acc
+  }
 }
 
 case class QuantizeVector(child: Expression, q: Int)
@@ -83,6 +104,30 @@ case class QDotLong(left: Expression, right: Expression)
       java.lang.Long ${ev.value}_boxed = graft.functions.VectorNative.qdot($a, $b);
       if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_boxed.longValue(); }""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Signature-agreement count (see [[VectorNative.sigAgree]]) — the
+  * verify-stage kernel of the minhash/OPH estimator families
+  * (Dedup.estimated, StreamingCuration.ophEstPpm). The HOF form it
+  * replaces is CodegenFallback: one interpreted closure dispatch per
+  * slot per candidate pair, K=64 per pair across every *_recall /
+  * calibration / threshold-curve rung. Null only on null INPUT
+  * arrays (null elements count 0, matching when-otherwise). */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorNative.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorNative.sigAgree($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -181,6 +226,9 @@ object vectorNative {
     ColumnBridge.column(QuantizeVector(ColumnBridge.expression(v), q))
   def qdot(a: Column, b: Column): Column =
     ColumnBridge.column(QDotLong(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+  def sig_agree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
   def centroid_argmin(vec: Column, norm: Column, cids: Seq[Long],
       cents: Seq[Seq[Long]], offset: Int = 0): Column =

@@ -547,12 +547,17 @@ object Dedup {
   /** Signature-agreement estimator tail over a (doc_a, doc_b, sig_a,
     * sig_b) pair set — split out of [[lshPairsFrom]] so the
     * incremental store ops ([[minhashLshUpsert]]) can score just
-    * their delta pairs. */
+    * their delta pairs. The agree count is the native codegen'd
+    * [[graft.functions.vectorNative.sig_agree]] (r17): the HOF form
+    * `aggregate(zip_with(when(x===y,…)))` is CodegenFallback — K=64
+    * interpreted closure dispatches per candidate pair — and this
+    * tail runs on EVERY pair of every minhash/OPH recall /
+    * calibration / threshold-curve rung. Bit-parity with the HOF
+    * form is pinned in VectorNativeSpec. */
   private def estimated(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_matching"))
+        graft.functions.vectorNative
+          .sig_agree(col("sig_a"), col("sig_b")).as("n_matching"))
       .withColumn("est_jaccard_ppm",
         floor(lit(1000000.0) * col("n_matching") / PH.MinhashK).cast("long"))
       .orderBy("doc_a", "doc_b")
@@ -1177,9 +1182,14 @@ object Dedup {
       // on the coalescible ENSURE_REQUIREMENTS exchange. Keying one
       // side is safe: per-doc_a pair fan-out is bounded by the
       // df-cap (≤ maxDf per shared gram). The exchange carries only
-      // the pair ids; the snippet joins below preserve its
-      // partitioning, so the DP runs at cluster parallelism — the
-      // FLOOR a CPU-dense kernel wants at any scale.
+      // the pair ids. The snippet joins below preserve its
+      // partitioning WHILE they plan as broadcast (true at bench
+      // scale; plan-checked r16) — if snip outgrows the broadcast
+      // threshold, the doc_b join re-exchanges and the verify rides
+      // that exchange instead, which at that data volume carries
+      // enough bytes that AQE's byte-based coalescing yields real
+      // parallelism on its own; the repartition is the small-input
+      // floor, not a load-bearing invariant at scale (r16 ADVICE).
       .repartition(snip.sparkSession.sparkContext.defaultParallelism,
         col("doc_a"))
       .join(snip.select(col("doc_id").as("doc_a"), col("sn").as("sa")), "doc_a")
@@ -1551,9 +1561,8 @@ object Dedup {
     val nearDup = nb.join(cb, Seq("band", "bucket"))
       .select(col("doc_id"), col("sig"), col("csig")).distinct()
       .select(col("doc_id"),
-        aggregate(zip_with(col("sig"), col("csig"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_matching"))
+        graft.functions.vectorNative
+          .sig_agree(col("sig"), col("csig")).as("n_matching"))
       .where(floor(lit(1000000.0) * col("n_matching") / PH.MinhashK)
         .cast("long") >= minEstJaccardPpm)
       .select(col("doc_id").as("n_id")).distinct()

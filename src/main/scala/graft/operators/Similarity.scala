@@ -596,7 +596,11 @@ object Similarity {
       newPB1.select("vec_a", "vec_b").distinct(), baseAll)
       .localCheckpoint(true)
     val pairBands01 = pairBands0.unionByName(newPB1)
-    val scores01 = scores0.unionByName(scoresNew1).localCheckpoint(true)
+    // NOT checkpointed (r17): both arms are already checkpointed and
+    // the union has exactly ONE consumer (the reband branch's carried-
+    // score join; unused entirely when w2 == w1) — the checkpoint was
+    // a pure extra action per run
+    val scores01 = scores0.unionByName(scoresNew1)
     val g1 = graphMerge(g0, scoresNew1, k).localCheckpoint(true)
     // (3) REBAND w1 → w2: extension-bit agreement over the stored
     // band rows, scores carried — no pair self-join, no re-scoring

@@ -686,6 +686,11 @@ object TextAnalysis {
     * partitions — same expression, partitioned window. */
   def tokenPack(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
     val nTok = size(TextOps.words(col("text"))).cast("long")
+    // weak-by-design anchor (unpartitioned running-sum window — the
+    // WindowExec single-partition warning in the Verify log): kept
+    // as the oracle-pinned sequential-packing anchor; the 100 TB
+    // scale twin is [[tokenPackBy]] / tx_pack_bylang (same
+    // expression over a partitioned window).
     val before = Window.orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), nTok.as("n_tokens"))
@@ -1086,13 +1091,14 @@ object TextAnalysis {
   /** [[ngramLm]] without the deterministic output sort, for
     * composition ([[lmBuckets]] re-partitions by lang anyway). */
   def ngramLmRaw(docs: DataFrame, minCount: Long = 2L): DataFrame = {
-    // spread before the bigram explode (r16): `pairs` feeds THREE
-    // aggregate branches (c12, c1, the scoring join), each replaying
-    // the tokenize+explode — on the bench parquet's single scan
-    // partition all three replays ran single-threaded (JobProfile:
-    // 3 × ~0.4 s one-task jobs in tx_lm_buckets). No-op on
-    // well-split input; the corpus-sized pairs stream itself stays
-    // un-materialized by design (rescans are storage-parallel).
+    // spread before the bigram explode (r17 — r16's comment described
+    // this but the call never landed): `pairs` feeds THREE aggregate
+    // branches (c12, c1, the scoring join), each replaying the
+    // tokenize+explode — on the bench parquet's single scan partition
+    // all three replays ran single-threaded (JobProfile: 3 × ~0.4 s
+    // one-task jobs in tx_lm_buckets). No-op on well-split input; the
+    // corpus-sized pairs stream itself stays un-materialized by
+    // design (rescans are storage-parallel).
     // Bigrams via the slice/zip_with shape, NOT an indexed lambda
     // (r16): higher-order lambdas are interpreted, and
     // transform(sequence(…), i -> struct(w[i], w[i+1])) pays the
@@ -1101,7 +1107,7 @@ object TextAnalysis {
     // shifted slices are plain array reads; the word array is
     // Generate-BOUND so project-collapse cannot re-inline the
     // split() into each slice reference.
-    val pairs = docs
+    val pairs = graft.functions.Partitioning.spread(docs)
       .select(col("doc_id"),
         explode(array(TextOps.words(col("text")))).as("w"))
       .where(size(col("w")) >= 2)

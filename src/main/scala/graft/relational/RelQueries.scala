@@ -1651,6 +1651,14 @@ object RelQueries {
         (col("corpus_last") - col("last_day")).as("r_days"),
         col("f_cnt"), col("m_c"), col("n"))
     def quintiles(dim: String): DataFrame = {
+      // weak-by-design anchor (unpartitioned window = one global
+      // sort of the per-customer table, the WindowExec warning in
+      // the Verify log): the exact nearest-rank thresholds are the
+      // oracle-pinned correctness anchor; the 100 TB scale twin is
+      // rfmSegmentsApprox / x_rfm_approx (approx_percentile, no
+      // global sort). Note the sort input is the per-CUSTOMER
+      // aggregate, not the orders table, and is discarded down to 4
+      // threshold values immediately.
       val w = Window.orderBy(dim)
       val ranked = feats.select(col(dim), col("n"))
         .withColumn("rn", row_number().over(w).cast("long") - 1L)

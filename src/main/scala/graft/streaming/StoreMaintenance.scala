@@ -204,6 +204,30 @@ object StoreMaintenance {
     try bf.writeTo(out) finally out.close()
   }
 
+  /** Write a docs segment AND its `_IDBLOOM` sidecar under the fold
+    * write-ordering contract (segment parquet first, sidecar second,
+    * commit marker elsewhere/later), with the segment's row count
+    * OBSERVED from the write action itself (r17, VERDICT r16 #2 —
+    * per-fold driver round-trips): the digest previously cost a
+    * count() job plus the filter aggregation; the observed count
+    * removes the count() job from every fold. Same sidecar bytes:
+    * one id per docs row, so the observed row count equals the old
+    * `ids.count()` exactly. */
+  private def writeDocsWithBloom(docs: DataFrame, idCol: String,
+                                 dir: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    docs.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L)
+      else docs.stat.bloomFilter(idCol, n, IdBloomFpp)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(dir, "_IDBLOOM"))
+    try bf.writeTo(out) finally out.close()
+  }
+
   /** A MISSING sidecar means "always scan this segment" (the legacy
     * fallback) — and so does a CORRUPT one (r16 self-review: a power
     * loss can leave a truncated sidecar beside an otherwise-committed
@@ -591,16 +615,18 @@ object StoreMaintenance {
         graft.functions.textNative.oph_sig(col("text"), shingleN)))
     // coalesce: hasShingles is NULL for a null text payload, and a
     // null-text doc IS admitted unconditionally (sig null) — the
-    // guard trigger must see it as gate-invisible too (r15 review)
-    val hasSigless = !batchC
+    // guard trigger must see it as gate-invisible too (r15 review).
+    // r17 (VERDICT #2, driver round-trips): the sigless probe ids are
+    // collected directly — nonEmpty IS the old isEmpty trigger — so
+    // the trigger check and the probe-id collect are ONE job on the
+    // checkpointed batch instead of two.
+    val probeIds = batchC
       .where(!coalesce(
         StreamingCuration.hasShingles(col("text"), shingleN), lit(false)))
-      .isEmpty
-    val base = if (!hasSigless) base0 else {
+      .select("doc_id").distinct().collect().map(_.getLong(0))
+    val base = if (probeIds.isEmpty) base0 else {
       // digest-pruned guard (r16): probe the per-segment id blooms
       // with the batch's sigless ids; only suspect segments are read
-      val probeIds = base0.where(col("sig").isNull)
-        .select("doc_id").distinct().collect().map(_.getLong(0))
       storedIdsFor(spark, storeDir, "doc_id", probeIds) match {
         case None => base0
         case Some(stored) =>
@@ -637,10 +663,8 @@ object StoreMaintenance {
     val admittedC = admitted.localCheckpoint(true)
     // docs first (+ their id digest); the band rows' _SUCCESS commits
     // the transaction, so a crash replay rewrites both
-    admittedC.select("ts", "doc_id", "text")
-      .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
-    writeIdBloom(admittedC.select("doc_id"), "doc_id",
-      docsDir(storeDir, batchId))
+    writeDocsWithBloom(admittedC.select("ts", "doc_id", "text"),
+      "doc_id", docsDir(storeDir, batchId))
     admittedC.where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until arm).map(b =>
@@ -746,11 +770,12 @@ object StoreMaintenance {
     // band-row filter (admitted, edge/candidate-less) and must be
     // guard-covered exactly like zero-norm (r15 review)
     val gateInvisible = !coalesce(col("na") > 0, lit(false))
-    val hasZeroNorm = !base0.where(gateInvisible).isEmpty
-    val base = if (!hasZeroNorm) base0 else {
+    // r17 (VERDICT #2): trigger check and probe-id collect fused into
+    // one job — see foldTextBatch
+    val probeIds = base0.where(gateInvisible)
+      .select("vec_id").distinct().collect().map(_.getLong(0))
+    val base = if (probeIds.isEmpty) base0 else {
       // digest-pruned guard (r16) — see foldTextBatch
-      val probeIds = base0.where(gateInvisible)
-        .select("vec_id").distinct().collect().map(_.getLong(0))
       storedIdsFor(spark, storeDir, "vec_id", probeIds) match {
         case None => base0
         case Some(stored) =>
@@ -781,10 +806,8 @@ object StoreMaintenance {
           bitsRun, minCosPpm)
     }
     val admittedC = admitted.localCheckpoint(true)
-    admittedC.select("ts", "vec_id", "embedding")
-      .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
-    writeIdBloom(admittedC.select("vec_id"), "vec_id",
-      docsDir(storeDir, batchId))
+    writeDocsWithBloom(admittedC.select("ts", "vec_id", "embedding"),
+      "vec_id", docsDir(storeDir, batchId))
     admittedC.where(col("na") > 0)
       .select(col("vec_id"), col("qa").as("qb"), col("na").as("nb"),
         posexplode(array((0 until bandsRun).map(b =>
@@ -940,25 +963,33 @@ object StoreMaintenance {
     // guard — no zero-norm coverage, exactly what that store always
     // had).
     val arrivals = {
+      // r17 (VERDICT r16 #2): checkpoint the window-dedup'd arrivals
+      // FIRST, then collect the probe ids from the checkpoint — the
+      // collect previously re-ran the whole window dedup a second
+      // time before the checkpoint did it again. Steady state (no
+      // redelivery, guard finds nothing) pays the same number of
+      // actions but the dedup shuffle runs once, not twice; only an
+      // actual redelivery pays the second (anti-joined) checkpoint.
+      val a0 = arrivals0.localCheckpoint(true)
       // (stored ids to anti-join against, the batch-id relation) —
       // in the digest branch the collected probe ids are handed back
-      // via idsDf instead of recomputing the window-dedup'd arrivals0
-      // a second time (r16 self-review)
+      // via idsDf instead of recomputing the dedup (r16 self-review)
       val guard: Option[(DataFrame, DataFrame)] =
         if (readerDirs(storeDir, "docs").nonEmpty) {
-          val probeIds = arrivals0.select("vec_id").distinct()
+          val probeIds = a0.select("vec_id").distinct()
             .collect().map(_.getLong(0))
           storedIdsFor(spark, storeDir, "vec_id", probeIds)
             .map(stored => (stored, idsDf(spark, probeIds, "vec_id")))
         } else storedOpt.map(s => (s.select("vec_id").distinct(),
-          arrivals0.select("vec_id").distinct()))
-      (guard match {
-        case None => arrivals0
+          a0.select("vec_id").distinct()))
+      guard match {
+        case None => a0
         case Some((stored, batchIds)) =>
           val storedDup = stored
             .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
-          arrivals0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
-      }).localCheckpoint(true)
+          a0.join(broadcast(storedDup), Seq("vec_id"), "left_anti")
+            .localCheckpoint(true)
+      }
     }
     val batchRows = arrivals
       .select(col("vec_id"), col("embedding"),
@@ -1003,9 +1034,14 @@ object StoreMaintenance {
     // graph resolved FOR those ids only, so the fold neither reads
     // nor writes the full O(N·k) graph (the last store-sized
     // read/write pair this fold had)
+    // NOT checkpointed (r17, VERDICT r16 #2): scoredNew above IS
+    // checkpointed, so each per-segment semi-join reference in
+    // graphResolve re-derives this union+distinct from the
+    // materialized batch-sized pairs inside the delta write job —
+    // cheaper than the extra per-fold checkpoint action it replaced
+    // (segment count is bounded by compactEvery).
     val affectedIds = scoredNew.select(col("vec_a").as("vec_id"))
       .union(scoredNew.select(col("vec_b").as("vec_id"))).distinct()
-      .localCheckpoint(true)
     val delta = graphResolve(spark, storeDir, Some(affectedIds)) match {
       case None => S.graphFromScored(scoredNew, k)
       case Some(gAff) => S.graphMergeDelta(gAff, scoredNew, k)
@@ -1013,10 +1049,8 @@ object StoreMaintenance {
     // docs first (the self-contained record a width migration rebuilds
     // from — r15), then the graph delta; the band rows' _SUCCESS
     // commits the batch, so neither is readable before the commit
-    arrivals.select("ts", "vec_id", "embedding")
-      .write.mode("overwrite").parquet(docsDir(storeDir, batchId))
-    writeIdBloom(arrivals.select("vec_id"), "vec_id",
-      docsDir(storeDir, batchId))
+    writeDocsWithBloom(arrivals.select("ts", "vec_id", "embedding"),
+      "vec_id", docsDir(storeDir, batchId))
     delta.write.mode("overwrite").parquet(graphDir(storeDir, batchId))
     batchRows.write.mode("overwrite").parquet(rowsDir(storeDir, batchId))
   }

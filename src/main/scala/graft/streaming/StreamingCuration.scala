@@ -183,12 +183,16 @@ object StreamingCuration {
     concat_ws(":", (0 until rowsPerBand).map(r =>
       get(sig, lit(b * rowsPerBand + r)).cast("string")): _*)
 
-  /** Signature-agreement MinHash Jaccard estimate in ppm. */
+  /** Signature-agreement MinHash Jaccard estimate in ppm. The agree
+    * count is the native [[graft.functions.vectorNative.sig_agree]]
+    * (r17) — this runs inside `exists(cands, …)` per candidate per
+    * band, where the HOF `aggregate(zip_with(when))` form cost K=64
+    * interpreted dispatches per candidate (parity pinned in
+    * VectorNativeSpec). */
   private[graft] def ophEstPpm(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.{PortableHash => PH}
-    floor(lit(1000000.0) * aggregate(zip_with(a, b, (x, y) =>
-      when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+    floor(lit(1000000.0) * graft.functions.vectorNative.sig_agree(a, b)
       / PH.MinhashK).cast("long")
   }
 

@@ -47,7 +47,9 @@ object JobProfile {
 
     val jobs = mutable.LinkedHashMap[Int, Rec]()
     val stageToJob = mutable.HashMap[Int, Int]()
-    var collecting = false
+    // written by the main thread, read from the listener-bus thread —
+    // volatile so rep-boundary flips are visible (r16 ADVICE)
+    @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (collecting) synchronized {

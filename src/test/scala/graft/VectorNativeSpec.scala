@@ -43,6 +43,39 @@ class VectorNativeSpec extends AnyFunSuite {
       a.length != b.length && got(i.toLong).isEmpty })
   }
 
+  test("native sig_agree == HOF estimator spec incl. length mismatch and nulls") {
+    import graft.functions.vectorNative
+    // signature-shaped arrays: small value range so slots actually
+    // agree; occasional null elements and length mismatches exercise
+    // the zip_with-padding / when-otherwise 0 branches
+    val slotGen = Gen.frequency(9 -> Gen.chooseNum(0L, 4L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val sigGen = for {
+      n <- Gen.chooseNum(0, 12)
+      s <- Gen.listOfN(n, slotGen)
+    } yield s
+    val pairs = Gen.listOfN(150, Gen.zip(sigGen, sigGen)).sample.get
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val want = df.select(col("id"), hof).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = df.select(col("id"), vectorNative.sig_agree(col("a"), col("b")))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == want)
+    // sanity: some pair actually agreed somewhere (the generator is
+    // hot enough that an all-zero run means a broken test)
+    assert(got.values.flatten.exists(_ > 0))
+    // null INPUT array is null in both forms
+    val withNull = Seq((0L, Seq(1L, 2L), Option.empty[Seq[Long]]))
+      .toDF("id", "a", "b")
+    assert(withNull.select(vectorNative.sig_agree(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("native centroid_argmin == least()-over-literals argmin (ties, offsets)") {
     import graft.functions.vectorNative
     val dim = 8
