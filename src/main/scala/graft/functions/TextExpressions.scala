@@ -102,6 +102,139 @@ object TextNative {
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
+  /** ALL positional word n-grams — duplicates kept, document order —
+    * the native twin of the zip_with-concat chain in
+    * `TextOps.wordShinglesAllHof` (r17): that chain paid one
+    * interpreted zip_with pass per extra gram word, ~16 s of task
+    * CPU in dd_span_scrub's fan-out stage at sf0.1 (JobProfile).
+    * Empty array (not null) for docs shorter than n words, exactly
+    * like slice(ws, 1, 0). Parity in TextNativeSpec. */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val cnt = words.length - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional h31 hashes of ALL word n-grams — duplicates kept, in
+    * document order — the native fusion of
+    * `transform(TextOps.wordShinglesAll(text, n), g => PH.h31(g))`
+    * (r17, the winnowing input): the HOF chain built each gram via
+    * interpreted zip_with string concats and hashed it through an
+    * interpreted transform lambda; here both happen in one while
+    * loop. Empty array (NOT null) for docs shorter than n words —
+    * matching slice(ws, 1, 0)'s empty result; null only on null
+    * input (handled by the expression wrapper). Bit-parity with the
+    * HOF form is pinned in TextNativeSpec. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val cnt = words.length - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val p = PortableHash.P31
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = h48(sb.toString) % p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Robust-winnowing selection (Schleimer–Wilkerson–Aiken) over a
+    * hash sequence: per window of `w` consecutive hashes (1-based
+    * starts 1..max(n-w+1, 1), tail window clamped), select the
+    * RIGHTMOST minimal hash and pack (pos·2³¹ + hash); first-
+    * occurrence distinct, in window order. Exact twin of the nested
+    * HOF form it replaces (TextAnalysis.winnowSelected r7): per
+    * window that form paid two `slice` allocations, an interpreted
+    * filter over a generated sequence, array_min twice and
+    * array_max — ~15 s of task CPU and ~1 s of GC at sf0.1
+    * (JobProfile dd_winnow_pairs). Null elements are skipped like
+    * array_min does; an all-null window selects nothing (the HOF's
+    * array_max-over-empty → null → filtered). Parity incl. null and
+    * short-doc cases pinned in TextNativeSpec. */
+  def winnowSelect(hv: ArrayData, w: Int): ArrayData = {
+    val n = hv.numElements()
+    val upTo = math.max(n - (w - 1), 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 1
+    while (i <= upTo) {
+      val end = math.min(i + w - 1, n)
+      var mn = 0L
+      var any = false
+      var j = i
+      while (j <= end) {
+        if (!hv.isNullAt(j - 1)) {
+          val v = hv.getLong(j - 1)
+          if (!any || v < mn) { mn = v; any = true }
+        }
+        j += 1
+      }
+      if (any) {
+        var pos = 0L
+        j = i
+        while (j <= end) {
+          if (!hv.isNullAt(j - 1) && hv.getLong(j - 1) == mn) pos = j.toLong
+          j += 1
+        }
+        val packed = pos * 2147483648L + mn
+        if (seen.add(packed)) out += packed
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct low-31-bit values of a packed (pos·2³¹ + fp) selection
+    * array, first-occurrence order — the native form of
+    * `array_distinct(transform(sel, p -> p % 2147483648))` feeding
+    * [[graft.operators.Dedup.winnowPairs]]'s explode (r17): the
+    * interpreted two-HOF chain was the last CodegenFallback in the
+    * winnow path. Null elements dropped like array_distinct keeps
+    * them... (they cannot occur: winnow_select emits non-null), but
+    * mirrored exactly anyway: a null element maps to null and
+    * array_distinct KEEPS one null — so does this. */
+  def packedLow31(sel: ArrayData): ArrayData = {
+    val n = sel.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var sawNull = false
+    var i = 0
+    while (i < n) {
+      if (sel.isNullAt(i)) {
+        if (!sawNull) { sawNull = true; out += null }
+      } else {
+        val v = sel.getLong(i) % 2147483648L
+        if (seen.add(v)) out += v
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash-48 of a document in ONE row-local pass: per space token,
     * add ±1 per fingerprint bit according to h48(token), then pack
     * bits with positive sums. Semantically identical to the
@@ -410,6 +543,77 @@ case class OphSig(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WordShinglesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_shingles_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.wordShinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.wordShinglesAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.winnowSelect(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.winnowSelect($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PackedLow31(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "packed_low31"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.packedLow31(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.packedLow31($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Simhash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -488,6 +692,14 @@ object textNative {
     ColumnBridge.column(DeflateSize(ColumnBridge.expression(text), level))
   def simhash48(text: Column): Column =
     ColumnBridge.column(Simhash48(ColumnBridge.expression(text)))
+  def shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+  def word_shingles_all(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShinglesAll(ColumnBridge.expression(text), n))
+  def winnow_select(hv: Column, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(hv), w))
+  def packed_low31(sel: Column): Column =
+    ColumnBridge.column(PackedLow31(ColumnBridge.expression(sel)))
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def fix_mojibake(text: Column): Column =

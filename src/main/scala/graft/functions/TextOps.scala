@@ -45,9 +45,17 @@ object TextOps {
 
   /** ALL word n-gram occurrences (NON-distinct, order-preserving) —
     * multiplicity matters for repetition signals, where
-    * [[wordShingles]]' distinct sets would erase the evidence. Same
-    * slice/zip_with shape (n splits per row, no indexed lambda). */
-  def wordShinglesAll(text: Column, n: Int): Column = {
+    * [[wordShingles]]' distinct sets would erase the evidence.
+    * Native expression since r17 ([[wordShinglesAllHof]] is the
+    * executable spec): the slice/zip_with chain paid one interpreted
+    * zip_with pass per extra gram word — ~16 s of task CPU in
+    * dd_span_scrub's fan-out stage at sf0.1. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    textNative.word_shingles_all(text, n)
+
+  /** HOF executable specification of [[wordShinglesAll]] (asserted
+    * equal in TextNativeSpec). */
+  private[graft] def wordShinglesAllHof(text: Column, n: Int): Column = {
     val ws = words(text)
     val len = greatest(size(ws) - lit(n - 1), lit(0))
     (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, k) =>

@@ -1066,6 +1066,21 @@ object Dedup {
       .join(keys.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      // Pin the verify tail to cluster parallelism (r17, exactly the
+      // editVerified pattern): the distinct's ENSURE exchange gets
+      // AQE-coalesced to 1 task (~0.5 MB of pair ids), and that one
+      // task then carries the broadcast shingle joins, the per-pair
+      // intersection count, both size joins and the containment
+      // filter (JobProfile: 0.78 s CPU on 1 task of a 2.5 s wall).
+      // Keyed on doc_a ALONE — (doc_a, doc_b) reproduces the
+      // distinct's partitioning and is pruned as redundant — and
+      // doc_a partitioning still SATISFIES the (doc_a, doc_b) agg's
+      // clustering, so no further exchange: the whole verify runs at
+      // 32 tasks. The exchange carries only pair ids. (A repartition
+      // placed after the shingle joins instead was measured WORSE,
+      // 2.0 → 3.05 s: it ships the expanded pair×shingle rows.)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -2294,13 +2309,22 @@ object Dedup {
     * sampling; a run in >50 docs is boilerplate, not plagiarism). */
   def winnowPairs(docs: DataFrame, minShared: Long = 2,
       maxBucket: Int = 50): DataFrame = {
+    // packed_low31 (r17): native form of the interpreted
+    // array_distinct(transform(sel, p -> p % 2^31)) — the last
+    // CodegenFallback HOF in this path (parity in TextNativeSpec)
     val fps = TextAnalysis.winnowSelected(docs, 3, 4)
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sel, p -> p % 2147483648))"))
+        explode(graft.functions.textNative.packed_low31(col("sel")))
           .as("fp"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // localCheckpoint (r17): `capped` feeds BOTH self-join sides, and
+    // the plan duplicated the whole scan → winnow → explode → window
+    // subtree under each (plan-audited: two `winnow_select(...)`
+    // projections) — the [[substringDup]] grams discipline,
+    // materialize the fan-out once
     val capped = fps.withColumn("bsz", count(lit(1)).over(w))
       .where(col("bsz") <= maxBucket).drop("bsz")
+      .localCheckpoint(true)
     capped.select(col("fp"), col("doc_id").as("doc_a"))
       .join(capped.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))

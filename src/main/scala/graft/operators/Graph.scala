@@ -217,13 +217,23 @@ object Graph {
       when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
       when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
       when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
-    // Measured and deliberately NOT repartitioned (r16): pinning the
-    // wedge join to cluster parallelism (the rel_basket fix) left its
-    // wall unchanged here — the stage's cost is ~0.36 s of fixed
-    // per-task setup (two broadcast degree tables), so 32 tasks cost
-    // 32× the CPU of 3 tasks for the same wall. rel_basket's pair
-    // stage, with one broadcast and a heavier per-row aggregate, DID
-    // win from the same change (1.99 → 1.40 s).
+    // Measured and deliberately NOT repartitioned — mechanism
+    // CORRECTED in r17 (VERDICT r16 #4): r16 blamed ~0.36 s/task of
+    // "fixed per-task setup (two broadcast degree tables)", but a
+    // controlled probe (tools/Scratch taskcost: constant work split
+    // over n ∈ 1..32 tasks, 0/1/2 broadcast joins) puts true
+    // per-task setup at ≤ 2 ms, and JobProfile's r17 deserialize
+    // split shows the wedge join itself is ~0.2 s CPU — cheap. The
+    // ~1 s of stage CPU lives in the CLOSING join + count, which the
+    // r16 wedge-side pin never touched (wedge and closing stages
+    // were fused at 3 tasks in the unpinned plan, so the pin moved
+    // only the cheap half — hence "wall unchanged, CPU ×10", which
+    // r16 misread as per-task setup). Pinning the CLOSING join on
+    // its (klo, khi) key was then A/B'd in r17: 1.67 → 2.64 s
+    // best-of-5 WORSE — the added wedge-stream exchange costs more
+    // than the ~0.3 s of serialized closing CPU it parallelizes at
+    // sf0.1. At scale the closing exchange carries real bytes and
+    // AQE sizes it to real parallelism on its own; left alone.
     val wedges = arcs.as("x")
       .join(arcs.as("y"), col("x.src") === col("y.src"))
       .where((col("x.ddst") < col("y.ddst")) ||

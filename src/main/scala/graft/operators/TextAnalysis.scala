@@ -1306,6 +1306,23 @@ object TextAnalysis {
     * engines. try_element_at: out-of-window index → NULL (= DuckDB's
     * hv[j]), never an ANSI error on the clamped tail window. */
   private[graft] def winnowSelected(docs: DataFrame, k: Int,
+      w: Int): DataFrame =
+    // native gram-hash + winnow kernels (r17, guide §4): the HOF form
+    // ([[winnowSelectedHof]], kept as the executable spec and the
+    // shape the DuckDB oracle restates) paid two slice allocations,
+    // an interpreted filter and two array_mins PER WINDOW — ~15 s of
+    // task CPU + ~1 s GC at sf0.1 (JobProfile dd_winnow_pairs).
+    // Bit-parity pinned in TextNativeSpec.
+    Partitioning.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.textNative
+          .shingle_hashes(col("text"), k).as("hv"))
+      .withColumn("sel",
+        graft.functions.textNative.winnow_select(col("hv"), w))
+
+  /** HOF executable specification of [[winnowSelected]] — asserted
+    * equal to the native kernels in TextNativeSpec. */
+  private[graft] def winnowSelectedHof(docs: DataFrame, k: Int,
       w: Int): DataFrame = {
     val hv = transform(TextOps.wordShinglesAll(col("text"), k),
       g => graft.functions.PortableHash.h31(g))

@@ -25,6 +25,9 @@ object JobProfile {
     var site = ""
     var nTasks = 0
     var taskNanos = 0L
+    var deserMs = 0L
+    var gcMs = 0L
+    var resSerMs = 0L
     var shufR = 0L
     var shufW = 0L
     var input = 0L
@@ -74,6 +77,11 @@ object JobProfile {
           } {
             r.nTasks += 1
             r.taskNanos += m.executorRunTime * 1000000L
+            // r17 (VERDICT #4): split the fixed per-task cost —
+            // executorRunTime EXCLUDES these three
+            r.deserMs += m.executorDeserializeTime
+            r.gcMs += m.jvmGCTime
+            r.resSerMs += m.resultSerializationTime
             r.shufR += m.shuffleReadMetrics.totalBytesRead
             r.shufW += m.shuffleWriteMetrics.bytesWritten
             r.input += m.inputMetrics.bytesRead
@@ -113,6 +121,8 @@ object JobProfile {
           val w = (r.end - r.start) / 1e3
           acct += w
           println(f"  job $id%3d ${w}%7.3fs task=${r.taskNanos / 1e9}%7.2fs " +
+            f"deser=${r.deserMs / 1e3}%6.2fs gc=${r.gcMs / 1e3}%5.2fs " +
+            f"rser=${r.resSerMs / 1e3}%5.2fs " +
             f"n=${r.nTasks}%4d shufR=${r.shufR / 1024}%8dK " +
             f"shufW=${r.shufW / 1024}%8dK in=${r.input / 1024}%8dK  ${r.site}")
         }

@@ -224,7 +224,85 @@ object Scratch {
     spark.stop()
   }
 
+  /** r17 probe (VERDICT r16 #4): decompose the ~0.2–0.4 s/task fixed
+    * stage cost that capped what parallelism buys at sf0.1. A FIXED
+    * total workload (1M pre-checkpointed rows) is split across
+    * n ∈ {1,2,4,8,16,32} tasks in three shapes — plain hash-agg, one
+    * broadcast join, two broadcast joins (the rel_triangles shape) —
+    * and a per-STAGE listener prints task count, summed
+    * executorRunTime, and summed deserialize time for every stage.
+    * If total CPU grows ~linearly with n at constant work, the
+    * per-task fixed cost is real; the variant that amplifies it
+    * names the mechanism. `runMain graft.tools.Scratch taskcost`. */
+  private def taskCostMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.collection.mutable
+    final class S { var n = 0; var run = 0L; var deser = 0L }
+    val stages = mutable.LinkedHashMap[Int, S]()
+    @volatile var on = false
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (on) stages.synchronized {
+            val s = stages.getOrElseUpdate(t.stageId, new S)
+            Option(t.taskMetrics).foreach { m =>
+              s.n += 1; s.run += m.executorRunTime
+              s.deser += m.executorDeserializeTime
+            }
+          }
+      })
+    val base = spark.range(1L << 20)
+      .select(col("id"), (col("id") % 1499).as("k")).localCheckpoint(true)
+    val small = spark.range(1499)
+      .select(col("id").as("k"), (col("id") * 7).as("v"))
+      .localCheckpoint(true)
+    val small2 = spark.range(1499)
+      .select(col("id").as("k2"), (col("id") * 13).as("w"))
+      .localCheckpoint(true)
+    def run(label: String)(f: => Unit): Unit = {
+      f // warmup
+      stages.synchronized(stages.clear()); on = true
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200); on = false
+      println(f"[taskcost] $label wall=$wall%.3fs")
+      stages.synchronized(stages.toSeq.sortBy(_._1)).foreach {
+        case (id, s) => println(f"    stage $id%4d n=${s.n}%3d " +
+          f"cpu=${s.run / 1e3}%7.3fs deser=${s.deser / 1e3}%6.3fs " +
+          f"cpu/task=${s.run / 1e3 / math.max(1, s.n)}%6.4fs")
+      }
+    }
+    for (n <- Seq(1, 2, 4, 8, 16, 32)) {
+      run(s"plain  n=$n") {
+        base.repartition(n)
+          .agg(sum(col("id") * 3 + col("k"))).collect(); ()
+      }
+      run(s"bjoin1 n=$n") {
+        base.repartition(n).join(broadcast(small), "k")
+          .agg(sum(col("v") + col("id"))).collect(); ()
+      }
+      run(s"bjoin2 n=$n") {
+        base.repartition(n).join(broadcast(small), "k")
+          .join(broadcast(small2), col("k") === col("k2"))
+          .agg(sum(col("v") + col("w"))).collect(); ()
+      }
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("taskcost")) {
+      taskCostMain()
+      return
+    }
     if (args.headOption.contains("ladder")) {
       ladderMain(args.lift(1).getOrElse("/root/testdata/sf0.1"))
       return

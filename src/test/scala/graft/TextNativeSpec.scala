@@ -37,6 +37,80 @@ class TextNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle_hashes + winnow_select == winnowSelected HOF spec " +
+      "(values and order, incl. short/empty docs)") {
+    import graft.operators.TextAnalysis
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 3))) {
+      def dump(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), col("hv"), col("sel")).collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+        .toMap
+      val got = dump(TextAnalysis.winnowSelected(df, k, w))
+      val want = dump(TextAnalysis.winnowSelectedHof(df, k, w))
+      cases.indices.foreach { i =>
+        assert(got(i.toLong) == want(i.toLong),
+          s"k=$k w=$w text='${cases(i)}': ${got(i.toLong)} != ${want(i.toLong)}")
+      }
+    }
+    // sparse synthetic hash arrays (duplicates, ties, nulls) directly
+    // through winnow_select vs the windowed HOF
+    val hvGen = for {
+      n <- Gen.chooseNum(0, 10)
+      v <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.chooseNum(0L, 6L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long])))
+    } yield v
+    val hvs = Gen.listOfN(120, hvGen).sample.get
+    val hdf = hvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "hv")
+    val w = 4
+    val gotN = hdf.select(col("id"),
+        graft.functions.textNative.winnow_select(col("hv"), w))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val wantN = hdf.withColumn("sel", expr(
+        s"filter(array_distinct(transform(sequence(1, greatest(size(hv) - ${w - 1}, 1)), i -> " +
+          s"array_max(filter(sequence(i, i + ${w - 1}), " +
+          s"j -> try_element_at(hv, j) = array_min(slice(hv, i, $w)))) " +
+          s"* 2147483648 + array_min(slice(hv, i, $w)))), " +
+          "p -> p IS NOT NULL)"))
+      .select(col("id"), col("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    hvs.indices.foreach { i =>
+      assert(gotN(i.toLong) == wantN(i.toLong),
+        s"hv=${hvs(i)}: ${gotN(i.toLong)} != ${wantN(i.toLong)}")
+    }
+    // packed_low31 == array_distinct(transform(sel, p % 2^31)) on the
+    // same generated arrays (incl. null elements)
+    val gotP = hdf.select(col("id"),
+        graft.functions.textNative.packed_low31(col("hv")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[java.lang.Long](1)))).toMap
+    val wantP = hdf.select(col("id"),
+        expr("array_distinct(transform(hv, p -> p % 2147483648))"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[java.lang.Long](1)))).toMap
+    hvs.indices.foreach { i =>
+      assert(gotP(i.toLong) == wantP(i.toLong),
+        s"packed hv=${hvs(i)}: ${gotP(i.toLong)} != ${wantP(i.toLong)}")
+    }
+  }
+
+  test("native word_shingles_all == HOF spec (values, order, multiplicity)") {
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val got = df.select(col("id"), TextOps.wordShinglesAll(col("text"), n))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("id"), TextOps.wordShinglesAllHof(col("text"), n))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.indices.foreach { i =>
+        assert(got(i.toLong) == want(i.toLong),
+          s"n=$n text='${cases(i)}': ${got(i.toLong)} != ${want(i.toLong)}")
+      }
+    }
+  }
+
   test("native char_trigrams == HOF spec (values and order)") {
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = df.select(col("id"), TextOps.charTrigrams(col("text")))
