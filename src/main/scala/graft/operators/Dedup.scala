@@ -1721,16 +1721,23 @@ object Dedup {
 
   /** Sign-LSH band table for vectors — shared by the self-join, the
     * incremental probe, and the bucketed snapshot writer. Measured
-    * and deliberately NOT spread (r16): the explode + exchange write
-    * do ride the bench parquet's single scan partition (~0.4 s), but
-    * a spread first was a wall wash at sf0.1 — the 32-way explode
-    * pays ~0.25 s/task of fixed stage cost — and adds an exchange
-    * the well-split production scan never needs. */
+    * and deliberately NOT spread — mechanism corrected in r17: r16
+    * blamed a ~0.25 s/task fixed stage cost, which the r17 probe
+    * (tools/Scratch taskcost) debunked (true per-task setup ≤ 2 ms).
+    * The honest reason the spread loses (re-A/B'd r17, spread in
+    * BOTH band builders: sim_knn_upsert 1.95 → 2.71, sim_knn_reband
+    * 1.79 → 2.08, pipeline_store_vec 4.96 → 6.82 s best-of-5
+    * back-to-back) is the keyless repartition ITSELF: it inserts an
+    * exchange + the sortBeforeRepartition local sort per band-table
+    * build, and the lifecycles build band tables repeatedly — more
+    * total cost than the ~0.3 s single-task explode it parallelizes.
+    * On well-split production input the explode is already parallel
+    * and the question is moot. */
   private[graft] def vectorBands(embeddings: DataFrame, nBands: Int,
       bitsPerBand: Int): DataFrame =
     embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
-        V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
+          V.signBucket(col("embedding"), b, bitsPerBand)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** Vector twin of [[writeCorpusBandSnapshot]]: persist the corpus

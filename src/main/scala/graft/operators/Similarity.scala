@@ -401,9 +401,14 @@ object Similarity {
     * [[knnGraphReband]]). */
   private[graft] def vectorBandsAnchored(embeddings: DataFrame,
       nBands: Int, bits: Int): DataFrame =
+    // deliberately NOT spread — same measured negative and corrected
+    // mechanism as [[graft.operators.Dedup.vectorBands]] (r17: the
+    // keyless exchange + its pre-sort per build cost more than the
+    // single-task explode they parallelize; spreading both builders
+    // regressed sim_knn_upsert/reband and pipeline_store_vec 1.2–1.4×)
     embeddings.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b =>
-        V.signBucketAnchored(col("embedding"), b, bits, AnchorStride)): _*)))
+          V.signBucketAnchored(col("embedding"), b, bits, AnchorStride)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** From-scratch k-NN graph over the anchored layout — the oracle
